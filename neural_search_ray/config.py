@@ -1,0 +1,70 @@
+"""Configuration dataclasses.
+
+Reference parity: field-mapper / algorithm parameters that the reference
+stores as Lucene field attributes (sparse/mapper/SparseVectorFieldMapper.java:198-226)
+and index settings (sparse/common/SparseConstants.java) become explicit
+dataclasses carried in actor-pool constructor args.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Standard-analyzer parameters (Lucene StandardAnalyzer semantics).
+
+    Reference: analyzers consumed at processor/chunker/FixedTokenLengthChunker.java:158-168
+    and query/NeuralSparseQueryBuilder.java:519-543.
+    """
+
+    lowercase: bool = True
+    remove_stopwords: bool = False
+    max_token_length: int = 255  # Lucene StandardAnalyzer default
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    """Lucene-default BM25 parameters, pinned by BASELINE.json north star.
+
+    Pinned oracle decision (SURVEY.md §7.2 item 5): document length ``dl``
+    is the EXACT post-analysis token count (no SmallFloat byte quantization);
+    engine and oracle both use this.
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Inverted-index build parameters.
+
+    block_size=128 mirrors the north-star block-max spec; n_postings
+    mirrors the reference's static pruning default
+    max(0.0005*maxDoc, 160) (sparse/codec/ClusteredPostingTermsWriter.java:136-142)
+    — disabled (keep all postings) unless set >= 0.
+    """
+
+    num_shards: int = 8            # hash(term) % num_shards → output shard
+    num_salts: int = 4             # docID-range salts for the posting shuffle
+    block_size: int = 128          # docs per block-max block
+    n_postings: int = -1           # -1 = no static pruning; -2 = reference default formula
+    bm25: BM25Config = field(default_factory=BM25Config)
+    analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+
+    def resolve_n_postings(self, max_doc: int) -> int:
+        if self.n_postings == -2:
+            # reference default: max(0.0005*maxDoc, 160)
+            return max(int(0.0005 * max_doc), 160)
+        return self.n_postings
+
+
+@dataclass(frozen=True)
+class QueryConfig:
+    """Query-side defaults (sparse/query/SparseAnnQueryBuilder.java:85-87)."""
+
+    k: int = 10
+    top_n_tokens: int = 10         # query-cut: keep top_n highest-weight query tokens
+    heap_factor: float = 1.0

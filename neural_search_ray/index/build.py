@@ -1,0 +1,375 @@
+"""Inverted-index build: the Ray-Data-first restatement of the reference's
+flush + merge path (SURVEY.md §3.1).
+
+Reference lifecycle (sparse/codec/SparsePostingsConsumer.java:87-181,
+ClusteredPostingTermsWriter.java:111-198, SparsePostingsReader.java:47-145):
+docs → FeatureField postings → per-segment group-by-term → clustered
+posting files (.sit/.sip) → merge re-groups terms across segments.
+
+Ray Data restatement — ONE map_batches + ONE shuffle per segment:
+
+  read_parquet(columns=[id, text])
+    .map_batches(tokenize_partial_postings, batch_format="pyarrow")
+    .groupby([doc_shard, term_bucket]).map_groups(write_group)
+    → per-group Parquet posting files + manifest rows (small)
+
+Design points (scale rationale):
+
+- **Doc-sharded index** (like OpenSearch shards / Lucene segments): each
+  ``doc_shard = doc_id % num_doc_shards`` holds postings for its own docs,
+  so doc-length arrays stay partition-local and a hot term's postings in
+  any one shuffle group are bounded by the shard's doc count — the
+  explicit skew handling the north rule demands. ``term_bucket =
+  crc32(term) % num_term_buckets`` adds intra-shard parallelism; a
+  stopword-grade term is split across num_doc_shards groups.
+- **Combiner before shuffle**: the map stage emits per-(input-batch,
+  term, shard) partial posting lists (Arrow ``list<int64>`` docIDs +
+  ``list<int32>`` tfs), so the shuffle moves aggregated postings rather
+  than raw (term, doc, tf) rows — mirroring Lucene's per-segment
+  postings-before-merge (SURVEY.md §4 decision 2).
+- **Doc lengths ride the same shuffle** as a sentinel ``term == ""``
+  posting list (tf := dl), assigned ``term_bucket = -1`` — the build is
+  single-pass with no second tokenization and no mid-pipeline
+  materialization.
+- **Segments are the checkpoint/resume unit**: ``build_index`` with
+  ``segment_id`` builds one input slice; re-running skips complete
+  segments recorded in the manifest (per-partition lineage + metrics).
+- Final posting rows are delta+varint-compressed docIDs (codec.py) with
+  block-max tf metadata every ``block_size`` (=128) docs.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from dataclasses import asdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..analysis.analyzer import tokenize
+from ..config import IndexConfig
+from .codec import encode_postings, varint_encode
+from .manifest import DOCLEN_BUCKET, IndexManifest, SegmentManifest
+
+DOCLEN_TERM = ""  # analyzer never produces an empty token
+
+
+def term_bucket_of(term: str, num_buckets: int) -> int:
+    """Stable cross-process term hash (NOT Python hash())."""
+    return zlib.crc32(term.encode("utf-8")) % num_buckets
+
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("doc_shard", pa.int32()),
+        ("term_bucket", pa.int32()),
+        ("term", pa.string()),
+        ("doc_ids", pa.list_(pa.int64())),
+        ("tfs", pa.list_(pa.int32())),
+    ]
+)
+
+
+def make_tokenize_partial_postings(
+    config: IndexConfig, id_column: str = "doc_id", text_column: str = "text"
+):
+    """Build the map_batches fn: batch of (doc_id, text) → partial postings."""
+    num_shards = config.num_shards
+    num_buckets = config.num_salts * config.num_shards  # term buckets per shard
+    analyzer_cfg = config.analyzer
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[text_column].to_pylist()
+        n_docs = len(texts)
+
+        token_lists = [tokenize(t or "", analyzer_cfg) for t in texts]
+        lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n_docs)
+        flat_tokens = [tok for toks in token_lists for tok in toks]
+        tok_doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+
+        out_shard: list[np.ndarray] = []
+        out_bucket: list[np.ndarray] = []
+        out_terms: list[str] = []
+        docs_flat: list[np.ndarray] = []
+        tfs_flat: list[np.ndarray] = []
+        list_lens: list[int] = []
+
+        if flat_tokens:
+            codes, uniques = pd.factorize(np.asarray(flat_tokens, dtype=object))
+            # unique (term, doc) pairs with counts = tf (vectorized)
+            pair = codes.astype(np.int64) * n_docs + tok_doc_idx
+            upair, tf = np.unique(pair, return_counts=True)
+            p_code = upair // n_docs
+            p_docidx = upair % n_docs
+            p_doc = doc_ids[p_docidx]
+            p_shard = (p_doc % num_shards).astype(np.int32)
+            # group by (term, shard); within group docIDs ascending
+            order = np.lexsort((p_doc, p_shard, p_code))
+            p_code, p_shard, p_doc, tf = (
+                p_code[order], p_shard[order], p_doc[order], tf[order]
+            )
+            # group boundaries
+            change = np.flatnonzero(
+                (np.diff(p_code) != 0) | (np.diff(p_shard) != 0)
+            )
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [p_code.size]))
+            bucket_by_code = np.fromiter(
+                (term_bucket_of(t, num_buckets) for t in uniques),
+                dtype=np.int32,
+                count=len(uniques),
+            )
+            for s, e in zip(starts, ends):
+                code = p_code[s]
+                out_terms.append(uniques[code])
+                out_shard.append(p_shard[s])
+                out_bucket.append(bucket_by_code[code])
+                docs_flat.append(p_doc[s:e])
+                tfs_flat.append(tf[s:e])
+                list_lens.append(e - s)
+
+        # doc-length sentinel rows, one per shard present in this batch
+        dl_order = np.lexsort((doc_ids, (doc_ids % num_shards)))
+        d_doc = doc_ids[dl_order]
+        d_dl = lens[dl_order]
+        d_shard = (d_doc % num_shards).astype(np.int32)
+        change = np.flatnonzero(np.diff(d_shard) != 0)
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [d_shard.size]))
+        for s, e in zip(starts, ends):
+            out_terms.append(DOCLEN_TERM)
+            out_shard.append(d_shard[s])
+            out_bucket.append(DOCLEN_BUCKET)
+            docs_flat.append(d_doc[s:e])
+            tfs_flat.append(d_dl[s:e])
+            list_lens.append(e - s)
+
+        offsets = np.zeros(len(list_lens) + 1, dtype=np.int64)
+        np.cumsum(list_lens, out=offsets[1:])
+        doc_col = pa.ListArray.from_arrays(
+            pa.array(offsets),
+            pa.array(
+                np.concatenate(docs_flat) if docs_flat else np.empty(0, np.int64),
+                type=pa.int64(),
+            ),
+        )
+        tf_col = pa.ListArray.from_arrays(
+            pa.array(offsets),
+            pa.array(
+                (np.concatenate(tfs_flat) if tfs_flat else np.empty(0, np.int64)).astype(
+                    np.int32
+                ),
+                type=pa.int32(),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_shard": pa.array(np.asarray(out_shard, dtype=np.int32)),
+                "term_bucket": pa.array(np.asarray(out_bucket, dtype=np.int32)),
+                "term": pa.array(out_terms, type=pa.string()),
+                "doc_ids": doc_col,
+                "tfs": tf_col,
+            },
+            schema=_PARTIAL_SCHEMA,
+        )
+
+    return fn
+
+
+def _grouped_varint(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> list[bytes]:
+    """varint-encode many groups in ONE vectorized pass, slice per group."""
+    buf = varint_encode(flat)
+    if not len(buf):
+        return [b""] * len(starts)
+    v = np.asarray(flat, dtype=np.uint64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        mask = tmp > 0
+        if not mask.any():
+            break
+        nbits[mask] += 1
+        tmp >>= np.uint64(1)
+    widths = np.maximum((nbits + 6) // 7, 1)
+    bends = np.cumsum(widths)
+    bstarts = np.concatenate(([0], bends[:-1]))
+    return [
+        buf[int(bstarts[s]) : int(bends[e - 1])] if e > s else b""
+        for s, e in zip(starts, ends)
+    ]
+
+
+def make_write_group(index_dir: str, segment_id: str, config: IndexConfig):
+    """map_groups fn for group key (doc_shard, term_bucket):
+    merge partial postings → final compressed posting rows → Parquet file.
+    Returns one manifest row per group (small)."""
+    block_size = config.block_size
+
+    def fn(group: pa.Table) -> pa.Table:
+        shard = int(group["doc_shard"][0].as_py())
+        bucket = int(group["term_bucket"][0].as_py())
+        seg_dir = os.path.join(index_dir, "segments", segment_id)
+        os.makedirs(seg_dir, exist_ok=True)
+
+        # flatten partial lists
+        terms_col = group["term"]
+        doc_lists = group["doc_ids"].combine_chunks()
+        tf_lists = group["tfs"].combine_chunks()
+        list_lens = np.asarray(
+            [len(doc_lists[i]) for i in range(len(doc_lists))], dtype=np.int64
+        )
+        flat_docs = doc_lists.flatten().to_numpy(zero_copy_only=False)
+        flat_tfs = tf_lists.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+
+        if bucket == DOCLEN_BUCKET:
+            order = np.argsort(flat_docs, kind="stable")
+            d = flat_docs[order]
+            dls = flat_tfs[order]
+            path = f"segments/{segment_id}/doclen_s{shard:04d}.parquet"
+            pq.write_table(
+                pa.table({"doc_id": d, "dl": dls.astype(np.int32)}),
+                os.path.join(index_dir, path),
+            )
+            return pa.table(
+                {
+                    "doc_shard": [shard],
+                    "term_bucket": [bucket],
+                    "path": [path],
+                    "n_terms": [0],
+                    "n_postings": [0],
+                    "n_docs": [int(d.size)],
+                    "sum_dl": [int(dls.sum())],
+                }
+            )
+
+        codes_part, uniq = pd.factorize(terms_col.to_pandas())
+        code_per_posting = np.repeat(codes_part.astype(np.int64), list_lens)
+        order = np.lexsort((flat_docs, code_per_posting))
+        g_code = code_per_posting[order]
+        g_doc = flat_docs[order]
+        g_tf = flat_tfs[order]
+        change = np.flatnonzero(np.diff(g_code) != 0)
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [g_code.size]))
+
+        # delta within each term's posting list (vectorized across groups)
+        deltas = np.empty_like(g_doc)
+        if g_doc.size:
+            deltas[0] = g_doc[0]
+            np.subtract(g_doc[1:], g_doc[:-1], out=deltas[1:])
+            deltas[starts] = g_doc[starts]
+        doc_bufs = _grouped_varint(deltas, starts, ends)
+        tf_bufs = _grouped_varint(g_tf, starts, ends)
+
+        # block-max tf per term, vectorized with reduceat
+        dfs = (ends - starts).astype(np.int64)
+        nblocks = (dfs + block_size - 1) // block_size
+        bm_offsets = np.zeros(nblocks.size + 1, dtype=np.int64)
+        np.cumsum(nblocks, out=bm_offsets[1:])
+        red_idx = np.concatenate(
+            [np.arange(s, e, block_size) for s, e in zip(starts, ends)]
+        ) if g_tf.size else np.empty(0, np.int64)
+        bm_flat = (
+            np.maximum.reduceat(g_tf, red_idx).astype(np.int32)
+            if red_idx.size
+            else np.empty(0, np.int32)
+        )
+        bm_col = pa.ListArray.from_arrays(
+            pa.array(bm_offsets), pa.array(bm_flat, type=pa.int32())
+        )
+
+        out_terms = uniq[g_code[starts]] if g_code.size else []
+        table = pa.table(
+            {
+                "term": pa.array(list(out_terms), type=pa.string()),
+                "df": pa.array(dfs, type=pa.int64()),
+                "docs": pa.array(doc_bufs, type=pa.binary()),
+                "tfs": pa.array(tf_bufs, type=pa.binary()),
+                "block_max_tf": bm_col,
+            }
+        )
+        path = f"segments/{segment_id}/post_s{shard:04d}_b{bucket:05d}.parquet"
+        pq.write_table(table, os.path.join(index_dir, path))
+        return pa.table(
+            {
+                "doc_shard": [shard],
+                "term_bucket": [bucket],
+                "path": [path],
+                "n_terms": [len(table)],
+                "n_postings": [int(dfs.sum())],
+                "n_docs": [0],
+                "sum_dl": [0],
+            }
+        )
+
+    return fn
+
+
+def build_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    config: IndexConfig = IndexConfig(),
+    *,
+    segment_id: str = "seg-000",
+    input_files: list[str] | None = None,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    resume: bool = True,
+) -> IndexManifest:
+    """Build (or resume) one index segment from a Dataset of (doc_id, text).
+
+    Resumable: if the manifest already records ``segment_id`` as complete,
+    the build is skipped entirely (per-partition checkpoint semantics —
+    unlike the reference, which silently drops failed merge batches,
+    SparsePostingsReader.java:135-137, a failed group here fails the Ray
+    task and is retried; the segment is marked complete only after every
+    group file landed).
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    num_buckets = config.num_salts * config.num_shards
+    manifest = IndexManifest.load(index_dir) or IndexManifest(
+        num_doc_shards=config.num_shards,
+        num_term_buckets=num_buckets,
+        block_size=config.block_size,
+        analyzer=asdict(config.analyzer),
+        bm25=asdict(config.bm25),
+    )
+    if resume and segment_id in manifest.segments and manifest.segments[segment_id]["complete"]:
+        return manifest
+
+    partials = ds.map_batches(
+        make_tokenize_partial_postings(config, id_column, text_column),
+        batch_format="pyarrow",
+    )
+    rows = (
+        partials.groupby(["doc_shard", "term_bucket"])
+        .map_groups(make_write_group(index_dir, segment_id, config), batch_format="pyarrow")
+        .take_all()
+    )
+    seg = SegmentManifest(
+        segment_id=segment_id,
+        input_files=input_files or [],
+        n_docs=sum(r["n_docs"] for r in rows),
+        sum_dl=sum(r["sum_dl"] for r in rows),
+        files=[
+            {
+                "doc_shard": r["doc_shard"],
+                "term_bucket": r["term_bucket"],
+                "path": r["path"],
+                "n_terms": r["n_terms"],
+                "n_postings": r["n_postings"],
+            }
+            for r in rows
+        ],
+        complete=True,
+    )
+    manifest.segments[segment_id] = asdict(seg)
+    manifest.save(index_dir)
+    return manifest
