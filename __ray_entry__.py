@@ -1,16 +1,7 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library code it calls) invokes ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +11,50 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: synthesize the
+    north-rule page table from the documents corpus, extract+validate
+    text from html (byte-identity invariant), build the inverted index,
+    and batch-evaluate the fixed BM25 query set."""
+    import ray.data
+
+    from neural_search_ray.config import IndexConfig
+    from neural_search_ray.corpus.extract import extract_text_stage
+    from neural_search_ray.corpus.generator import make_pages_from_documents
+    from neural_search_ray.index.build import build_index
+    from neural_search_ray.pipelines.suite import QUERY_SET, BM25_K
+    from neural_search_ray.query.engine import SearchStage
+
+    import pyarrow.parquet as pq
+    import tempfile
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    pages = make_pages_from_documents(docs)
+
+    index_dir = tempfile.mkdtemp(prefix="nsr_entry_")
+    ds = ray.data.from_arrow(pages).map_batches(
+        extract_text_stage, batch_format="pyarrow"
+    )
+    build_index(ds, index_dir, IndexConfig(num_shards=4, num_salts=2))
+
+    queries_ds = ray.data.from_items(
+        [{"query_id": qid, "query_text": q} for qid, q in QUERY_SET]
+    )
+    return queries_ds.map_batches(
+        SearchStage,
+        fn_constructor_kwargs=dict(index_dir=index_dir, k=BM25_K),
+        concurrency=1,
+        batch_format="pyarrow",
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from neural_search_ray.pipelines.suite import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from neural_search_ray.pipelines.suite import build_oracle_sql
+
+    return build_oracle_sql()

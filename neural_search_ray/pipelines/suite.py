@@ -1,0 +1,859 @@
+"""The query/oracle suite: every operator exposed as a callable
+``(sf_dir) -> table`` with (where SQL-expressible) a DuckDB oracle that
+computes the same result from the same parquet tables.
+
+Column-naming contract: Ray results and oracle SQL use IDENTICAL column
+names and (int64/float64/string) types; float columns are rounded to 6
+decimals ON BOTH SIDES and orderings tie-break on ids after rounding, so
+the driver's order-insensitive value-hash matches.
+
+Analyzer note: the synthetic ``documents.text`` is verified (tests) to
+tokenize identically under the standard analyzer and under SQL
+``string_split(text, ' ')`` — which is what makes exact SQL oracles for
+BM25 possible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..analysis.analyzer import ENGLISH_STOPWORDS, tokenize
+from ..config import IndexConfig
+from ..index.build import build_index
+from ..query.engine import IndexSearcher
+from ..rank.hybrid import hybrid_rank
+
+# ---------------------------------------------------------------------------
+# fixed query set (BM25 tier reference query set)
+
+QUERY_SET: list[tuple[int, str]] = [
+    (0, "data query"),
+    (1, "merge sort window"),
+    (2, "the fast join"),
+    (3, "table scan filter row"),
+    (4, "spark batch stream"),
+    (5, "vector search"),
+    (6, "slow group agg"),
+    (7, "customer line order"),
+]
+
+SPARSE_QUERY_WEIGHTS: dict[str, float] = {
+    "data": 2.0,
+    "join": 1.5,
+    "window": 1.0,
+    "query": 0.5,
+}
+
+BM25_K = 10
+K1, B = 1.2, 0.75
+
+
+def round_half_up(x, decimals: int = 6):
+    """Decimal rounding matching DuckDB's round() (half AWAY from zero) —
+    numpy/python round are half-to-even and mismatch on exact halves like
+    5/128 at 6 decimals."""
+    x = np.asarray(x, dtype=np.float64)
+    factor = 10.0 ** decimals
+    return np.where(x >= 0, np.floor(x * factor + 0.5), np.ceil(x * factor - 0.5)) / factor
+
+# ---------------------------------------------------------------------------
+# shared helpers
+
+
+def _docs_ds(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def get_index_dir(sf_dir: str) -> str:
+    """Build (once per sf_dir content) the inverted index under /tmp."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/nsr_index_{key}"
+    build_index(
+        _docs_ds(sf_dir), index_dir, IndexConfig(num_shards=4, num_salts=2), resume=True
+    )
+    _INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+_SEARCHER_CACHE: dict[str, IndexSearcher] = {}
+
+
+def get_searcher(sf_dir: str) -> IndexSearcher:
+    idx = get_index_dir(sf_dir)
+    if idx not in _SEARCHER_CACHE:
+        _SEARCHER_CACHE[idx] = IndexSearcher(idx)
+    return _SEARCHER_CACHE[idx]
+
+
+def _hits_table(rows: list[tuple[int, np.ndarray, np.ndarray]], round_to: int = 6) -> pa.Table:
+    """[(query_id, doc_ids, scores)] → (query_id, rank, doc_id, score) with
+    scores rounded and ranks re-derived from (rounded desc, doc_id asc)."""
+    qs, rs, ds_, ss = [], [], [], []
+    for qid, docs, scores in rows:
+        sc = round_half_up(scores, round_to)
+        order = np.lexsort((docs, -sc))
+        qs.append(np.full(docs.size, qid, dtype=np.int64))
+        rs.append(np.arange(1, docs.size + 1, dtype=np.int64))
+        ds_.append(docs[order])
+        ss.append(sc[order])
+    cat = lambda a, dt: np.concatenate(a) if a else np.empty(0, dt)  # noqa: E731
+    return pa.table(
+        {
+            "query_id": pa.array(cat(qs, np.int64)),
+            "rank": pa.array(cat(rs, np.int64)),
+            "doc_id": pa.array(cat(ds_, np.int64)),
+            "score": pa.array(cat(ss, np.float64)),
+        }
+    )
+
+
+# SQL building blocks ------------------------------------------------------
+
+SQL_TOK = (
+    "SELECT doc_id, lower(t.term) AS term "
+    "FROM documents, unnest(string_split(text, ' ')) AS t(term) "
+    "WHERE t.term <> ''"
+)
+SQL_TF = f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({SQL_TOK}) GROUP BY doc_id, term"
+SQL_DL = f"SELECT doc_id, count(*)::BIGINT AS dl FROM ({SQL_TOK}) GROUP BY doc_id"
+SQL_DL_ALL = (
+    "SELECT d.doc_id, coalesce(l.dl, 0)::BIGINT AS dl FROM documents d "
+    f"LEFT JOIN ({SQL_DL}) l USING (doc_id)"
+)
+SQL_STATS = (
+    f"SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens, "
+    f"avg(dl)::DOUBLE AS avgdl FROM ({SQL_DL_ALL})"
+)
+SQL_DF = f"SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM ({SQL_TF}) GROUP BY term"
+
+
+def _query_values_sql() -> str:
+    """VALUES clause of (query_id, term) for the DISTINCT analyzer tokens
+    of each query in QUERY_SET (built with the engine's own tokenizer)."""
+    rows = []
+    for qid, qtext in QUERY_SET:
+        for t in sorted(set(tokenize(qtext))):
+            rows.append(f"({qid}, '{t}')")
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS q(query_id, term)"
+
+
+def _bm25_scored_sql() -> str:
+    return f"""
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) ) AS score
+  FROM ({_query_values_sql()}) q
+  JOIN ({SQL_TF}) tf ON tf.term = q.term
+  JOIN ({SQL_DF}) df ON df.term = q.term
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN ({SQL_STATS}) s
+  GROUP BY q.query_id, tf.doc_id"""
+
+
+def _topk_raw_sql(scored_sql: str, k: int) -> str:
+    """Subquery-internal top-k: raw (unrounded) scores, rank by exact
+    (score desc, doc_id) — matches the engine's exact-score selection."""
+    return f"""
+SELECT query_id, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM ({scored_sql})
+) WHERE rank <= {k}"""
+
+
+def _topk_sql(scored_sql: str, k: int) -> str:
+    return f"""
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM ({scored_sql})
+) WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# operator implementations (Ray side)
+
+
+def q_doc_tokenize(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, term, tf) — analyzer + per-doc term frequencies; each doc
+    lives entirely in one batch so NO shuffle is needed."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_out, terms_out, tfs_out = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = tokenize(text or "")
+            if not toks:
+                continue
+            terms, tfs = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            ids_out.append(np.full(terms.size, doc_id, dtype=np.int64))
+            terms_out.extend(terms.tolist())
+            tfs_out.append(tfs.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(ids_out) if ids_out else np.empty(0, np.int64)
+                ),
+                "term": pa.array(terms_out, type=pa.string()),
+                "tf": pa.array(
+                    np.concatenate(tfs_out) if tfs_out else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    return _docs_ds(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_term_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(term, df, cf) — partial aggregation inside map_batches (q_doc_tokenize
+    already emits per-doc tf rows = partials) + final groupby-sum."""
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        q_doc_tokenize(sf_dir)
+        .groupby("term")
+        .aggregate(Count(alias_name="df"), Sum("tf", alias_name="cf"))
+    )
+
+
+def q_collection_stats(sf_dir: str) -> pa.Table:
+    searcher = get_searcher(sf_dir)
+    total = sum(s["sum_dl"] for s in searcher.manifest.complete_segments())
+    return pa.table(
+        {
+            "n_docs": pa.array([searcher.n_docs], type=pa.int64()),
+            "total_tokens": pa.array([total], type=pa.int64()),
+            "avgdl": pa.array([float(round_half_up(searcher.avgdl, 6))], type=pa.float64()),
+        }
+    )
+
+
+def q_doc_lengths(sf_dir: str) -> pa.Table:
+    searcher = get_searcher(sf_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(searcher._dl_doc_ids, type=pa.int64()),
+            "dl": pa.array(searcher._dl.astype(np.int64)),
+        }
+    )
+
+
+def q_bm25_topk(sf_dir: str) -> pa.Table:
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=BM25_K * 3)
+        rows.append((qid, docs[:0] if docs.size == 0 else docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_sparse_dot_topk(sf_dir: str) -> pa.Table:
+    searcher = get_searcher(sf_dir)
+    docs, scores = searcher.search_sparse_dot(SPARSE_QUERY_WEIGHTS, k=BM25_K * 3)
+    out = _hits_table([(0, docs, scores)])
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def _subquery_results(searcher: IndexSearcher, qtext: str, k: int):
+    """The two hybrid sub-queries: BM25 and uniform-weight sparse dot."""
+    terms = sorted(set(tokenize(qtext)))
+    bm = searcher.search_bm25(terms, k=k)
+    dot = searcher.search_sparse_dot({t: 1.0 for t in terms}, k=k)
+    return [bm, dot]
+
+
+def q_hybrid_minmax_arith(sf_dir: str) -> pa.Table:
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        subs = _subquery_results(searcher, qtext, k=10)
+        docs, comb = hybrid_rank(
+            subs, normalization="min_max", combination="arithmetic_mean",
+            weights=[0.7, 0.3], k=5,
+        )
+        rows.append((qid, docs, comb))
+    return _hits_table(rows)
+
+
+def q_hybrid_rrf(sf_dir: str) -> pa.Table:
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        subs = _subquery_results(searcher, qtext, k=10)
+        docs, comb = hybrid_rank(
+            subs, normalization="rrf", combination="rrf", k=5, rank_constant=60
+        )
+        rows.append((qid, docs, comb))
+    return _hits_table(rows, round_to=6)
+
+
+# --- chunkers --------------------------------------------------------------
+
+
+def q_chunk_fixed_char(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.chunkers import make_chunk_stage
+
+    return _docs_ds(sf_dir).map_batches(
+        make_chunk_stage("fixed_char_length", char_limit=100, overlap_rate=0.25),
+        batch_format="pyarrow",
+    )
+
+
+def q_chunk_fixed_token(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.chunkers import make_chunk_stage
+
+    return _docs_ds(sf_dir).map_batches(
+        make_chunk_stage("fixed_token_length", token_limit=20, overlap_rate=0.25),
+        batch_format="pyarrow",
+    )
+
+
+def q_chunk_delimiter(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.chunkers import make_chunk_stage
+
+    return _docs_ds(sf_dir).map_batches(
+        make_chunk_stage("delimiter", delimiter="data "),
+        batch_format="pyarrow",
+    )
+
+
+# --- prune strategies over per-doc sparse tf vectors -----------------------
+
+
+def _prune_query(sf_dir: str, prune_type: str, ratio: float) -> "ray.data.Dataset":
+    from ..stages.prune import prune_sparse_vector
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_out, terms_out, tfs_out = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = tokenize(text or "")
+            if not toks:
+                continue
+            terms, tfs = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            vec = dict(zip(terms.tolist(), (float(x) for x in tfs)))
+            kept = prune_sparse_vector(prune_type, ratio, vec)
+            for t in sorted(kept):
+                ids_out.append(doc_id)
+                terms_out.append(t)
+                tfs_out.append(int(kept[t]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, type=pa.int64()),
+                "term": pa.array(terms_out, type=pa.string()),
+                "tf": pa.array(tfs_out, type=pa.int64()),
+            }
+        )
+
+    return _docs_ds(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_prune_top_k(sf_dir: str):
+    return _prune_query(sf_dir, "top_k", 4)
+
+
+def q_prune_max_ratio(sf_dir: str):
+    return _prune_query(sf_dir, "max_ratio", 0.5)
+
+
+def q_prune_abs_value(sf_dir: str):
+    return _prune_query(sf_dir, "abs_value", 3.0)
+
+
+def q_prune_alpha_mass(sf_dir: str):
+    return _prune_query(sf_dir, "alpha_mass", 0.4)
+
+
+# --- textstats / fingerprint / dedup --------------------------------------
+
+
+def q_quality_stats(sf_dir: str) -> "ray.data.Dataset":
+    from ..textstats.quality import quality_stats_stage
+
+    return _docs_ds(sf_dir).map_batches(quality_stats_stage, batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str) -> "ray.data.Dataset":
+    from ..textstats.langid import langid_stage
+
+    return _docs_ds(sf_dir).map_batches(langid_stage, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    from ..dedup.common import h64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        nums = np.fromiter(
+            (h64(t or "") & 0x7FFFFFFFFFFFFFFF for t in texts),
+            dtype=np.int64, count=len(texts),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "md5_hex": pa.array(md5s, type=pa.string()),
+                "fp63": pa.array(nums, type=pa.int64()),
+            }
+        )
+
+    return _docs_ds(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str) -> "ray.data.Dataset":
+    from ..dedup.exact import exact_dedup
+
+    return exact_dedup(_docs_ds(sf_dir))
+
+
+def q_simhash(sf_dir: str) -> "ray.data.Dataset":
+    from ..dedup.simhash import simhash_stage
+
+    return _docs_ds(sf_dir).map_batches(simhash_stage, batch_format="pyarrow")
+
+
+def q_minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
+    from ..dedup.minhash import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs_ds(sf_dir), num_hashes=8, bands=4)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """2-gram Jaccard for the fixed pair list (2i, 2i+1), i < 100."""
+    import pyarrow.parquet as pq
+
+    from ..dedup.ngram import ngram_jaccard
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    out_a, out_b, out_j = [], [], []
+    for i in range(100):
+        a, b = 2 * i, 2 * i + 1
+        if a in texts and b in texts:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(float(round_half_up(ngram_jaccard(texts[a], texts[b], 2), 6)))
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, type=pa.int64()),
+            "doc_b": pa.array(out_b, type=pa.int64()),
+            "jaccard": pa.array(out_j, type=pa.float64()),
+        }
+    )
+
+
+# --- embeddings / ANN ------------------------------------------------------
+
+
+def q_knn_cosine(sf_dir: str) -> pa.Table:
+    from ..ann.brute import knn_brute_force
+
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = qt.filter(pc.less(qt["vec_id"], 5))
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = knn_brute_force(ds, queries, qids, k=10)
+    return out.set_column(
+        out.schema.get_field_index("score"),
+        "score",
+        pa.array(round_half_up(out["score"].to_numpy(), 6)),
+    )
+
+
+# --- events ----------------------------------------------------------------
+
+
+def q_events_sessionize(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user sessionization (30-min gap): windowed/stateful operator via
+    groupby(user).map_groups with vectorized gap detection."""
+    GAP_US = 30 * 60 * 1_000_000
+
+    def fn(group: pa.Table) -> pa.Table:
+        ts = group["ts"].cast(pa.int64()).to_numpy()
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        new_session = np.empty(ts.size, dtype=np.int64)
+        new_session[0] = 0
+        new_session[1:] = (np.diff(ts) > GAP_US).astype(np.int64)
+        sess = np.cumsum(new_session)
+        uid = group["user_id"][0].as_py()
+        n_sessions = int(sess[-1]) + 1
+        counts = np.bincount(sess, minlength=n_sessions)
+        starts = ts[np.searchsorted(sess, np.arange(n_sessions))]
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(n_sessions, uid, dtype=np.int64)),
+                "session_id": pa.array(np.arange(n_sessions, dtype=np.int64)),
+                "n_events": pa.array(counts.astype(np.int64)),
+                "start_ts_us": pa.array(starts.astype(np.int64)),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(fn, batch_format="pyarrow")
+    )
+
+
+def q_top_events(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed sort + limit (SORT operator)."""
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        )
+        .sort(["value", "event_id"], descending=[True, False])
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+
+def build_oracle_sql() -> dict[str, str]:
+    sqls: dict[str, str] = {}
+    sqls["doc_tokenize"] = SQL_TF
+    sqls["term_stats"] = SQL_DF
+    sqls["collection_stats"] = (
+        f"SELECT n_docs, total_tokens, round(avgdl, 6) AS avgdl FROM ({SQL_STATS})"
+    )
+    sqls["doc_lengths"] = SQL_DL_ALL
+    sqls["bm25_topk"] = _topk_sql(_bm25_scored_sql(), BM25_K)
+
+    dot_values = ", ".join(
+        f"('{t}', {w})" for t, w in sorted(SPARSE_QUERY_WEIGHTS.items())
+    )
+    sqls["sparse_dot_topk"] = _topk_sql(
+        f"""
+  SELECT 0::BIGINT AS query_id, tf.doc_id,
+         sum(q.w * tf.tf)::DOUBLE AS score
+  FROM (SELECT * FROM (VALUES {dot_values}) AS v(term, w)) q
+  JOIN ({SQL_TF}) tf ON tf.term = q.term
+  GROUP BY tf.doc_id""",
+        BM25_K,
+    )
+
+    # hybrid min_max + arithmetic mean (weights 0.7/0.3, k=5 over top-10 subs)
+    sqls["hybrid_minmax_arith"] = _hybrid_minmax_sql()
+    sqls["hybrid_rrf"] = _hybrid_rrf_sql()
+
+    # chunkers
+    sqls["chunk_fixed_char"] = _chunk_char_sql(char_limit=100, step=75)
+    sqls["chunk_fixed_token"] = _chunk_token_sql(token_limit=20, step=15)
+    sqls["chunk_delimiter"] = _chunk_delim_sql("data ")
+
+    # prune
+    sqls["prune_top_k"] = f"""
+SELECT doc_id, term, tf FROM (
+  SELECT doc_id, term, tf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+  FROM ({SQL_TF})) WHERE rn <= 4"""
+    sqls["prune_max_ratio"] = f"""
+SELECT doc_id, term, tf FROM (
+  SELECT doc_id, term, tf, max(tf) OVER (PARTITION BY doc_id) AS mx
+  FROM ({SQL_TF})) WHERE tf >= 0.5 * mx"""
+    sqls["prune_abs_value"] = f"SELECT doc_id, term, tf FROM ({SQL_TF}) WHERE tf >= 3.0"
+    sqls["prune_alpha_mass"] = f"""
+SELECT doc_id, term, tf FROM (
+  SELECT doc_id, term, tf,
+         sum(tf) OVER (PARTITION BY doc_id ORDER BY tf DESC, term
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(tf) OVER (PARTITION BY doc_id) AS total
+  FROM ({SQL_TF})) WHERE cum <= 0.4 * total"""
+
+    # textstats
+    stop_list = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOPWORDS))
+    sqls["quality_stats"] = f"""
+WITH tok AS ({SQL_TOK})
+SELECT d.doc_id,
+       length(d.text)::BIGINT AS n_chars,
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(s.n_unique_tokens, 0)::BIGINT AS n_unique_tokens,
+       coalesce(round(s.n_stop / s.n_tokens::DOUBLE, 6), 0.0) AS stopword_ratio,
+       coalesce(round(s.sum_len / s.n_tokens::DOUBLE, 6), 0.0) AS mean_token_len
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT term)::BIGINT AS n_unique_tokens,
+         sum(CASE WHEN term IN ({stop_list}) THEN 1 ELSE 0 END)::BIGINT AS n_stop,
+         sum(length(term))::BIGINT AS sum_len
+  FROM tok GROUP BY doc_id) s USING (doc_id)"""
+
+    sqls["fingerprint"] = (
+        "SELECT doc_id, md5(text) AS md5_hex, "
+        "CAST(md5_number_lower(text) & 9223372036854775807 AS BIGINT) AS fp63 "
+        "FROM documents"
+    )
+    sqls["dedup_exact"] = (
+        "SELECT CAST(md5_number_lower(text) & 9223372036854775807 AS BIGINT) AS text_hash, "
+        "min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS n_docs "
+        "FROM documents GROUP BY text"
+    )
+
+    # langid (stopword-profile argmax, ties by lang asc, 'und' if all 0)
+    sqls["langid"] = _langid_sql()
+
+    # knn cosine
+    sqls["knn_cosine"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN embeddings e)
+SELECT query_id::BIGINT AS query_id, rank, neighbor_id::BIGINT AS neighbor_id, score FROM (
+  SELECT query_id, neighbor_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 10"""
+
+    # events
+    sqls["events_sessionize"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id, ts_us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e)
+SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events, min(ts_us)::BIGINT AS start_ts_us
+FROM s GROUP BY user_id, session_id"""
+
+    sqls["top_events"] = (
+        "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100"
+    )
+
+    sqls["ngram_jaccard_pairs"] = _ngram_jaccard_sql()
+    return sqls
+
+
+def _hybrid_minmax_sql() -> str:
+    """min_max normalize (over each subquery's top-10 per query) + weighted
+    arithmetic mean (0.7 bm25, 0.3 dot), top-5."""
+    bm_top = _topk_raw_sql(_bm25_scored_sql(), 10)
+    dot_scored = f"""
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum(tf.tf)::DOUBLE AS score
+  FROM ({_query_values_sql()}) q
+  JOIN ({SQL_TF}) tf ON tf.term = q.term
+  GROUP BY q.query_id, tf.doc_id"""
+    dot_top = _topk_raw_sql(dot_scored, 10)
+    norm = """
+  SELECT query_id, doc_id,
+         CASE WHEN mx = mn THEN 1.0
+              WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
+              ELSE (score - mn) / (mx - mn) END AS nscore
+  FROM (SELECT query_id, doc_id, score,
+               min(score) OVER (PARTITION BY query_id) AS mn,
+               max(score) OVER (PARTITION BY query_id) AS mx
+        FROM ({top}))"""
+    return f"""
+WITH bmn AS ({norm.format(top=bm_top)}),
+     dtn AS ({norm.format(top=dot_top)}),
+     joined AS (
+       SELECT coalesce(b.query_id, d.query_id) AS query_id,
+              coalesce(b.doc_id, d.doc_id) AS doc_id,
+              b.nscore AS s1, d.nscore AS s2
+       FROM bmn b FULL OUTER JOIN dtn d
+         ON b.query_id = d.query_id AND b.doc_id = d.doc_id),
+     combined AS (
+       SELECT query_id, doc_id,
+              (coalesce(0.7 * s1, 0) + coalesce(0.3 * s2, 0)) /
+              (CASE WHEN s1 IS NULL THEN 0 ELSE 0.7 END +
+               CASE WHEN s2 IS NULL THEN 0 ELSE 0.3 END) AS score
+       FROM joined)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM combined) WHERE rank <= 5"""
+
+
+def _hybrid_rrf_sql() -> str:
+    bm_top = _bm25_scored_sql()
+    dot_scored = f"""
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum(tf.tf)::DOUBLE AS score
+  FROM ({_query_values_sql()}) q
+  JOIN ({SQL_TF}) tf ON tf.term = q.term
+  GROUP BY q.query_id, tf.doc_id"""
+    rrf = """SELECT query_id, doc_id, round(1.0 / (60 + rank), 10) AS nscore FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM ({top})) WHERE rank <= 10"""
+    return f"""
+WITH b AS ({rrf.format(top=bm_top)}),
+     d AS ({rrf.format(top=dot_scored)}),
+     joined AS (
+       SELECT coalesce(b.query_id, d.query_id) AS query_id,
+              coalesce(b.doc_id, d.doc_id) AS doc_id,
+              coalesce(b.nscore, 0) + coalesce(d.nscore, 0) AS score
+       FROM b FULL OUTER JOIN d
+         ON b.query_id = d.query_id AND b.doc_id = d.doc_id)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM joined) WHERE rank <= 5"""
+
+
+def _chunk_char_sql(char_limit: int, step: int) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+c AS (SELECT doc_id, text, n,
+             CASE WHEN n <= {char_limit} THEN 1
+                  ELSE 1 + CAST(ceil((n - {char_limit}) / {step}.0) AS BIGINT) END AS n_chunks
+      FROM d)
+SELECT doc_id, (i - 1)::BIGINT AS chunk_idx,
+       CASE WHEN i = n_chunks THEN substring(text, (i - 1) * {step} + 1)
+            ELSE substring(text, (i - 1) * {step} + 1, {char_limit}) END AS chunk
+FROM c CROSS JOIN generate_series(1, 4000) AS g(i)
+WHERE i <= c.n_chunks"""
+
+
+def _chunk_token_sql(token_limit: int, step: int) -> str:
+    """Token chunker on single-space text: chunk i (1-based) covers tokens
+    [(i-1)*step+1 .. (i-1)*step+token_limit]; non-final chunks include the
+    trailing gap char (one space); final chunk runs to end of text."""
+    return f"""
+WITH d AS (SELECT doc_id, text,
+                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+           FROM documents),
+c AS (SELECT doc_id, text, n,
+             CASE WHEN n = 0 THEN 0
+                  WHEN n <= {token_limit} THEN 1
+                  ELSE 1 + CAST(ceil((n - {token_limit}) / {step}.0) AS BIGINT) END AS n_chunks,
+             string_split(text, ' ') AS toks
+      FROM d)
+SELECT doc_id, (i - 1)::BIGINT AS chunk_idx,
+       CASE WHEN i = n_chunks
+            THEN array_to_string(list_slice(toks, (i - 1) * {step} + 1, n), ' ')
+            ELSE array_to_string(list_slice(toks, (i - 1) * {step} + 1,
+                                            (i - 1) * {step} + {token_limit}), ' ') || ' '
+       END AS chunk
+FROM c CROSS JOIN generate_series(1, 4000) AS g(i)
+WHERE c.n_chunks > 0 AND i <= c.n_chunks"""
+
+
+def _chunk_delim_sql(delim: str) -> str:
+    """Delimiter chunker: delimiter kept at end of each chunk; remainder
+    (if non-empty) is the final chunk."""
+    return f"""
+WITH parts AS (
+  SELECT doc_id, string_split(text, '{delim}') AS p FROM documents)
+SELECT doc_id, (i - 1)::BIGINT AS chunk_idx,
+       CASE WHEN i < len(p) THEN p[i] || '{delim}' ELSE p[i] END AS chunk
+FROM parts CROSS JOIN generate_series(1, 4000) AS g(i)
+WHERE i <= len(p) AND NOT (i = len(p) AND p[i] = '')"""
+
+
+def _langid_sql() -> str:
+    from ..textstats.langid import LANG_PROFILES
+
+    score_cols = []
+    for lang in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
+        score_cols.append(
+            f"sum(CASE WHEN term IN ({words}) THEN 1 ELSE 0 END) AS s_{lang}"
+        )
+    langs = sorted(LANG_PROFILES)
+    # argmax with ties by lang asc, 'und' when all zero
+    case = "CASE "
+    for lang in langs:
+        others = [f"s_{lang} >= s_{o}" if o > lang else f"s_{lang} > s_{o}"
+                  for o in langs if o != lang]
+        case += f"WHEN s_{lang} > 0 AND {' AND '.join(others)} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH tok AS ({SQL_TOK}),
+sc AS (SELECT doc_id, {", ".join(score_cols)} FROM tok GROUP BY doc_id)
+SELECT d.doc_id, coalesce({case}, 'und') AS pred_lang
+FROM documents d LEFT JOIN sc USING (doc_id)"""
+
+
+def _ngram_jaccard_sql() -> str:
+    return """
+WITH pairs AS (
+  SELECT (2 * i)::BIGINT AS doc_a, (2 * i + 1)::BIGINT AS doc_b
+  FROM generate_series(0, 99) AS g(i)),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN n < 2 THEN array_to_string(t, ' ')
+                ELSE t[i] || ' ' || t[i+1] END AS shingle
+    FROM toks CROSS JOIN generate_series(1, 4000) AS g(i)
+    WHERE i <= greatest(n - 1, 1))),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS ic
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND a.shingle = b.shingle
+  GROUP BY p.doc_a, p.doc_b)
+SELECT p.doc_a, p.doc_b,
+       round(coalesce(i.ic, 0) / (sa.sz + sb.sz - coalesce(i.ic, 0))::DOUBLE, 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def build_queries() -> dict:
+    return {
+        "doc_tokenize": q_doc_tokenize,
+        "term_stats": q_term_stats,
+        "collection_stats": q_collection_stats,
+        "doc_lengths": q_doc_lengths,
+        "bm25_topk": q_bm25_topk,
+        "sparse_dot_topk": q_sparse_dot_topk,
+        "hybrid_minmax_arith": q_hybrid_minmax_arith,
+        "hybrid_rrf": q_hybrid_rrf,
+        "chunk_fixed_char": q_chunk_fixed_char,
+        "chunk_fixed_token": q_chunk_fixed_token,
+        "chunk_delimiter": q_chunk_delimiter,
+        "prune_top_k": q_prune_top_k,
+        "prune_max_ratio": q_prune_max_ratio,
+        "prune_abs_value": q_prune_abs_value,
+        "prune_alpha_mass": q_prune_alpha_mass,
+        "quality_stats": q_quality_stats,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "simhash": q_simhash,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "knn_cosine": q_knn_cosine,
+        "events_sessionize": q_events_sessionize,
+        "top_events": q_top_events,
+    }

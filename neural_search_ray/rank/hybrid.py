@@ -1,0 +1,56 @@
+"""Hybrid query execution: N sub-queries → per-subquery top-k →
+normalize → combine → final ranked list.
+
+The Ray restatement of the reference's hybrid path (SURVEY.md §2.9/§2.10):
+HybridQuery runs sub-queries independently keeping per-subquery TopDocs
+(query/HybridQuery.java:35-84, search/collector/HybridTopScoreDocCollector.java),
+then the normalization-processor's coordinator reduce normalizes per
+subquery ACROSS shards and combines per doc
+(processor/NormalizationProcessorWorkflow.java:66-124,
+processor/combination/ScoreCombiner.java:66-130).
+
+Here sub-query results are small (query_id, doc_id, score) tables (per
+query already merged across partitions), so the reduce is driver-side
+numpy — the same shape as the reference's coordinator step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .combine import COMBINATION_TECHNIQUES
+from .normalize import NORMALIZATION_TECHNIQUES, norm_rrf
+
+
+def hybrid_rank(
+    subquery_results: list[tuple[np.ndarray, np.ndarray]],
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+    weights=None,
+    k: int = 10,
+    rank_constant: int = 60,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Normalize + combine sub-query results for ONE query.
+
+    subquery_results: list of (doc_ids, scores) per sub-query.
+    Returns (doc_ids, combined_scores) top-k by (score desc, doc_id asc).
+    """
+    n_sub = len(subquery_results)
+    all_docs = np.unique(
+        np.concatenate([d for d, _ in subquery_results if d.size] or [np.empty(0, np.int64)])
+    )
+    if all_docs.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    matrix = np.full((all_docs.size, n_sub), np.nan)
+    for j, (docs, scores) in enumerate(subquery_results):
+        if docs.size == 0:
+            continue
+        if normalization == "rrf":
+            normed = norm_rrf(scores, docs, rank_constant)
+        else:
+            normed = NORMALIZATION_TECHNIQUES[normalization](scores)
+        pos = np.searchsorted(all_docs, docs)
+        matrix[pos, j] = normed
+    combined = COMBINATION_TECHNIQUES[combination](matrix, weights)
+    order = np.lexsort((all_docs, -combined))[:k]
+    return all_docs[order], combined[order]

@@ -1,0 +1,112 @@
+"""Score normalization techniques for hybrid search (vectorized numpy).
+
+Re-specified from the reference (semantics matched exactly, code not
+copied). Normalization statistics are computed per subquery over ALL
+results of a query (across shards — the coordinator-reduce step,
+processor/NormalizationProcessorWorkflow.java:66-124).
+
+- min_max (processor/normalization/MinMaxScoreNormalizationTechnique.java:47-297):
+  n = (s - min)/(max - min); if max==min==s → 1.0; if the computed n is
+  exactly 0.0 → 0.001 (MIN_SCORE).
+- l2 (L2ScoreNormalizationTechnique.java:47-72): n = s/sqrt(Σ s²);
+  norm==0 → 0.001.
+- z_score (ZScoreNormalizationTechnique.java:40-72,214-227):
+  if s == mean → max raw score of the subquery; elif std == 0 → min raw
+  score; else n = (s-mean)/std, and n <= 0 → 0.001. std is the
+  POPULATION std (sqrt(mean((s-mean)²))).
+- rrf (RRFNormalizationTechnique.java:46-76,222): n = 1/(rank_constant +
+  rank), rank 1-based by (score desc, doc_id asc), rounded half-up to 10
+  decimal places (the reference's BigDecimal scale-10 division);
+  rank_constant default 60.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+MIN_SCORE = 0.001
+SINGLE_RESULT_SCORE = 1.0
+DEFAULT_RANK_CONSTANT = 60
+
+
+def norm_min_max(scores: np.ndarray) -> np.ndarray:
+    s = np.asarray(scores, dtype=np.float64)
+    if s.size == 0:
+        return s
+    mn, mx = s.min(), s.max()
+    if mx == mn:
+        return np.full(s.shape, SINGLE_RESULT_SCORE)
+    out = (s - mn) / (mx - mn)
+    out[out == 0.0] = MIN_SCORE
+    return out
+
+
+def norm_l2(scores: np.ndarray) -> np.ndarray:
+    s = np.asarray(scores, dtype=np.float64)
+    if s.size == 0:
+        return s
+    norm = np.sqrt((s * s).sum())
+    if norm == 0:
+        return np.full(s.shape, MIN_SCORE)
+    return s / norm
+
+
+def norm_z_score(scores: np.ndarray) -> np.ndarray:
+    s = np.asarray(scores, dtype=np.float64)
+    if s.size == 0:
+        return s
+    mean = s.mean()
+    std = np.sqrt(((s - mean) ** 2).mean())
+    mx, mn = s.max(), s.min()
+    out = np.empty_like(s)
+    for i, v in enumerate(s):
+        if v == mean:
+            out[i] = mx
+        elif std == 0.0:
+            out[i] = mn
+        else:
+            n = (v - mean) / std
+            out[i] = MIN_SCORE if n <= 0.0 else n
+    return out
+
+
+def _rrf_value(rank: int, rank_constant: int) -> float:
+    return float(
+        (Decimal(1) / Decimal(rank_constant + rank)).quantize(
+            Decimal("1e-10"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def norm_rrf(
+    scores: np.ndarray,
+    doc_ids: np.ndarray | None = None,
+    rank_constant: int = DEFAULT_RANK_CONSTANT,
+) -> np.ndarray:
+    """Rank-based: 1/(rank_constant + rank). Ranks by (score desc, doc asc)."""
+    if not 1 <= rank_constant <= 10_000:
+        raise ValueError("rank_constant must be in [1, 10000]")
+    s = np.asarray(scores, dtype=np.float64)
+    if s.size == 0:
+        return s
+    if doc_ids is None:
+        doc_ids = np.arange(s.size)
+    order = np.lexsort((np.asarray(doc_ids), -s))
+    out = np.empty(s.size, dtype=np.float64)
+    for pos, idx in enumerate(order):
+        out[idx] = _rrf_value(pos + 1, rank_constant)
+    return out
+
+
+NORMALIZATION_TECHNIQUES = {
+    "min_max": norm_min_max,
+    "l2": norm_l2,
+    "z_score": norm_z_score,
+    "rrf": norm_rrf,
+}
+
+
+def normalize_scores(technique: str, scores: np.ndarray, **kwargs) -> np.ndarray:
+    return NORMALIZATION_TECHNIQUES[technique](scores, **kwargs)
