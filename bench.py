@@ -1,0 +1,194 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N}
+
+Headline pipeline (the north rule): synthesize the Common-Crawl-style
+page corpus deterministically (seed 42, size scaled from the sf dir's
+documents table), extract+validate text from html, build the inverted
+index (tokenize → partial postings → grouped shuffle → compressed
+posting shards), then batch-evaluate the BM25 query set and measure
+per-query latency. Also times a sample of the operator suite.
+
+--scaling: run the SAME build job in fresh processes at num_cpus=8 and
+num_cpus=32 (the sandbox evidence for the N→4N two-cluster-size rule)
+and report both throughputs + scaling efficiency; results are appended
+to BASELINE.md by the caller (see tools/update_baseline.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_PER_DOC = int(os.environ.get("GRAFT_BENCH_PAGES_PER_DOC", "20"))
+
+
+def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -> dict:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    os.environ.setdefault("PYTHONPATH", REPO)
+
+    import ray.data
+
+    from neural_search_ray.analysis.analyzer import tokenize
+    from neural_search_ray.config import IndexConfig
+    from neural_search_ray.corpus.extract import extract_text_stage
+    from neural_search_ray.corpus.generator import generate_pages
+    from neural_search_ray.index.build import build_index
+    from neural_search_ray.pipelines.suite import QUERY_SET
+    from neural_search_ray.query.engine import IndexSearcher
+
+    n_docs_table = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_pages = n_pages_override or (n_docs_table * PAGES_PER_DOC)
+    timings: dict[str, float] = {}
+
+    # Warm the cluster: spawn all workers + import heavy modules BEFORE
+    # timing (cluster provisioning is not pipeline throughput). A fleet of
+    # tiny tasks touches every worker slot.
+    t0 = time.perf_counter()
+    ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: (__import__("neural_search_ray.index.build"), b)[1],
+        batch_format="pyarrow",
+    ).materialize()
+    timings["cluster_warmup"] = time.perf_counter() - t0
+
+    # ---- headline: index build over synthesized page corpus -------------
+    index_dir = f"/tmp/nsr_bench_idx_{num_cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cfg = IndexConfig(num_shards=max(8, num_cpus // 2), num_salts=4)
+    t0 = time.perf_counter()
+    pages = generate_pages(n_pages, seed=42, parallelism=num_cpus * 4).map_batches(
+        extract_text_stage, batch_format="pyarrow"
+    )
+    build_index(pages, index_dir, cfg, segment_id="bench")
+    timings["index_build"] = time.perf_counter() - t0
+    build_docs_per_sec = n_pages / timings["index_build"]
+
+    # ---- query latency over the built index ----------------------------
+    t0 = time.perf_counter()
+    searcher = IndexSearcher(index_dir)
+    timings["warmup_load"] = time.perf_counter() - t0
+
+    lat = []
+    reps = 20
+    for _ in range(reps):
+        for _, qtext in QUERY_SET:
+            t0 = time.perf_counter()
+            searcher.search_bm25(tokenize(qtext), k=10)
+            lat.append(time.perf_counter() - t0)
+    lat_ms = np.asarray(lat) * 1e3
+    timings["query_total"] = float(lat_ms.sum() / 1e3)
+    query_p50_ms = float(np.percentile(lat_ms, 50))
+    query_p99_ms = float(np.percentile(lat_ms, 99))
+
+    # ---- suite samples over the sf tables -------------------------------
+    from neural_search_ray.pipelines import suite
+
+    for name in ("term_stats", "dedup_exact", "knn_cosine", "quality_stats"):
+        t0 = time.perf_counter()
+        res = suite.build_queries()[name](sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        timings[name] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    return {
+        "metric": "nsr_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "build_docs_per_sec": round(build_docs_per_sec, 1),
+        "query_p50_ms": round(query_p50_ms, 3),
+        "query_p99_ms": round(query_p99_ms, 3),
+    }
+
+
+def run_scaling(sf_dir: str, cpus_low: int = 8, cpus_high: int = 32,
+                n_pages: int = 4_000_000) -> dict:
+    """Fresh-process runs at two parallelism levels (same input).
+
+    Uses a 4M-page corpus by default so the job is long enough to be
+    CPU-bound at the high parallelism (a 100k-doc job finishes in ~2s of
+    real work at 32 cpus — any fixed executor cost would swamp the
+    measurement, which says nothing about cluster-size scaling)."""
+    results = {}
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    for cpus in (cpus_low, cpus_high):
+        best = None
+        for _ in range(repeats):  # best-of-N: the sandbox box has noisy co-tenants
+            env = dict(os.environ)
+            env["PYTHONPATH"] = REPO
+            env["GRAFT_SF_DIR"] = sf_dir
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--cpus", str(cpus),
+                 "--pages", str(n_pages)],
+                capture_output=True, text=True, env=env, check=True,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["build_docs_per_sec"] > best["build_docs_per_sec"]:
+                best = r
+        results[cpus] = best
+    t_low = results[cpus_low]["build_docs_per_sec"]
+    t_high = results[cpus_high]["build_docs_per_sec"]
+    ratio = cpus_high / cpus_low
+    eff = (t_high / t_low) / ratio
+    return {
+        "metric": "nsr_scaling",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": sf_dir,
+        "cpus_low": cpus_low,
+        "cpus_high": cpus_high,
+        "build_docs_per_sec_low": t_low,
+        "build_docs_per_sec_high": t_high,
+        "query_p50_ms_low": results[cpus_low]["query_p50_ms"],
+        "query_p50_ms_high": results[cpus_high]["query_p50_ms"],
+        "query_p99_ms_low": results[cpus_low]["query_p99_ms"],
+        "query_p99_ms_high": results[cpus_high]["query_p99_ms"],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--pages", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir)))
+        return
+
+    import ray
+
+    result = run_bench(args.cpus, args.sf_dir, args.pages)
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,7 @@ from functools import lru_cache
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import AnalyzerConfig
 
@@ -85,23 +86,91 @@ def analyze(texts, config: AnalyzerConfig = AnalyzerConfig()) -> list[list[str]]
     return [tokenize(t if t is not None else "", config) for t in texts]
 
 
+_SIMPLE_RE = r"^[A-Za-z0-9 ]*$"  # texts where the analyzer == lower+space-split
+
+
+def _analyze_column_slow(col: pa.Array, config: AnalyzerConfig) -> pa.ListArray:
+    texts = col.to_pylist()
+    token_lists = analyze(texts, config)
+    offsets = np.zeros(len(token_lists) + 1, dtype=np.int64)
+    np.cumsum([len(t) for t in token_lists], out=offsets[1:])
+    flat = [tok for toks in token_lists for tok in toks]
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), pa.array(flat, type=pa.string())
+    )
+
+
+def _strip_empty_tokens(lists: pa.ListArray) -> pa.ListArray:
+    """Drop zero-length tokens from a list<string> (vectorized)."""
+    flat = lists.flatten()
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if keep_np.all():
+        return lists
+    offsets = lists.offsets.to_numpy(zero_copy_only=False)
+    kept_before = np.concatenate(([0], np.cumsum(keep_np)))
+    new_offsets = kept_before[offsets - offsets[0]]
+    return pa.ListArray.from_arrays(
+        pa.array(new_offsets, type=pa.int64()), flat.filter(keep)
+    )
+
+
 def analyze_column(
     col: pa.ChunkedArray | pa.Array,
     config: AnalyzerConfig = AnalyzerConfig(),
 ) -> pa.ListArray:
     """Analyze an Arrow string column → Arrow list<string> column.
 
-    Builds the list array from flat offsets to avoid per-row Python list
-    boxing on the output side.
+    Fast path (the hot path at corpus scale): when every row matches
+    ``[A-Za-z0-9 ]*`` — ASCII alphanumerics and spaces only — the
+    standard analyzer reduces EXACTLY to lowercase + space-split (no
+    joiner or over-long-token rules can trigger), so the whole batch is
+    processed with Arrow C++ kernels (utf8_lower, split_pattern) with no
+    per-token Python objects. Rows failing the precondition fall back to
+    the reference Python tokenizer; results are stitched back in row
+    order. Fast path requires lowercase=True, no stopword removal, and
+    max_token_length >= 32 (spaceless runs longer than that are rare; the
+    precondition can't see token lengths cheaply, so runs > mtl force the
+    slow path via the regex below).
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    texts = col.to_pylist()
-    token_lists = analyze(texts, config)
-    offsets = np.zeros(len(token_lists) + 1, dtype=np.int64)
-    np.cumsum([len(t) for t in token_lists], out=offsets[1:])
-    flat = [tok for toks in token_lists for tok in toks]
-    return pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.string()))
+    fast_eligible = (
+        config.lowercase
+        and not config.remove_stopwords
+        and config.max_token_length >= 32
+    )
+    if not fast_eligible:
+        return _analyze_column_slow(col, config)
+    simple = pc.match_substring_regex(col, _SIMPLE_RE)
+    simple_np = pc.fill_null(simple, False).to_numpy(zero_copy_only=False)
+    # guard max_token_length: any run of 32+ alnum chars goes slow-path
+    if simple_np.any():
+        long_run = pc.match_substring_regex(col, "[A-Za-z0-9]{%d}" % (config.max_token_length + 1))
+        simple_np &= ~pc.fill_null(long_run, False).to_numpy(zero_copy_only=False)
+    if not simple_np.any():
+        return _analyze_column_slow(col, config)
+    lowered = pc.utf8_lower(col)
+    fast_lists = _strip_empty_tokens(pc.split_pattern(lowered, " "))
+    if simple_np.all():
+        return fast_lists
+    # stitch: python-tokenize the non-simple rows, keep fast rows
+    slow_idx = np.flatnonzero(~simple_np)
+    slow_tokens = analyze(col.take(pa.array(slow_idx)).to_pylist(), config)
+    out_lists: list = []
+    si = 0
+    for i in range(len(col)):
+        if simple_np[i]:
+            out_lists.append(fast_lists[i].as_py())
+        else:
+            out_lists.append(slow_tokens[si])
+            si += 1
+    offsets = np.zeros(len(out_lists) + 1, dtype=np.int64)
+    np.cumsum([len(t) for t in out_lists], out=offsets[1:])
+    flat = [tok for toks in out_lists for tok in toks]
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), pa.array(flat, type=pa.string())
+    )
 
 
 def term_frequencies(tokens: list[str]) -> dict[str, int]:

@@ -18,9 +18,13 @@ import html as _html
 
 import pyarrow as pa
 
+import re as _re
+
 _PRE = "<html><head><title>"
 _MID = "</title></head><body><p>"
 _POST = "</p></body></html>"
+_MID_RE = _re.escape(_MID)
+_POST_RE = _re.escape(_POST)
 
 
 def html_of(url: str, text: str) -> bytes:
@@ -38,15 +42,41 @@ def extract_text(html_bytes: bytes) -> str:
 
 def extract_text_stage(batch: pa.Table) -> pa.Table:
     """map_batches fn: derive text from html, verify the invariant,
-    project html away."""
-    htmls = batch["html"].to_pylist()
-    derived = [extract_text(h) for h in htmls]
+    project html away (SURVEY.md §7.4 wide-rows note).
+
+    Vectorized: strip the prefix (up to and including _MID) and the fixed
+    _POST suffix with Arrow C++ regex replaces; rows containing HTML
+    entities (&) fall back to the exact Python inverse."""
+    import pyarrow.compute as pc
+
+    from ..runtime import ensure_worker_tuned
+
+    ensure_worker_tuned()
+    html_col = batch["html"]
+    if isinstance(html_col, pa.ChunkedArray):
+        html_col = html_col.combine_chunks()
+    s = html_col.cast(pa.string())
+    stripped = pc.replace_substring_regex(s, "^.*?" + _MID_RE, "", max_replacements=1)
+    derived = pc.replace_substring_regex(stripped, _POST_RE + "$", "", max_replacements=1)
+    has_entity = pc.not_equal(pc.count_substring(derived, "&"), 0)
+    if pc.any(has_entity).as_py():
+        mask = has_entity.to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        idx = np.flatnonzero(mask)
+        fixed = [extract_text(html_col[int(i)].as_py()) for i in idx]
+        d = derived.to_pylist()
+        for i, v in zip(idx, fixed):
+            d[int(i)] = v
+        derived = pa.array(d, type=pa.string())
     if "text" in batch.column_names:
-        given = batch["text"].to_pylist()
-        for i, (d, g) in enumerate(zip(derived, given)):
-            if d != g:
-                url = batch["url"][i].as_py() if "url" in batch.column_names else "?"
-                raise ValueError(f"text extraction mismatch for url={url!r}")
+        if not pc.all(pc.equal(derived, batch["text"].combine_chunks()
+                               if isinstance(batch["text"], pa.ChunkedArray)
+                               else batch["text"])).as_py():
+            bad = pc.not_equal(derived, batch["text"])
+            i = int(pc.index(bad, True).as_py())
+            url = batch["url"][i].as_py() if "url" in batch.column_names else "?"
+            raise ValueError(f"text extraction mismatch for url={url!r}")
     keep = [c for c in batch.column_names if c not in ("html", "text")]
     out = batch.select(keep)
-    return out.append_column("text", pa.array(derived, type=pa.string()))
+    return out.append_column("text", derived)

@@ -2,13 +2,16 @@
 
 Produces the north-rule input table (BASELINE.json input_hint):
 ``(url: string, warc_ts: timestamp[us], html: binary, text: string,
-lang: string)``. Content is a pure function of (seed, doc_id) — batch and
-partition boundaries do NOT affect output, so any run at any parallelism
-generates byte-identical pages (required for resumable builds with
-deterministic docIDs, SURVEY.md §7.4).
+lang: string)``. Content is a pure function of (seed, doc_id) computed
+with a vectorized splitmix64 counter hash — batch and partition
+boundaries do NOT affect output, so any run at any parallelism generates
+byte-identical pages (required for resumable builds with deterministic
+docIDs, SURVEY.md §7.4) — and generation is numpy-vectorized across the
+whole batch (no per-doc RNG objects).
 
-The vocabulary has a Zipf-like skew including stopword-grade hot terms —
-deliberately, to exercise the salted/sharded posting shuffle.
+The token-rank distribution is Zipf-like (P(rank >= r) = r^-0.3),
+including stopword-grade hot terms — deliberately, to exercise the
+sharded/salted posting shuffle under skew.
 """
 
 from __future__ import annotations
@@ -23,8 +26,8 @@ import ray.data
 from .extract import html_of
 
 _BASE_TS = _dt.datetime(2024, 1, 1, 0, 0, 0)
+_BASE_EPOCH_S = 1704067200  # 2024-01-01T00:00:00Z (fixed, timezone-independent)
 
-# ~1000-word vocabulary: common core + generated tail
 _CORE = (
     "the of and to a in is was for on as with by at from it an be this are "
     "or his that he which had not have has but were she they data query "
@@ -33,41 +36,77 @@ _CORE = (
     "join filter group order window hash scan part vector text token term "
     "score rank document corpus shard block list cache store read write"
 ).split()
-_VOCAB = _CORE + [f"w{i:04d}" for i in range(1000 - len(_CORE))]
-_LANGS = ["en", "es", "de", "fr", "zh"]
+_VOCAB = np.asarray(_CORE + [f"w{i:04d}" for i in range(1000 - len(_CORE))], dtype=object)
+_VOCAB_PA = __import__("pyarrow").array(_VOCAB.tolist(), type=__import__("pyarrow").string())
+_LANGS = np.asarray(["en", "es", "de", "fr", "zh"], dtype=object)
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _page_row(seed: int, doc_id: int) -> tuple[str, _dt.datetime, bytes, str, str]:
-    rng = np.random.default_rng([seed, doc_id])
-    n_tokens = int(20 + min(rng.exponential(80.0), 800))
-    # Zipf-ish ranks over the vocab → heavy skew on low ranks
-    ranks = np.minimum(
-        rng.zipf(1.3, size=n_tokens) - 1, len(_VOCAB) - 1
-    )
-    text = " ".join(_VOCAB[r] for r in ranks)
-    url = f"https://site{doc_id % 1000}.example.com/p/{doc_id}"
-    ts = _BASE_TS + _dt.timedelta(seconds=int(doc_id))
-    lang = _LANGS[doc_id % len(_LANGS)]
-    return url, ts, html_of(url, text), text, lang
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain algorithm)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+    return z ^ (z >> np.uint64(31))
+
+
+def _uniform(x: np.ndarray) -> np.ndarray:
+    """hash → float64 uniform in (0, 1)."""
+    return (_splitmix64(x).astype(np.float64) + 1.0) / 18446744073709551617.0
 
 
 def _gen_batch(batch: pa.Table, seed: int) -> pa.Table:
-    ids = batch["id"].to_pylist()
-    urls, tss, htmls, texts, langs = [], [], [], [], []
-    for i in ids:
-        u, t, h, x, l = _page_row(seed, i)
-        urls.append(u)
-        tss.append(t)
-        htmls.append(h)
-        texts.append(x)
-        langs.append(l)
+    from ..runtime import ensure_worker_tuned
+
+    ensure_worker_tuned()
+    ids = np.asarray(batch["id"].to_pylist(), dtype=np.uint64)
+    n = ids.size
+    seed64 = np.uint64(seed)
+    # doc length: 20 + exponential(mean 80), clipped at 800
+    u_len = _uniform(ids * np.uint64(2654435761) + seed64)
+    n_tokens = (20 + np.minimum(-80.0 * np.log(u_len), 800.0)).astype(np.int64)
+    total = int(n_tokens.sum())
+    doc_rep = np.repeat(np.arange(n, dtype=np.uint64), n_tokens)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_tokens, out=offsets[1:])
+    pos = np.arange(total, dtype=np.uint64) - offsets[:-1].astype(np.uint64)[doc_rep]
+    # token stream: counter hash of (seed, doc_id, position)
+    ctr = (ids[doc_rep] * np.uint64(0x100000001B3)) + pos + (seed64 << np.uint64(32))
+    u_tok = _uniform(ctr)
+    ranks = (
+        np.minimum(np.power(u_tok, -1.0 / 0.3), float(len(_VOCAB))).astype(np.int64) - 1
+    )
+    ranks = np.minimum(ranks, len(_VOCAB) - 1)
+    # all string assembly in Arrow C++ (no per-doc Python string ops);
+    # vocab tokens and urls/html contain no [&<>"] so html escaping is the
+    # identity — layout matches html_of() byte-for-byte (tested).
+    import pyarrow.compute as pc
+
+    from .extract import _MID, _POST, _PRE
+
+    tok_arr = pc.take(_VOCAB_PA, pa.array(ranks, type=pa.int64()))
+    tok_lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()), tok_arr)
+    texts = pc.binary_join(tok_lists, " ")
+    ids_i = ids.astype(np.int64)
+    id_str = pc.cast(pa.array(ids_i), pa.string())
+    site_str = pc.cast(pa.array(ids_i % 1000), pa.string())
+    urls = pc.binary_join_element_wise(
+        "https://site", site_str, ".example.com/p/", id_str, ""
+    )
+    # (last argument of binary_join_element_wise is the separator)
+    htmls = pc.cast(
+        pc.binary_join_element_wise(_PRE, urls, _MID, texts, _POST, ""), pa.binary()
+    )
+    ts = (ids_i + _BASE_EPOCH_S) * 1_000_000  # warc_ts = 2024-01-01 UTC + doc_id sec
+    langs = _LANGS[(ids_i % len(_LANGS))]
     return pa.table(
         {
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "url": pa.array(urls, type=pa.string()),
-            "warc_ts": pa.array(tss, type=pa.timestamp("us")),
-            "html": pa.array(htmls, type=pa.binary()),
-            "text": pa.array(texts, type=pa.string()),
+            "doc_id": pa.array(ids_i, type=pa.int64()),
+            "url": urls,
+            "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+            "html": htmls,
+            "text": texts,
             "lang": pa.array(langs, type=pa.string()),
         }
     )
@@ -75,9 +114,9 @@ def _gen_batch(batch: pa.Table, seed: int) -> pa.Table:
 
 def generate_pages(n: int, seed: int = 42, parallelism: int = -1) -> "ray.data.Dataset":
     """Dataset of n synthetic pages (streamed, never materialized)."""
-    return ray.data.range(n, override_num_blocks=parallelism if parallelism > 0 else None).map_batches(
-        lambda b: _gen_batch(b, seed), batch_format="pyarrow"
-    )
+    return ray.data.range(
+        n, override_num_blocks=parallelism if parallelism > 0 else None
+    ).map_batches(lambda b: _gen_batch(b, seed), batch_format="pyarrow")
 
 
 def make_pages_from_documents(docs: pa.Table) -> pa.Table:

@@ -1,0 +1,133 @@
+"""Unit tests: normalization formulas, combination techniques, hybrid
+fusion, collapse, rerank, two-phase — values hand-computed per the
+reference semantics (ScoreNormalizationTechniqueTests style)."""
+
+import numpy as np
+import pytest
+
+from neural_search_ray.rank.collapse import collapse_top_docs
+from neural_search_ray.rank.combine import (
+    combine_arithmetic_mean,
+    combine_geometric_mean,
+    combine_harmonic_mean,
+    combine_rrf,
+)
+from neural_search_ray.rank.hybrid import hybrid_rank
+from neural_search_ray.rank.normalize import (
+    norm_l2,
+    norm_min_max,
+    norm_rrf,
+    norm_z_score,
+)
+from neural_search_ray.rank.rerank import mmr_select, rerank_by_field
+
+
+class TestNormalize:
+    def test_min_max(self):
+        out = norm_min_max(np.array([1.0, 2.0, 3.0]))
+        assert out.tolist() == [0.001, 0.5, 1.0]  # 0 → MIN_SCORE
+
+    def test_min_max_single(self):
+        assert norm_min_max(np.array([7.0])).tolist() == [1.0]
+        assert norm_min_max(np.array([7.0, 7.0])).tolist() == [1.0, 1.0]
+
+    def test_l2(self):
+        out = norm_l2(np.array([3.0, 4.0]))
+        assert np.allclose(out, [0.6, 0.8])
+        assert norm_l2(np.array([0.0, 0.0])).tolist() == [0.001, 0.001]
+
+    def test_z_score(self):
+        s = np.array([1.0, 2.0, 3.0])
+        out = norm_z_score(s)
+        # mean=2 std=sqrt(2/3); s==mean → max raw (3.0); below-mean → 0.001
+        assert out[1] == 3.0
+        assert out[0] == 0.001
+        assert out[2] == pytest.approx(1.0 / np.sqrt(2.0 / 3.0))
+
+    def test_z_score_all_equal(self):
+        out = norm_z_score(np.array([5.0, 5.0]))
+        assert out.tolist() == [5.0, 5.0]  # s == mean branch wins
+
+    def test_rrf(self):
+        out = norm_rrf(np.array([9.0, 5.0, 7.0]), np.array([10, 20, 30]))
+        assert out[0] == pytest.approx(1 / 61, abs=1e-9)
+        assert out[2] == pytest.approx(1 / 62, abs=1e-9)
+        assert out[1] == pytest.approx(1 / 63, abs=1e-9)
+
+    def test_rrf_tie_by_doc(self):
+        out = norm_rrf(np.array([5.0, 5.0]), np.array([20, 10]))
+        assert out[1] > out[0]  # doc 10 ranks first
+
+    def test_rrf_bad_constant(self):
+        with pytest.raises(ValueError):
+            norm_rrf(np.array([1.0]), rank_constant=0)
+
+
+class TestCombine:
+    M = np.array([[1.0, 3.0], [2.0, np.nan], [np.nan, np.nan]])
+
+    def test_arithmetic(self):
+        out = combine_arithmetic_mean(self.M, [0.5, 0.5])
+        assert out[0] == pytest.approx(2.0)
+        assert out[1] == pytest.approx(2.0)  # single present subquery
+        assert out[2] == 0.0
+
+    def test_geometric(self):
+        out = combine_geometric_mean(np.array([[4.0, 9.0]]))
+        assert out[0] == pytest.approx(6.0)
+
+    def test_geometric_skips_nonpositive(self):
+        out = combine_geometric_mean(np.array([[0.0, 9.0]]))
+        assert out[0] == pytest.approx(9.0)
+
+    def test_harmonic(self):
+        out = combine_harmonic_mean(np.array([[2.0, 6.0]]))
+        assert out[0] == pytest.approx(3.0)
+
+    def test_rrf_sum(self):
+        out = combine_rrf(np.array([[0.1, 0.2], [0.3, np.nan]]), [1.0, 2.0])
+        assert out[0] == pytest.approx(0.5)
+        assert out[1] == pytest.approx(0.3)
+
+    def test_weight_mismatch(self):
+        with pytest.raises(ValueError):
+            combine_arithmetic_mean(self.M, [1.0])
+
+
+class TestHybrid:
+    def test_two_subqueries(self):
+        bm = (np.array([1, 2, 3]), np.array([3.0, 2.0, 1.0]))
+        dot = (np.array([2, 3, 4]), np.array([10.0, 20.0, 5.0]))
+        docs, scores = hybrid_rank([bm, dot], k=4)
+        assert set(docs.tolist()) == {1, 2, 3, 4}
+        # doc3: bm norm 0.001, dot norm 1.0 → mean ≈ 0.5
+        i3 = docs.tolist().index(3)
+        assert scores[i3] == pytest.approx((0.001 + 1.0) / 2)
+
+    def test_empty(self):
+        docs, scores = hybrid_rank([(np.empty(0, np.int64), np.empty(0))], k=5)
+        assert docs.size == 0
+
+
+class TestCollapseRerank:
+    def test_collapse(self):
+        docs = np.array([1, 2, 3, 4])
+        scores = np.array([9.0, 8.0, 7.0, 6.0])
+        langs = np.array(["en", "en", "fr", "fr"])
+        d, s, f = collapse_top_docs(docs, scores, langs, docs_per_group=1)
+        assert d.tolist() == [1, 3]
+
+    def test_rerank_by_field(self):
+        d, s, prev = rerank_by_field(
+            np.array([1, 2]), np.array([0.9, 0.1]), np.array([10.0, 20.0]),
+            keep_previous_score=True,
+        )
+        assert d.tolist() == [2, 1]
+        assert s.tolist() == [20.0, 10.0]
+        assert prev.tolist() == [0.1, 0.9]
+
+    def test_mmr_prefers_diversity(self):
+        rel = np.array([1.0, 0.99, 0.5])
+        vecs = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])  # 0 and 1 identical
+        sel = mmr_select(rel, vecs, k=2, lambda_=0.5)
+        assert sel.tolist() == [0, 2]  # skips the near-duplicate

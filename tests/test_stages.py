@@ -1,0 +1,130 @@
+"""Unit tests: prune strategies, chunkers, quantizer — mirrored on the
+reference's test style (FixedTokenLengthChunkerTests.java:76-160,
+PruneUtilsTests)."""
+
+import numpy as np
+import pytest
+
+from neural_search_ray.stages.chunkers import (
+    chunk_delimiter,
+    chunk_fixed_char_length,
+    chunk_fixed_token_length,
+)
+from neural_search_ray.stages.prune import prune_sparse_vector, split_sparse_vector
+from neural_search_ray.stages.quantize import (
+    byte_quantize,
+    feature_decode,
+    feature_encode,
+)
+
+
+class TestPrune:
+    VEC = {"a": 5.0, "b": 3.0, "c": 2.0, "d": 1.0}
+
+    def test_top_k(self):
+        kept, pruned = split_sparse_vector("top_k", 2, self.VEC)
+        assert kept == {"a": 5.0, "b": 3.0}
+        assert pruned == {"c": 2.0, "d": 1.0}
+
+    def test_top_k_ties_deterministic(self):
+        kept, _ = split_sparse_vector("top_k", 1, {"x": 2.0, "a": 2.0})
+        assert kept == {"a": 2.0}  # (value desc, token asc)
+
+    def test_max_ratio(self):
+        kept, _ = split_sparse_vector("max_ratio", 0.5, self.VEC)
+        assert kept == {"a": 5.0, "b": 3.0}  # >= 2.5
+
+    def test_abs_value(self):
+        kept, _ = split_sparse_vector("abs_value", 2.0, self.VEC)
+        assert kept == {"a": 5.0, "b": 3.0, "c": 2.0}
+
+    def test_alpha_mass(self):
+        # total 11; alpha 0.5 → budget 5.5: a(5) kept, a+b=8 > 5.5 → stop
+        kept, _ = split_sparse_vector("alpha_mass", 0.5, self.VEC)
+        assert kept == {"a": 5.0}
+
+    def test_rejects_nonpositive(self):
+        with pytest.raises(ValueError):
+            prune_sparse_vector("top_k", 2, {"a": -1.0})
+
+    def test_unknown_type(self):
+        with pytest.raises(ValueError):
+            prune_sparse_vector("nope", 1, self.VEC)
+
+    def test_empty(self):
+        assert split_sparse_vector("top_k", 3, {}) == ({}, {})
+
+
+class TestChunkers:
+    def test_fixed_token_basic(self):
+        # reference semantics: cut at token start offsets; trailing gap
+        # chars belong to the preceding chunk
+        out = chunk_fixed_token_length("a b c d e", token_limit=2)
+        assert out == ["a b ", "c d ", "e"]
+
+    def test_fixed_token_overlap(self):
+        out = chunk_fixed_token_length("a b c d e f", token_limit=4, overlap_rate=0.5)
+        # overlap = 2 → step 2
+        assert out == ["a b c d ", "c d e f"]
+
+    def test_fixed_token_first_chunk_from_zero(self):
+        out = chunk_fixed_token_length("  x y z", token_limit=2)
+        assert out[0].startswith("  x")  # chars before first token included
+
+    def test_fixed_token_empty(self):
+        assert chunk_fixed_token_length("", token_limit=2) == []
+        assert chunk_fixed_token_length("...", token_limit=2) == []
+
+    def test_fixed_token_validation(self):
+        with pytest.raises(ValueError):
+            chunk_fixed_token_length("x", token_limit=2, overlap_rate=0.6)
+        with pytest.raises(ValueError):
+            chunk_fixed_token_length("x", token_limit=0)
+
+    def test_delimiter(self):
+        assert chunk_delimiter("a\n\nb\n\nc", "\n\n") == ["a\n\n", "b\n\n", "c"]
+        assert chunk_delimiter("a..b", ".") == ["a.", ".", "b"]
+        assert chunk_delimiter("abc", "x") == ["abc"]
+        assert chunk_delimiter("ab.", ".") == ["ab."]  # no empty tail
+
+    def test_delimiter_validation(self):
+        with pytest.raises(ValueError):
+            chunk_delimiter("x", "")
+
+    def test_fixed_char(self):
+        assert chunk_fixed_char_length("abcdefgh", char_limit=3) == ["abc", "def", "gh"]
+        # overlap 1/3 → interval 2
+        assert chunk_fixed_char_length("abcdef", char_limit=3, overlap_rate=1 / 3) == [
+            "abc", "cde", "ef",
+        ]
+
+    def test_fixed_char_tail_merge(self):
+        out = chunk_fixed_char_length("abcdefgh", char_limit=2, max_chunk_limit=2)
+        assert out == ["ab", "cd", "efgh"]
+
+    def test_max_chunk_limit_token(self):
+        out = chunk_fixed_token_length("a b c d e f", token_limit=1, max_chunk_limit=2)
+        assert out == ["a ", "b ", "c d e f"]
+
+
+class TestQuantize:
+    def test_byte_quantize_bounds(self):
+        q = byte_quantize(np.array([0.0, 3.0, 1.5, 99.0]), ceiling=3.0)
+        assert q.tolist() == [0, 255, 128, 255]
+
+    def test_round_half_up(self):
+        # 0.5 boundary: v*255/c = .5 cases round up
+        q = byte_quantize(np.array([1.0 * 3 / 255 / 2]), ceiling=3.0)
+        assert q.tolist() == [1]
+
+    def test_feature_roundtrip_is_lossy_prefix(self):
+        w = np.array([0.5, 1.0, 2.75], dtype=np.float32)
+        enc = feature_encode(w)
+        dec = feature_decode(enc)
+        # top-16-bits approximation: decode <= original, within 1%
+        assert (dec <= w + 1e-6).all()
+        assert np.allclose(dec, w, rtol=0.01)
+
+    def test_feature_encode_rejects_negative(self):
+        with pytest.raises(ValueError):
+            feature_encode(np.array([-1.0], dtype=np.float32))
