@@ -527,6 +527,120 @@ def q_top_events(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+
+# --- two-phase / collapse / rerank ----------------------------------------
+
+
+def q_two_phase_sparse(sf_dir: str) -> pa.Table:
+    """Two-phase sparse query (processor/NeuralSparseTwoPhaseProcessor.java
+    semantics): phase-1 window from high-weight tokens, phase-2 adds low
+    tokens for window docs only."""
+    from ..rank.two_phase import two_phase_search
+
+    searcher = get_searcher(sf_dir)
+    docs, scores = two_phase_search(searcher, SPARSE_QUERY_WEIGHTS, k=BM25_K)
+    return _hits_table([(0, docs, scores)])
+
+
+def q_collapse_bm25_lang(sf_dir: str) -> pa.Table:
+    """Collapse: best doc per lang per query from the bm25 top-10, then
+    global top-3 (HybridCollapsingTopDocsCollector semantics)."""
+    import pyarrow.parquet as pq2
+
+    from ..rank.collapse import collapse_top_docs
+
+    searcher = get_searcher(sf_dir)
+    langs_tbl = pq2.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    lang_by_doc = dict(zip(langs_tbl["doc_id"].to_pylist(), langs_tbl["lang"].to_pylist()))
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=10)
+        fv = np.asarray([lang_by_doc[int(d)] for d in docs], dtype=object)
+        d2, s2, _ = collapse_top_docs(docs, scores, fv, docs_per_group=1, k=3)
+        rows.append((qid, d2, s2))
+    return _hits_table(rows)
+
+
+def q_rerank_byfield(sf_dir: str) -> pa.Table:
+    """by_field rerank (ByFieldRerankProcessor.java:72-160): replace the
+    bm25 score with documents.n_chars, keep previous score."""
+    import pyarrow.parquet as pq2
+
+    from ..rank.rerank import rerank_by_field
+
+    searcher = get_searcher(sf_dir)
+    nchars_tbl = pq2.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    nchars = dict(zip(nchars_tbl["doc_id"].to_pylist(), nchars_tbl["n_chars"].to_pylist()))
+    qs, rs, ds_, ss, prevs = [], [], [], [], []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=10)
+        fv = np.asarray([nchars[int(d)] for d in docs], dtype=np.float64)
+        d2, s2, prev = rerank_by_field(docs, scores, fv, keep_previous_score=True)
+        qs.append(np.full(d2.size, qid, dtype=np.int64))
+        rs.append(np.arange(1, d2.size + 1, dtype=np.int64))
+        ds_.append(d2)
+        ss.append(s2)
+        prevs.append(round_half_up(prev, 6))
+    cat = lambda a, dt: np.concatenate(a) if a else np.empty(0, dt)  # noqa: E731
+    return pa.table(
+        {
+            "query_id": pa.array(cat(qs, np.int64)),
+            "rank": pa.array(cat(rs, np.int64)),
+            "doc_id": pa.array(cat(ds_, np.int64)),
+            "score": pa.array(cat(ss, np.float64)),
+            "previous_score": pa.array(cat(prevs, np.float64)),
+        }
+    )
+
+
+def q_embed_neardup(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup pairs (threshold 0.4), exact all-pairs."""
+    import pyarrow.parquet as pq2
+
+    from ..dedup.embedding import embedding_neardup_pairs
+
+    t = pq2.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = t["vec_id"].to_numpy()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = pa.Table.from_pylist(
+        embedding_neardup_pairs(ds, mat, ids, threshold=0.4).take_all()
+    )
+    if len(pairs) == 0:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    return pa.table(
+        {
+            "vec_a": pairs["vec_a"],
+            "vec_b": pairs["vec_b"],
+            "cosine": pa.array(round_half_up(pairs["cosine"].to_numpy(), 6)),
+        }
+    )
+
+
+def q_fingerprint_winnow(sf_dir: str) -> "ray.data.Dataset":
+    """Winnowing-style doc fingerprint: min 63-bit md5 hash over 32-char
+    windows at stride 16 (whole text when shorter than 32 chars)."""
+    from ..dedup.common import h64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = []
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            if len(t) < 32:
+                fps.append(h64(t) & 0x7FFFFFFFFFFFFFFF)
+                continue
+            best = min(
+                h64(t[i : i + 32]) & 0x7FFFFFFFFFFFFFFF
+                for i in range(0, len(t) - 31, 16)
+            )
+            fps.append(best)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "winnow_fp": pa.array(fps, type=pa.int64())})
+
+    return _docs_ds(sf_dir).map_batches(fn, batch_format="pyarrow")
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 
@@ -647,6 +761,83 @@ FROM s GROUP BY user_id, session_id"""
     )
 
     sqls["ngram_jaccard_pairs"] = _ngram_jaccard_sql()
+
+    # two-phase sparse (constants: high/low split of SPARSE_QUERY_WEIGHTS
+    # by max_ratio 0.4, phase-1 window = k*5)
+    from ..stages.prune import split_sparse_vector
+
+    high, low = split_sparse_vector("max_ratio", 0.4, SPARSE_QUERY_WEIGHTS)
+    window = int(min(max(BM25_K * 5.0, BM25_K), 10000))
+    hv = ", ".join(f"('{t}', {w})" for t, w in sorted(high.items()))
+    lv = ", ".join(f"('{t}', {w})" for t, w in sorted(low.items())) or "('__none__', 0.0)"
+    sqls["two_phase_sparse"] = f"""
+WITH hs AS (
+  SELECT tf.doc_id, sum(q.w * tf.tf)::DOUBLE AS score
+  FROM (SELECT * FROM (VALUES {hv}) AS v(term, w)) q
+  JOIN ({SQL_TF}) tf ON tf.term = q.term GROUP BY tf.doc_id),
+phase1 AS (
+  SELECT doc_id, score FROM (
+    SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+    FROM hs) WHERE rn <= {window}),
+ls AS (
+  SELECT tf.doc_id, sum(q.w * tf.tf)::DOUBLE AS score
+  FROM (SELECT * FROM (VALUES {lv}) AS v(term, w)) q
+  JOIN ({SQL_TF}) tf ON tf.term = q.term GROUP BY tf.doc_id),
+final AS (
+  SELECT p.doc_id, p.score + coalesce(l.score, 0) AS score
+  FROM phase1 p LEFT JOIN ls l USING (doc_id))
+SELECT 0::BIGINT AS query_id, rank, doc_id, score FROM (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM final) WHERE rank <= {BM25_K}"""
+
+    # collapse by lang then top-3
+    bm_top_raw = _topk_raw_sql(_bm25_scored_sql(), 10)
+    sqls["collapse_bm25_lang"] = f"""
+WITH hits AS ({bm_top_raw}),
+withlang AS (
+  SELECT h.query_id, h.doc_id, h.score, d.lang
+  FROM hits h JOIN documents d USING (doc_id)),
+best AS (
+  SELECT query_id, doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id, lang
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM withlang) WHERE rn = 1)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM best) WHERE rank <= 3"""
+
+    sqls["rerank_byfield"] = f"""
+WITH hits AS ({bm_top_raw})
+SELECT query_id, rank, doc_id, score, previous_score FROM (
+  SELECT h.query_id, h.doc_id, d.n_chars::DOUBLE AS score,
+         round(h.score, 6) AS previous_score,
+         row_number() OVER (PARTITION BY h.query_id
+                            ORDER BY d.n_chars DESC, h.doc_id) AS rank
+  FROM hits h JOIN documents d USING (doc_id))"""
+
+    sqls["embed_neardup"] = """
+SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"""
+
+    sqls["fingerprint_winnow"] = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+win AS (
+  SELECT doc_id,
+         CAST(md5_number_lower(substring(text, (i - 1) * 16 + 1, 32)) & 9223372036854775807 AS BIGINT) AS h
+  FROM d CROSS JOIN generate_series(1, 4000) AS g(i)
+  WHERE n >= 32 AND (i - 1) * 16 <= n - 32)
+SELECT doc_id, min(h) AS winnow_fp FROM win GROUP BY doc_id
+UNION ALL
+SELECT doc_id,
+       CAST(md5_number_lower(text) & 9223372036854775807 AS BIGINT) AS winnow_fp
+FROM d WHERE n < 32"""
+
     return sqls
 
 
@@ -856,4 +1047,9 @@ def build_queries() -> dict:
         "knn_cosine": q_knn_cosine,
         "events_sessionize": q_events_sessionize,
         "top_events": q_top_events,
+        "two_phase_sparse": q_two_phase_sparse,
+        "collapse_bm25_lang": q_collapse_bm25_lang,
+        "rerank_byfield": q_rerank_byfield,
+        "embed_neardup": q_embed_neardup,
+        "fingerprint_winnow": q_fingerprint_winnow,
     }

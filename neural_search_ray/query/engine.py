@@ -3,20 +3,31 @@
 Reference restatement (SURVEY.md §3.2/§3.3): the query actor pool IS the
 warmup mechanism — each ``IndexSearcher`` loads its partitions' posting +
 doc-length files once in ``__init__`` (the Ray analogue of
-NeuralSparseIndexShard.warmUp, sparse/NeuralSparseIndexShard.java:82-104
-and the node caches sparse/cache/*.java); ``SearchStage`` is the
-``map_batches`` callable-class form for batch query evaluation.
+NeuralSparseIndexShard.warmUp, sparse/NeuralSparseIndexShard.java:82-104).
+Posting payloads stay as raw delta+varint buffers until first use, then
+decode into a bounded LRU term cache (the analogue of
+sparse/cache/LruTermCache.java:13 + CacheGatedPostingsReader).
 
 Scoring parity: exact Lucene-default BM25 (query/bm25.py) with global
-collection stats (N, avgdl, df summed across ALL segments and shards —
-SURVEY.md §2.5 requires global stats for rank-identical scores). Ties
-broken (score desc, doc_id asc) like Lucene's (score, doc) ordering.
+collection stats; ties (score desc, doc_id asc). Two execution paths,
+both EXACT (identical top-k, tested):
+
+- ``pruning="none"``: score the full posting union.
+- ``pruning="maxscore"`` (default): MaxScore-style dynamic pruning (the
+  block-max WAND family, Ding & Suel SIGIR'11; the reference's
+  cluster-skipping analogue is SeismicBaseScorer.java:202-220): terms are
+  split by score upper bound UB_t = idf_t·tf_max/(tf_max+k1(1-b)); the
+  candidate set comes from high-UB ("essential") terms only, low-UB terms
+  contribute via per-candidate lookups, and the result is certified exact
+  when Σ UB over non-essential terms < the k-th best score — else the
+  engine falls back to the full union (so stopword-only queries still
+  return exact results).
 """
 
 from __future__ import annotations
 
 import os
-from collections import defaultdict
+from collections import OrderedDict, defaultdict
 
 import numpy as np
 import pyarrow as pa
@@ -25,19 +36,61 @@ import pyarrow.parquet as pq
 from ..config import BM25Config, QueryConfig
 from ..index.codec import varint_decode
 from ..index.manifest import DOCLEN_BUCKET, IndexManifest
-from .bm25 import bm25_idf, bm25_score_terms, topk_desc
+from ..state.stats import stats
+from .bm25 import bm25_idf
+
+
+def topk_desc(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+    """Top-k by (score desc, doc_id asc) using argpartition (no full sort)."""
+    n = doc_ids.size
+    if n == 0:
+        return doc_ids[:0], scores[:0]
+    k = min(k, n)
+    if n > 4 * k:
+        part = np.argpartition(-scores, k - 1)[:k]
+        kth = scores[part].min()
+        # include every doc tied with the k-th score so tiebreak is exact
+        pool = np.flatnonzero(scores >= kth)
+    else:
+        pool = np.arange(n)
+    order = np.lexsort((doc_ids[pool], -scores[pool]))[:k]
+    sel = pool[order]
+    return doc_ids[sel], scores[sel]
+
+
+class _LruTerms:
+    """Bounded decoded-postings cache (term → (doc_ids, tfs_float64))."""
+
+    def __init__(self, max_items: int = 100_000):
+        self.max_items = max_items
+        self._d: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
+
+    def get(self, term):
+        v = self._d.get(term)
+        if v is not None:
+            self._d.move_to_end(term)
+        return v
+
+    def put(self, term, value):
+        self._d[term] = value
+        self._d.move_to_end(term)
+        if len(self._d) > self.max_items:
+            self._d.popitem(last=False)
 
 
 class IndexSearcher:
-    """Holds decoded postings + doc lengths for a set of doc shards.
+    """Holds raw postings + doc lengths for a set of doc shards.
 
-    ``shards=None`` loads every shard (single-actor / driver use at test
-    scale); on a cluster each actor of the pool gets a disjoint shard
-    subset and the driver merges per-shard top-k (partition-parallel
-    query fan-out, the Ray analogue of OpenSearch shard search).
+    ``shards=None`` loads every shard; on a cluster each actor of the pool
+    gets a disjoint shard subset and the driver merges per-shard top-k.
     """
 
-    def __init__(self, index_dir: str, shards: list[int] | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        shards: list[int] | None = None,
+        term_cache_items: int = 100_000,
+    ):
         manifest = IndexManifest.load(index_dir)
         if manifest is None:
             raise FileNotFoundError(f"no index manifest in {index_dir}")
@@ -48,10 +101,10 @@ class IndexSearcher:
         self.shards = (
             set(shards) if shards is not None else set(range(manifest.num_doc_shards))
         )
-        # term → list[(doc_ids, tfs)] (may hold several entries per term:
-        # one per segment; doc ranges are disjoint across segments/shards)
-        self._postings: dict[str, list[tuple[np.ndarray, np.ndarray]]] = defaultdict(list)
+        # term → list[(docs_buf, tfs_buf, df, max_tf)] raw segments
+        self._raw: dict[str, list[tuple[bytes, bytes, int, int]]] = defaultdict(list)
         self._df: dict[str, int] = defaultdict(int)
+        self._cache = _LruTerms(term_cache_items)
         dl_docs: list[np.ndarray] = []
         dl_vals: list[np.ndarray] = []
         for seg in manifest.complete_segments():
@@ -67,47 +120,103 @@ class IndexSearcher:
                     dfs = t["df"].to_numpy()
                     docs_bufs = t["docs"].to_pylist()
                     tfs_bufs = t["tfs"].to_pylist()
-                    for term, df, db, tb in zip(terms, dfs, docs_bufs, tfs_bufs):
-                        doc_ids = np.cumsum(varint_decode(db, int(df)))
-                        tfs = varint_decode(tb, int(df))
-                        self._postings[term].append((doc_ids, tfs))
+                    bm = t["block_max_tf"].to_pylist()
+                    for term, df, db, tb, bmax in zip(
+                        terms, dfs, docs_bufs, tfs_bufs, bm
+                    ):
+                        mx = max(bmax) if bmax else 0
+                        self._raw[term].append((db, tb, int(df), int(mx)))
                         self._df[term] += int(df)
         if dl_docs:
             all_docs = np.concatenate(dl_docs)
             all_dls = np.concatenate(dl_vals)
             order = np.argsort(all_docs, kind="stable")
             self._dl_doc_ids = all_docs[order]
-            self._dl = all_dls[order].astype(np.int64)
+            self._dl = all_dls[order].astype(np.float64)
         else:
             self._dl_doc_ids = np.empty(0, np.int64)
-            self._dl = np.empty(0, np.int64)
+            self._dl = np.empty(0, np.float64)
 
     # ---- stats -----------------------------------------------------------
     def local_df(self, term: str) -> int:
         return self._df.get(term, 0)
 
+    def max_tf(self, term: str) -> int:
+        return max((s[3] for s in self._raw.get(term, [])), default=0)
+
     def doc_length(self, doc_ids: np.ndarray) -> np.ndarray:
         pos = np.searchsorted(self._dl_doc_ids, doc_ids)
         return self._dl[pos]
 
+    # ---- postings access (lazy decode + LRU) -----------------------------
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids int64 sorted, tfs float64) for a term; decoded once."""
+        hit = self._cache.get(term)
+        if hit is not None:
+            return hit
+        stats.incr("postings_decoded")
+        segs = self._raw.get(term)
+        if not segs:
+            v = (np.empty(0, np.int64), np.empty(0, np.float64))
+            return v
+        if len(segs) == 1:
+            db, tb, df, _ = segs[0]
+            docs = np.cumsum(varint_decode(db, df))
+            tfs = varint_decode(tb, df).astype(np.float64)
+        else:
+            ds_, fs = [], []
+            for db, tb, df, _ in segs:
+                ds_.append(np.cumsum(varint_decode(db, df)))
+                fs.append(varint_decode(tb, df).astype(np.float64))
+            docs = np.concatenate(ds_)
+            tfs = np.concatenate(fs)
+            order = np.argsort(docs, kind="stable")
+            docs = docs[order]
+            tfs = tfs[order]
+        v = (docs, tfs)
+        self._cache.put(term, v)
+        return v
+
     # ---- search ----------------------------------------------------------
-    def _gather(self, terms: list[str]) -> tuple[list[np.ndarray], list[np.ndarray]]:
-        term_docs, term_tfs = [], []
-        for t in terms:
-            segs = self._postings.get(t, [])
-            if not segs:
-                term_docs.append(np.empty(0, np.int64))
-                term_tfs.append(np.empty(0, np.int64))
-            elif len(segs) == 1:
-                term_docs.append(segs[0][0])
-                term_tfs.append(segs[0][1])
+    def _score_candidates(
+        self,
+        cand: np.ndarray,
+        terms: list[str],
+        idfs: np.ndarray,
+        query_weights: np.ndarray | None,
+    ) -> np.ndarray:
+        """Exact BM25 score of each candidate over the given terms
+        (terms in sorted order → deterministic accumulation)."""
+        k1, b = self.bm25.k1, self.bm25.b
+        dl = self.doc_length(cand)
+        norm = k1 * (1.0 - b + b * dl / self.avgdl)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for i, t in enumerate(terms):
+            if idfs[i] == 0.0:
+                continue
+            docs, tfs = self.postings(t)
+            if docs.size == 0:
+                continue
+            if docs.size >= cand.size:
+                # lookup candidates in the posting list
+                pos = np.searchsorted(docs, cand)
+                pos_c = np.minimum(pos, docs.size - 1)
+                m = docs[pos_c] == cand
+                tf = np.where(m, tfs[pos_c], 0.0)
+                contrib = np.where(m, idfs[i] * tf / (tf + norm), 0.0)
             else:
-                d = np.concatenate([s[0] for s in segs])
-                f = np.concatenate([s[1] for s in segs])
-                order = np.argsort(d, kind="stable")
-                term_docs.append(d[order])
-                term_tfs.append(f[order])
-        return term_docs, term_tfs
+                # lookup postings in the candidate set
+                pos = np.searchsorted(cand, docs)
+                pos_c = np.minimum(pos, cand.size - 1)
+                m = cand[pos_c] == docs
+                contrib = np.zeros(cand.size, dtype=np.float64)
+                sel = pos_c[m]
+                tf = tfs[m]
+                contrib[sel] = idfs[i] * tf / (tf + norm[sel])
+            if query_weights is not None:
+                contrib = contrib * query_weights[i]
+            scores += contrib
+        return scores
 
     def search_bm25(
         self,
@@ -116,63 +225,102 @@ class IndexSearcher:
         *,
         global_dfs: np.ndarray | None = None,
         query_weights: np.ndarray | None = None,
+        pruning: str = "maxscore",
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Top-k BM25 over this searcher's shards.
+        """Top-k BM25 over this searcher's shards (exact, either path).
 
-        ``global_dfs``: per-term GLOBAL document frequencies (when this
-        searcher only holds a shard subset, the driver supplies them so
-        idf is identical across the pool). Defaults to local df, which IS
-        global when all shards are loaded.
+        ``global_dfs``: per-(sorted-unique)-term GLOBAL document
+        frequencies, for shard-subset actors (driver supplies them so idf
+        is identical across the pool). Defaults to local df.
         """
-        terms = sorted(set(terms))  # deterministic accumulation order
+        terms = sorted(set(terms))
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         if global_dfs is None:
             dfs = np.asarray([self.local_df(t) for t in terms], dtype=np.float64)
         else:
             dfs = np.asarray(global_dfs, dtype=np.float64)
-        term_docs, term_tfs = self._gather(terms)
-        if not term_docs:
+        idfs = np.where(dfs > 0, bm25_idf(np.maximum(dfs, 1e-9), self.n_docs), 0.0)
+
+        stats.incr("bm25_queries")
+        if pruning == "maxscore" and len(terms) > 1:
+            result = self._search_maxscore(terms, idfs, k, query_weights)
+            if result is not None:
+                stats.incr("maxscore_certified")
+                return result
+        # full-union path
+        nonempty = [self.postings(t)[0] for t in terms]
+        nonempty = [d for d in nonempty if d.size]
+        if not nonempty:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        all_docs = [d for d in term_docs if d.size]
-        if not all_docs:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        cand = np.unique(np.concatenate(all_docs))
-        scores = np.zeros(cand.size, dtype=np.float64)
-        dl_cand = self.doc_length(cand)
-        idfs = bm25_idf(dfs, self.n_docs)
-        k1, b = self.bm25.k1, self.bm25.b
-        norm_cand = k1 * (1.0 - b + b * dl_cand / self.avgdl)
-        for i, (docs, tfs) in enumerate(zip(term_docs, term_tfs)):
-            if docs.size == 0 or dfs[i] == 0:
-                continue
-            pos = np.searchsorted(cand, docs)
-            tf = tfs.astype(np.float64)
-            contrib = idfs[i] * tf / (tf + norm_cand[pos])
-            if query_weights is not None:
-                contrib = contrib * query_weights[i]
-            scores[pos] += contrib
+        cand = np.unique(np.concatenate(nonempty)) if len(nonempty) > 1 else nonempty[0]
+        scores = self._score_candidates(cand, terms, idfs, query_weights)
         return topk_desc(cand, scores, k)
+
+    def _search_maxscore(self, terms, idfs, k, query_weights):
+        """MaxScore split; returns None when pruning can't be certified."""
+        k1, b = self.bm25.k1, self.bm25.b
+        ubs = np.empty(len(terms))
+        for i, t in enumerate(terms):
+            mx = float(self.max_tf(t))
+            w = 1.0 if query_weights is None else abs(float(query_weights[i]))
+            ubs[i] = (
+                idfs[i] * (mx / (mx + k1 * (1.0 - b))) * w if mx > 0 else 0.0
+            )
+        # Split: essential terms drive candidate generation (their posting
+        # unions are scanned); the split is ANY partition — correctness
+        # comes from the final certificate: a doc with no essential term
+        # scores <= Σ UB(non-essential), so if that sum < the k-th best
+        # score among essential candidates, the result is exact.
+        # Heuristic: rare terms (small df) are essential; stopword-grade
+        # lists are skipped unless needed.
+        df_cut = max(1000, 16 * k)
+        local_dfs = np.asarray([self.local_df(t) for t in terms], dtype=np.int64)
+        essential = [i for i in range(len(terms)) if 0 < local_dfs[i] <= df_cut]
+        if not essential:
+            # every term is hot: the certificate will almost surely fail and
+            # we'd score the union twice — go straight to the full path
+            return None
+        non_essential = [i for i in range(len(terms)) if i not in essential]
+        if not non_essential:
+            return None  # nothing to prune
+        cand_lists = [self.postings(terms[i])[0] for i in essential]
+        cand_lists = [c for c in cand_lists if c.size]
+        if not cand_lists:
+            return None
+        cand = (
+            np.unique(np.concatenate(cand_lists))
+            if len(cand_lists) > 1
+            else cand_lists[0]
+        )
+        scores = self._score_candidates(cand, terms, idfs, query_weights)
+        docs, sc = topk_desc(cand, scores, k)
+        ne_ub = float(ubs[non_essential].sum())
+        threshold = sc[k - 1] if sc.size >= k else -np.inf
+        if sc.size >= k and ne_ub < threshold:
+            return docs, sc  # certified exact
+        stats.incr("maxscore_fallback")
+        return None  # fall back to full union
 
     def search_sparse_dot(
         self, token_weights: dict[str, float], k: int = 10
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Sparse linear dot-product scoring: score(d) = Σ_t q_w(t)·tf_d(t).
-
-        The rank_features/neural_sparse linear query path
-        (query/NeuralSparseQueryBuilder.java:569-589) with tf as the doc
-        weight (analyzer-based sparse encoding).
-        """
+        """Sparse linear dot-product scoring: score(d) = Σ_t q_w(t)·tf_d(t)
+        (query/NeuralSparseQueryBuilder.java:569-589 with analyzer tfs)."""
         terms = sorted(token_weights)
-        term_docs, term_tfs = self._gather(terms)
-        nonempty = [d for d in term_docs if d.size]
+        plists = [self.postings(t) for t in terms]
+        nonempty = [d for d, _ in plists if d.size]
         if not nonempty:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        cand = np.unique(np.concatenate(nonempty))
+        cand = (
+            np.unique(np.concatenate(nonempty)) if len(nonempty) > 1 else nonempty[0]
+        )
         scores = np.zeros(cand.size, dtype=np.float64)
-        for t, docs, tfs in zip(terms, term_docs, term_tfs):
+        for t, (docs, tfs) in zip(terms, plists):
             if docs.size == 0:
                 continue
             pos = np.searchsorted(cand, docs)
-            scores[pos] += token_weights[t] * tfs.astype(np.float64)
+            scores[pos] += token_weights[t] * tfs
         return topk_desc(cand, scores, k)
 
 

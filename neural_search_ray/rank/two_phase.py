@@ -42,6 +42,8 @@ def two_phase_search(
         return docs1[order], scores1[order]
     # phase 2: add low-token contributions for window docs only
     low_docs, low_scores = searcher.search_sparse_dot(low, searcher.n_docs or 1)
+    lorder = np.argsort(low_docs, kind="stable")  # top-k output is score-ordered
+    low_docs, low_scores = low_docs[lorder], low_scores[lorder]
     pos = np.searchsorted(low_docs, docs1)
     pos_clipped = np.clip(pos, 0, max(low_docs.size - 1, 0))
     match = (

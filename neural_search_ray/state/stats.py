@@ -1,0 +1,41 @@
+"""Event-stat counters: the Ray analogue of the reference's stats
+subsystem (stats/events/EventStatsManager.java, EventStatName.java —
+timestamped event counters per operator, surfaced via the _neural/stats
+endpoint).
+
+Pattern here: each task/actor increments its own in-process registry (no
+cross-process coordination — counters are task-local); stages return or
+log a snapshot, and the driver SUMS snapshots (the "aggregate on
+coordinator" step). ``IndexSearcher``/stages call ``stats.incr(...)``;
+build manifests carry per-group counts already (n_terms/n_postings).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+
+@dataclass
+class StatsRegistry:
+    counters: dict[str, int] = field(default_factory=lambda: defaultdict(int))
+    started_at: float = field(default_factory=time.time)
+
+    def incr(self, name: str, by: int = 1) -> None:
+        self.counters[name] += by
+
+    def snapshot(self) -> dict[str, int]:
+        return dict(self.counters)
+
+    def merge(self, other: dict[str, int]) -> None:
+        for k, v in other.items():
+            self.counters[k] += v
+
+    def reset(self) -> None:
+        self.counters.clear()
+        self.started_at = time.time()
+
+
+# process-local default registry (one per Ray worker / driver)
+stats = StatsRegistry()

@@ -1,0 +1,106 @@
+"""Engine-level tests: MaxScore pruning exactness, multi-segment builds
+(the merge path), skew bounding, incremental/resume semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from neural_search_ray.config import IndexConfig
+from neural_search_ray.corpus.generator import generate_pages
+from neural_search_ray.index.build import build_index
+from neural_search_ray.query.engine import IndexSearcher, topk_desc
+
+from tests.oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def skewed_index(tmp_path_factory, ray_session):
+    """Synthetic pages (Zipf skew: 'the' in ~most docs) built in TWO
+    segments — exercises the segment-merge semantics."""
+    index_dir = str(tmp_path_factory.mktemp("skidx"))
+    cfg = IndexConfig(num_shards=4, num_salts=2)
+    ds1 = generate_pages(400, seed=42).filter(lambda r: r["doc_id"] < 250)
+    ds2 = generate_pages(400, seed=42).filter(lambda r: r["doc_id"] >= 250)
+    build_index(ds1, index_dir, cfg, segment_id="seg-a", id_column="doc_id")
+    build_index(ds2, index_dir, cfg, segment_id="seg-b", id_column="doc_id")
+    # oracle over the SAME corpus (single process)
+    import pyarrow as pa
+
+    from neural_search_ray.corpus.generator import _gen_batch
+
+    t = _gen_batch(pa.table({"id": list(range(400))}), 42)
+    oracle = OracleIndex(dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())))
+    return index_dir, oracle
+
+
+def test_multi_segment_global_stats(skewed_index):
+    index_dir, oracle = skewed_index
+    s = IndexSearcher(index_dir)
+    assert s.n_docs == oracle.n_docs == 400
+    assert s.avgdl == pytest.approx(oracle.avgdl)
+    for term in ["the", "data", "w0999"]:
+        assert s.local_df(term) == oracle.df.get(term, 0), term
+
+
+def test_multi_segment_rank_identity(skewed_index):
+    index_dir, oracle = skewed_index
+    s = IndexSearcher(index_dir)
+    for q in ["the data query", "merge sort", "w0500 w0200", "of the and"]:
+        d, sc = s.search_bm25(q.split(), k=10)
+        od, osc = oracle.search_bm25(q, k=10)
+        assert d.tolist() == od, q
+        assert np.allclose(sc, osc, atol=1e-12), q
+
+
+def test_maxscore_equals_full(skewed_index):
+    index_dir, _ = skewed_index
+    s = IndexSearcher(index_dir)
+    for q in ["the data", "the of and", "w0500 the", "data w0100 w0400"]:
+        d1, s1 = s.search_bm25(q.split(), k=10, pruning="maxscore")
+        d2, s2 = s.search_bm25(q.split(), k=10, pruning="none")
+        assert d1.tolist() == d2.tolist(), q
+        assert np.allclose(s1, s2, atol=0), q
+
+
+def test_hot_term_bounded_by_doc_sharding(skewed_index):
+    """Skew handling: a stopword-grade term's postings appear in ALL doc
+    shards (one group each), each bounded by the shard's doc count — no
+    single shuffle group sees the whole posting list."""
+    index_dir, oracle = skewed_index
+    s = IndexSearcher(index_dir)
+    segs = s._raw["the"]
+    assert len(segs) >= 4  # >= num_shards entries (2 segments x shards hit)
+    total_df = sum(df for _, _, df, _ in segs)
+    assert total_df == oracle.df["the"]
+    assert max(df for _, _, df, _ in segs) < total_df  # split, not one group
+
+
+def test_topk_ties():
+    docs = np.array([5, 1, 3, 2, 4], dtype=np.int64)
+    scores = np.array([1.0, 2.0, 2.0, 2.0, 0.5])
+    d, s = topk_desc(docs, scores, 2)
+    assert d.tolist() == [1, 2]  # ties → doc asc
+
+
+def test_topk_partition_boundary_ties():
+    # >4k docs all tied: argpartition pool must include every tie
+    docs = np.arange(100, dtype=np.int64)[::-1].copy()
+    scores = np.ones(100)
+    d, s = topk_desc(docs, scores, 3)
+    assert d.tolist() == [0, 1, 2]
+
+
+def test_incremental_segment_addition(tmp_path, ray_session):
+    """Adding a segment later (skip_existing analogue): stats and results
+    update to include the new docs."""
+    cfg = IndexConfig(num_shards=2, num_salts=1)
+    idx = str(tmp_path / "inc")
+    ds1 = generate_pages(100, seed=7)
+    m1 = build_index(ds1, idx, cfg, segment_id="s0")
+    assert m1.n_docs == 100
+    ds2 = generate_pages(150, seed=7).filter(lambda r: r["doc_id"] >= 100)
+    m2 = build_index(ds2, idx, cfg, segment_id="s1")
+    assert m2.n_docs == 150
+    s = IndexSearcher(idx)
+    assert s.n_docs == 150
