@@ -72,9 +72,12 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
     # ---- headline: index build over synthesized page corpus -------------
     index_dir = f"/tmp/nsr_bench_idx_{num_cpus}"
     shutil.rmtree(index_dir, ignore_errors=True)
-    cfg = IndexConfig(num_shards=max(8, num_cpus // 2), num_salts=4)
+    # The job shape (shards, buckets, input blocks) is FIXED regardless of
+    # num_cpus: the scaling comparison must run the identical job at two
+    # cluster sizes, or block-size/memory effects masquerade as scaling.
+    cfg = IndexConfig(num_shards=16, num_salts=4)
     t0 = time.perf_counter()
-    pages = generate_pages(n_pages, seed=42, parallelism=num_cpus * 4).map_batches(
+    pages = generate_pages(n_pages, seed=42, parallelism=128).map_batches(
         extract_text_stage, batch_format="pyarrow"
     )
     build_index(pages, index_dir, cfg, segment_id="bench")

@@ -50,6 +50,13 @@ ENGLISH_STOPWORDS = frozenset(
 _WORD_RE = re.compile(r"[^\W_]+(?:['’.:,][^\W_]+)*", re.UNICODE)
 # trailing/leading joiners never match because the joiner must sit between runs.
 
+# tokenizer variants (FixedTokenLengthChunker.java:56-64 whitelist):
+_TOKENIZER_RES = {
+    "standard": _WORD_RE,
+    "whitespace": re.compile(r"\S+"),
+    "letter": re.compile(r"[^\W\d_]+", re.UNICODE),
+}
+
 
 @lru_cache(maxsize=8)
 def _stop_tuple(remove: bool) -> frozenset[str]:
@@ -60,7 +67,7 @@ def tokenize(text: str, config: AnalyzerConfig = AnalyzerConfig()) -> list[str]:
     """Analyze one string → list of tokens. Pure function of (text, config)."""
     if not text:
         return []
-    raw = _WORD_RE.findall(text)
+    raw = _TOKENIZER_RES[config.tokenizer].findall(text)
     mtl = config.max_token_length
     out: list[str] = []
     stops = _stop_tuple(config.remove_stopwords)
@@ -139,6 +146,7 @@ def analyze_column(
         config.lowercase
         and not config.remove_stopwords
         and config.max_token_length >= 32
+        and config.tokenizer in ("standard", "whitespace")
     )
     if not fast_eligible:
         return _analyze_column_slow(col, config)

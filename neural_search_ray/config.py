@@ -22,6 +22,9 @@ class AnalyzerConfig:
     lowercase: bool = True
     remove_stopwords: bool = False
     max_token_length: int = 255  # Lucene StandardAnalyzer default
+    # tokenizer variants from the chunker whitelist
+    # (FixedTokenLengthChunker.java:56-64): standard | whitespace | letter
+    tokenizer: str = "standard"
 
 
 @dataclass(frozen=True)

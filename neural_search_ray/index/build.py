@@ -211,8 +211,14 @@ def _grouped_varint(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> l
 def make_write_group(index_dir: str, segment_id: str, config: IndexConfig):
     """map_groups fn for group key (doc_shard, term_bucket):
     merge partial postings → final compressed posting rows → Parquet file.
-    Returns one manifest row per group (small)."""
+    Returns one manifest row per group (small).
+
+    ``config.n_postings >= 0`` enables static index pruning; the
+    reference's -2 formula (max(0.0005*maxDoc, 160)) must be resolved by
+    the caller via ``config.resolve_n_postings(total_docs)`` since group
+    tasks don't see the global doc count."""
     block_size = config.block_size
+    n_postings = config.n_postings
 
     def fn(group: pa.Table) -> pa.Table:
         from ..runtime import ensure_worker_tuned
@@ -260,6 +266,23 @@ def make_write_group(index_dir: str, segment_id: str, config: IndexConfig):
         g_code = code_per_posting[order]
         g_doc = flat_docs[order]
         g_tf = flat_tfs[order]
+        # static index pruning (reference: keep n_postings highest-weight
+        # postings per term, PostingsProcessingUtils.java:38-56 via
+        # ClusteredPostingTermsWriter.java:136-142). Vectorized: rank
+        # within term by (tf desc, doc asc), keep rank < n, re-sort by doc.
+        if n_postings >= 0 and g_code.size:
+            sel = np.lexsort((g_doc, -g_tf, g_code))
+            c_sorted = g_code[sel]
+            grp_start = np.concatenate(
+                ([0], np.flatnonzero(np.diff(c_sorted) != 0) + 1)
+            )
+            rank = np.arange(c_sorted.size) - np.repeat(
+                grp_start, np.diff(np.concatenate((grp_start, [c_sorted.size])))
+            )
+            kept = sel[rank < n_postings]
+            kept.sort()  # restore (code, doc) order: original was lexsorted
+            g_code, g_doc, g_tf = g_code[kept], g_doc[kept], g_tf[kept]
+
         change = np.flatnonzero(np.diff(g_code) != 0)
         starts = np.concatenate(([0], change + 1))
         ends = np.concatenate((change + 1, [g_code.size]))

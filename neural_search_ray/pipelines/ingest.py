@@ -1,0 +1,163 @@
+"""Declarative ingest pipelines: the Ray analogue of OpenSearch ingest
+pipelines (SURVEY.md §2.12).
+
+The reference registers named processors via IngestPlugin.getProcessors
+(plugin/NeuralSearch.java:311-342) and users compose them in pipeline
+JSON; here a pipeline is a list of stage configs compiled onto a
+``ray.data.Dataset`` as chained ``map_batches`` (stateless) /
+callable-class (stateful) stages. Registries are plain dicts —
+user-extensible with ``register_processor``.
+
+Built-in processors:
+
+- ``text_chunking``        {algorithm, text_column, id_column, **params}
+    → explodes to (id, chunk_idx, chunk)          [TextChunkingProcessor]
+- ``sparse_encoding``      {text_column, prune_type?, prune_ratio?}
+    → adds tokens:list<str> + weights:list<float> (analyzer tf encoding
+      + optional prune)                        [SparseEncodingProcessor]
+- ``text_embedding``       {text_column, dim}
+    → adds embedding:list<float> via the deterministic hash-embedding
+      stub (no model weights in this environment; the real deployment
+      passes a model-backed stage)              [TextEmbeddingProcessor]
+- ``quality_stats``        {} → per-doc quality columns
+- ``langid``               {} → pred_lang column
+- ``extract_text``         {} → html→text, invariant-checked
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def _sparse_encoding_stage(text_column: str = "text", id_column: str = "doc_id",
+                           prune_type: str | None = None, prune_ratio: float = 0.0):
+    from ..analysis.analyzer import tokenize
+    from ..stages.prune import prune_sparse_vector
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks_col, w_col = [], []
+        for text in batch[text_column].to_pylist():
+            toks = tokenize(text or "")
+            vec: dict[str, float] = {}
+            for t in toks:
+                vec[t] = vec.get(t, 0.0) + 1.0
+            if prune_type:
+                vec = prune_sparse_vector(prune_type, prune_ratio, vec)
+            keys = sorted(vec)
+            toks_col.append(keys)
+            w_col.append([vec[k] for k in keys])
+        return batch.append_column(
+            "tokens", pa.array(toks_col, type=pa.list_(pa.string()))
+        ).append_column("weights", pa.array(w_col, type=pa.list_(pa.float64())))
+
+    return fn
+
+
+class HashEmbeddingStage:
+    """Deterministic dense-embedding stub (callable class → actor pool):
+    embedding[j] = sum over tokens of ±1/sqrt(dim) by bit j of h64(token).
+    Stands in for the ML-Commons model call (ml/MLCommonsClientAccessor
+    .java:109-515); swap with a real model class in deployment."""
+
+    def __init__(self, text_column: str = "text", dim: int = 32):
+        from ..analysis.analyzer import tokenize
+        from ..dedup.common import h64
+
+        self._tokenize = tokenize
+        self._h64 = h64
+        self.text_column = text_column
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dim = self.dim
+        out = []
+        scale = 1.0 / np.sqrt(dim)
+        for text in batch[self.text_column].to_pylist():
+            acc = np.zeros(dim)
+            for t in self._tokenize(text or ""):
+                h = self._h64(t)
+                bits = (h >> np.arange(dim, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == 1, scale, -scale)
+            out.append(acc.tolist())
+        return batch.append_column(
+            "embedding", pa.array(out, type=pa.list_(pa.float64()))
+        )
+
+
+def _chunking_stage(**params):
+    from ..stages.chunkers import make_chunk_stage
+
+    algorithm = params.pop("algorithm")
+    return make_chunk_stage(algorithm, **params)
+
+
+def _quality_stage(**params):
+    from ..textstats.quality import quality_stats_stage
+
+    return lambda b: quality_stats_stage(b, **params)
+
+
+def _langid_stage(**params):
+    from ..textstats.langid import langid_stage
+
+    return lambda b: langid_stage(b, **params)
+
+
+def _extract_stage(**params):
+    from ..corpus.extract import extract_text_stage
+
+    return extract_text_stage
+
+
+# name → factory returning either a map fn or (cls, ctor_kwargs)
+PROCESSORS: dict[str, Callable] = {
+    "text_chunking": _chunking_stage,
+    "sparse_encoding": _sparse_encoding_stage,
+    "quality_stats": _quality_stage,
+    "langid": _langid_stage,
+    "extract_text": _extract_stage,
+}
+
+STATEFUL_PROCESSORS: dict[str, type] = {
+    "text_embedding": HashEmbeddingStage,
+}
+
+
+def register_processor(name: str, factory: Callable, stateful: bool = False) -> None:
+    (STATEFUL_PROCESSORS if stateful else PROCESSORS)[name] = factory
+
+
+def compile_pipeline(ds: "ray.data.Dataset", stages: list[dict]) -> "ray.data.Dataset":
+    """Compile a declarative stage list onto a Dataset.
+
+    Each stage config: {"type": <name>, ...params, "concurrency": N?,
+    "batch_size": B?} — concurrency/batch_size are Ray execution knobs
+    (actor-pool sizing for stateful stages, SURVEY.md §4).
+    """
+    for cfg in stages:
+        cfg = dict(cfg)
+        kind = cfg.pop("type")
+        concurrency = cfg.pop("concurrency", None)
+        batch_size = cfg.pop("batch_size", "default")
+        kwargs: dict = {"batch_format": "pyarrow"}
+        if batch_size != "default":
+            kwargs["batch_size"] = batch_size
+        if kind in STATEFUL_PROCESSORS:
+            kwargs["fn_constructor_kwargs"] = cfg
+            kwargs["concurrency"] = concurrency or 1
+            ds = ds.map_batches(STATEFUL_PROCESSORS[kind], **kwargs)
+        elif kind in PROCESSORS:
+            if concurrency:
+                kwargs["concurrency"] = concurrency
+            ds = ds.map_batches(PROCESSORS[kind](**cfg), **kwargs)
+        else:
+            raise ValueError(
+                f"unknown processor {kind!r}; registered: "
+                f"{sorted(PROCESSORS) + sorted(STATEFUL_PROCESSORS)}"
+            )
+    return ds

@@ -641,6 +641,26 @@ def q_fingerprint_winnow(sf_dir: str) -> "ray.data.Dataset":
 
     return _docs_ds(sf_dir).map_batches(fn, batch_format="pyarrow")
 
+
+def q_bm25_filtered_en(sf_dir: str) -> pa.Table:
+    """BM25 with filter pushdown: only documents with lang='en' are
+    eligible (accepted-docs conjunction, SURVEY.md §2.4/§2.9); corpus
+    statistics stay UNfiltered, matching Lucene filter semantics."""
+    import pyarrow.parquet as pq2
+
+    from ..query.sparse import filtered_bm25_topk
+
+    searcher = get_searcher(sf_dir)
+    langs = pq2.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    accepted = langs.filter(pc.equal(langs["lang"], "en"))["doc_id"].to_numpy()
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = filtered_bm25_topk(
+            searcher, tokenize(qtext), BM25_K, accepted
+        )
+        rows.append((qid, docs, scores))
+    return _hits_table(rows)
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 
@@ -654,6 +674,11 @@ def build_oracle_sql() -> dict[str, str]:
     )
     sqls["doc_lengths"] = SQL_DL_ALL
     sqls["bm25_topk"] = _topk_sql(_bm25_scored_sql(), BM25_K)
+    sqls["bm25_filtered_en"] = _topk_sql(
+        f"SELECT sc.* FROM ({_bm25_scored_sql()}) sc "
+        "JOIN documents d ON d.doc_id = sc.doc_id WHERE d.lang = 'en'",
+        BM25_K,
+    )
 
     dot_values = ", ".join(
         f"('{t}', {w})" for t, w in sorted(SPARSE_QUERY_WEIGHTS.items())
@@ -1027,6 +1052,7 @@ def build_queries() -> dict:
         "collection_stats": q_collection_stats,
         "doc_lengths": q_doc_lengths,
         "bm25_topk": q_bm25_topk,
+        "bm25_filtered_en": q_bm25_filtered_en,
         "sparse_dot_topk": q_sparse_dot_topk,
         "hybrid_minmax_arith": q_hybrid_minmax_arith,
         "hybrid_rrf": q_hybrid_rrf,

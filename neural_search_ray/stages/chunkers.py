@@ -30,7 +30,7 @@ import re
 
 import pyarrow as pa
 
-from ..analysis.analyzer import _WORD_RE
+from ..analysis.analyzer import _TOKENIZER_RES, _WORD_RE
 from ..config import AnalyzerConfig
 
 DEFAULT_TOKEN_LIMIT = 384
@@ -39,9 +39,10 @@ DEFAULT_DELIMITER = "\n\n"
 DEFAULT_MAX_CHUNK_LIMIT = 100
 
 
-def _token_start_offsets(content: str) -> list[int]:
-    """Start offsets of standard-analyzer tokens (UAX#29-style words)."""
-    return [m.start() for m in _WORD_RE.finditer(content)]
+def _token_start_offsets(content: str, tokenizer: str = "standard") -> list[int]:
+    """Start offsets of analyzer tokens (tokenizer from the reference's
+    whitelist: standard | whitespace | letter)."""
+    return [m.start() for m in _TOKENIZER_RES[tokenizer].finditer(content)]
 
 
 def chunk_fixed_token_length(
@@ -49,12 +50,13 @@ def chunk_fixed_token_length(
     token_limit: int = DEFAULT_TOKEN_LIMIT,
     overlap_rate: float = 0.0,
     max_chunk_limit: int = DEFAULT_MAX_CHUNK_LIMIT,
+    tokenizer: str = "standard",
 ) -> list[str]:
     if not 0.0 <= overlap_rate <= 0.5:
         raise ValueError("overlap_rate must be within [0, 0.5]")
     if token_limit <= 0:
         raise ValueError("token_limit must be positive")
-    starts = _token_start_offsets(content)
+    starts = _token_start_offsets(content, tokenizer)
     n = len(starts)
     out: list[str] = []
     overlap = math.floor(token_limit * overlap_rate)

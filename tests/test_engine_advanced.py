@@ -104,3 +104,18 @@ def test_incremental_segment_addition(tmp_path, ray_session):
     assert m2.n_docs == 150
     s = IndexSearcher(idx)
     assert s.n_docs == 150
+
+
+def test_distributed_searcher_rank_identity(skewed_index, ray_session):
+    from neural_search_ray.query.distributed import DistributedSearcher
+
+    index_dir, oracle = skewed_index
+    ds = DistributedSearcher(index_dir, num_actors=2)
+    try:
+        for q in ["the data query", "merge w0500", "of and the"]:
+            d, sc = ds.search_bm25(q.split(), k=10)
+            od, osc = oracle.search_bm25(q, k=10)
+            assert d.tolist() == od, q
+            assert np.allclose(sc, osc, atol=1e-12), q
+    finally:
+        ds.shutdown()

