@@ -75,7 +75,7 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
     # The job shape (shards, buckets, input blocks) is FIXED regardless of
     # num_cpus: the scaling comparison must run the identical job at two
     # cluster sizes, or block-size/memory effects masquerade as scaling.
-    cfg = IndexConfig(num_shards=16, num_salts=4)
+    cfg = IndexConfig(num_shards=16, num_salts=8)
     t0 = time.perf_counter()
     pages = generate_pages(n_pages, seed=42, parallelism=128).map_batches(
         extract_text_stage, batch_format="pyarrow"
@@ -127,7 +127,7 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
 
 
 def run_scaling(sf_dir: str, cpus_low: int = 8, cpus_high: int = 32,
-                n_pages: int = 4_000_000) -> dict:
+                n_pages: int = 8_000_000) -> dict:
     """Fresh-process runs at two parallelism levels (same input).
 
     Uses a 4M-page corpus by default so the job is long enough to be

@@ -661,6 +661,59 @@ def q_bm25_filtered_en(sf_dir: str) -> pa.Table:
         rows.append((qid, docs, scores))
     return _hits_table(rows)
 
+
+_FORWARD_BUILT: set[str] = set()
+
+
+def _ensure_forward(index_dir: str) -> None:
+    if index_dir in _FORWARD_BUILT:
+        return
+    from ..index.forward import build_forward_index
+
+    if not os.path.exists(os.path.join(index_dir, "forward")):
+        build_forward_index(index_dir)
+    _FORWARD_BUILT.add(index_dir)
+
+
+def q_forward_index_stats(sf_dir: str) -> pa.Table:
+    """Per-doc forward-index row stats; oracle: distinct terms per doc.
+    Verifies the shard-local posting→forward transpose end to end."""
+    from ..index.forward import ShardForward
+
+    index_dir = get_index_dir(sf_dir)
+    _ensure_forward(index_dir)
+    searcher = get_searcher(sf_dir)
+    ids_out, n_out, sum_out = [], [], []
+    for shard in range(searcher.manifest.num_doc_shards):
+        fwd = ShardForward(index_dir, shard)
+        lens = np.diff(fwd.offsets)
+        sums = np.add.reduceat(fwd.flat_w, fwd.offsets[:-1]) if len(fwd.flat_w) else []
+        ids_out.append(fwd.doc_ids.astype(np.int64))
+        n_out.append(lens.astype(np.int64))
+        sum_out.append(np.asarray(sums, dtype=np.float64))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(ids_out)),
+            "n_terms": pa.array(np.concatenate(n_out)),
+            "sum_tf": pa.array(np.concatenate(sum_out)),
+        }
+    )
+
+
+def q_seismic_ann(sf_dir: str) -> pa.Table:
+    """SEISMIC cluster-skipping sparse ANN (approximate by design →
+    rows-only driver check; exactness/recall is covered by pytest)."""
+    from ..index.seismic import build_seismic
+    from ..query.seismic import SeismicSearcher
+
+    index_dir = get_index_dir(sf_dir)
+    _ensure_forward(index_dir)
+    if not os.path.exists(os.path.join(index_dir, "seismic")):
+        build_seismic(index_dir, approximate_threshold=20, seed=42)
+    ann = SeismicSearcher(index_dir)
+    docs, scores = ann.search(SPARSE_QUERY_WEIGHTS, k=BM25_K, heap_factor=1.0)
+    return _hits_table([(0, docs, scores)])
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 
@@ -673,6 +726,9 @@ def build_oracle_sql() -> dict[str, str]:
         f"SELECT n_docs, total_tokens, round(avgdl, 6) AS avgdl FROM ({SQL_STATS})"
     )
     sqls["doc_lengths"] = SQL_DL_ALL
+    sqls["forward_index_stats"] = f"""
+SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::DOUBLE AS sum_tf
+FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["bm25_topk"] = _topk_sql(_bm25_scored_sql(), BM25_K)
     sqls["bm25_filtered_en"] = _topk_sql(
         f"SELECT sc.* FROM ({_bm25_scored_sql()}) sc "
@@ -1078,4 +1134,6 @@ def build_queries() -> dict:
         "rerank_byfield": q_rerank_byfield,
         "embed_neardup": q_embed_neardup,
         "fingerprint_winnow": q_fingerprint_winnow,
+        "forward_index_stats": q_forward_index_stats,
+        "seismic_ann": q_seismic_ann,
     }
