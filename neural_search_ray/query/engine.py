@@ -149,16 +149,22 @@ class IndexSearcher:
         return self._dl[pos]
 
     # ---- postings access (lazy decode + LRU) -----------------------------
-    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """(doc_ids int64 sorted, tfs float64) for a term; decoded once."""
+    def postings_full(self, term: str):
+        """(docs, tfs, pos, tfn): docIDs, float64 tfs, positions in the
+        shard doc-length array, and the query-independent BM25 tf-norm
+        tf/(tf + k1(1-b+b·dl/avgdl)) — precomputed ONCE at decode so every
+        query just scales by idf (bitwise-identical to computing inline)."""
         hit = self._cache.get(term)
         if hit is not None:
             return hit
         stats.incr("postings_decoded")
         segs = self._raw.get(term)
+        empty = (
+            np.empty(0, np.int64), np.empty(0, np.float64),
+            np.empty(0, np.int64), np.empty(0, np.float64),
+        )
         if not segs:
-            v = (np.empty(0, np.int64), np.empty(0, np.float64))
-            return v
+            return empty
         if len(segs) == 1:
             db, tb, df, _ = segs[0]
             docs = np.cumsum(varint_decode(db, df))
@@ -173,9 +179,18 @@ class IndexSearcher:
             order = np.argsort(docs, kind="stable")
             docs = docs[order]
             tfs = tfs[order]
-        v = (docs, tfs)
+        pos = np.searchsorted(self._dl_doc_ids, docs)
+        k1, b = self.bm25.k1, self.bm25.b
+        norm = k1 * (1.0 - b + b * self._dl[pos] / self.avgdl)
+        tfn = tfs / (tfs + norm)
+        v = (docs, tfs, pos, tfn)
         self._cache.put(term, v)
         return v
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids int64 sorted, tfs float64) for a term; decoded once."""
+        v = self.postings_full(term)
+        return v[0], v[1]
 
     # ---- search ----------------------------------------------------------
     def _score_candidates(
@@ -186,33 +201,26 @@ class IndexSearcher:
         query_weights: np.ndarray | None,
     ) -> np.ndarray:
         """Exact BM25 score of each candidate over the given terms
-        (terms in sorted order → deterministic accumulation)."""
-        k1, b = self.bm25.k1, self.bm25.b
-        dl = self.doc_length(cand)
-        norm = k1 * (1.0 - b + b * dl / self.avgdl)
+        (terms in sorted order → deterministic accumulation). Uses the
+        precomputed per-posting tf-norms; same float ops as inline."""
         scores = np.zeros(cand.size, dtype=np.float64)
         for i, t in enumerate(terms):
             if idfs[i] == 0.0:
                 continue
-            docs, tfs = self.postings(t)
+            docs, _, _, tfn = self.postings_full(t)
             if docs.size == 0:
                 continue
             if docs.size >= cand.size:
-                # lookup candidates in the posting list
                 pos = np.searchsorted(docs, cand)
                 pos_c = np.minimum(pos, docs.size - 1)
                 m = docs[pos_c] == cand
-                tf = np.where(m, tfs[pos_c], 0.0)
-                contrib = np.where(m, idfs[i] * tf / (tf + norm), 0.0)
+                contrib = np.where(m, idfs[i] * tfn[pos_c], 0.0)
             else:
-                # lookup postings in the candidate set
                 pos = np.searchsorted(cand, docs)
                 pos_c = np.minimum(pos, cand.size - 1)
                 m = cand[pos_c] == docs
                 contrib = np.zeros(cand.size, dtype=np.float64)
-                sel = pos_c[m]
-                tf = tfs[m]
-                contrib[sel] = idfs[i] * tf / (tf + norm[sel])
+                contrib[pos_c[m]] = idfs[i] * tfn[m]
             if query_weights is not None:
                 contrib = contrib * query_weights[i]
             scores += contrib
@@ -248,7 +256,12 @@ class IndexSearcher:
             if result is not None:
                 stats.incr("maxscore_certified")
                 return result
-        # full-union path
+        # full-union path; when the union covers a large fraction of the
+        # shard docs, use a DENSE accumulator over local doc positions
+        # (one gather-scatter per term, no unique/searchsorted per query)
+        total_df = sum(self.local_df(t) for t in terms)
+        if total_df > 0.05 * max(self._dl_doc_ids.size, 1):
+            return self._search_dense(terms, idfs, k, query_weights)
         nonempty = [self.postings(t)[0] for t in terms]
         nonempty = [d for d in nonempty if d.size]
         if not nonempty:
@@ -256,6 +269,28 @@ class IndexSearcher:
         cand = np.unique(np.concatenate(nonempty)) if len(nonempty) > 1 else nonempty[0]
         scores = self._score_candidates(cand, terms, idfs, query_weights)
         return topk_desc(cand, scores, k)
+
+    def _search_dense(self, terms, idfs, k, query_weights):
+        """Dense-accumulator scoring over the shard's doc space: postings
+        carry precomputed local positions, so each term is one
+        scatter-add. Accumulation order = sorted terms, same expression —
+        bitwise identical scores to the candidate path."""
+        n = self._dl_doc_ids.size
+        scores = np.zeros(n, dtype=np.float64)
+        touched = np.zeros(n, dtype=bool)
+        for i, t in enumerate(terms):
+            if idfs[i] == 0.0:
+                continue
+            docs, _, pos, tfn = self.postings_full(t)
+            if docs.size == 0:
+                continue
+            w = idfs[i] if query_weights is None else idfs[i] * query_weights[i]
+            scores[pos] += w * tfn  # doc appears once per posting list
+            touched[pos] = True
+        cand_pos = np.flatnonzero(touched)
+        if cand_pos.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return topk_desc(self._dl_doc_ids[cand_pos], scores[cand_pos], k)
 
     def _search_maxscore(self, terms, idfs, k, query_weights):
         """MaxScore split; returns None when pruning can't be certified."""

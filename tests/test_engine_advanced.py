@@ -119,3 +119,31 @@ def test_distributed_searcher_rank_identity(skewed_index, ray_session):
             assert np.allclose(sc, osc, atol=1e-12), q
     finally:
         ds.shutdown()
+
+
+def test_rebuild_is_byte_deterministic(tmp_path, ray_session):
+    """A re-run after a simulated crash (manifest lost mid-segment)
+    overwrites group files with byte-identical content — resumability
+    depends on deterministic outputs, not on which attempt wrote them."""
+    import hashlib
+    import json
+    import os
+
+    cfg = IndexConfig(num_shards=2, num_salts=2)
+
+    def file_hashes(d):
+        out = {}
+        for root, _, files in os.walk(os.path.join(d, "segments")):
+            for f in files:
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, d)] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    idx = str(tmp_path / "det")
+    build_index(generate_pages(120, seed=3), idx, cfg)
+    h1 = file_hashes(idx)
+    # simulate crash: manifest gone, stale partial files remain
+    os.remove(os.path.join(idx, "manifest.json"))
+    build_index(generate_pages(120, seed=3), idx, cfg)
+    h2 = file_hashes(idx)
+    assert h1 == h2
