@@ -714,6 +714,28 @@ def q_seismic_ann(sf_dir: str) -> pa.Table:
     docs, scores = ann.search(SPARSE_QUERY_WEIGHTS, k=BM25_K, heap_factor=1.0)
     return _hits_table([(0, docs, scores)])
 
+
+_BPE_RE = None
+
+
+def q_bpe_token_count(sf_dir: str) -> "ray.data.Dataset":
+    """BPE-ish pre-tokenization count: letter runs, digit runs, single
+    non-space punctuation — the merge-free piece count a byte-pair
+    tokenizer starts from (shared regex with the SQL oracle)."""
+    import re
+
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts = [
+            len(pat.findall((t or "").lower())) for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_pieces": pa.array(counts, type=pa.int64())}
+        )
+
+    return _docs_ds(sf_dir).map_batches(fn, batch_format="pyarrow")
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 
@@ -842,6 +864,52 @@ FROM s GROUP BY user_id, session_id"""
     )
 
     sqls["ngram_jaccard_pairs"] = _ngram_jaccard_sql()
+    sqls["bpe_token_count"] = (
+        "SELECT doc_id, len(regexp_extract_all(lower(text), "
+        "'[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_pieces FROM documents"
+    )
+    sqls["simhash"] = f"""
+WITH tf AS ({SQL_TF}),
+bits AS (
+  SELECT tf.doc_id, j.j,
+         sum(CASE WHEN ((md5_number_lower(tf.term) & 4294967295) >> j.j) & 1 = 1
+                  THEN tf.tf ELSE -tf.tf END) AS contrib
+  FROM tf CROSS JOIN generate_series(0, 31) AS j(j)
+  GROUP BY tf.doc_id, j.j)
+SELECT d.doc_id,
+       coalesce(sum(CASE WHEN b.contrib > 0
+                         THEN CAST(power(2, b.j) AS BIGINT) ELSE 0 END), 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN bits b USING (doc_id)
+GROUP BY d.doc_id"""
+    from ..dedup.minhash import _A, _B
+    from ..dedup.common import MERSENNE_61
+
+    num_hashes, bands, rpb = 8, 4, 2
+    hash_exprs = ", ".join(
+        f"min((({_A[i]}::HUGEINT * md5_number_lower(shingle)::HUGEINT + {_B[i]}) % {MERSENNE_61}))::UBIGINT AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5_number_lower(cast(m{2*b} AS VARCHAR) || ',' || cast(m{2*b+1} AS VARCHAR)) AS band_key "
+        f"FROM sigs"
+        for b in range(bands)
+    )
+    sqls["minhash_lsh_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN n < 3 THEN array_to_string(t, ' ')
+              ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS shingle
+  FROM toks CROSS JOIN generate_series(1, 4000) AS g(i)
+  WHERE i <= greatest(n - 2, 1)),
+sigs AS (SELECT doc_id, {hash_exprs} FROM sh GROUP BY doc_id),
+bandkeys AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bandkeys a JOIN bandkeys b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
 
     # two-phase sparse (constants: high/low split of SPARSE_QUERY_WEIGHTS
     # by max_ratio 0.4, phase-1 window = k*5)
@@ -1134,6 +1202,7 @@ def build_queries() -> dict:
         "rerank_byfield": q_rerank_byfield,
         "embed_neardup": q_embed_neardup,
         "fingerprint_winnow": q_fingerprint_winnow,
+        "bpe_token_count": q_bpe_token_count,
         "forward_index_stats": q_forward_index_stats,
         "seismic_ann": q_seismic_ann,
     }
