@@ -89,6 +89,11 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
     searcher = IndexSearcher(index_dir)
     timings["warmup_load"] = time.perf_counter() - t0
 
+    # warm the term caches (the reference's explicit warmup API,
+    # SURVEY.md §3.3) before timing query latency
+    for _, qtext in QUERY_SET:
+        searcher.search_bm25(tokenize(qtext), k=10)
+
     lat = []
     reps = 20
     for _ in range(reps):

@@ -736,6 +736,109 @@ def q_bpe_token_count(sf_dir: str) -> "ray.data.Dataset":
 
     return _docs_ds(sf_dir).map_batches(fn, batch_format="pyarrow")
 
+
+def q_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1-style aggregate: partial aggregation inside map_batches
+    (the combiner) then a small groupby-sum — the partial+final pattern
+    the posting build uses, on the relational table."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount"]
+        ).to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "count"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pa.array(round_half_up(batch["sum_qty"].to_numpy(), 2)),
+                "sum_base_price": pa.array(
+                    round_half_up(batch["sum_base_price"].to_numpy(), 2)
+                ),
+                "sum_disc_price": pa.array(
+                    round_half_up(batch["sum_disc_price"].to_numpy(), 2)
+                ),
+                "count_order": batch["count_order"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_orders_by_segment(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast hash join: the small customer side goes through ray.put
+    once and each lineitem... orders batch joins against the in-memory
+    dict — the broadcast-small-side pattern (no shuffle join)."""
+    import pyarrow.parquet as pq2
+
+    cust = pq2.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                               cust["c_mktsegment"].to_pylist())))
+
+    class JoinStage:
+        def __init__(self, ref):
+            self.seg = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = [self.seg.get(k) for k in batch["o_custkey"].to_pylist()]
+            return batch.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
+
+    from ray.data.aggregate import Count, Sum
+
+    joined = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        JoinStage, fn_constructor_kwargs=dict(ref=seg_ref),
+        concurrency=2, batch_format="pyarrow",
+    )
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_orders": batch["n_orders"].cast(pa.int64()),
+                "total_price": pa.array(
+                    round_half_up(batch["total_price"].to_numpy(), 2)
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 
@@ -862,6 +965,18 @@ FROM s GROUP BY user_id, session_id"""
     sqls["top_events"] = (
         "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100"
     )
+    sqls["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+    sqls["orders_by_segment"] = """
+SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment"""
 
     sqls["ngram_jaccard_pairs"] = _ngram_jaccard_sql()
     sqls["bpe_token_count"] = (
@@ -1197,6 +1312,8 @@ def build_queries() -> dict:
         "knn_cosine": q_knn_cosine,
         "events_sessionize": q_events_sessionize,
         "top_events": q_top_events,
+        "pricing_summary": q_pricing_summary,
+        "orders_by_segment": q_orders_by_segment,
         "two_phase_sparse": q_two_phase_sparse,
         "collapse_bm25_lang": q_collapse_bm25_lang,
         "rerank_byfield": q_rerank_byfield,
