@@ -85,22 +85,27 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
     build_docs_per_sec = n_pages / timings["index_build"]
 
     # ---- query latency over the built index ----------------------------
-    t0 = time.perf_counter()
-    searcher = IndexSearcher(index_dir)
-    timings["warmup_load"] = time.perf_counter() - t0
+    # Serving topology: shard-parallel actor pool (each actor loads a
+    # disjoint doc-shard subset in __init__ = warmup; driver merges) —
+    # the same fan-out the reference gets from OpenSearch shard search.
+    from neural_search_ray.query.distributed import DistributedSearcher
 
-    # warm the term caches (the reference's explicit warmup API,
-    # SURVEY.md §3.3) before timing query latency
+    n_actors = max(2, min(8, num_cpus // 4))
+    t0 = time.perf_counter()
+    dsearch = DistributedSearcher(index_dir, num_actors=n_actors)
+    # warm term caches (the reference's explicit warmup API, SURVEY §3.3)
     for _, qtext in QUERY_SET:
-        searcher.search_bm25(tokenize(qtext), k=10)
+        dsearch.search_bm25(tokenize(qtext), k=10)
+    timings["warmup_load"] = time.perf_counter() - t0
 
     lat = []
     reps = 20
     for _ in range(reps):
         for _, qtext in QUERY_SET:
             t0 = time.perf_counter()
-            searcher.search_bm25(tokenize(qtext), k=10)
+            dsearch.search_bm25(tokenize(qtext), k=10)
             lat.append(time.perf_counter() - t0)
+    dsearch.shutdown()
     lat_ms = np.asarray(lat) * 1e3
     timings["query_total"] = float(lat_ms.sum() / 1e3)
     query_p50_ms = float(np.percentile(lat_ms, 50))
