@@ -50,3 +50,41 @@ def test_unicode():
 
 def test_term_frequencies():
     assert term_frequencies(["a", "b", "a"]) == {"a": 2, "b": 1}
+
+
+GOLDEN_TOKENS = [
+    # (input, expected standard-analyzer tokens) — pinned corpus for the
+    # UAX#29-style corner cases (SURVEY.md §7.4 analyzer parity)
+    ("The quick (\"brown\") fox can't jump 32.3 feet, right?",
+     ["the", "quick", "brown", "fox", "can't", "jump", "32.3", "feet", "right"]),
+    ("XY&Z Corporation - xyz@example.com",
+     ["xy", "z", "corporation", "xyz", "example.com"]),
+    ("visit https://sub.example.co.uk/path?q=1",
+     ["visit", "https", "sub.example.co.uk", "path", "q", "1"]),
+    ("店舗情報 and ラーメン",
+     ["店舗情報", "and", "ラーメン"]),
+    ("naïve café résumé", ["naïve", "café", "résumé"]),
+    ("O'Neill's 3,000,000 wins", ["o'neill's", "3,000,000", "wins"]),
+    ("a-b a_b a.b a..b", ["a", "b", "a", "b", "a.b", "a", "b"]),
+    ("emoji 👍 splits", ["emoji", "splits"]),
+    ("v1.2.3 IPv4 127.0.0.1", ["v1.2.3", "ipv4", "127.0.0.1"]),
+    ("", []),
+]
+
+
+def test_golden_token_corpus():
+    for text, want in GOLDEN_TOKENS:
+        assert tokenize(text) == want, text
+
+
+def test_golden_corpus_fast_path_consistent():
+    """analyze_column must agree with tokenize() on the golden corpus
+    (mixed simple/non-simple rows exercise the stitch path)."""
+    import pyarrow as pa
+
+    from neural_search_ray.analysis.analyzer import analyze_column
+
+    texts = [t for t, _ in GOLDEN_TOKENS] + ["plain simple text 123"]
+    got = analyze_column(pa.array(texts, type=pa.string())).to_pylist()
+    want = [tokenize(t) for t in texts]
+    assert got == want
