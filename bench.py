@@ -78,7 +78,7 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
     cfg = IndexConfig(num_shards=16, num_salts=8)
     t0 = time.perf_counter()
     pages = generate_pages(n_pages, seed=42, parallelism=128).map_batches(
-        extract_text_stage, batch_format="pyarrow"
+        extract_text_stage, batch_format="pyarrow", batch_size=None
     )
     build_index(pages, index_dir, cfg, segment_id="bench")
     timings["index_build"] = time.perf_counter() - t0

@@ -116,7 +116,7 @@ def generate_pages(n: int, seed: int = 42, parallelism: int = -1) -> "ray.data.D
     """Dataset of n synthetic pages (streamed, never materialized)."""
     return ray.data.range(
         n, override_num_blocks=parallelism if parallelism > 0 else None
-    ).map_batches(lambda b: _gen_batch(b, seed), batch_format="pyarrow")
+    ).map_batches(lambda b: _gen_batch(b, seed), batch_format="pyarrow", batch_size=None)
 
 
 def make_pages_from_documents(docs: pa.Table) -> pa.Table:

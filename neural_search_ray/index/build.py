@@ -384,6 +384,9 @@ def build_index(
         partials = ds.map_batches(
             make_tokenize_partial_postings(config, id_column, text_column),
             batch_format="pyarrow",
+            batch_size=None,  # whole blocks: the combiner emits one partial
+            # row per (term, shard) per BATCH — 1024-row default batches
+            # would multiply the shuffle payload ~15x
         )
         rows = (
             partials.groupby(["doc_shard", "term_bucket"])
