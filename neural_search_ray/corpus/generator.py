@@ -60,7 +60,7 @@ def _gen_batch(batch: pa.Table, seed: int) -> pa.Table:
     from ..runtime import ensure_worker_tuned
 
     ensure_worker_tuned()
-    ids = np.asarray(batch["id"].to_pylist(), dtype=np.uint64)
+    ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     n = ids.size
     seed64 = np.uint64(seed)
     # doc length: 20 + exponential(mean 80), clipped at 800

@@ -54,7 +54,7 @@ import ray.data
 
 from ..analysis.analyzer import analyze_column
 from ..config import IndexConfig
-from .codec import encode_postings, varint_encode
+from .codec import encode_postings, varint_encode_with_widths
 from .manifest import DOCLEN_BUCKET, IndexManifest, SegmentManifest
 
 DOCLEN_TERM = ""  # analyzer never produces an empty token
@@ -187,19 +187,9 @@ def make_tokenize_partial_postings(
 
 def _grouped_varint(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> list[bytes]:
     """varint-encode many groups in ONE vectorized pass, slice per group."""
-    buf = varint_encode(flat)
+    buf, widths = varint_encode_with_widths(flat)
     if not len(buf):
         return [b""] * len(starts)
-    v = np.asarray(flat, dtype=np.uint64)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        mask = tmp > 0
-        if not mask.any():
-            break
-        nbits[mask] += 1
-        tmp >>= np.uint64(1)
-    widths = np.maximum((nbits + 6) // 7, 1)
     bends = np.cumsum(widths)
     bstarts = np.concatenate(([0], bends[:-1]))
     return [

@@ -20,11 +20,12 @@ import numpy as np
 _MAX_VARINT_BYTES = 5  # uint32 range
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128 varint-encode a uint32/int64 array (values must be >= 0)."""
+def varint_encode_with_widths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128 varint-encode; also returns per-value byte widths (used by
+    the grouped encoder to slice per-group buffers without re-scanning)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # significant-bit count per value (shift loop: exact for full uint64 range)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -47,7 +48,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[sel] >> np.uint64(7 * g)) & np.uint64(0x7F)
         cont = (widths[sel] > g + 1).astype(np.uint8) << 7  # continuation bit
         out[idx] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), widths
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 varint-encode a uint32/int64 array (values must be >= 0)."""
+    return varint_encode_with_widths(values)[0]
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
