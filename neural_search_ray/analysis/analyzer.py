@@ -93,7 +93,7 @@ def analyze(texts, config: AnalyzerConfig = AnalyzerConfig()) -> list[list[str]]
     return [tokenize(t if t is not None else "", config) for t in texts]
 
 
-_SIMPLE_RE = r"^[A-Za-z0-9 ]*$"  # texts where the analyzer == lower+space-split
+_SIMPLE_RE = r"^[A-Za-z0-9 \n]*$"  # texts where the analyzer == lower + whitespace-split
 
 
 def _analyze_column_slow(col: pa.Array, config: AnalyzerConfig) -> pa.ListArray:
@@ -159,25 +159,39 @@ def analyze_column(
     if not simple_np.any():
         return _analyze_column_slow(col, config)
     lowered = pc.utf8_lower(col)
+    # newlines are plain separators for the analyzer: fold them to spaces
+    lowered = pc.replace_substring(lowered, "\n", " ")
     fast_lists = _strip_empty_tokens(pc.split_pattern(lowered, " "))
     if simple_np.all():
         return fast_lists
-    # stitch: python-tokenize the non-simple rows, keep fast rows
+    # stitch (vectorized): python-tokenize only the non-simple rows, then
+    # merge by gathering from the concatenated flat token arrays — no
+    # per-row Python list boxing of the fast rows.
     slow_idx = np.flatnonzero(~simple_np)
-    slow_tokens = analyze(col.take(pa.array(slow_idx)).to_pylist(), config)
-    out_lists: list = []
-    si = 0
-    for i in range(len(col)):
-        if simple_np[i]:
-            out_lists.append(fast_lists[i].as_py())
-        else:
-            out_lists.append(slow_tokens[si])
-            si += 1
-    offsets = np.zeros(len(out_lists) + 1, dtype=np.int64)
-    np.cumsum([len(t) for t in out_lists], out=offsets[1:])
-    flat = [tok for toks in out_lists for tok in toks]
+    slow_lists = _analyze_column_slow(col.take(pa.array(slow_idx)), config)
+    fa = fast_lists.flatten()
+    foA = fast_lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    foA = foA - foA[0]
+    fb = slow_lists.flatten()
+    foB = slow_lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(col)
+    seg_start = np.empty(n, dtype=np.int64)
+    seg_len = np.empty(n, dtype=np.int64)
+    simple_rows = np.flatnonzero(simple_np)
+    seg_start[simple_rows] = foA[simple_rows]
+    seg_len[simple_rows] = foA[simple_rows + 1] - foA[simple_rows]
+    seg_start[slow_idx] = len(fa) + foB[:-1]
+    seg_len[slow_idx] = np.diff(foB)
+    total = int(seg_len.sum())
+    gather = np.repeat(seg_start, seg_len) + (
+        np.arange(total) - np.repeat(np.cumsum(seg_len) - seg_len, seg_len)
+    )
+    combined = pa.concat_arrays([fa, fb.cast(pa.string())])
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(seg_len, out=out_offsets[1:])
     return pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int64()), pa.array(flat, type=pa.string())
+        pa.array(out_offsets, type=pa.int64()),
+        combined.take(pa.array(gather)),
     )
 
 

@@ -28,8 +28,13 @@ _POST_RE = _re.escape(_POST)
 
 
 def html_of(url: str, text: str) -> bytes:
-    """Deterministic page html for a (url, text)."""
-    return (_PRE + _html.escape(url) + _MID + _html.escape(text) + _POST).encode("utf-8")
+    """Deterministic page html for a (url, text). quote=False: only
+    & < > need escaping in text nodes (apostrophes stay literal, keeping
+    the vectorized no-escape path byte-identical for quote-bearing text)."""
+    return (
+        _PRE + _html.escape(url, quote=False) + _MID
+        + _html.escape(text, quote=False) + _POST
+    ).encode("utf-8")
 
 
 def extract_text(html_bytes: bytes) -> str:

@@ -36,9 +36,23 @@ _CORE = (
     "join filter group order window hash scan part vector text token term "
     "score rank document corpus shard block list cache store read write"
 ).split()
-_VOCAB = np.asarray(_CORE + [f"w{i:04d}" for i in range(1000 - len(_CORE))], dtype=object)
+# FIXTURES.md F1: ~50k-term vocabulary — Lucene stopwords at natural
+# (Zipf-head) frequency via _CORE, long generated tail.
+_VOCAB_SIZE = 50_000
+_VOCAB = np.asarray(
+    _CORE + [f"w{i:05d}" for i in range(_VOCAB_SIZE - len(_CORE))], dtype=object
+)
 _VOCAB_PA = __import__("pyarrow").array(_VOCAB.tolist(), type=__import__("pyarrow").string())
+# rare edge-case tokens (CJK / possessive / URL / emoji) appended to a
+# small fraction of docs — they exercise the analyzer's UAX#29 slow path
+# and the mixed-batch stitch (FIXTURES.md F1)
+_EDGE_TOKENS = ["東京", "don't", "example.com", "👍", "naïve", "3.14"]
+_EDGE_RATE = 0.005  # ~0.5% of docs
 _LANGS = np.asarray(["en", "es", "de", "fr", "zh"], dtype=object)
+# FIXTURES.md: en-dominant language mix
+_LANG_WEIGHTS = np.asarray([0.95, 0.0125, 0.0125, 0.0125, 0.0125])
+_LANG_CUM = np.cumsum(_LANG_WEIGHTS)
+_PARA_TOKENS = 50  # paragraph break every ~50 tokens
 
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -77,7 +91,15 @@ def _gen_batch(batch: pa.Table, seed: int) -> pa.Table:
     ranks = (
         np.minimum(np.power(u_tok, -1.0 / 0.3), float(len(_VOCAB))).astype(np.int64) - 1
     )
-    ranks = np.minimum(ranks, len(_VOCAB) - 1)
+    # don't CLIP the Zipf tail onto the last word (that would make it a
+    # fake hot term); resample overflow ranks uniformly over the upper
+    # half of the vocabulary
+    over = ranks >= len(_VOCAB) - 1
+    if over.any():
+        tail_lo = len(_VOCAB) // 2
+        ranks[over] = tail_lo + (
+            _splitmix64(ctr[over] + np.uint64(0xABCDEF)) % np.uint64(len(_VOCAB) - tail_lo)
+        ).astype(np.int64)
     # all string assembly in Arrow C++ (no per-doc Python string ops);
     # vocab tokens and urls/html contain no [&<>"] so html escaping is the
     # identity — layout matches html_of() byte-for-byte (tested).
@@ -88,6 +110,22 @@ def _gen_batch(batch: pa.Table, seed: int) -> pa.Table:
     tok_arr = pc.take(_VOCAB_PA, pa.array(ranks, type=pa.int64()))
     tok_lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()), tok_arr)
     texts = pc.binary_join(tok_lists, " ")
+    # paragraph structure (FIXTURES.md F1): break into \n\n-separated
+    # paragraphs every ~_PARA_TOKENS tokens. Token N is preceded by a
+    # space at position ... — deterministic via replace of every k-th
+    # space: done with a regex replacing "((?:\S+ ){k-1}\S+) " → "\\1\n\n"
+    texts = pc.replace_substring_regex(
+        texts, r"((?:\S+ ){%d}\S+) " % (_PARA_TOKENS - 1), "\\1\n\n"
+    )
+    # rare edge tokens appended to ~0.5% of docs (deterministic per doc)
+    u_edge = _uniform(ids * np.uint64(0x9E3779B1) + np.uint64(7919))
+    edge_mask = u_edge < _EDGE_RATE
+    if edge_mask.any():
+        which = (_splitmix64(ids + np.uint64(104729)) % np.uint64(len(_EDGE_TOKENS))).astype(np.int64)
+        suffix = np.where(
+            edge_mask, np.asarray([" " + t for t in _EDGE_TOKENS], dtype=object)[which], ""
+        )
+        texts = pc.binary_join_element_wise(texts, pa.array(suffix, type=pa.string()), "")
     ids_i = ids.astype(np.int64)
     id_str = pc.cast(pa.array(ids_i), pa.string())
     site_str = pc.cast(pa.array(ids_i % 1000), pa.string())
@@ -99,7 +137,8 @@ def _gen_batch(batch: pa.Table, seed: int) -> pa.Table:
         pc.binary_join_element_wise(_PRE, urls, _MID, texts, _POST, ""), pa.binary()
     )
     ts = (ids_i + _BASE_EPOCH_S) * 1_000_000  # warc_ts = 2024-01-01 UTC + doc_id sec
-    langs = _LANGS[(ids_i % len(_LANGS))]
+    u_lang = _uniform(ids * np.uint64(0x85EBCA6B) + np.uint64(13))
+    langs = _LANGS[np.searchsorted(_LANG_CUM, u_lang)]
     return pa.table(
         {
             "doc_id": pa.array(ids_i, type=pa.int64()),
