@@ -108,14 +108,23 @@ def _gen_batch(batch: pa.Table, seed: int) -> pa.Table:
     from .extract import _MID, _POST, _PRE
 
     tok_arr = pc.take(_VOCAB_PA, pa.array(ranks, type=pa.int64()))
-    tok_lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()), tok_arr)
-    texts = pc.binary_join(tok_lists, " ")
-    # paragraph structure (FIXTURES.md F1): break into \n\n-separated
-    # paragraphs every ~_PARA_TOKENS tokens. Token N is preceded by a
-    # space at position ... — deterministic via replace of every k-th
-    # space: done with a regex replacing "((?:\S+ ){k-1}\S+) " → "\\1\n\n"
-    texts = pc.replace_substring_regex(
-        texts, r"((?:\S+ ){%d}\S+) " % (_PARA_TOKENS - 1), "\\1\n\n"
+    # paragraph structure (FIXTURES.md F1): two-level C++ join — tokens →
+    # " "-joined paragraphs of _PARA_TOKENS, paragraphs → "\n\n"-joined doc
+    paras_per_doc = (n_tokens + _PARA_TOKENS - 1) // _PARA_TOKENS
+    para_tok_offsets = np.concatenate(
+        [
+            np.arange(offsets[i], offsets[i + 1], _PARA_TOKENS)
+            for i in range(n)
+        ]
+        + [np.asarray([offsets[-1]])]
+    ).astype(np.int64)
+    paras = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(para_tok_offsets), tok_arr), " "
+    )
+    doc_para_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(paras_per_doc, out=doc_para_offsets[1:])
+    texts = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(doc_para_offsets), paras), "\n\n"
     )
     # rare edge tokens appended to ~0.5% of docs (deterministic per doc)
     u_edge = _uniform(ids * np.uint64(0x9E3779B1) + np.uint64(7919))
