@@ -74,3 +74,20 @@ def test_register_custom(ray_session):
     register_processor("upper", upper_factory)
     out = compile_pipeline(_docs(), [{"type": "upper"}]).take_all()
     assert out[0]["text"].isupper()
+
+
+def test_semantic_field_composition(ray_session):
+    """Semantic-field processor analogue (SURVEY §2.3): auto-chunk +
+    auto-embed composed declaratively."""
+    out = compile_pipeline(
+        _docs(),
+        [
+            {"type": "text_chunking", "algorithm": "fixed_token_length",
+             "token_limit": 3},
+            {"type": "text_embedding", "text_column": "chunk", "dim": 8,
+             "concurrency": 1},
+        ],
+    ).take_all()
+    assert all(len(r["embedding"]) == 8 for r in out)
+    assert {r["doc_id"] for r in out} == {0, 1}
+    assert max(r["chunk_idx"] for r in out) >= 1  # chunking happened
