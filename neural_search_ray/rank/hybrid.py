@@ -29,19 +29,27 @@ def hybrid_rank(
     weights=None,
     k: int = 10,
     rank_constant: int = 60,
-) -> tuple[np.ndarray, np.ndarray]:
+    explain: bool = False,
+):
     """Normalize + combine sub-query results for ONE query.
 
     subquery_results: list of (doc_ids, scores) per sub-query.
     Returns (doc_ids, combined_scores) top-k by (score desc, doc_id asc).
+
+    ``explain=True`` additionally returns a per-hit provenance list (the
+    ExplanationResponseProcessor analogue,
+    processor/ExplanationResponseProcessor.java:1-161): for each returned
+    doc, raw + normalized score per sub-query plus the technique names.
     """
     n_sub = len(subquery_results)
     all_docs = np.unique(
         np.concatenate([d for d, _ in subquery_results if d.size] or [np.empty(0, np.int64)])
     )
     if all_docs.size == 0:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        return (*empty, []) if explain else empty
     matrix = np.full((all_docs.size, n_sub), np.nan)
+    raw_matrix = np.full((all_docs.size, n_sub), np.nan)
     for j, (docs, scores) in enumerate(subquery_results):
         if docs.size == 0:
             continue
@@ -51,6 +59,25 @@ def hybrid_rank(
             normed = NORMALIZATION_TECHNIQUES[normalization](scores)
         pos = np.searchsorted(all_docs, docs)
         matrix[pos, j] = normed
+        raw_matrix[pos, j] = scores
     combined = COMBINATION_TECHNIQUES[combination](matrix, weights)
     order = np.lexsort((all_docs, -combined))[:k]
-    return all_docs[order], combined[order]
+    result = (all_docs[order], combined[order])
+    if not explain:
+        return result
+    explanations = [
+        {
+            "doc_id": int(all_docs[i]),
+            "normalization": normalization,
+            "combination": combination,
+            "subqueries": [
+                {
+                    "raw_score": None if np.isnan(raw_matrix[i, j]) else float(raw_matrix[i, j]),
+                    "normalized_score": None if np.isnan(matrix[i, j]) else float(matrix[i, j]),
+                }
+                for j in range(n_sub)
+            ],
+        }
+        for i in order
+    ]
+    return (*result, explanations)

@@ -131,3 +131,17 @@ class TestCollapseRerank:
         vecs = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])  # 0 and 1 identical
         sel = mmr_select(rel, vecs, k=2, lambda_=0.5)
         assert sel.tolist() == [0, 2]  # skips the near-duplicate
+
+
+class TestExplain:
+    def test_hybrid_explain(self):
+        bm = (np.array([1, 2]), np.array([3.0, 1.0]))
+        dot = (np.array([2, 3]), np.array([10.0, 20.0]))
+        docs, scores, exps = hybrid_rank([bm, dot], k=3, explain=True)
+        assert len(exps) == docs.size
+        e2 = [e for e in exps if e["doc_id"] == 2][0]
+        assert e2["subqueries"][0]["raw_score"] == 1.0
+        assert e2["subqueries"][1]["raw_score"] == 10.0
+        assert e2["normalization"] == "min_max"
+        e3 = [e for e in exps if e["doc_id"] == 3][0]
+        assert e3["subqueries"][0]["raw_score"] is None  # absent from bm25
