@@ -35,6 +35,29 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_PER_DOC = int(os.environ.get("GRAFT_BENCH_PAGES_PER_DOC", "20"))
 
 
+def make_query_set(n_queries: int = 200, seed: int = 7) -> list[tuple[int, str]]:
+    """FIXTURES.md F2: deterministic reference query set over the corpus
+    vocabulary — 40% common terms, 30% mid-frequency, 20% rare, 10%
+    containing a stopword/OOV term; 1-6 terms per query."""
+    import numpy as np
+
+    from neural_search_ray.corpus.generator import _CORE, _VOCAB
+
+    rng = np.random.RandomState(seed)
+    common = _CORE
+    mid = [str(t) for t in _VOCAB[100:1100]]
+    rare = [str(t) for t in _VOCAB[len(_VOCAB) // 2 :][:2000]]
+    stop_oov = ["the", "of", "and", "zzzunknownterm", "qqqmissing"]
+    out = []
+    for qid in range(n_queries):
+        r = rng.rand()
+        pool = common if r < 0.4 else mid if r < 0.7 else rare if r < 0.9 else stop_oov
+        n_terms = rng.randint(1, 7)
+        terms = [pool[rng.randint(len(pool))] for _ in range(n_terms)]
+        out.append((qid, " ".join(terms)))
+    return out
+
+
 def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -52,7 +75,6 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
     from neural_search_ray.corpus.extract import extract_text_stage
     from neural_search_ray.corpus.generator import generate_pages
     from neural_search_ray.index.build import build_index
-    from neural_search_ray.pipelines.suite import QUERY_SET
     from neural_search_ray.query.engine import IndexSearcher
 
     n_docs_table = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
@@ -90,20 +112,22 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
     # the same fan-out the reference gets from OpenSearch shard search.
     from neural_search_ray.query.distributed import DistributedSearcher
 
+    query_set = make_query_set(200)
     n_actors = max(2, min(8, num_cpus // 4))
     t0 = time.perf_counter()
     dsearch = DistributedSearcher(index_dir, num_actors=n_actors)
     # warm term caches (the reference's explicit warmup API, SURVEY §3.3)
-    for _, qtext in QUERY_SET:
+    for _, qtext in query_set:
         dsearch.search_bm25(tokenize(qtext), k=10)
     timings["warmup_load"] = time.perf_counter() - t0
 
     lat = []
-    reps = 20
+    reps = 2
     for _ in range(reps):
-        for _, qtext in QUERY_SET:
+        for i, (_, qtext) in enumerate(query_set):
+            k = 100 if i % 40 == 0 else 10  # FIXTURES F2: a few k=100 rows
             t0 = time.perf_counter()
-            dsearch.search_bm25(tokenize(qtext), k=10)
+            dsearch.search_bm25(tokenize(qtext), k=k)
             lat.append(time.perf_counter() - t0)
     dsearch.shutdown()
     lat_ms = np.asarray(lat) * 1e3
