@@ -38,6 +38,10 @@ class BM25Config:
 
     k1: float = 1.2
     b: float = 0.75
+    # "none" = exact dl; "norm4" = SmallFloat-style 4-bit-mantissa dl
+    # quantization (query/bm25.py dl_quantize_norm4), applied identically
+    # by the engine and the oracle
+    norm_quantization: str = "none"
 
 
 @dataclass(frozen=True)

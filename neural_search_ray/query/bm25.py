@@ -18,6 +18,27 @@ import numpy as np
 from ..config import BM25Config
 
 
+def dl_quantize_norm4(dl: np.ndarray) -> np.ndarray:
+    """SmallFloat-STYLE 4-bit-mantissa doc-length quantization (the
+    Lucene byte-norm analogue; SURVEY.md §7.2 item 5 pins the choice —
+    we define this exact rule and use it in BOTH engine and oracle, NOT
+    claiming bit parity with Lucene's SmallFloat): values < 8 are exact;
+    larger values keep their top 4 significant bits (round-down)."""
+    dl = np.asarray(dl, dtype=np.int64)
+    out = dl.copy()
+    big = dl >= 8
+    if big.any():
+        v = dl[big]
+        nbits = np.zeros(v.shape, dtype=np.int64)
+        tmp = v.copy()
+        while (tmp > 0).any():
+            nbits[tmp > 0] += 1
+            tmp >>= 1
+        shift = nbits - 4
+        out[big] = (v >> shift) << shift
+    return out
+
+
 def bm25_idf(df: np.ndarray | float, n_docs: int) -> np.ndarray | float:
     """Lucene BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5))."""
     df = np.asarray(df, dtype=np.float64)

@@ -132,7 +132,12 @@ class IndexSearcher:
             all_dls = np.concatenate(dl_vals)
             order = np.argsort(all_docs, kind="stable")
             self._dl_doc_ids = all_docs[order]
-            self._dl = all_dls[order].astype(np.float64)
+            dls = all_dls[order].astype(np.int64)
+            if getattr(self.bm25, "norm_quantization", "none") == "norm4":
+                from .bm25 import dl_quantize_norm4
+
+                dls = dl_quantize_norm4(dls)
+            self._dl = dls.astype(np.float64)
         else:
             self._dl_doc_ids = np.empty(0, np.int64)
             self._dl = np.empty(0, np.float64)

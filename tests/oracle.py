@@ -16,8 +16,10 @@ from neural_search_ray.config import AnalyzerConfig, BM25Config
 
 
 class OracleIndex:
-    def __init__(self, docs: dict[int, str], analyzer: AnalyzerConfig = AnalyzerConfig()):
+    def __init__(self, docs: dict[int, str], analyzer: AnalyzerConfig = AnalyzerConfig(),
+                 norm_quantization: str = "none"):
         self.analyzer = analyzer
+        self.norm_quantization = norm_quantization
         self.tf: dict[int, Counter] = {}
         self.df: Counter = Counter()
         self.dl: dict[int, int] = {}
@@ -28,6 +30,14 @@ class OracleIndex:
             self.dl[doc_id] = len(toks)
             for t in c:
                 self.df[t] += 1
+        if norm_quantization == "norm4":
+            import numpy as np
+
+            from neural_search_ray.query.bm25 import dl_quantize_norm4
+
+            self.dl = {
+                k: int(dl_quantize_norm4(np.asarray([v]))[0]) for k, v in self.dl.items()
+            }
         self.n_docs = len(docs)
         self.avgdl = (sum(self.dl.values()) / self.n_docs) if self.n_docs else 0.0
 

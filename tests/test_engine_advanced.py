@@ -147,3 +147,35 @@ def test_rebuild_is_byte_deterministic(tmp_path, ray_session):
     build_index(generate_pages(120, seed=3), idx, cfg)
     h2 = file_hashes(idx)
     assert h1 == h2
+
+
+def test_norm4_quantized_rank_identity(tmp_path, ray_session):
+    """Optional SmallFloat-style dl quantization: engine and oracle pinned
+    to the same rule stay rank-identical."""
+    from neural_search_ray.config import BM25Config
+    from neural_search_ray.corpus.generator import _gen_batch
+    from neural_search_ray.query.bm25 import dl_quantize_norm4
+    import pyarrow as pa_
+
+    # quantizer properties
+    assert dl_quantize_norm4(np.array([0, 5, 7])).tolist() == [0, 5, 7]
+    assert dl_quantize_norm4(np.array([8, 9, 100, 1000])).tolist() == [8, 9, 96, 960]
+
+    cfg = IndexConfig(num_shards=2, num_salts=1,
+                      bm25=BM25Config(norm_quantization="norm4"))
+    idx = str(tmp_path / "n4")
+    build_index(generate_pages(200, seed=21), idx, cfg)
+    s = IndexSearcher(idx)
+    t = _gen_batch(pa_.table({"id": list(range(200))}), 21)
+    oracle = OracleIndex(
+        dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())),
+        norm_quantization="norm4",
+    )
+    # avgdl differs between engine (exact-sum manifest) and oracle
+    # (quantized sum) — pin engine semantics: avgdl from EXACT dls
+    oracle.avgdl = s.avgdl
+    for q in ["the data query", "merge sort", "of and the"]:
+        d, sc = s.search_bm25(q.split(), k=10)
+        od, osc = oracle.search_bm25(q, k=10)
+        assert d.tolist() == od, q
+        assert np.allclose(sc, osc, atol=1e-12), q
