@@ -76,32 +76,33 @@ class SeismicSearcher:
         q = query_cut(token_weights, top_n)
         # process terms in query-weight desc order (reference's upfront order)
         terms = sorted(q, key=lambda t: (-q[t], t))
-        out_docs: list[int] = []
-        out_scores: list[float] = []
+        out_docs: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
         heap: list[float] = []  # min-heap of current top-k scores
-        visited: set[int] = set()
         for shard, fwd in self.forward.items():
             qvec = np.zeros(len(fwd.terms))
             for t, w in q.items():
                 tid = fwd.term_id.get(t)
                 if tid is not None:
                     qvec[tid] = w
+            # visited bitset over the shard's doc positions (the LongBitSet
+            # analogue) — vectorized, no per-doc Python membership checks
+            visited = np.zeros(fwd.doc_ids.size, dtype=bool)
             for t in terms:
                 for docs, tfs, s_tids, s_ws in self.clusters.get((shard, t), []):
                     if len(heap) >= k:
                         summary_dot = float((qvec[s_tids] * s_ws).sum()) if s_tids.size else 0.0
                         if summary_dot < heap[0] / heap_factor:
                             continue  # cluster skipped
-                    new = np.asarray(
-                        [d for d in docs.tolist() if d not in visited], dtype=np.int64
-                    )
-                    if new.size == 0:
+                    idx = np.searchsorted(fwd.doc_ids, docs)
+                    fresh = ~visited[idx]
+                    if not fresh.any():
                         continue
-                    visited.update(new.tolist())
-                    idx = np.searchsorted(fwd.doc_ids, new)
+                    idx = idx[fresh]
+                    visited[idx] = True
                     scores = fwd.dot_scores(idx, qvec)
-                    out_docs.extend(new.tolist())
-                    out_scores.extend(scores.tolist())
+                    out_docs.append(docs[fresh])
+                    out_scores.append(scores)
                     for sc in scores:
                         if len(heap) < k:
                             heapq.heappush(heap, float(sc))
@@ -110,7 +111,7 @@ class SeismicSearcher:
         if not out_docs:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return topk_desc(
-            np.asarray(out_docs, dtype=np.int64),
-            np.asarray(out_scores, dtype=np.float64),
+            np.concatenate(out_docs).astype(np.int64),
+            np.concatenate(out_scores).astype(np.float64),
             k,
         )
