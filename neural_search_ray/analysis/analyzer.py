@@ -12,10 +12,11 @@ Tokenizer specification (documented approximation of UAX#29 word break as
 implemented by Lucene's StandardTokenizer):
 
 - A token is a maximal run of Unicode letters/digits (``[^\\W_]`` i.e.
-  \\w minus underscore), where a single *mid-letter* character from
-  ``' ’ . :`` may join two alphanumeric runs (so ``don't``,
-  ``example.com``, ``3.14`` are single tokens), and a single *mid-number*
-  ``,`` may join two digit runs (``1,024``).
+  \\w minus underscore), where a single *mid* character from ``' ’ .``
+  may join two alphanumeric runs (so ``don't``, ``example.com``,
+  ``3.14`` are single tokens), and a single *mid-number* ``,`` may join
+  two DIGIT runs only (``1,024`` joins; ``a,b`` splits). ``:`` never
+  joins (UAX#29 removed it from MidLetter).
 - Hyphens, underscores, and all other punctuation split tokens
   (``e-mail`` → ``e``, ``mail`` — matches Lucene StandardTokenizer).
 - Tokens longer than ``max_token_length`` (Lucene default 255) are split
@@ -45,9 +46,11 @@ ENGLISH_STOPWORDS = frozenset(
     ]
 )
 
-# alnum run, optionally joined by single mid-letter chars (' ’ . :) between
-# alnum runs; digits additionally joined by ','.
-_WORD_RE = re.compile(r"[^\W_]+(?:['’.:,][^\W_]+)*", re.UNICODE)
+# alnum run, optionally joined by single mid chars between runs:
+# ' ’ . join any alnum runs (UAX#29 MidNumLet / Lucene StandardTokenizer
+# — don't, example.com, 3.14); ',' joins DIGIT runs only (MidNum —
+# 1,024 but NOT a,b); ':' is not a joiner (removed from MidLetter).
+_WORD_RE = re.compile(r"[^\W_]+(?:(?:['’.]|(?<=\d),(?=\d))[^\W_]+)*", re.UNICODE)
 # trailing/leading joiners never match because the joiner must sit between runs.
 
 # tokenizer variants (FixedTokenLengthChunker.java:56-64 whitelist):

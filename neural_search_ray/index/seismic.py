@@ -55,11 +55,13 @@ def _summarize(
     first = np.concatenate(([True], np.diff(tids_s) != 0))
     u_tids, u_ws = tids_s[first], ws_s[first]  # max per token
     # alpha-mass prune: sort desc by weight (ties: token id asc), keep
-    # while cumulative (incl. current) <= ratio * total
+    # until cumulative mass crosses ratio * total, INCLUDING the item
+    # that crosses it (PostingsProcessingUtils.summarize breaks after
+    # adding the crossing item, so a summary is never empty).
     o2 = np.lexsort((u_tids, -u_ws))
     w_sorted = u_ws[o2]
     cum = np.cumsum(w_sorted)
-    keep = cum <= prune_ratio * w_sorted.sum()
+    keep = (cum - w_sorted) < prune_ratio * w_sorted.sum()
     sel = o2[keep]
     sel.sort()
     return u_tids[sel], u_ws[sel].astype(np.float32)

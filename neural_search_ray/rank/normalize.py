@@ -12,8 +12,9 @@ processor/NormalizationProcessorWorkflow.java:66-124).
   norm==0 → 0.001.
 - z_score (ZScoreNormalizationTechnique.java:40-72,214-227):
   if s == mean → max raw score of the subquery; elif std == 0 → min raw
-  score; else n = (s-mean)/std, and n <= 0 → 0.001. std is the
-  POPULATION std (sqrt(mean((s-mean)²))).
+  score; else n = (s-mean)/std, and n <= 0 → 0.001. std is the SAMPLE
+  std (n-1 denominator — Commons-Math DescriptiveStatistics
+  .getStandardDeviation() is bias-corrected); n==1 → std 0.
 - rrf (RRFNormalizationTechnique.java:46-76,222): n = 1/(rank_constant +
   rank), rank 1-based by (score desc, doc_id asc), rounded half-up to 10
   decimal places (the reference's BigDecimal scale-10 division);
@@ -58,17 +59,15 @@ def norm_z_score(scores: np.ndarray) -> np.ndarray:
     if s.size == 0:
         return s
     mean = s.mean()
-    std = np.sqrt(((s - mean) ** 2).mean())
+    # Sample (n-1) std, matching Commons-Math DescriptiveStatistics
+    # .getStandardDeviation(); a single result has std 0.
+    std = np.sqrt(((s - mean) ** 2).sum() / (s.size - 1)) if s.size > 1 else 0.0
     mx, mn = s.max(), s.min()
-    out = np.empty_like(s)
-    for i, v in enumerate(s):
-        if v == mean:
-            out[i] = mx
-        elif std == 0.0:
-            out[i] = mn
-        else:
-            n = (v - mean) / std
-            out[i] = MIN_SCORE if n <= 0.0 else n
+    if std == 0.0:
+        return np.where(s == mean, mx, mn)
+    n = (s - mean) / std
+    out = np.where(n <= 0.0, MIN_SCORE, n)
+    out[s == mean] = mx
     return out
 
 

@@ -16,11 +16,12 @@ stateless ``map_batches`` stages (``chunk_column``).
   ``char_limit`` chars advancing by char_limit - floor(char_limit *
   overlap_rate); the final chunk runs to the end of content.
 
-``max_chunk_limit`` (default 100, -1 disables): once the limit is
-reached, the remainder of the content becomes the final chunk
-(processor/chunker/Chunker.java checkRunTimeMaxChunkLimit behavior for a
-single string; the multi-string chunk_string_count bookkeeping is an
-ingest-batch concern we don't need).
+``max_chunk_limit`` (default 100, -1 disables): the remainder of the
+content is folded into the FINAL chunk so a single string yields at most
+``max_chunk_limit`` chunks total (Chunker.checkRunTimeMaxChunkLimit
+fires when chunkResultSize + chunkStringCount >= limit with
+chunk_string_count == 1 for a single string; the multi-string
+bookkeeping is an ingest-batch concern we don't need).
 """
 
 from __future__ import annotations
@@ -63,7 +64,7 @@ def chunk_fixed_token_length(
     i = 0
     while i < n:
         start_pos = 0 if i == 0 else starts[i]
-        if max_chunk_limit != -1 and len(out) >= max_chunk_limit:
+        if max_chunk_limit != -1 and len(out) >= max_chunk_limit - 1:
             out.append(content[start_pos:])
             break
         if i + token_limit >= n:
@@ -85,7 +86,7 @@ def chunk_delimiter(
     start = 0
     pos = content.find(delimiter)
     while pos != -1:
-        if max_chunk_limit != -1 and len(out) >= max_chunk_limit:
+        if max_chunk_limit != -1 and len(out) >= max_chunk_limit - 1:
             break
         end = pos + len(delimiter)
         out.append(content[start:end])
@@ -111,7 +112,7 @@ def chunk_fixed_char_length(
     start = 0
     n = len(content)
     while start < n:
-        if max_chunk_limit != -1 and len(out) >= max_chunk_limit:
+        if max_chunk_limit != -1 and len(out) >= max_chunk_limit - 1:
             out.append(content[start:])
             break
         if start + char_limit >= n:

@@ -39,10 +39,11 @@ class TestNormalize:
     def test_z_score(self):
         s = np.array([1.0, 2.0, 3.0])
         out = norm_z_score(s)
-        # mean=2 std=sqrt(2/3); s==mean → max raw (3.0); below-mean → 0.001
+        # mean=2, SAMPLE std=sqrt(2/2)=1 (Commons-Math n-1 denominator);
+        # s==mean → max raw (3.0); below-mean → 0.001
         assert out[1] == 3.0
         assert out[0] == 0.001
-        assert out[2] == pytest.approx(1.0 / np.sqrt(2.0 / 3.0))
+        assert out[2] == pytest.approx(1.0)
 
     def test_z_score_all_equal(self):
         out = norm_z_score(np.array([5.0, 5.0]))

@@ -99,12 +99,21 @@ class TestChunkers:
         ]
 
     def test_fixed_char_tail_merge(self):
+        # at most max_chunk_limit chunks total; remainder folds into the LAST
+        # (Chunker.checkRunTimeMaxChunkLimit with chunk_string_count == 1)
         out = chunk_fixed_char_length("abcdefgh", char_limit=2, max_chunk_limit=2)
-        assert out == ["ab", "cd", "efgh"]
+        assert out == ["ab", "cdefgh"]
 
     def test_max_chunk_limit_token(self):
         out = chunk_fixed_token_length("a b c d e f", token_limit=1, max_chunk_limit=2)
-        assert out == ["a ", "b ", "c d e f"]
+        assert out == ["a ", "b c d e f"]
+
+    def test_max_chunk_limit_delimiter(self):
+        out = chunk_delimiter("a.b.c.d", delimiter=".", max_chunk_limit=2)
+        assert out == ["a.", "b.c.d"]
+
+    def test_max_chunk_limit_one(self):
+        assert chunk_fixed_char_length("abcdef", char_limit=2, max_chunk_limit=1) == ["abcdef"]
 
 
 class TestQuantize:
