@@ -701,18 +701,33 @@ def q_forward_index_stats(sf_dir: str) -> pa.Table:
 
 
 def q_seismic_ann(sf_dir: str) -> pa.Table:
-    """SEISMIC cluster-skipping sparse ANN (approximate by design →
-    rows-only driver check; exactness/recall is covered by pytest)."""
+    """SEISMIC sparse ANN driven at its provably-EXACT setting so the
+    sparse-dot SQL oracle applies: approximate_threshold=1 clusters every
+    query term in every shard (candidate set = all docs containing a
+    query term, as in the exact scorer) and heap_factor=inf disables
+    cluster skipping (summary_dot < heap_min/inf is never true), so every
+    candidate is scored exactly via the forward index
+    (SeismicBaseScorer.java:202-220 in the no-skip limit). The
+    cluster-skipping approximate path (heap_factor=1.0) keeps its recall
+    coverage in tests/test_seismic.py."""
     from ..index.seismic import build_seismic
     from ..query.seismic import SeismicSearcher
 
     index_dir = get_index_dir(sf_dir)
     _ensure_forward(index_dir)
-    if not os.path.exists(os.path.join(index_dir, "seismic")):
-        build_seismic(index_dir, approximate_threshold=20, seed=42)
+    sentinel = os.path.join(index_dir, "seismic", ".threshold1")
+    if not os.path.exists(sentinel):
+        import shutil
+
+        shutil.rmtree(os.path.join(index_dir, "seismic"), ignore_errors=True)
+        build_seismic(index_dir, approximate_threshold=1, seed=42)
+        open(sentinel, "w").close()
     ann = SeismicSearcher(index_dir)
-    docs, scores = ann.search(SPARSE_QUERY_WEIGHTS, k=BM25_K, heap_factor=1.0)
-    return _hits_table([(0, docs, scores)])
+    docs, scores = ann.search(
+        SPARSE_QUERY_WEIGHTS, k=BM25_K * 3, heap_factor=float("inf")
+    )
+    out = _hits_table([(0, docs, scores)])
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
 _BPE_RE = None
@@ -873,6 +888,9 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
   GROUP BY tf.doc_id""",
         BM25_K,
     )
+    # seismic_ann runs at its exact setting (no-skip + every term
+    # clustered), so its result is definitionally the exact sparse dot.
+    sqls["seismic_ann"] = sqls["sparse_dot_topk"]
 
     # hybrid min_max + arithmetic mean (weights 0.7/0.3, k=5 over top-10 subs)
     sqls["hybrid_minmax_arith"] = _hybrid_minmax_sql()
