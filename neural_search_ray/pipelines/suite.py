@@ -467,8 +467,12 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
 
     import pyarrow.parquet as pq
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    qt = qt.filter(pc.less(qt["vec_id"], 5))
+    # row-filter pushdown: only the 5 query vectors leave storage
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
     queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
     qids = qt["vec_id"].to_numpy()
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -477,6 +481,65 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
         out.schema.get_field_index("score"),
         "score",
         pa.array(round_half_up(out["score"].to_numpy(), 6)),
+    )
+
+
+_IVF_CACHE: dict[str, str] = {}
+
+
+def _get_ivf_dir(sf_dir: str, n_centroids: int = 8) -> str:
+    """Build (once per sf_dir content) the distributed on-disk IVF index."""
+    if sf_dir in _IVF_CACHE:
+        return _IVF_CACHE[sf_dir]
+    from ..ann.ivf import build_ivf_index
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    out_dir = f"/tmp/nsr_ivf_{key}"
+    if not os.path.exists(os.path.join(out_dir, "ivf_manifest.json")):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        build_ivf_index(ds, out_dir, n_centroids=n_centroids, seed=42)
+    _IVF_CACHE[sf_dir] = out_dir
+    return out_dir
+
+
+def q_ivf_ann(sf_dir: str) -> pa.Table:
+    """IVF ANN over the DISTRIBUTED on-disk index (sample→centroids,
+    map_batches assign, groupby(bucket) bucket files — ann/ivf.py), run
+    at its provably-EXACT setting (nprobe = n_centroids scans every
+    bucket, whose union is the whole corpus) so the brute-force cosine
+    SQL oracle applies. Approximate recall at small nprobe is
+    pytest-asserted (tests/test_dedup_ann.py)."""
+    import pyarrow.parquet as pq
+
+    from ..ann.ivf import IVFSearcher
+
+    ivf_dir = _get_ivf_dir(sf_dir)
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    searcher = IVFSearcher(ivf_dir)
+    n_cent = searcher.centroids.shape[0]
+    out_q, out_r, out_n, out_s = [], [], [], []
+    for qid, q in zip(qids, queries):
+        ids, sims = searcher.search(q, k=10, nprobe=n_cent)
+        out_q.append(np.full(ids.size, qid, dtype=np.int64))
+        out_r.append(np.arange(1, ids.size + 1, dtype=np.int64))
+        out_n.append(ids)
+        out_s.append(round_half_up(sims, 6))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "rank": pa.array(np.concatenate(out_r)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "score": pa.array(np.concatenate(out_s)),
+        }
     )
 
 
@@ -594,17 +657,19 @@ def q_rerank_byfield(sf_dir: str) -> pa.Table:
 
 
 def q_embed_neardup(sf_dir: str) -> pa.Table:
-    """Embedding-cosine near-dup pairs (threshold 0.4), exact all-pairs."""
-    import pyarrow.parquet as pq2
+    """Embedding-cosine near-dup pairs (threshold 0.4) via the EXACT
+    blocked all-pairs self-join (dedup/embedding.py): vectors are
+    hash-partitioned into blocks once, then each block-PAIR task loads
+    exactly two blocks — no full-matrix broadcast, no driver-side
+    materialization of the vector set."""
+    import tempfile
 
     from ..dedup.embedding import embedding_neardup_pairs
 
-    t = pq2.read_table(f"{sf_dir}/embeddings.parquet")
-    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-    ids = t["vec_id"].to_numpy()
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    block_dir = tempfile.mkdtemp(prefix="nsr_embblk_")
     pairs = pa.Table.from_pylist(
-        embedding_neardup_pairs(ds, mat, ids, threshold=0.4).take_all()
+        embedding_neardup_pairs(ds, block_dir, threshold=0.4, n_blocks=4).take_all()
     )
     if len(pairs) == 0:
         return pa.table({"vec_a": pa.array([], pa.int64()),
@@ -962,6 +1027,9 @@ SELECT query_id::BIGINT AS query_id, rank, neighbor_id::BIGINT AS neighbor_id, s
   SELECT query_id, neighbor_id, round(score, 6) AS score,
          row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, neighbor_id) AS rank
   FROM scored) WHERE rank <= 10"""
+    # ivf_ann runs at nprobe = n_centroids (all buckets scanned) → exact,
+    # so the brute-force cosine oracle applies verbatim.
+    sqls["ivf_ann"] = sqls["knn_cosine"]
 
     # events
     sqls["events_sessionize"] = """
@@ -1340,4 +1408,5 @@ def build_queries() -> dict:
         "bpe_token_count": q_bpe_token_count,
         "forward_index_stats": q_forward_index_stats,
         "seismic_ann": q_seismic_ann,
+        "ivf_ann": q_ivf_ann,
     }
