@@ -6,19 +6,41 @@ signatures (shingle → h64 → k universal hashes → min), emits one row per
 pairs sharing any band bucket are near-dup candidates. The shuffle moves
 (band_key, doc_id) scalars only.
 
+Vectorized signature kernel (the round-1 per-doc Python loop is gone):
+the whole batch is tokenized with the Arrow C++ analyzer fast path,
+3-gram shingles are built with one ``binary_join_element_wise`` over the
+flat token array, shingles are DISTINCT-ed per doc via dictionary-encode
++ np.unique, md5 runs once per UNIQUE shingle in the batch, the k
+universal hashes are exact vectorized uint64 modular arithmetic
+(common.universal_hash), and per-doc minima come from
+``np.minimum.reduceat`` over doc segments. Only the per-unique-shingle
+md5 and the per-(doc, band) key md5 remain Python calls — both are
+required for the exact DuckDB ``md5_number_lower`` oracle.
+
 Determinism: h64 = md5-lower (SQL-oracle-identical); universal hashes
-(a_i·h + b_i) mod 2^61-1 with fixed seeds.
+(a_i·h + b_i) mod 2^61-1 with fixed coefficients; num_hashes beyond the
+8 pinned coefficient pairs extends them from a fixed-seed PRNG (same
+stream on the SQL-generation side, so any num_hashes keeps its oracle).
+
+Robustness at scale: ``max_bucket`` caps candidate-pair generation in a
+degenerate hot bucket (all-equal band keys would otherwise explode
+O(m²)); empty-shingle docs share a sentinel signature and land in one
+such bucket, so cap or pre-filter empty docs in web-scale runs.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
-from ..analysis.analyzer import tokenize
-from .common import MERSENNE_61, h64, word_shingles
+from ..analysis.analyzer import analyze_column, tokenize
+from ..config import AnalyzerConfig
+from .common import MERSENNE_61, h64, universal_hash, word_shingles
 
 # fixed coefficients (deterministic, shared with the SQL oracle)
 DEFAULT_NUM_HASHES = 8
@@ -32,25 +54,96 @@ _B = [
 ]
 
 
+def coefficients(num_hashes: int) -> tuple[list[int], list[int]]:
+    """First 8 pairs are the pinned constants; beyond that, a fixed-seed
+    PRNG stream (a odd in [1, 2^31), b in [0, 2^32)) — deterministic, so
+    the SQL-oracle generator can reproduce any num_hashes."""
+    a, b = list(_A), list(_B)
+    if num_hashes > len(a):
+        rng = np.random.RandomState(0x5EED)
+        while len(a) < num_hashes:
+            a.append(int(rng.randint(1, 1 << 31)) | 1)
+            b.append(int(rng.randint(0, 1 << 31) * 2 + rng.randint(0, 2)))
+    return a[:num_hashes], b[:num_hashes]
+
+
 class MinHasher:
     def __init__(self, num_hashes: int = DEFAULT_NUM_HASHES, shingle_size: int = 3):
-        if num_hashes > len(_A):
-            raise ValueError(f"at most {len(_A)} hash functions supported")
         self.num_hashes = num_hashes
         self.shingle_size = shingle_size
-        self.a = _A[:num_hashes]
-        self.b = _B[:num_hashes]
+        self.a, self.b = coefficients(num_hashes)
 
     def signature(self, text: str) -> list[int]:
-        """MinHash signature; empty docs get sentinel MERSENNE_61."""
+        """Scalar reference form (tests); empty docs get sentinel
+        MERSENNE_61. The batch kernel below must match exactly."""
         shingles = word_shingles(tokenize(text or ""), self.shingle_size)
         if not shingles:
             return [MERSENNE_61] * self.num_hashes
-        hs = [h64(s) for s in set(shingles)]
+        hs = np.fromiter(
+            (h64(s) for s in set(shingles)), dtype=np.uint64, count=len(set(shingles))
+        )
         return [
-            min((a * h + b) % MERSENNE_61 for h in hs)
-            for a, b in zip(self.a, self.b)
+            int(universal_hash(hs, a, b).min()) for a, b in zip(self.a, self.b)
         ]
+
+    def signature_matrix(
+        self, texts: pa.Array, analyzer_cfg: AnalyzerConfig = AnalyzerConfig()
+    ) -> np.ndarray:
+        """Vectorized batch form → (n_docs, num_hashes) uint64 matrix.
+        See module docstring for the kernel shape."""
+        n = self.shingle_size
+        tok_lists = analyze_column(texts, analyzer_cfg)
+        offs = tok_lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        n_docs = lens.size
+        sig = np.full((n_docs, self.num_hashes), MERSENNE_61, dtype=np.uint64)
+        flat = tok_lists.flatten()
+        total = len(flat)
+
+        shingle_arrays: list[pa.Array] = []
+        doc_arrays: list[np.ndarray] = []
+        # full n-gram windows (docs with >= n tokens), one vectorized join
+        if total >= n:
+            parts = [flat.slice(i, total - n + 1) for i in range(n)]
+            joined = pc.binary_join_element_wise(*parts, " ")
+            win_doc = np.repeat(np.arange(n_docs, dtype=np.int64), lens)[: total - n + 1]
+            valid = win_doc == np.repeat(np.arange(n_docs, dtype=np.int64), lens)[n - 1 :]
+            if valid.any():
+                sel = np.flatnonzero(valid)
+                shingle_arrays.append(joined.take(pa.array(sel)))
+                doc_arrays.append(win_doc[sel])
+        # short docs (0 < len < n): the whole token list is one shingle
+        short = np.flatnonzero((lens > 0) & (lens < n))
+        if short.size:
+            short_lists = tok_lists.take(pa.array(short))
+            shingle_arrays.append(pc.binary_join(short_lists, " "))
+            doc_arrays.append(short)
+        if not shingle_arrays:
+            return sig
+        shingles = pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in shingle_arrays]
+        )
+        sdoc = np.concatenate(doc_arrays)
+        # per-doc DISTINCT shingles
+        denc = shingles.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = denc.dictionary
+        pair = np.unique(sdoc * len(uniq) + codes)
+        row_doc = pair // len(uniq)
+        row_code = pair % len(uniq)
+        # md5 once per UNIQUE shingle in the batch
+        uniq_h = np.fromiter(
+            (h64(s) for s in uniq.to_pylist()), dtype=np.uint64, count=len(uniq)
+        )
+        row_h = uniq_h[row_code]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(row_doc) != 0) + 1))
+        seg_docs = row_doc[starts]
+        for i, (a, b) in enumerate(zip(self.a, self.b)):
+            hv = universal_hash(row_h, a, b)
+            sig[seg_docs, i] = np.minimum.reduceat(hv, starts)
+        return sig
 
 
 def make_signature_stage(
@@ -63,21 +156,31 @@ def make_signature_stage(
         raise ValueError("bands must divide num_hashes")
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        out_band, out_key, out_id = [], [], []
-        for doc_id, text in zip(ids, batch[text_col].to_pylist()):
-            sig = hasher.signature(text)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sig = hasher.signature_matrix(col)
+        md5 = hashlib.md5
+        n_docs = ids.size
+        keys = np.empty(n_docs * bands, dtype=np.uint64)
+        pos = 0
+        for d in range(n_docs):
+            row = sig[d]
             for band in range(bands):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                key = h64(",".join(map(str, chunk)))
-                out_band.append(band)
-                out_key.append(key)
-                out_id.append(doc_id)
+                chunk = row[band * rows_per_band : (band + 1) * rows_per_band]
+                s = ",".join(map(str, chunk.tolist()))
+                keys[pos] = int.from_bytes(
+                    md5(s.encode()).digest()[8:16], "little"
+                )
+                pos += 1
         return pa.table(
             {
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_key": pa.array(np.asarray(out_key, dtype=np.uint64)),
-                "doc_id": pa.array(out_id, type=pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), n_docs)
+                ),
+                "band_key": pa.array(keys),
+                "doc_id": pa.array(np.repeat(ids, bands)),
             }
         )
 
@@ -91,9 +194,15 @@ def minhash_lsh_candidates(
     shingle_size: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> "ray.data.Dataset":
     """→ Dataset(doc_a, doc_b) DISTINCT candidate near-dup pairs
-    (doc_a < doc_b) sharing at least one LSH band bucket."""
+    (doc_a < doc_b) sharing at least one LSH band bucket.
+
+    ``max_bucket`` (None = unlimited, required for exact SQL-oracle
+    parity) bounds pair generation per bucket to the ``max_bucket``
+    smallest doc_ids — set it in web-scale runs so a degenerate bucket
+    (e.g. the empty-doc sentinel) cannot emit O(m²) pairs."""
     hasher = MinHasher(num_hashes, shingle_size)
     sigs = ds.map_batches(
         make_signature_stage(hasher, bands, id_col, text_col),
@@ -102,6 +211,8 @@ def minhash_lsh_candidates(
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = np.unique(group["doc_id"].to_numpy())
+        if max_bucket is not None and ids.size > max_bucket:
+            ids = ids[:max_bucket]
         if ids.size < 2:
             return pa.table({"doc_a": pa.array([], type=pa.int64()),
                              "doc_b": pa.array([], type=pa.int64())})

@@ -193,43 +193,28 @@ SELECT query_id, rank, doc_id, score FROM (
 
 
 def q_doc_tokenize(sf_dir: str) -> "ray.data.Dataset":
-    """(doc_id, term, tf) — analyzer + per-doc term frequencies; each doc
-    lives entirely in one batch so NO shuffle is needed."""
+    """(doc_id, term, tf) — analyzer + per-doc term frequencies, fully
+    vectorized (the index-build kernel: analyze_column Arrow C++ fast
+    path → dictionary_encode → np.unique on paired codes; no per-row
+    Python loop). Each doc lives entirely in one batch so NO shuffle."""
+    from ..stages.tfvec import tf_rows_stage
 
-    def fn(batch: pa.Table) -> pa.Table:
-        ids_out, terms_out, tfs_out = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            toks = tokenize(text or "")
-            if not toks:
-                continue
-            terms, tfs = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            ids_out.append(np.full(terms.size, doc_id, dtype=np.int64))
-            terms_out.extend(terms.tolist())
-            tfs_out.append(tfs.astype(np.int64))
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    np.concatenate(ids_out) if ids_out else np.empty(0, np.int64)
-                ),
-                "term": pa.array(terms_out, type=pa.string()),
-                "tf": pa.array(
-                    np.concatenate(tfs_out) if tfs_out else np.empty(0, np.int64)
-                ),
-            }
-        )
-
-    return _docs_ds(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs_ds(sf_dir).map_batches(tf_rows_stage(), batch_format="pyarrow")
 
 
 def q_term_stats(sf_dir: str) -> "ray.data.Dataset":
-    """(term, df, cf) — partial aggregation inside map_batches (q_doc_tokenize
-    already emits per-doc tf rows = partials) + final groupby-sum."""
-    from ray.data.aggregate import Count, Sum
+    """(term, df, cf) — per-BATCH combiner inside map_batches (a stopword
+    contributes one partial row per block, not one per doc — skew-free)
+    + a final small groupby("term") sum."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.tfvec import term_stats_partial_stage
 
     return (
-        q_doc_tokenize(sf_dir)
+        _docs_ds(sf_dir)
+        .map_batches(term_stats_partial_stage(), batch_format="pyarrow")
         .groupby("term")
-        .aggregate(Count(alias_name="df"), Sum("tf", alias_name="cf"))
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
     )
 
 
@@ -339,30 +324,14 @@ def q_chunk_delimiter(sf_dir: str) -> "ray.data.Dataset":
 
 
 def _prune_query(sf_dir: str, prune_type: str, ratio: float) -> "ray.data.Dataset":
-    from ..stages.prune import prune_sparse_vector
+    """Vectorized: segmented prune kernels over the flat (doc, term, tf)
+    arrays (stages/tfvec.py) — scalar semantics (stages/prune.py) are
+    pytest-equivalence-checked."""
+    from ..stages.tfvec import make_prune_tf_stage
 
-    def fn(batch: pa.Table) -> pa.Table:
-        ids_out, terms_out, tfs_out = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            toks = tokenize(text or "")
-            if not toks:
-                continue
-            terms, tfs = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            vec = dict(zip(terms.tolist(), (float(x) for x in tfs)))
-            kept = prune_sparse_vector(prune_type, ratio, vec)
-            for t in sorted(kept):
-                ids_out.append(doc_id)
-                terms_out.append(t)
-                tfs_out.append(int(kept[t]))
-        return pa.table(
-            {
-                "doc_id": pa.array(ids_out, type=pa.int64()),
-                "term": pa.array(terms_out, type=pa.string()),
-                "tf": pa.array(tfs_out, type=pa.int64()),
-            }
-        )
-
-    return _docs_ds(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs_ds(sf_dir).map_batches(
+        make_prune_tf_stage(prune_type, ratio), batch_format="pyarrow"
+    )
 
 
 def q_prune_top_k(sf_dir: str):
@@ -436,27 +405,50 @@ def q_minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
-    """2-gram Jaccard for the fixed pair list (2i, 2i+1), i < 100."""
-    import pyarrow.parquet as pq
+    """2-gram Jaccard for the fixed pair list (2i, 2i+1), i < 100 — a
+    DISTRIBUTED pair-join: row-filter pushdown reads only doc_id < 200,
+    a groupby(pair_id = doc_id // 2) co-locates each pair, and the
+    Jaccard computes inside map_groups. No driver-side text dict."""
+    import pyarrow.dataset as pads
 
     from ..dedup.ngram import ngram_jaccard
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    out_a, out_b, out_j = [], [], []
-    for i in range(100):
-        a, b = 2 * i, 2 * i + 1
-        if a in texts and b in texts:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(float(round_half_up(ngram_jaccard(texts[a], texts[b], 2), 6)))
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, type=pa.int64()),
-            "doc_b": pa.array(out_b, type=pa.int64()),
-            "jaccard": pa.array(out_j, type=pa.float64()),
-        }
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < 200,
     )
+
+    def add_pair(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("pair_id", pa.array(ids // 2))
+
+    def pair_jaccard(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size != 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        order = np.argsort(ids)
+        texts = group["text"].to_pylist()
+        j = float(round_half_up(
+            ngram_jaccard(texts[order[0]], texts[order[1]], 2), 6
+        ))
+        return pa.table({"doc_a": pa.array(ids[order[:1]]),
+                         "doc_b": pa.array(ids[order[1:]]),
+                         "jaccard": pa.array([j], pa.float64())})
+
+    out = pa.Table.from_pylist(
+        ds.map_batches(add_pair, batch_format="pyarrow")
+        .groupby("pair_id")
+        .map_groups(pair_jaccard, batch_format="pyarrow")
+        .take_all()
+    )
+    if len(out) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    return out.select(["doc_a", "doc_b", "jaccard"]).sort_by("doc_a")
 
 
 # --- embeddings / ANN ------------------------------------------------------
@@ -605,20 +597,41 @@ def q_two_phase_sparse(sf_dir: str) -> pa.Table:
     return _hits_table([(0, docs, scores)])
 
 
+_DV_BUILT: set[str] = set()
+
+
+def _ensure_docvalues(sf_dir: str) -> None:
+    """Build the per-shard doc-values sidecar (lang, n_chars) once —
+    engine-side field lookup / predicate evaluation replaces the round-1
+    driver-side whole-table dicts."""
+    index_dir = get_index_dir(sf_dir)
+    if index_dir in _DV_BUILT:
+        return
+    from ..index.docvalues import DOCVALUES_DIR, build_doc_values
+
+    if not os.path.exists(os.path.join(index_dir, DOCVALUES_DIR)):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        build_doc_values(
+            ds, index_dir, num_shards=get_searcher(sf_dir).manifest.num_doc_shards
+        )
+    _DV_BUILT.add(index_dir)
+
+
 def q_collapse_bm25_lang(sf_dir: str) -> pa.Table:
     """Collapse: best doc per lang per query from the bm25 top-10, then
-    global top-3 (HybridCollapsingTopDocsCollector semantics)."""
-    import pyarrow.parquet as pq2
-
+    global top-3 (HybridCollapsingTopDocsCollector semantics). Field
+    values come from the engine-side doc-values sidecar (per-hit binary
+    search), not a driver-side whole-table dict."""
     from ..rank.collapse import collapse_top_docs
 
+    _ensure_docvalues(sf_dir)
     searcher = get_searcher(sf_dir)
-    langs_tbl = pq2.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
-    lang_by_doc = dict(zip(langs_tbl["doc_id"].to_pylist(), langs_tbl["lang"].to_pylist()))
     rows = []
     for qid, qtext in QUERY_SET:
         docs, scores = searcher.search_bm25(tokenize(qtext), k=10)
-        fv = np.asarray([lang_by_doc[int(d)] for d in docs], dtype=object)
+        fv = np.asarray(searcher.field_values(docs, "lang").to_pylist(), dtype=object)
         d2, s2, _ = collapse_top_docs(docs, scores, fv, docs_per_group=1, k=3)
         rows.append((qid, d2, s2))
     return _hits_table(rows)
@@ -626,18 +639,18 @@ def q_collapse_bm25_lang(sf_dir: str) -> pa.Table:
 
 def q_rerank_byfield(sf_dir: str) -> pa.Table:
     """by_field rerank (ByFieldRerankProcessor.java:72-160): replace the
-    bm25 score with documents.n_chars, keep previous score."""
-    import pyarrow.parquet as pq2
-
+    bm25 score with documents.n_chars (fetched per-hit from doc-values),
+    keep previous score."""
     from ..rank.rerank import rerank_by_field
 
+    _ensure_docvalues(sf_dir)
     searcher = get_searcher(sf_dir)
-    nchars_tbl = pq2.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
-    nchars = dict(zip(nchars_tbl["doc_id"].to_pylist(), nchars_tbl["n_chars"].to_pylist()))
     qs, rs, ds_, ss, prevs = [], [], [], [], []
     for qid, qtext in QUERY_SET:
         docs, scores = searcher.search_bm25(tokenize(qtext), k=10)
-        fv = np.asarray([nchars[int(d)] for d in docs], dtype=np.float64)
+        fv = searcher.field_values(docs, "n_chars").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
         d2, s2, prev = rerank_by_field(docs, scores, fv, keep_previous_score=True)
         qs.append(np.full(d2.size, qid, dtype=np.int64))
         rs.append(np.arange(1, d2.size + 1, dtype=np.int64))
@@ -710,18 +723,18 @@ def q_fingerprint_winnow(sf_dir: str) -> "ray.data.Dataset":
 def q_bm25_filtered_en(sf_dir: str) -> pa.Table:
     """BM25 with filter pushdown: only documents with lang='en' are
     eligible (accepted-docs conjunction, SURVEY.md §2.4/§2.9); corpus
-    statistics stay UNfiltered, matching Lucene filter semantics."""
-    import pyarrow.parquet as pq2
+    statistics stay UNfiltered, matching Lucene filter semantics. The
+    predicate is shipped as (column, op, value) and evaluated
+    ENGINE-side against the shard doc-values — no O(N) accepted-id
+    array crosses the pipeline boundary."""
+    from ..query.sparse import filtered_bm25_topk_pred
 
-    from ..query.sparse import filtered_bm25_topk
-
+    _ensure_docvalues(sf_dir)
     searcher = get_searcher(sf_dir)
-    langs = pq2.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
-    accepted = langs.filter(pc.equal(langs["lang"], "en"))["doc_id"].to_numpy()
     rows = []
     for qid, qtext in QUERY_SET:
-        docs, scores = filtered_bm25_topk(
-            searcher, tokenize(qtext), BM25_K, accepted
+        docs, scores = filtered_bm25_topk_pred(
+            searcher, tokenize(qtext), BM25_K, "lang", "==", "en"
         )
         rows.append((qid, docs, scores))
     return _hits_table(rows)
@@ -824,20 +837,27 @@ def q_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.select(
-            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-             "l_discount"]
-        ).to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "count"),
+        # Arrow C++ group-by for the per-batch combiner — no pandas
+        # conversion in the hot path
+        disc_price = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = batch.select(
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+        ).append_column("disc_price", disc_price)
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "count_order"]
+        )
 
     agg = (
         ray.data.read_parquet(

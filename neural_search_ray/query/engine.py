@@ -95,6 +95,8 @@ class IndexSearcher:
         if manifest is None:
             raise FileNotFoundError(f"no index manifest in {index_dir}")
         self.manifest = manifest
+        self.index_dir = index_dir
+        self._dv = None  # lazy doc-values reader (index/docvalues.py)
         self.n_docs = manifest.n_docs
         self.avgdl = manifest.avgdl
         self.bm25 = BM25Config(**manifest.bm25)
@@ -141,6 +143,27 @@ class IndexSearcher:
         else:
             self._dl_doc_ids = np.empty(0, np.int64)
             self._dl = np.empty(0, np.float64)
+
+    # ---- doc-values (engine-side field lookup / filter evaluation) -------
+    def doc_values(self):
+        """Shard-local doc-values reader (lazy; requires
+        index/docvalues.py build_doc_values to have run)."""
+        if self._dv is None:
+            from ..index.docvalues import DocValues
+
+            self._dv = DocValues(self.index_dir, sorted(self.shards))
+        return self._dv
+
+    def accepted_ids(self, column: str, op: str, value) -> np.ndarray:
+        """Sorted doc_ids of THIS searcher's shards matching the
+        predicate — evaluated engine-side against the doc-values sidecar
+        (the pipeline passes (column, op, value), never an O(N) array)."""
+        return self.doc_values().accepted(column, op, value)
+
+    def field_values(self, doc_ids: np.ndarray, column: str) -> pa.Array:
+        """Per-hit field fetch from doc-values (collapse / by_field
+        rerank — ByFieldRerankProcessor.java:72-160 analogue)."""
+        return self.doc_values().lookup(doc_ids, column)
 
     # ---- stats -----------------------------------------------------------
     def local_df(self, term: str) -> int:

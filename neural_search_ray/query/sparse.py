@@ -79,3 +79,20 @@ def filtered_bm25_topk(
     scores = searcher._score_candidates(accepted, terms, idfs, None)
     hit = scores > 0.0
     return topk_desc(accepted[hit], scores[hit], k)
+
+
+def filtered_bm25_topk_pred(
+    searcher: IndexSearcher,
+    terms: list[str],
+    k: int,
+    column: str,
+    op: str,
+    value,
+) -> tuple[np.ndarray, np.ndarray]:
+    """BM25 with a PREDICATE filter evaluated engine-side against the
+    shard doc-values (index/docvalues.py) — the caller ships (column,
+    op, value), never an accepted-id array (which is O(N) for broad
+    filters). This is the filter-conjunction shape a distributed shard
+    actor uses: predicate → shard-local accepted set → candidate ∩
+    accepted before scoring."""
+    return filtered_bm25_topk(searcher, terms, k, searcher.accepted_ids(column, op, value))

@@ -243,3 +243,79 @@ class TestDistributedEmbedding:
             # small-probe result is a subset of the scanned buckets, sorted
             got_small, _ = s.search(mat[qi], k=10, nprobe=2)
             assert len(got_small) <= 10
+
+
+class TestMinhashRobustness:
+    def test_signature_matrix_equals_scalar(self):
+        from neural_search_ray.dedup.minhash import MinHasher
+
+        texts = ["the quick brown fox jumps over", "a b", "", "x",
+                 "repeat repeat repeat repeat", "one two three"]
+        mh = MinHasher(num_hashes=8, shingle_size=3)
+        mat = mh.signature_matrix(pa.array(texts))
+        for i, t in enumerate(texts):
+            assert mat[i].tolist() == mh.signature(t), t
+
+    def test_num_hashes_beyond_eight(self):
+        from neural_search_ray.dedup.minhash import MinHasher, coefficients
+
+        a, b = coefficients(20)
+        assert len(a) == 20 and len(set(a)) == 20
+        assert all(0 < x < (1 << 31) for x in a)
+        assert all(0 <= x < (1 << 32) for x in b)
+        mh = MinHasher(num_hashes=20)
+        sig = mh.signature("the quick brown fox jumps over the lazy dog")
+        assert len(sig) == 20
+        assert mh.signature_matrix(pa.array(["the quick brown fox jumps over the lazy dog"]))[0].tolist() == sig
+
+    def test_pathological_skew_bucket_cap(self):
+        """All-identical docs: every band bucket is degenerate; the cap
+        bounds candidate pairs to O(cap^2) instead of O(n^2)."""
+        import ray.data
+
+        from neural_search_ray.dedup.minhash import minhash_lsh_candidates
+
+        n = 400
+        t = pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["same text everywhere forever and ever again"] * n),
+        })
+        cap = 10
+        pairs = minhash_lsh_candidates(
+            ray.data.from_arrow(t), num_hashes=8, bands=4, max_bucket=cap
+        ).take_all()
+        assert 0 < len(pairs) <= cap * (cap - 1) // 2
+
+    def test_universal_hash_matches_python_ints(self):
+        from neural_search_ray.dedup.common import MERSENNE_61, universal_hash
+
+        rng = np.random.RandomState(1)
+        h = rng.randint(0, 2**62, size=500).astype(np.uint64) * np.uint64(4) + np.uint64(3)
+        for a, b in [(1610612741, 2971215073), (12582917, 49979687)]:
+            want = [(a * int(x) + b) % MERSENNE_61 for x in h]
+            assert universal_hash(h, a, b).tolist() == want
+
+
+class TestDocValues:
+    def test_build_lookup_accepted(self, tmp_path):
+        import ray.data
+
+        from neural_search_ray.index.docvalues import DocValues, build_doc_values
+
+        n = 100
+        t = pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(["en" if i % 3 else "de" for i in range(n)]),
+            "n_chars": pa.array(np.arange(n, dtype=np.int64) * 7),
+        })
+        build_doc_values(ray.data.from_arrow(t), str(tmp_path), num_shards=4)
+        dv = DocValues(str(tmp_path), [0, 1, 2, 3])
+        ids = np.array([5, 42, 99])
+        assert dv.lookup(ids, "n_chars").to_pylist() == [35, 294, 693]
+        acc = dv.accepted("lang", "==", "de")
+        assert acc.tolist() == [i for i in range(n) if i % 3 == 0]
+        # shard subset sees only its docs
+        dv01 = DocValues(str(tmp_path), [0, 1])
+        assert set(dv01.accepted("lang", "==", "de")) == {
+            i for i in range(n) if i % 3 == 0 and i % 4 in (0, 1)
+        }
