@@ -40,6 +40,12 @@ from ..state.stats import stats
 from .bm25 import bm25_idf
 
 
+# doc-space-aligned block size for block-max pruning (distinct from the
+# 128-posting block_max_tf written at build; this one aligns across terms
+# so per-block UBs sum with one vector add)
+_BLOCKMAX_B = 1024
+
+
 def topk_desc(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     """Top-k by (score desc, doc_id asc) using argpartition (no full sort)."""
     n = doc_ids.size
@@ -107,6 +113,7 @@ class IndexSearcher:
         self._raw: dict[str, list[tuple[bytes, bytes, int, int]]] = defaultdict(list)
         self._df: dict[str, int] = defaultdict(int)
         self._cache = _LruTerms(term_cache_items)
+        self._bm_cache = _LruTerms(4096)  # (term, B) → dense block-max tfn
         dl_docs: list[np.ndarray] = []
         dl_vals: list[np.ndarray] = []
         for seg in manifest.complete_segments():
@@ -285,10 +292,16 @@ class IndexSearcher:
                 stats.incr("maxscore_certified")
                 return result
         # full-union path; when the union covers a large fraction of the
-        # shard docs, use a DENSE accumulator over local doc positions
-        # (one gather-scatter per term, no unique/searchsorted per query)
+        # shard docs (stopword-grade queries), use BLOCK-MAX pruning over
+        # doc-space-aligned blocks — exact, and bounds the scan that the
+        # round-1 dense accumulator always paid in full
         total_df = sum(self.local_df(t) for t in terms)
         if total_df > 0.05 * max(self._dl_doc_ids.size, 1):
+            if (
+                pruning != "none"
+                and self._dl_doc_ids.size >= 4 * _BLOCKMAX_B
+            ):
+                return self._search_blockmax(terms, idfs, k, query_weights)
             return self._search_dense(terms, idfs, k, query_weights)
         nonempty = [self.postings(t)[0] for t in terms]
         nonempty = [d for d in nonempty if d.size]
@@ -319,6 +332,128 @@ class IndexSearcher:
         if cand_pos.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return topk_desc(self._dl_doc_ids[cand_pos], scores[cand_pos], k)
+
+    def _block_max_tfn(self, term: str, B: int) -> np.ndarray:
+        """Dense per-doc-space-block max of the precomputed tf-norm for a
+        term (query-INDEPENDENT, so cacheable): block b covers local doc
+        positions [b·B, (b+1)·B). Built once per (term, B) from the
+        decoded postings with one reduceat; ~df/B floats for hot terms —
+        128-1024x smaller than the postings themselves."""
+        key = (term, B)
+        hit = self._bm_cache.get(key)
+        if hit is not None:
+            return hit
+        _, _, pos, tfn = self.postings_full(term)
+        n_blocks = (self._dl_doc_ids.size + B - 1) // B
+        arr = np.zeros(n_blocks, dtype=np.float64)
+        if pos.size:
+            blocks = pos // B  # pos sorted → blocks sorted
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(blocks) != 0) + 1)
+            )
+            arr[blocks[starts]] = np.maximum.reduceat(tfn, starts)
+        self._bm_cache.put(key, arr)
+        return arr
+
+    def _search_blockmax(self, terms, idfs, k, query_weights):
+        """Block-max WAND over doc-space-aligned blocks (Ding & Suel
+        SIGIR'11 adapted to cached decoded postings; the reference's
+        cluster-skipping analogue is SeismicBaseScorer.java:202-220).
+
+        EXACT: blocks are scored in upper-bound-descending order; once k
+        exact scores are held, a block is skipped only when its UB is
+        STRICTLY below the current k-th best score (ties can still enter
+        and win on doc_id, so equality is never pruned). Scoring inside a
+        block accumulates terms in the same sorted order as the dense
+        path — bitwise-identical scores."""
+        B = _BLOCKMAX_B
+        n = self._dl_doc_ids.size
+        if n == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        n_blocks = (n + B - 1) // B
+        ub = np.zeros(n_blocks, dtype=np.float64)
+        plists, ws = [], []
+        for i, t in enumerate(terms):
+            if idfs[i] == 0.0:
+                continue
+            _, _, pos, tfn = self.postings_full(t)
+            if pos.size == 0:
+                continue
+            w = idfs[i] if query_weights is None else idfs[i] * query_weights[i]
+            ub += abs(w) * self._block_max_tfn(t, B)
+            plists.append((pos, tfn))
+            ws.append(w)
+        if not plists:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        # Flat-UB early exit: when ~every block's UB is near the max,
+        # pruning cannot pay (uniform corpora) — the dense full scan is
+        # the optimal exact plan; skip the probe entirely.
+        q90 = np.partition(ub, int(0.9 * (n_blocks - 1)))[int(0.9 * (n_blocks - 1))]
+        if q90 >= 0.98 * ub.max():
+            stats.incr("blockmax_fallback_dense")
+            return self._search_dense(terms, idfs, k, query_weights)
+        # Phase 1 — probe the highest-UB blocks (Python loop over a
+        # handful of blocks) until k exact scores set the threshold.
+        order = np.argsort(-ub, kind="stable")
+        best_docs = np.empty(0, np.int64)
+        best_scores = np.empty(0, np.float64)
+        threshold = -np.inf
+        local = np.zeros(B, dtype=np.float64)
+        touched = np.zeros(B, dtype=bool)
+        probed = np.zeros(n_blocks, dtype=bool)
+        scanned = 0
+        for b in order:
+            if best_docs.size >= k and scanned >= 4:
+                break
+            base = int(b) * B
+            probed[b] = True
+            scanned += 1
+            local[:] = 0.0
+            touched[:] = False
+            for (pos, tfn), w in zip(plists, ws):
+                s0, e0 = np.searchsorted(pos, (base, base + B))
+                if s0 == e0:
+                    continue
+                lp = pos[s0:e0] - base
+                local[lp] += w * tfn[s0:e0]
+                touched[lp] = True
+            lidx = np.flatnonzero(touched)
+            if lidx.size == 0:
+                continue
+            best_docs = np.concatenate((best_docs, self._dl_doc_ids[base + lidx]))
+            best_scores = np.concatenate((best_scores, local[lidx]))
+        if best_docs.size >= k:
+            threshold = -np.partition(-best_scores, k - 1)[k - 1]
+        # Phase 2 — ONE vectorized pass over every unprobed block whose
+        # UB could still reach the top-k (prune strictly-below only, so
+        # score ties can still enter and win on doc_id).
+        sel = np.flatnonzero((ub >= threshold) & ~probed)
+        if sel.size >= 0.5 * n_blocks:
+            # UBs don't discriminate (uniform corpus / low threshold):
+            # pruning can't pay for its gather arithmetic — the dense
+            # full scan is the optimal exact plan here. Identical scores.
+            stats.incr("blockmax_fallback_dense")
+            return self._search_dense(terms, idfs, k, query_weights)
+        if sel.size:
+            lookup = np.full(n_blocks, -1, dtype=np.int64)
+            lookup[sel] = np.arange(sel.size)
+            m = sel.size * B
+            dense = np.zeros(m, dtype=np.float64)
+            dtouched = np.zeros(m, dtype=bool)
+            for (pos, tfn), w in zip(plists, ws):
+                cblock = lookup[pos // B]
+                kept = cblock >= 0
+                cpos = cblock[kept] * B + pos[kept] % B
+                dense[cpos] += w * tfn[kept]
+                dtouched[cpos] = True
+            didx = np.flatnonzero(dtouched)
+            if didx.size:
+                gpos = sel[didx // B] * B + didx % B
+                best_docs = np.concatenate((best_docs, self._dl_doc_ids[gpos]))
+                best_scores = np.concatenate((best_scores, dense[didx]))
+        stats.incr("blockmax_blocks_scanned", scanned + int(sel.size))
+        stats.incr("blockmax_blocks_skipped", n_blocks - scanned - int(sel.size))
+        return topk_desc(best_docs, best_scores, k)
 
     def _search_maxscore(self, terms, idfs, k, query_weights):
         """MaxScore split; returns None when pruning can't be certified."""

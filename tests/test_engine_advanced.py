@@ -179,3 +179,58 @@ def test_norm4_quantized_rank_identity(tmp_path, ray_session):
         od, osc = oracle.search_bm25(q, k=10)
         assert d.tolist() == od, q
         assert np.allclose(sc, osc, atol=1e-12), q
+
+
+class TestBlockMax:
+    def test_blockmax_exact_and_skips(self, tmp_path):
+        """Doc-locality skew: hot-tf docs cluster in the first blocks, so
+        block-max UBs discriminate — the engine must skip cold blocks AND
+        return results bitwise-identical to the unpruned scan."""
+        import ray.data
+
+        from neural_search_ray.config import IndexConfig
+        from neural_search_ray.index.build import build_index
+        from neural_search_ray.query.engine import IndexSearcher
+        from neural_search_ray.state.stats import stats
+
+        n = 60_000
+        # equal dl everywhere so length norm can't invert the skew:
+        # hot docs carry tf_w=6/tf_x=2, cold docs tf 1/1 + filler
+        texts = [
+            "w w w w w w x x" if i < 2048 else "w x f f f f f f"
+            for i in range(n)
+        ]
+        t = pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+        })
+        idx = str(tmp_path / "bmw")
+        build_index(ray.data.from_arrow(t), idx, IndexConfig(num_shards=1, num_salts=1))
+        s = IndexSearcher(idx)
+        before = stats.snapshot().get("blockmax_blocks_skipped", 0)
+        d1, s1 = s.search_bm25(["w", "x"], k=10)
+        skipped = stats.snapshot().get("blockmax_blocks_skipped", 0) - before
+        d0, s0 = s.search_bm25(["w", "x"], k=10, pruning="none")
+        assert d1.tolist() == d0.tolist()
+        assert np.array_equal(s1, s0)
+        assert skipped > 40  # ~56 of 59 blocks are cold and must be skipped
+
+    def test_blockmax_tie_not_pruned(self, tmp_path):
+        """Every doc identical → all scores tie; block-max must not drop
+        the smallest doc_ids (ties enter on equality, prune is strict)."""
+        import ray.data
+
+        from neural_search_ray.config import IndexConfig
+        from neural_search_ray.index.build import build_index
+        from neural_search_ray.query.engine import IndexSearcher
+
+        n = 8192
+        t = pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["w x"] * n),
+        })
+        idx = str(tmp_path / "ties")
+        build_index(ray.data.from_arrow(t), idx, IndexConfig(num_shards=1, num_salts=1))
+        s = IndexSearcher(idx)
+        d1, _ = s.search_bm25(["w", "x"], k=10)
+        assert d1.tolist() == list(range(10))  # tie-break: doc_id asc
