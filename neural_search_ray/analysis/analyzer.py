@@ -50,14 +50,48 @@ ENGLISH_STOPWORDS = frozenset(
 # ' ’ . join any alnum runs (UAX#29 MidNumLet / Lucene StandardTokenizer
 # — don't, example.com, 3.14); ',' joins DIGIT runs only (MidNum —
 # 1,024 but NOT a,b); ':' is not a joiner (removed from MidLetter).
-_WORD_RE = re.compile(r"[^\W_]+(?:(?:['’.]|(?<=\d),(?=\d))[^\W_]+)*", re.UNICODE)
+_WORD_SRC = r"[^\W_]+(?:(?:['’.]|(?<=\d),(?=\d))[^\W_]+)*"
+_WORD_RE = re.compile(_WORD_SRC, re.UNICODE)
 # trailing/leading joiners never match because the joiner must sit between runs.
 
-# tokenizer variants (FixedTokenLengthChunker.java:56-64 whitelist):
+# uax_url_email = standard + URLs (scheme://...) and e-mails kept as
+# single tokens (Lucene UAX29URLEmailTokenizer; approximation documented
+# — bare hostnames without a scheme tokenize like standard).
+_URL_SRC = r"[A-Za-z][A-Za-z0-9+.-]*://[^\s<>\"']+"
+_EMAIL_SRC = r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~.-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+"
+
+# classic (Lucene ClassicTokenizer, documented approximation): e-mails,
+# dotted hosts/acronyms/numbers (example.com, U.S.A, 3.14), hyphenated
+# tokens kept whole only when a segment contains a digit (X-25), words
+# with interior apostrophes; everything else splits.
+_CLASSIC_SRC = "|".join([
+    _EMAIL_SRC,
+    r"[A-Za-z0-9]+(?:\.[A-Za-z0-9]+)+",
+    r"[^\W_]+(?:-[^\W_]*\d[^\W_]*)+",
+    r"[^\W_]+(?:['’][^\W_]+)*",
+])
+
+# thai: Thai runs are emitted whole (no dictionary segmentation — Lucene
+# delegates to an ICU/BreakIterator dictionary unavailable in this
+# container; documented stub), non-Thai text tokenizes like standard.
+_THAI_BLOCK = "฀-๿"
+_THAI_SRC = (
+    f"[{_THAI_BLOCK}]+|"
+    + _WORD_SRC.replace(r"[^\W_]", f"[^\\W_{_THAI_BLOCK}]")
+)
+
+# tokenizer variants (the reference chunker whitelist,
+# processor/chunker/FixedTokenLengthChunker.java:56-64):
 _TOKENIZER_RES = {
     "standard": _WORD_RE,
     "whitespace": re.compile(r"\S+"),
     "letter": re.compile(r"[^\W\d_]+", re.UNICODE),
+    # LowerCaseTokenizer = LetterTokenizer boundaries + lowercase; the
+    # lowercase step is the analyzer's own filter, so boundaries = letter
+    "lowercase": re.compile(r"[^\W\d_]+", re.UNICODE),
+    "uax_url_email": re.compile(f"{_URL_SRC}|{_EMAIL_SRC}|{_WORD_SRC}", re.UNICODE),
+    "classic": re.compile(_CLASSIC_SRC, re.UNICODE),
+    "thai": re.compile(_THAI_SRC, re.UNICODE),
 }
 
 

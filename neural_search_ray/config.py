@@ -23,7 +23,8 @@ class AnalyzerConfig:
     remove_stopwords: bool = False
     max_token_length: int = 255  # Lucene StandardAnalyzer default
     # tokenizer variants from the chunker whitelist
-    # (FixedTokenLengthChunker.java:56-64): standard | whitespace | letter
+    # (FixedTokenLengthChunker.java:56-64): standard | whitespace | letter |
+    # lowercase | uax_url_email | classic | thai
     tokenizer: str = "standard"
 
 

@@ -278,6 +278,25 @@ def q_hybrid_minmax_arith(sf_dir: str) -> pa.Table:
     return _hits_table(rows)
 
 
+def q_hybrid_minmax_bounded(sf_dir: str) -> pa.Table:
+    """Hybrid min_max with per-subquery BOUNDS
+    (normalization/bounds/*.java): lower bound mode=apply min_score=0.1
+    on the bm25 subquery, upper bound mode=clip max_score=5.0 on the dot
+    subquery (ignore on the other side of each)."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        subs = _subquery_results(searcher, qtext, k=10)
+        docs, comb = hybrid_rank(
+            subs, normalization="min_max", combination="arithmetic_mean",
+            weights=[0.7, 0.3], k=5,
+            lower_bounds=[{"mode": "apply", "min_score": 0.1}, {"mode": "ignore"}],
+            upper_bounds=[{"mode": "ignore"}, {"mode": "clip", "max_score": 5.0}],
+        )
+        rows.append((qid, docs, comb))
+    return _hits_table(rows)
+
+
 def q_hybrid_rrf(sf_dir: str) -> pa.Table:
     searcher = get_searcher(sf_dir)
     rows = []
@@ -307,6 +326,24 @@ def q_chunk_fixed_token(sf_dir: str) -> "ray.data.Dataset":
 
     return _docs_ds(sf_dir).map_batches(
         make_chunk_stage("fixed_token_length", token_limit=20, overlap_rate=0.25),
+        batch_format="pyarrow",
+    )
+
+
+def q_chunk_fixed_token_uax(sf_dir: str) -> "ray.data.Dataset":
+    """fixed_token_length with the uax_url_email tokenizer variant
+    (URLs/e-mails count as ONE token each — FixedTokenLengthChunker
+    whitelist). On the single-space synthetic corpus every token is a
+    plain word, so the space-split SQL oracle applies; the variant's
+    distinctive URL/email behavior is golden-token pytest-covered
+    (tests/test_analyzer.py)."""
+    from ..stages.chunkers import make_chunk_stage
+
+    return _docs_ds(sf_dir).map_batches(
+        make_chunk_stage(
+            "fixed_token_length", token_limit=25, overlap_rate=0.2,
+            tokenizer="uax_url_email",
+        ),
         batch_format="pyarrow",
     )
 
@@ -979,11 +1016,13 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
 
     # hybrid min_max + arithmetic mean (weights 0.7/0.3, k=5 over top-10 subs)
     sqls["hybrid_minmax_arith"] = _hybrid_minmax_sql()
+    sqls["hybrid_minmax_bounded"] = _hybrid_minmax_bounded_sql()
     sqls["hybrid_rrf"] = _hybrid_rrf_sql()
 
     # chunkers
     sqls["chunk_fixed_char"] = _chunk_char_sql(char_limit=100, step=75)
     sqls["chunk_fixed_token"] = _chunk_token_sql(token_limit=20, step=15)
+    sqls["chunk_fixed_token_uax"] = _chunk_token_sql(token_limit=25, step=20)
     sqls["chunk_delimiter"] = _chunk_delim_sql("data ")
 
     # prune
@@ -1253,6 +1292,70 @@ SELECT query_id, rank, doc_id, score FROM (
   FROM combined) WHERE rank <= 5"""
 
 
+def _hybrid_minmax_bounded_sql() -> str:
+    """Bounded min_max variant: bm25 subquery has lower bound
+    (apply, 0.1); dot subquery has upper bound (clip, 5.0). Bound
+    semantics mirror MinMaxScoreNormalizationTechnique.java:260-297."""
+    bm_top = _topk_raw_sql(_bm25_scored_sql(), 10)
+    dot_scored = f"""
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum(tf.tf)::DOUBLE AS score
+  FROM ({_query_values_sql()}) q
+  JOIN ({SQL_TF}) tf ON tf.term = q.term
+  GROUP BY q.query_id, tf.doc_id"""
+    dot_top = _topk_raw_sql(dot_scored, 10)
+    # lower bound, mode=apply, min_score=0.1:
+    #   emin = 0.1 when (mx > 0.1 AND score > 0.1) else mn; emax = mx
+    bm_norm = f"""
+  SELECT query_id, doc_id,
+         CASE WHEN mx = mn AND score = mn THEN 1.0
+              WHEN mx = emin THEN 1.0
+              WHEN (score - emin) / (mx - emin) = 0.0 THEN 0.001
+              ELSE (score - emin) / (mx - emin) END AS nscore
+  FROM (SELECT query_id, doc_id, score, mn, mx,
+               CASE WHEN mx > 0.1 AND score > 0.1 THEN 0.1 ELSE mn END AS emin
+        FROM (SELECT query_id, doc_id, score,
+                     min(score) OVER (PARTITION BY query_id) AS mn,
+                     max(score) OVER (PARTITION BY query_id) AS mx
+              FROM ({bm_top})))"""
+    # upper bound, mode=clip, max_score=5.0:
+    #   emax = mx when mn > 5.0 else 5.0; emin = mn;
+    #   score > emax (only possible when emax=5.0) → clipped to 1.0
+    dot_norm = f"""
+  SELECT query_id, doc_id,
+         CASE WHEN mx = mn AND score = mn THEN 1.0
+              WHEN mn <= 5.0 AND score > 5.0 THEN 1.0
+              WHEN emax = mn THEN 1.0
+              WHEN (score - mn) / (emax - mn) = 0.0 THEN 0.001
+              ELSE (score - mn) / (emax - mn) END AS nscore
+  FROM (SELECT query_id, doc_id, score, mn, mx,
+               CASE WHEN mn > 5.0 THEN mx ELSE 5.0 END AS emax
+        FROM (SELECT query_id, doc_id, score,
+                     min(score) OVER (PARTITION BY query_id) AS mn,
+                     max(score) OVER (PARTITION BY query_id) AS mx
+              FROM ({dot_top})))"""
+    return f"""
+WITH bmn AS ({bm_norm}),
+     dtn AS ({dot_norm}),
+     joined AS (
+       SELECT coalesce(b.query_id, d.query_id) AS query_id,
+              coalesce(b.doc_id, d.doc_id) AS doc_id,
+              b.nscore AS s1, d.nscore AS s2
+       FROM bmn b FULL OUTER JOIN dtn d
+         ON b.query_id = d.query_id AND b.doc_id = d.doc_id),
+     combined AS (
+       SELECT query_id, doc_id,
+              (coalesce(0.7 * s1, 0) + coalesce(0.3 * s2, 0)) /
+              (CASE WHEN s1 IS NULL THEN 0 ELSE 0.7 END +
+               CASE WHEN s2 IS NULL THEN 0 ELSE 0.3 END) AS score
+       FROM joined)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM combined) WHERE rank <= 5"""
+
+
 def _hybrid_rrf_sql() -> str:
     bm_top = _bm25_scored_sql()
     dot_scored = f"""
@@ -1429,4 +1532,6 @@ def build_queries() -> dict:
         "forward_index_stats": q_forward_index_stats,
         "seismic_ann": q_seismic_ann,
         "ivf_ann": q_ivf_ann,
+        "chunk_fixed_token_uax": q_chunk_fixed_token_uax,
+        "hybrid_minmax_bounded": q_hybrid_minmax_bounded,
     }

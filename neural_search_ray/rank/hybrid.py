@@ -30,17 +30,31 @@ def hybrid_rank(
     k: int = 10,
     rank_constant: int = 60,
     explain: bool = False,
+    lower_bounds: list[dict | None] | None = None,
+    upper_bounds: list[dict | None] | None = None,
 ):
     """Normalize + combine sub-query results for ONE query.
 
     subquery_results: list of (doc_ids, scores) per sub-query.
     Returns (doc_ids, combined_scores) top-k by (score desc, doc_id asc).
 
+    ``lower_bounds`` / ``upper_bounds`` (min_max only): one bound dict —
+    {"mode": "apply"|"clip"|"ignore", "min_score"/"max_score": f} — or
+    None PER SUB-QUERY (MinMaxScoreNormalizationTechnique.java:75-120);
+    a list length mismatch raises, like the reference.
+
     ``explain=True`` additionally returns a per-hit provenance list (the
     ExplanationResponseProcessor analogue,
     processor/ExplanationResponseProcessor.java:1-161): for each returned
     doc, raw + normalized score per sub-query plus the technique names.
     """
+    for bounds in (lower_bounds, upper_bounds):
+        if bounds is not None and len(bounds) != len(subquery_results):
+            raise ValueError(
+                "expected bounds array to contain "
+                f"{len(subquery_results)} elements matching the number of "
+                "sub-queries, but found a mismatch"
+            )
     n_sub = len(subquery_results)
     all_docs = np.unique(
         np.concatenate([d for d, _ in subquery_results if d.size] or [np.empty(0, np.int64)])
@@ -55,6 +69,14 @@ def hybrid_rank(
             continue
         if normalization == "rrf":
             normed = norm_rrf(scores, docs, rank_constant)
+        elif normalization == "min_max" and (lower_bounds or upper_bounds):
+            from .normalize import norm_min_max_bounded
+
+            normed = norm_min_max_bounded(
+                scores,
+                lower_bounds[j] if lower_bounds else None,
+                upper_bounds[j] if upper_bounds else None,
+            )
         else:
             normed = NORMALIZATION_TECHNIQUES[normalization](scores)
         pos = np.searchsorted(all_docs, docs)

@@ -44,6 +44,70 @@ def norm_min_max(scores: np.ndarray) -> np.ndarray:
     return out
 
 
+def norm_min_max_bounded(
+    scores: np.ndarray,
+    lower_bound: dict | None = None,
+    upper_bound: dict | None = None,
+) -> np.ndarray:
+    """min_max with per-subquery lower/upper bounds
+    (MinMaxScoreNormalizationTechnique.java:260-297 +
+    normalization/bounds/{LowerBound,UpperBound,BoundMode}.java —
+    semantics matched, code not copied).
+
+    Bound params: {"mode": "apply"|"clip"|"ignore", "min_score": f} /
+    {"mode": ..., "max_score": f}; mode defaults to "apply", scores to
+    0.0 / 1.0. Per element:
+    - single-score edge (max==min==s) → 1.0;
+    - effective min/max from the bound mode (apply substitutes the bound
+      when the score is inside it; clip pins the range to the bound;
+      ignore keeps min/max);
+    - clip mode maps out-of-bound scores straight to 0.001 / 1.0;
+    - (s - emin)/(emax - emin), ==0 → 0.001; emax==emin → 1.0.
+    """
+    s = np.asarray(scores, dtype=np.float64)
+    if s.size == 0:
+        return s
+    mn, mx = s.min(), s.max()
+
+    def bound_cfg(b, default_score):
+        if b is None:
+            return False, "apply", default_score
+        return True, b.get("mode", "apply") or "apply", float(
+            b.get("min_score", b.get("max_score", default_score))
+            if ("min_score" in b or "max_score" in b)
+            else default_score
+        )
+
+    lo_on, lo_mode, lo_val = bound_cfg(lower_bound, 0.0)
+    up_on, up_mode, up_val = bound_cfg(upper_bound, 1.0)
+
+    # effective min (LowerBound.determineEffectiveScore)
+    if not lo_on or lo_mode == "ignore":
+        emin = np.full(s.shape, mn)
+    elif lo_mode == "apply":
+        emin = np.where((mx > lo_val) & (s > lo_val), lo_val, mn)
+    else:  # clip
+        emin = np.full(s.shape, mn if mx < lo_val else lo_val)
+    # effective max (UpperBound.determineEffectiveScore)
+    if not up_on or up_mode == "ignore":
+        emax = np.full(s.shape, mx)
+    elif up_mode == "apply":
+        emax = np.where((mn < up_val) & (s < up_val), up_val, mx)
+    else:  # clip
+        emax = np.full(s.shape, mx if mn > up_val else up_val)
+
+    denom = emax - emin
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(denom == 0.0, SINGLE_RESULT_SCORE, (s - emin) / denom)
+    out[out == 0.0] = MIN_SCORE
+    if lo_on and lo_mode == "clip":
+        out = np.where(s < emin, MIN_SCORE, out)
+    if up_on and up_mode == "clip":
+        out = np.where(s > emax, 1.0, out)
+    out[(s == mn) & (s == mx)] = SINGLE_RESULT_SCORE
+    return out
+
+
 def norm_l2(scores: np.ndarray) -> np.ndarray:
     s = np.asarray(scores, dtype=np.float64)
     if s.size == 0:

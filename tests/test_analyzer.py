@@ -88,3 +88,53 @@ def test_golden_corpus_fast_path_consistent():
     got = analyze_column(pa.array(texts, type=pa.string())).to_pylist()
     want = [tokenize(t) for t in texts]
     assert got == want
+
+
+class TestTokenizerVariants:
+    """Golden tokens for the chunker-whitelist variants
+    (FixedTokenLengthChunker.java:56-64)."""
+
+    def _tk(self, text, variant):
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.config import AnalyzerConfig
+
+        return tokenize(text, AnalyzerConfig(tokenizer=variant, remove_stopwords=False))
+
+    def test_uax_url_email(self):
+        t = "visit https://example.com/a?b=1 or mail bob.smith+x@mail.example.org now"
+        assert self._tk(t, "uax_url_email") == [
+            "visit", "https://example.com/a?b=1", "or", "mail",
+            "bob.smith+x@mail.example.org", "now",
+        ]
+        # plain words identical to standard (the SQL-oracle precondition)
+        plain = "merge sort window data 42"
+        assert self._tk(plain, "uax_url_email") == self._tk(plain, "standard")
+
+    def test_uax_url_shatters_under_standard(self):
+        t = "see https://example.com/a"
+        assert self._tk(t, "standard") == ["see", "https", "example.com", "a"]
+
+    def test_classic(self):
+        assert self._tk("U.S.A X-25 wi-fi don't example.com 3.14", "classic") == [
+            "u.s.a", "x-25", "wi", "fi", "don't", "example.com", "3.14",
+        ]
+        assert self._tk("a-b@c.org", "classic")[0] == "a-b@c.org"
+
+    def test_thai_runs_whole(self):
+        assert self._tk("hello สวัสดีครับ world", "thai") == [
+            "hello", "สวัสดีครับ", "world",
+        ]
+
+    def test_lowercase_is_letter_boundaries(self):
+        assert self._tk("Foo3Bar baz-qux", "lowercase") == ["foo", "bar", "baz", "qux"]
+        assert self._tk("Foo3Bar", "letter") == ["foo", "bar"]
+
+    def test_chunker_accepts_variants(self):
+        from neural_search_ray.stages.chunkers import chunk_fixed_token_length
+
+        text = "go to https://a.example.com/x then stop here now ok"
+        # uax: the URL is one token; standard: it shatters into three
+        uax = chunk_fixed_token_length(text, token_limit=3, tokenizer="uax_url_email")
+        std = chunk_fixed_token_length(text, token_limit=3, tokenizer="standard")
+        assert len(uax) < len(std)
+        assert "".join(c for c in uax) == text  # zero-overlap chunks cover text

@@ -146,3 +146,69 @@ class TestExplain:
         assert e2["normalization"] == "min_max"
         e3 = [e for e in exps if e["doc_id"] == 3][0]
         assert e3["subqueries"][0]["raw_score"] is None  # absent from bm25
+
+
+class TestMinMaxBounds:
+    """Bound-mode matrix vs hand-computed expectations
+    (MinMaxScoreNormalizationTechnique.java:260-297 + bounds/*.java)."""
+
+    def _n(self, scores, lower=None, upper=None):
+        from neural_search_ray.rank.normalize import norm_min_max_bounded
+
+        return norm_min_max_bounded(np.asarray(scores, dtype=float), lower, upper)
+
+    def test_no_bounds_equals_plain(self):
+        s = np.array([1.0, 2.0, 3.0])
+        assert self._n(s).tolist() == norm_min_max(s).tolist()
+
+    def test_lower_apply(self):
+        # mn=1, mx=3, bound=1.5: scores > 1.5 use emin=1.5, others emin=mn
+        out = self._n([1.0, 2.0, 3.0], lower={"mode": "apply", "min_score": 1.5})
+        assert out[2] == pytest.approx((3 - 1.5) / (3 - 1.5))  # = 1.0
+        assert out[1] == pytest.approx((2 - 1.5) / (3 - 1.5))
+        assert out[0] == pytest.approx(0.001)  # (1-1)/(3-1) = 0 → MIN_SCORE
+
+    def test_lower_apply_bound_above_max_ignored(self):
+        out = self._n([1.0, 3.0], lower={"mode": "apply", "min_score": 5.0})
+        assert out.tolist() == [0.001, 1.0]  # emin stays mn
+
+    def test_lower_clip(self):
+        # bound=1.5 <= mx → emin=1.5 for all; scores < 1.5 clip to 0.001
+        out = self._n([1.0, 2.0, 3.0], lower={"mode": "clip", "min_score": 1.5})
+        assert out[0] == 0.001
+        assert out[1] == pytest.approx((2 - 1.5) / (3 - 1.5))
+        assert out[2] == pytest.approx(1.0)
+
+    def test_lower_clip_bound_above_max(self):
+        # mx < bound → emin falls back to mn (no clipping)
+        out = self._n([1.0, 2.0], lower={"mode": "clip", "min_score": 9.0})
+        assert out.tolist() == [0.001, 1.0]
+
+    def test_upper_apply(self):
+        # mn=1, mx=3, bound=2.5: scores < 2.5 use emax=2.5
+        out = self._n([1.0, 2.0, 3.0], upper={"mode": "apply", "max_score": 2.5})
+        assert out[0] == 0.001
+        assert out[1] == pytest.approx((2 - 1) / (2.5 - 1))
+        assert out[2] == pytest.approx(1.0)  # score >= bound → emax=mx
+
+    def test_upper_clip(self):
+        # bound=2.5 >= mn → emax=2.5; scores above clip to 1.0
+        out = self._n([1.0, 2.0, 3.0], upper={"mode": "clip", "max_score": 2.5})
+        assert out[2] == 1.0
+        assert out[1] == pytest.approx((2 - 1) / (2.5 - 1))
+
+    def test_ignore_modes(self):
+        s = np.array([1.0, 2.0, 3.0])
+        out = self._n(s, lower={"mode": "ignore", "min_score": 1.5},
+                      upper={"mode": "ignore", "max_score": 2.5})
+        assert out.tolist() == norm_min_max(s).tolist()
+
+    def test_single_score_edge(self):
+        assert self._n([7.0, 7.0], lower={"mode": "clip", "min_score": 8.0}).tolist() == [1.0, 1.0]
+
+    def test_hybrid_bounds_mismatch_raises(self):
+        from neural_search_ray.rank.hybrid import hybrid_rank
+
+        subs = [(np.array([1, 2]), np.array([0.5, 0.2]))]
+        with pytest.raises(ValueError, match="mismatch"):
+            hybrid_rank(subs, lower_bounds=[{"mode": "apply"}, {"mode": "apply"}])
