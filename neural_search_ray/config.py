@@ -59,6 +59,12 @@ class IndexConfig:
     num_salts: int = 4             # docID-range salts for the posting shuffle
     block_size: int = 128          # docs per block-max block
     n_postings: int = -1           # -1 = no static pruning; -2 = reference default formula
+    # "none" = raw integer tfs; "u8" = the reference's quantized sparse
+    # tier: weights are u8-quantized at ingest (ByteQuantizer.java:24-34,
+    # ceiling 3.0) and postings store the FeatureField-encoded (>>>15)
+    # frequency of the dequantized weight (ValueEncoder.java:21-42); the
+    # forward index stores the u8 codes (the memory-footprint behavior)
+    weight_quantization: str = "none"
     bm25: BM25Config = field(default_factory=BM25Config)
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
 

@@ -209,6 +209,7 @@ def make_write_group(index_dir: str, segment_id: str, config: IndexConfig):
     tasks don't see the global doc count."""
     block_size = config.block_size
     n_postings = config.n_postings
+    quantize_u8 = config.weight_quantization == "u8"
 
     def fn(group: pa.Table) -> pa.Table:
         from ..runtime import ensure_worker_tuned
@@ -272,6 +273,24 @@ def make_write_group(index_dir: str, segment_id: str, config: IndexConfig):
             kept = sel[rank < n_postings]
             kept.sort()  # restore (code, doc) order: original was lexsorted
             g_code, g_doc, g_tf = g_code[kept], g_doc[kept], g_tf[kept]
+
+        if quantize_u8 and g_tf.size:
+            # quantized sparse tier: u8-quantize the weight at ingest
+            # (ByteQuantizer.java:24-34, ceiling 3.0), store the
+            # FeatureField-encoded (>>>15) frequency of the dequantized
+            # float32 weight (ValueEncoder.java:21-42). Encoding is
+            # monotonic in the weight, so block-max metadata stays valid.
+            from ..stages.quantize import (
+                byte_dequantize,
+                byte_quantize,
+                feature_encode,
+            )
+
+            g_tf = feature_encode(
+                byte_dequantize(byte_quantize(g_tf.astype(np.float64))).astype(
+                    np.float32
+                )
+            )
 
         change = np.flatnonzero(np.diff(g_code) != 0)
         starts = np.concatenate(([0], change + 1))
@@ -358,6 +377,7 @@ def build_index(
         block_size=config.block_size,
         analyzer=asdict(config.analyzer),
         bm25=asdict(config.bm25),
+        weight_quantization=config.weight_quantization,
     )
     if resume and segment_id in manifest.segments and manifest.segments[segment_id]["complete"]:
         return manifest

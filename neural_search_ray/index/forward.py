@@ -39,6 +39,9 @@ def _build_shard_forward(index_dir: str, shard: int, manifest: IndexManifest) ->
     from ..runtime import ensure_worker_tuned
 
     ensure_worker_tuned()
+    quantized = manifest.weight_quantization == "u8"
+    if quantized:
+        from ..stages.quantize import byte_quantize, feature_decode
     term_ids: dict[str, int] = {}
     terms_list: list[str] = []
     all_docs: list[np.ndarray] = []
@@ -64,7 +67,15 @@ def _build_shard_forward(index_dir: str, shard: int, manifest: IndexManifest) ->
                 tfs = varint_decode(tb, int(df))
                 all_docs.append(docs)
                 all_tids.append(np.full(docs.size, tid, dtype=np.int32))
-                all_w.append(tfs.astype(np.float32))
+                if quantized:
+                    # quantized tier: store the u8 code (1 byte/entry on
+                    # disk — the reference forward index's footprint,
+                    # SparseVectorFieldMapper.java quantized storage)
+                    all_w.append(
+                        byte_quantize(feature_decode(tfs.astype(np.int64)))
+                    )
+                else:
+                    all_w.append(tfs.astype(np.float32))
     if not all_docs:
         flat_docs = np.empty(0, np.int64)
         flat_tids = np.empty(0, np.int32)
@@ -133,7 +144,17 @@ class ShardForward:
             (rows["offset"].to_numpy(), [len(flat)])
         ).astype(np.int64)
         self.flat_tids = flat["term_id"].to_numpy()
-        self.flat_w = flat["weight"].to_numpy().astype(np.float64)
+        w = flat["weight"]
+        if pa.types.is_uint8(w.type):
+            # quantized tier: dequantize the stored u8 codes at load
+            # (ByteQuantizer ceiling 3.0); disk stays 1 byte per entry
+            from ..stages.quantize import INGEST_CEILING
+
+            self.flat_w = (
+                w.to_numpy().astype(np.float64) * INGEST_CEILING / 255.0
+            )
+        else:
+            self.flat_w = w.to_numpy().astype(np.float64)
 
     def row_slices(self, doc_idx: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(flat positions, per-doc lengths, reduce boundaries) for docs

@@ -45,6 +45,7 @@ class IndexManifest:
     block_size: int
     analyzer: dict
     bm25: dict
+    weight_quantization: str = "none"  # "none" | "u8" (quantized sparse tier)
     segments: dict[str, Any] = field(default_factory=dict)  # id → SegmentManifest dict
 
     # -- global stats over complete segments --
@@ -81,5 +82,6 @@ class IndexManifest:
             block_size=d["block_size"],
             analyzer=d["analyzer"],
             bm25=d["bm25"],
+            weight_quantization=d.get("weight_quantization", "none"),
             segments=d["segments"],
         )

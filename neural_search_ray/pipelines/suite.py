@@ -257,6 +257,44 @@ def q_sparse_dot_topk(sf_dir: str) -> pa.Table:
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
+_INDEX_CACHE_Q: dict[str, str] = {}
+
+
+def get_index_dir_quantized(sf_dir: str) -> str:
+    """Build (once per sf_dir content) the QUANTIZED-tier index
+    (weight_quantization='u8')."""
+    if sf_dir in _INDEX_CACHE_Q:
+        return _INDEX_CACHE_Q[sf_dir]
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:u8".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/nsr_indexq_{key}"
+    build_index(
+        _docs_ds(sf_dir), index_dir,
+        IndexConfig(num_shards=4, num_salts=2, weight_quantization="u8"),
+        resume=True,
+    )
+    _INDEX_CACHE_Q[sf_dir] = index_dir
+    return index_dir
+
+
+def q_sparse_dot_topk_quantized(sf_dir: str) -> pa.Table:
+    """Sparse dot over the QUANTIZED tier built end-to-end with
+    weight_quantization='u8': tfs are u8-quantized at ingest (ceiling
+    3.0, ByteQuantizer.java:24-34) and postings store the
+    FeatureField-encoded (>>>15) frequency (ValueEncoder.java:21-42);
+    the searcher decodes the stored freq back to the weight grid.
+    Integer tfs land exactly on {85,170,255} u8 codes → dequantized
+    weights {1.0,2.0,3.0}, which survive the float32 >>>15 round-trip
+    bit-exactly — so the SQL oracle is sum(q.w * least(tf, 3))."""
+    index_dir = get_index_dir_quantized(sf_dir)
+    searcher = IndexSearcher(index_dir)
+    docs, scores = searcher.search_sparse_dot(SPARSE_QUERY_WEIGHTS, k=BM25_K * 3)
+    out = _hits_table([(0, docs, scores)])
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
 def _subquery_results(searcher: IndexSearcher, qtext: str, k: int):
     """The two hybrid sub-queries: BM25 and uniform-weight sparse dot."""
     terms = sorted(set(tokenize(qtext)))
@@ -618,6 +656,28 @@ def q_top_events(sf_dir: str) -> "ray.data.Dataset":
         .limit(100)
     )
 
+
+
+def q_events_page2(sf_dir: str) -> "ray.data.Dataset":
+    """search_after keyset pagination (PagingFieldCollector.java): page 2
+    (rows 101-200) of events sorted by (value desc, event_id asc). Page
+    1's last row becomes the keyset; the page-2 scan filters
+    strictly-after rows inside map_batches before the distributed sort —
+    no offset materialization."""
+    from ..rank.paging import search_after
+
+    keys = [("value", "desc"), ("event_id", "asc")]
+
+    def events_ds():
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        )
+
+    page1 = search_after(events_ds(), keys, None, 100).take_all()
+    last = page1[-1]
+    return search_after(
+        events_ds(), keys, [last["value"], last["event_id"]], 100
+    ).select_columns(["event_id", "value"])
 
 
 # --- two-phase / collapse / rerank ----------------------------------------
@@ -1013,6 +1073,17 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     # seismic_ann runs at its exact setting (no-skip + every term
     # clustered), so its result is definitionally the exact sparse dot.
     sqls["seismic_ann"] = sqls["sparse_dot_topk"]
+    # quantized tier: integer tf → u8 grid {85,170,255} → dequantized
+    # {1,2,3} survives the FeatureField round-trip exactly
+    sqls["sparse_dot_topk_quantized"] = _topk_sql(
+        f"""
+  SELECT 0::BIGINT AS query_id, tf.doc_id,
+         sum(q.w * least(tf.tf, 3))::DOUBLE AS score
+  FROM (SELECT * FROM (VALUES {dot_values}) AS v(term, w)) q
+  JOIN ({SQL_TF}) tf ON tf.term = q.term
+  GROUP BY tf.doc_id""",
+        BM25_K,
+    )
 
     # hybrid min_max + arithmetic mean (weights 0.7/0.3, k=5 over top-10 subs)
     sqls["hybrid_minmax_arith"] = _hybrid_minmax_sql()
@@ -1110,6 +1181,12 @@ FROM s GROUP BY user_id, session_id"""
     sqls["top_events"] = (
         "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100"
     )
+    sqls["events_page2"] = """
+SELECT event_id, value FROM (
+  SELECT event_id, value,
+         row_number() OVER (ORDER BY value DESC, event_id) AS rn
+  FROM events)
+WHERE rn > 100 AND rn <= 200"""
     sqls["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -1534,4 +1611,6 @@ def build_queries() -> dict:
         "ivf_ann": q_ivf_ann,
         "chunk_fixed_token_uax": q_chunk_fixed_token_uax,
         "hybrid_minmax_bounded": q_hybrid_minmax_bounded,
+        "sparse_dot_topk_quantized": q_sparse_dot_topk_quantized,
+        "events_page2": q_events_page2,
     }

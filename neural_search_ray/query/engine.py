@@ -214,6 +214,13 @@ class IndexSearcher:
             order = np.argsort(docs, kind="stable")
             docs = docs[order]
             tfs = tfs[order]
+        if self.manifest.weight_quantization == "u8":
+            # quantized tier: stored "tf" is the FeatureField-encoded
+            # frequency — decode back to the float32 weight grid
+            # (ValueEncoder.java:34-42)
+            from ..stages.quantize import feature_decode
+
+            tfs = feature_decode(tfs.astype(np.int64)).astype(np.float64)
         pos = np.searchsorted(self._dl_doc_ids, docs)
         k1, b = self.bm25.k1, self.bm25.b
         norm = k1 * (1.0 - b + b * self._dl[pos] / self.avgdl)

@@ -2,6 +2,7 @@
 (docIDs AND scores) vs the single-process oracle."""
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 import ray
@@ -132,3 +133,53 @@ def test_resume_skips_complete_segment(built, sf_dir):
     m2 = build_index(ds, index_dir, IndexConfig(num_shards=4, num_salts=2))
     assert time.time() - t0 < 2.0  # skipped, no pipeline run
     assert m2.n_docs == manifest.n_docs
+
+
+class TestQuantizedTier:
+    def test_quantized_build_and_dot(self, tmp_path):
+        """weight_quantization='u8' end-to-end: postings store
+        FeatureField-encoded freqs, the searcher decodes to the weight
+        grid, the forward sidecar stores uint8 codes on disk."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from neural_search_ray.config import IndexConfig
+        from neural_search_ray.index.build import build_index
+        from neural_search_ray.index.forward import ShardForward, build_forward_index
+        from neural_search_ray.query.engine import IndexSearcher
+
+        t = pa.table({
+            "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+            "text": pa.array([
+                "w", "w w", "w w w", "w w w w w",  # tf 1,2,3,5 → weights 1,2,3,3
+                "z z z z z z z", "w z",
+            ]),
+        })
+        idx = str(tmp_path / "q8")
+        build_index(
+            ray.data.from_arrow(t), idx,
+            IndexConfig(num_shards=2, num_salts=1, weight_quantization="u8"),
+        )
+        s = IndexSearcher(idx)
+        docs, tfs = s.postings("w")
+        got = dict(zip(docs.tolist(), tfs.tolist()))
+        assert got == {0: 1.0, 1: 2.0, 2: 3.0, 3: 3.0, 5: 1.0}  # clipped at ceiling
+        d, sc = s.search_sparse_dot({"w": 2.0, "z": 1.0}, k=3)
+        # doc2/doc3: w=3.0 → 6.0 (tie → doc2 first); doc1: w=2.0 → 4.0
+        assert d.tolist() == [2, 3, 1]
+        assert sc.tolist() == [6.0, 6.0, 4.0]
+        # forward sidecar stores uint8 on disk, dequantizes at load
+        build_forward_index(idx)
+        for shard in (0, 1):
+            flat = pq.read_table(str(tmp_path / "q8" / "forward" / f"flat_s{shard:04d}.parquet"))
+            assert pa.types.is_uint8(flat["weight"].type)
+        fwd = ShardForward(idx, 0)
+        assert set(np.unique(fwd.flat_w)) <= {1.0, 2.0, 3.0}
+
+    def test_feature_roundtrip_truncates_off_grid(self):
+        from neural_search_ray.stages.quantize import feature_decode, feature_encode
+
+        w = np.array([1.37, 2.9, 0.004], dtype=np.float32)
+        back = feature_decode(feature_encode(w))
+        assert np.all(back <= w + 1e-12)  # truncation, never inflation
+        assert np.allclose(back, w, rtol=2 ** -7)  # 7 mantissa bits kept

@@ -212,3 +212,47 @@ class TestMinMaxBounds:
         subs = [(np.array([1, 2]), np.array([0.5, 0.2]))]
         with pytest.raises(ValueError, match="mismatch"):
             hybrid_rank(subs, lower_bounds=[{"mode": "apply"}, {"mode": "apply"}])
+
+
+class TestSearchAfter:
+    def test_keyset_pages_partition_exactly(self):
+        import ray.data
+
+        from neural_search_ray.rank.paging import search_after
+
+        rng = np.random.RandomState(5)
+        n = 500
+        t = {"id": np.arange(n, dtype=np.int64),
+             "v": rng.randint(0, 50, n).astype(np.float64)}  # many ties
+        import pyarrow as pa
+
+        tab = pa.table(t)
+        keys = [("v", "desc"), ("id", "asc")]
+        full = sorted(zip(t["v"], t["id"]), key=lambda r: (-r[0], r[1]))
+        pages, after = [], None
+        for _ in range(4):
+            rows = search_after(ray.data.from_arrow(tab), keys, after, 150).take_all()
+            if not rows:
+                break
+            pages.extend((r["v"], r["id"]) for r in rows)
+            after = [rows[-1]["v"], rows[-1]["id"]]
+        assert pages == full  # pages partition the full ordering exactly
+
+    def test_after_mask_strictness(self):
+        import pyarrow as pa
+
+        from neural_search_ray.rank.paging import _after_mask
+
+        b = pa.table({"v": [3.0, 2.0, 2.0, 1.0], "id": [7, 5, 9, 1]})
+        m = _after_mask(b, [("v", "desc"), ("id", "asc")], [2.0, 5])
+        # after (2.0, 5): qualifying = (2.0, 9) and (1.0, 1); (3.0,·) is
+        # before, (2.0, 5) itself is excluded
+        assert m.tolist() == [False, False, True, True]
+
+    def test_after_length_mismatch(self):
+        import ray.data
+
+        from neural_search_ray.rank.paging import search_after
+
+        with pytest.raises(ValueError):
+            search_after(ray.data.range(5), [("id", "asc")], [1, 2], 10)
