@@ -58,35 +58,73 @@ def _sparse_encoding_stage(text_column: str = "text", id_column: str = "doc_id",
     return fn
 
 
-class HashEmbeddingStage:
+class InferenceStage:
+    """Model-inference actor stage: the adapter seam for a real model.
+
+    Subclasses implement ``load_model()`` (once per actor — weights,
+    tokenizer, device) and ``infer_batch(texts) -> (n, dim) ndarray``.
+    ``__call__`` applies the reference's LENGTH-SORT MICRO-BATCHER
+    (InferenceProcessor.java:221-270): rows are sorted by text length,
+    cut into ``micro_batch_size`` model calls (so padding within a model
+    batch is minimal), and results are restored to input order. A GPU
+    deployment swaps in a subclass whose infer_batch calls the model —
+    no pipeline re-plumbing (the ML-Commons client seam,
+    ml/MLCommonsClientAccessor.java:109-515)."""
+
+    output_column = "embedding"
+
+    def __init__(self, text_column: str = "text", dim: int = 32,
+                 micro_batch_size: int = 64):
+        self.text_column = text_column
+        self.dim = dim
+        self.micro_batch_size = micro_batch_size
+        self.load_model()
+
+    def load_model(self) -> None:  # once per actor
+        pass
+
+    def infer_batch(self, texts: list[str]) -> np.ndarray:
+        raise NotImplementedError
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch[self.text_column].to_pylist()]
+        order = np.argsort([len(t) for t in texts], kind="stable")
+        out = np.empty((len(texts), self.dim), dtype=np.float64)
+        for s in range(0, len(order), self.micro_batch_size):
+            idx = order[s : s + self.micro_batch_size]
+            out[idx] = self.infer_batch([texts[i] for i in idx])
+        return batch.append_column(
+            self.output_column,
+            pa.array(list(out), type=pa.list_(pa.float64())),
+        )
+
+
+class HashEmbeddingStage(InferenceStage):
     """Deterministic dense-embedding stub (callable class → actor pool):
     embedding[j] = sum over tokens of ±1/sqrt(dim) by bit j of h64(token).
-    Stands in for the ML-Commons model call (ml/MLCommonsClientAccessor
-    .java:109-515); swap with a real model class in deployment."""
+    Stands in for the ML-Commons model call; a real deployment subclasses
+    InferenceStage with actual weights — the micro-batcher and actor
+    plumbing stay identical."""
 
-    def __init__(self, text_column: str = "text", dim: int = 32):
+    def load_model(self) -> None:
         from ..analysis.analyzer import tokenize
         from ..dedup.common import h64
 
         self._tokenize = tokenize
         self._h64 = h64
-        self.text_column = text_column
-        self.dim = dim
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def infer_batch(self, texts: list[str]) -> np.ndarray:
         dim = self.dim
-        out = []
         scale = 1.0 / np.sqrt(dim)
-        for text in batch[self.text_column].to_pylist():
+        out = np.empty((len(texts), dim), dtype=np.float64)
+        for row, text in enumerate(texts):
             acc = np.zeros(dim)
-            for t in self._tokenize(text or ""):
+            for t in self._tokenize(text):
                 h = self._h64(t)
                 bits = (h >> np.arange(dim, dtype=np.uint64)) & np.uint64(1)
                 acc += np.where(bits == 1, scale, -scale)
-            out.append(acc.tolist())
-        return batch.append_column(
-            "embedding", pa.array(out, type=pa.list_(pa.float64()))
-        )
+            out[row] = acc
+        return out
 
 
 def _chunking_stage(**params):

@@ -335,6 +335,41 @@ def q_hybrid_minmax_bounded(sf_dir: str) -> pa.Table:
     return _hits_table(rows)
 
 
+def q_hybrid_fieldsort(sf_dir: str) -> pa.Table:
+    """Hybrid FIELD-SORT collector
+    (HybridTopFieldDocSortCollector.java): the matched union ranked by
+    n_chars desc (doc-values lookup), combined score reported per hit."""
+    from ..rank.hybrid import hybrid_rank_field_sorted
+
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, rs, ds_, fvs, ss = [], [], [], [], []
+    for qid, qtext in QUERY_SET:
+        subs = _subquery_results(searcher, qtext, k=10)
+        docs, fv, scores = hybrid_rank_field_sorted(
+            subs,
+            lambda ids: searcher.field_values(ids, "n_chars")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            descending=True, k=5, weights=[0.7, 0.3],
+        )
+        qs.append(np.full(docs.size, qid, dtype=np.int64))
+        rs.append(np.arange(1, docs.size + 1, dtype=np.int64))
+        ds_.append(docs)
+        fvs.append(fv.astype(np.int64))
+        ss.append(round_half_up(scores, 6))
+    cat = lambda a, dt: np.concatenate(a) if a else np.empty(0, dt)  # noqa: E731
+    return pa.table(
+        {
+            "query_id": pa.array(cat(qs, np.int64)),
+            "rank": pa.array(cat(rs, np.int64)),
+            "doc_id": pa.array(cat(ds_, np.int64)),
+            "n_chars": pa.array(cat(fvs, np.int64)),
+            "score": pa.array(cat(ss, np.float64)),
+        }
+    )
+
+
 def q_hybrid_rrf(sf_dir: str) -> pa.Table:
     searcher = get_searcher(sf_dir)
     rows = []
@@ -797,22 +832,43 @@ def q_embed_neardup(sf_dir: str) -> pa.Table:
 def q_fingerprint_winnow(sf_dir: str) -> "ray.data.Dataset":
     """Winnowing-style doc fingerprint: min 63-bit md5 hash over 32-char
     windows at stride 16 (whole text when shorter than 32 chars)."""
-    from ..dedup.common import h64
+    import hashlib
 
     def fn(batch: pa.Table) -> pa.Table:
-        fps = []
-        for t in batch["text"].to_pylist():
+        # md5-per-window is irreducible (the DuckDB md5_number_lower
+        # oracle pins the hash); the loop is tightened to byte-slices of
+        # the encoded buffer via memoryview — no per-window str objects
+        # on the ASCII fast path (char==byte). Non-ASCII docs fall back
+        # to char-based slicing (SQL substring is char-based).
+        md5 = hashlib.md5
+        MASK = 0x7FFFFFFFFFFFFFFF
+        fps = np.empty(batch.num_rows, dtype=np.int64)
+        for row, t in enumerate(batch["text"].to_pylist()):
             t = t or ""
+            bs = t.encode("utf-8")
             if len(t) < 32:
-                fps.append(h64(t) & 0x7FFFFFFFFFFFFFFF)
+                fps[row] = (
+                    int.from_bytes(md5(bs).digest()[8:16], "little") & MASK
+                )
                 continue
-            best = min(
-                h64(t[i : i + 32]) & 0x7FFFFFFFFFFFFFFF
-                for i in range(0, len(t) - 31, 16)
-            )
-            fps.append(best)
+            if len(bs) == len(t):  # pure ASCII: slice bytes directly
+                mv = memoryview(bs)
+                fps[row] = min(
+                    int.from_bytes(md5(mv[i : i + 32]).digest()[8:16], "little")
+                    & MASK
+                    for i in range(0, len(t) - 31, 16)
+                )
+            else:
+                fps[row] = min(
+                    int.from_bytes(
+                        md5(t[i : i + 32].encode("utf-8")).digest()[8:16],
+                        "little",
+                    )
+                    & MASK
+                    for i in range(0, len(t) - 31, 16)
+                )
         return pa.table({"doc_id": batch["doc_id"],
-                         "winnow_fp": pa.array(fps, type=pa.int64())})
+                         "winnow_fp": pa.array(fps)})
 
     return _docs_ds(sf_dir).map_batches(fn, batch_format="pyarrow")
 
@@ -1088,6 +1144,7 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     # hybrid min_max + arithmetic mean (weights 0.7/0.3, k=5 over top-10 subs)
     sqls["hybrid_minmax_arith"] = _hybrid_minmax_sql()
     sqls["hybrid_minmax_bounded"] = _hybrid_minmax_bounded_sql()
+    sqls["hybrid_fieldsort"] = _hybrid_fieldsort_sql()
     sqls["hybrid_rrf"] = _hybrid_rrf_sql()
 
     # chunkers
@@ -1327,9 +1384,10 @@ FROM d WHERE n < 32"""
     return sqls
 
 
-def _hybrid_minmax_sql() -> str:
-    """min_max normalize (over each subquery's top-10 per query) + weighted
-    arithmetic mean (0.7 bm25, 0.3 dot), top-5."""
+def _hybrid_minmax_combined_cte() -> str:
+    """Shared WITH-body: min_max normalize (over each subquery's top-10
+    per query) + weighted arithmetic mean (0.7 bm25, 0.3 dot) →
+    ``combined(query_id, doc_id, score)``."""
     bm_top = _topk_raw_sql(_bm25_scored_sql(), 10)
     dot_scored = f"""
   SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
@@ -1347,8 +1405,7 @@ def _hybrid_minmax_sql() -> str:
                min(score) OVER (PARTITION BY query_id) AS mn,
                max(score) OVER (PARTITION BY query_id) AS mx
         FROM ({top}))"""
-    return f"""
-WITH bmn AS ({norm.format(top=bm_top)}),
+    return f"""bmn AS ({norm.format(top=bm_top)}),
      dtn AS ({norm.format(top=dot_top)}),
      joined AS (
        SELECT coalesce(b.query_id, d.query_id) AS query_id,
@@ -1361,12 +1418,30 @@ WITH bmn AS ({norm.format(top=bm_top)}),
               (coalesce(0.7 * s1, 0) + coalesce(0.3 * s2, 0)) /
               (CASE WHEN s1 IS NULL THEN 0 ELSE 0.7 END +
                CASE WHEN s2 IS NULL THEN 0 ELSE 0.3 END) AS score
-       FROM joined)
+       FROM joined)"""
+
+
+def _hybrid_minmax_sql() -> str:
+    return f"""
+WITH {_hybrid_minmax_combined_cte()}
 SELECT query_id, rank, doc_id, score FROM (
   SELECT query_id, doc_id, round(score, 6) AS score,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(score, 6) DESC, doc_id) AS rank
   FROM combined) WHERE rank <= 5"""
+
+
+def _hybrid_fieldsort_sql() -> str:
+    """Field-sort collector: top-5 of the matched union by n_chars desc
+    (tie: doc_id asc); the combined score is reported per hit."""
+    return f"""
+WITH {_hybrid_minmax_combined_cte()}
+SELECT query_id, rank, doc_id, n_chars, score FROM (
+  SELECT c.query_id, c.doc_id, d.n_chars::BIGINT AS n_chars,
+         round(c.score, 6) AS score,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rank
+  FROM combined c JOIN documents d USING (doc_id)) WHERE rank <= 5"""
 
 
 def _hybrid_minmax_bounded_sql() -> str:
@@ -1613,4 +1688,5 @@ def build_queries() -> dict:
         "hybrid_minmax_bounded": q_hybrid_minmax_bounded,
         "sparse_dot_topk_quantized": q_sparse_dot_topk_quantized,
         "events_page2": q_events_page2,
+        "hybrid_fieldsort": q_hybrid_fieldsort,
     }

@@ -103,3 +103,41 @@ def hybrid_rank(
         for i in order
     ]
     return (*result, explanations)
+
+
+def hybrid_rank_field_sorted(
+    subquery_results: list[tuple[np.ndarray, np.ndarray]],
+    field_values_of,
+    descending: bool = True,
+    k: int = 10,
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+    weights=None,
+    rank_constant: int = 60,
+):
+    """Hybrid FIELD-SORT collector
+    (search/collector/HybridTopFieldDocSortCollector.java): the matched
+    union is collected top-k by a document FIELD (ties: doc_id asc), not
+    by the combined score; the combined score is still computed and
+    reported per hit.
+
+    ``field_values_of(doc_ids) -> np.ndarray`` is the doc-values lookup
+    (engine-side, IndexSearcher.field_values).
+
+    Returns (doc_ids, field_values, combined_scores) in page order.
+    """
+    # rank by combined score over the full union first (k = union size)
+    union = np.unique(
+        np.concatenate(
+            [d for d, _ in subquery_results if d.size] or [np.empty(0, np.int64)]
+        )
+    )
+    if union.size == 0:
+        return (np.empty(0, np.int64), np.empty(0), np.empty(0, np.float64))
+    docs, scores = hybrid_rank(
+        subquery_results, normalization, combination, weights,
+        k=union.size, rank_constant=rank_constant,
+    )
+    fv = np.asarray(field_values_of(docs))
+    order = np.lexsort((docs, -fv if descending else fv))[:k]
+    return docs[order], fv[order], scores[order]

@@ -1,6 +1,8 @@
 """Declarative ingest-pipeline compiler tests."""
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 import ray
 
@@ -91,3 +93,71 @@ def test_semantic_field_composition(ray_session):
     assert all(len(r["embedding"]) == 8 for r in out)
     assert {r["doc_id"] for r in out} == {0, 1}
     assert max(r["chunk_idx"] for r in out) >= 1  # chunking happened
+
+
+class TestSkipExisting:
+    """skip_existing / InferenceFilter incremental reuse
+    (InferenceProcessor.java:454-478, 675-761)."""
+
+    def _docs(self, texts):
+        return pa.table({
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        })
+
+    @staticmethod
+    def _collect(ds):
+        # uint64 text_hash overflows from_pylist int64 inference — stay Arrow
+        tables = ray.get(ds.to_arrow_refs())
+        return pa.concat_tables([t for t in tables if t.num_rows > 0])
+
+    def test_first_run_then_incremental(self):
+        import ray.data
+
+        from neural_search_ray.pipelines.ingest import HashEmbeddingStage
+        from neural_search_ray.stages.skip_existing import incremental_embed
+
+        texts = [f"doc number {i} words here" for i in range(40)]
+        first = self._collect(
+            incremental_embed(
+                ray.data.from_arrow(self._docs(texts)), None,
+                HashEmbeddingStage, embed_kwargs={"dim": 8},
+            )
+        )
+        assert first.num_rows == 40
+        assert not pc.any(first["reused"]).as_py()
+
+        # modify 3 docs, add 2 new, drop 1
+        texts2 = list(texts)
+        for i in (5, 17, 23):
+            texts2[i] = texts2[i] + " CHANGED"
+        texts2 = texts2[:-1] + [f"brand new doc {j}" for j in (100, 101)]
+        new_tab = self._docs(texts2)
+        second = self._collect(
+            incremental_embed(
+                ray.data.from_arrow(new_tab),
+                ray.data.from_arrow(first.select(["doc_id", "text_hash", "embedding"])),
+                HashEmbeddingStage, embed_kwargs={"dim": 8}, num_partitions=2,
+            )
+        )
+        assert second.num_rows == 41  # 39 kept + 3 changed-in-place... (40-1)+2
+        by_id = {r["doc_id"]: r for r in second.to_pylist()}
+        changed = {5, 17, 23, 39, 40}  # 39/40 are the two new docs
+        for i, r in by_id.items():
+            assert r["reused"] == (i not in changed), i
+        # reused embeddings identical to run 1; changed ones recomputed
+        first_by_id = {r["doc_id"]: r for r in first.to_pylist()}
+        assert by_id[6]["embedding"] == first_by_id[6]["embedding"]
+        assert by_id[5]["embedding"] != first_by_id[5]["embedding"]
+
+    def test_length_sort_micro_batcher_order_restored(self):
+        from neural_search_ray.pipelines.ingest import HashEmbeddingStage
+
+        texts = ["short", "a much longer text with many words inside", "mid size one",
+                 "x", "another fairly long piece of text right here"]
+        batch = pa.table({"doc_id": pa.array(list(range(5)), pa.int64()),
+                          "text": pa.array(texts)})
+        tiny = HashEmbeddingStage(dim=8, micro_batch_size=2)(batch)
+        whole = HashEmbeddingStage(dim=8, micro_batch_size=64)(batch)
+        assert tiny["embedding"].to_pylist() == whole["embedding"].to_pylist()
+        assert tiny["doc_id"].to_pylist() == [0, 1, 2, 3, 4]
