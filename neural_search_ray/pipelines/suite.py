@@ -335,6 +335,43 @@ def q_hybrid_minmax_bounded(sf_dir: str) -> pa.Table:
     return _hits_table(rows)
 
 
+def q_semantic_highlight(sf_dir: str) -> pa.Table:
+    """Semantic highlighting (SemanticHighlighter.java, stub scorer =
+    distinct-query-term overlap): best 20-token window of each bm25
+    top-10 hit wrapped in <em>; zero-overlap docs pass through
+    unchanged. Hit texts are fetched with parquet row-filter pushdown —
+    only the ~80 hit rows leave storage."""
+    import pyarrow.parquet as pq2
+
+    from ..rank.highlight import highlight_text
+
+    searcher = get_searcher(sf_dir)
+    hits: list[tuple[int, int, set]] = []
+    for qid, qtext in QUERY_SET:
+        terms = set(tokenize(qtext))
+        docs, _ = searcher.search_bm25(sorted(terms), k=10)
+        hits.extend((qid, int(d), terms) for d in docs)
+    wanted = sorted({d for _, d, _ in hits})
+    t = pq2.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", wanted)],
+    )
+    text_of = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    qs, ds_, hl = [], [], []
+    for qid, d, terms in hits:
+        qs.append(qid)
+        ds_.append(d)
+        hl.append(highlight_text(terms, text_of[d] or "")[0])
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "doc_id": pa.array(ds_, type=pa.int64()),
+            "highlighted": pa.array(hl, type=pa.string()),
+        }
+    )
+
+
 def q_hybrid_fieldsort(sf_dir: str) -> pa.Table:
     """Hybrid FIELD-SORT collector
     (HybridTopFieldDocSortCollector.java): the matched union ranked by
@@ -1145,6 +1182,7 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["hybrid_minmax_arith"] = _hybrid_minmax_sql()
     sqls["hybrid_minmax_bounded"] = _hybrid_minmax_bounded_sql()
     sqls["hybrid_fieldsort"] = _hybrid_fieldsort_sql()
+    sqls["semantic_highlight"] = _semantic_highlight_sql()
     sqls["hybrid_rrf"] = _hybrid_rrf_sql()
 
     # chunkers
@@ -1508,6 +1546,46 @@ SELECT query_id, rank, doc_id, score FROM (
   FROM combined) WHERE rank <= 5"""
 
 
+def _semantic_highlight_sql() -> str:
+    """Window-mode highlight oracle: for each bm25 top-10 hit, the
+    20-token window with the most DISTINCT query terms (tie: earliest)
+    is wrapped in <em>; zero overlap → text unchanged. Valid because the
+    corpus text is single-space tokens (text == join(tokens, ' '))."""
+    W = 20
+    hits = _topk_raw_sql(_bm25_scored_sql(), 10)
+    return f"""
+WITH qts AS (
+  SELECT query_id, list(term) AS terms FROM ({_query_values_sql()}) GROUP BY query_id),
+h AS (SELECT query_id, doc_id FROM ({hits})),
+dt AS (
+  SELECT h.query_id, h.doc_id, d.text,
+         string_split(d.text, ' ') AS toks,
+         len(string_split(d.text, ' ')) AS n
+  FROM h JOIN documents d USING (doc_id)),
+scored AS (
+  SELECT dt.query_id, dt.doc_id, dt.text, dt.toks, dt.n, g.i AS w,
+         len(list_intersect(list_distinct(dt.toks[(g.i-1)*{W}+1 : least(g.i*{W}, dt.n)]),
+                            q.terms)) AS score
+  FROM dt JOIN qts q USING (query_id)
+  CROSS JOIN generate_series(1, 4000) AS g(i)
+  WHERE (g.i - 1) * {W} < dt.n),
+best AS (
+  SELECT query_id, doc_id, text, toks, n, w, score,
+         row_number() OVER (PARTITION BY query_id, doc_id
+                            ORDER BY score DESC, w) AS rn
+  FROM scored)
+SELECT query_id, doc_id,
+       CASE WHEN score = 0 THEN text ELSE
+         CASE WHEN w > 1
+              THEN array_to_string(toks[1:(w-1)*{W}], ' ') || ' ' ELSE '' END
+         || '<em>' || array_to_string(toks[(w-1)*{W}+1 : least(w*{W}, n)], ' ')
+         || '</em>'
+         || CASE WHEN w*{W} < n
+                 THEN ' ' || array_to_string(toks[w*{W}+1 : n], ' ') ELSE '' END
+       END AS highlighted
+FROM best WHERE rn = 1"""
+
+
 def _hybrid_rrf_sql() -> str:
     bm_top = _bm25_scored_sql()
     dot_scored = f"""
@@ -1689,4 +1767,5 @@ def build_queries() -> dict:
         "sparse_dot_topk_quantized": q_sparse_dot_topk_quantized,
         "events_page2": q_events_page2,
         "hybrid_fieldsort": q_hybrid_fieldsort,
+        "semantic_highlight": q_semantic_highlight,
     }

@@ -256,3 +256,51 @@ class TestSearchAfter:
 
         with pytest.raises(ValueError):
             search_after(ray.data.range(5), [("id", "asc")], [1, 2], 10)
+
+
+class TestSemanticHighlight:
+    def test_sentence_mode(self):
+        from neural_search_ray.rank.highlight import highlight_text
+
+        text = "The cat sat here. Vector search is fast and scalable. Nothing else."
+        out, score = highlight_text({"vector", "search"}, text)
+        assert out == (
+            "The cat sat here. <em>Vector search is fast and scalable.</em> Nothing else."
+        )
+        assert score == 2
+
+    def test_window_mode_and_zero_overlap(self):
+        from neural_search_ray.rank.highlight import highlight_text
+
+        text = " ".join(f"w{i}" for i in range(50))
+        out, score = highlight_text({"w25"}, text, window=20)
+        assert score == 1
+        assert out.startswith("w0") and "<em>w20" in out and out.endswith("w49")
+        # zero overlap → unchanged
+        out2, s2 = highlight_text({"absent"}, text, window=20)
+        assert out2 == text and s2 == 0
+
+    def test_custom_scorer_seam(self):
+        from neural_search_ray.rank.highlight import highlight_text
+
+        # a "model" scorer that prefers the LAST fragment
+        def last_wins(frags, terms):
+            return np.arange(len(frags))
+
+        text = "One sentence here. Another sentence there."
+        out, _ = highlight_text(set(), text, scorer=last_wins)
+        assert out.endswith("<em>Another sentence there.</em>")
+
+    def test_stage_batch(self):
+        import pyarrow as pa
+
+        from neural_search_ray.rank.highlight import SemanticHighlightStage
+
+        batch = pa.table({
+            "query_id": pa.array([0], pa.int64()),
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["alpha beta. gamma delta query."]),
+            "query_text": pa.array(["the query"]),
+        })
+        out = SemanticHighlightStage()(batch)
+        assert out["highlighted"][0].as_py() == "alpha beta. <em>gamma delta query.</em>"
