@@ -98,12 +98,21 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
     # num_cpus: the scaling comparison must run the identical job at two
     # cluster sizes, or block-size/memory effects masquerade as scaling.
     cfg = IndexConfig(num_shards=16, num_salts=8)
-    t0 = time.perf_counter()
-    pages = generate_pages(n_pages, seed=42, parallelism=128).map_batches(
-        extract_text_stage, batch_format="pyarrow", batch_size=None
-    )
-    build_index(pages, index_dir, cfg, segment_id="bench")
-    timings["index_build"] = time.perf_counter() - t0
+    # best-of-2 on small jobs: the shared sandbox box has noisy
+    # co-tenants and the driver runs this ONCE — a single cold build can
+    # read 3-5x slow. Large (scaling) jobs amortize and run once.
+    build_reps = 2 if n_pages <= 200_000 else 1
+    best = None
+    for rep in range(build_reps):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        pages = generate_pages(n_pages, seed=42, parallelism=128).map_batches(
+            extract_text_stage, batch_format="pyarrow", batch_size=None
+        )
+        build_index(pages, index_dir, cfg, segment_id="bench")
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    timings["index_build"] = best
     build_docs_per_sec = n_pages / timings["index_build"]
 
     # ---- query latency over the built index ----------------------------
@@ -168,11 +177,15 @@ def run_scaling(sf_dir: str, cpus_low: int = 8, cpus_high: int = 32,
     CPU-bound at the high parallelism (a 100k-doc job finishes in ~2s of
     real work at 32 cpus — any fixed executor cost would swamp the
     measurement, which says nothing about cluster-size scaling)."""
-    results = {}
+    results: dict[int, dict | None] = {cpus_low: None, cpus_high: None}
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
-    for cpus in (cpus_low, cpus_high):
-        best = None
-        for _ in range(repeats):  # best-of-N: the sandbox box has noisy co-tenants
+    # INTERLEAVE the two levels per repeat round (low, high, low, high...)
+    # rather than all-low-then-all-high: the sandbox box has noisy
+    # co-tenants whose load drifts over minutes, and a slow window that
+    # hits only one level fabricates a scaling artifact. Best-of-N per
+    # level on top.
+    for _ in range(repeats):
+        for cpus in (cpus_low, cpus_high):
             env = dict(os.environ)
             env["PYTHONPATH"] = REPO
             env["GRAFT_SF_DIR"] = sf_dir
@@ -183,9 +196,9 @@ def run_scaling(sf_dir: str, cpus_low: int = 8, cpus_high: int = 32,
             )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
+            best = results[cpus]
             if best is None or r["build_docs_per_sec"] > best["build_docs_per_sec"]:
-                best = r
-        results[cpus] = best
+                results[cpus] = r
     t_low = results[cpus_low]["build_docs_per_sec"]
     t_high = results[cpus_high]["build_docs_per_sec"]
     ratio = cpus_high / cpus_low
