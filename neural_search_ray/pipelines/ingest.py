@@ -36,24 +36,49 @@ import ray.data
 
 def _sparse_encoding_stage(text_column: str = "text", id_column: str = "doc_id",
                            prune_type: str | None = None, prune_ratio: float = 0.0):
-    from ..analysis.analyzer import tokenize
-    from ..stages.prune import prune_sparse_vector
+    """Vectorized sparse encoding: the tfvec kernel (Arrow C++ analyzer
+    fast path → dictionary_encode → paired np.unique) plus the segmented
+    prune mask — no per-row tokenize loop (scalar semantics preserved:
+    per-doc token lists are term-lexicographic)."""
+    import pyarrow.compute as pc
+
+    from ..config import AnalyzerConfig
+    from ..stages.tfvec import _segment_prune_mask, doc_term_tf
+
+    cfg = AnalyzerConfig()
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks_col, w_col = [], []
-        for text in batch[text_column].to_pylist():
-            toks = tokenize(text or "")
-            vec: dict[str, float] = {}
-            for t in toks:
-                vec[t] = vec.get(t, 0.0) + 1.0
+        n = batch.num_rows
+        doc_idx, codes, tf, uniques = doc_term_tf(batch, cfg, id_column, text_column)
+        w = tf.astype(np.float64)
+        if codes.size:
+            sort_idx = pc.sort_indices(uniques).to_numpy(zero_copy_only=False)
+            rank_by_code = np.empty(len(uniques), dtype=np.int64)
+            rank_by_code[sort_idx] = np.arange(len(uniques))
             if prune_type:
-                vec = prune_sparse_vector(prune_type, prune_ratio, vec)
-            keys = sorted(vec)
-            toks_col.append(keys)
-            w_col.append([vec[k] for k in keys])
+                order, keep = _segment_prune_mask(
+                    doc_idx, rank_by_code, codes, w, prune_type, prune_ratio
+                )
+                sel = order[keep]
+                doc_idx, codes, w = doc_idx[sel], codes[sel], w[sel]
+            o2 = np.lexsort((rank_by_code[codes], doc_idx))
+            doc_idx, codes, w = doc_idx[o2], codes[o2], w[o2]
+        counts = np.bincount(doc_idx, minlength=n) if n else np.zeros(0, np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        tok_flat = (
+            uniques.take(pa.array(codes)) if codes.size
+            else pa.array([], type=pa.string())
+        )
         return batch.append_column(
-            "tokens", pa.array(toks_col, type=pa.list_(pa.string()))
-        ).append_column("weights", pa.array(w_col, type=pa.list_(pa.float64())))
+            "tokens",
+            pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()), tok_flat),
+        ).append_column(
+            "weights",
+            pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int64()), pa.array(w, type=pa.float64())
+            ),
+        )
 
     return fn
 
