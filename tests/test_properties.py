@@ -102,3 +102,77 @@ def test_pathological_skew_build(tmp_path, ray_session):
     assert d.size == 5
     # highest tf (14) + shortest dl wins; all docs have only 'the'
     assert sc[0] == max(sc)
+
+
+class TestTfvecProperties:
+    """Vectorized segmented kernels == scalar reference on random input."""
+
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=30),
+            min_size=1, max_size=12,
+        ),
+        st.sampled_from([("top_k", 3), ("max_ratio", 0.5),
+                         ("abs_value", 2.0), ("alpha_mass", 0.4)]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_prune_stage_matches_scalar(self, docs, strat):
+        import pyarrow as pa
+
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.stages.prune import prune_sparse_vector
+        from neural_search_ray.stages.tfvec import make_prune_tf_stage
+
+        ptype, ratio = strat
+        texts = [" ".join(d) for d in docs]
+        batch = pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+        })
+        out = make_prune_tf_stage(ptype, ratio)(batch)
+        got = sorted(zip(out["doc_id"].to_pylist(), out["term"].to_pylist(),
+                         out["tf"].to_pylist()))
+        want = []
+        for i, t in enumerate(texts):
+            vec = {}
+            for tok in tokenize(t):
+                vec[tok] = vec.get(tok, 0.0) + 1.0
+            for k, v in prune_sparse_vector(ptype, ratio, vec).items():
+                want.append((i, k, int(v)))
+        assert got == sorted(want)
+
+    @given(
+        st.lists(st.text(alphabet="ab cd.", min_size=0, max_size=40),
+                 min_size=1, max_size=8),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_tf_rows_match_scalar(self, texts):
+        import pyarrow as pa
+
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.stages.tfvec import tf_rows_stage
+
+        batch = pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+        })
+        out = tf_rows_stage()(batch)
+        got = sorted(zip(out["doc_id"].to_pylist(), out["term"].to_pylist(),
+                         out["tf"].to_pylist()))
+        want = []
+        for i, t in enumerate(texts):
+            tf = {}
+            for tok in tokenize(t):
+                tf[tok] = tf.get(tok, 0) + 1
+            want.extend((i, k, v) for k, v in tf.items())
+        assert got == sorted(want)
+
+    @given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=200))
+    @settings(max_examples=30, deadline=None)
+    def test_universal_hash_property(self, hs):
+        from neural_search_ray.dedup.common import MERSENNE_61, universal_hash
+
+        h = np.asarray(hs, dtype=np.uint64)
+        for a, b in [(1610612741, 2971215073), (3, 7)]:
+            want = [(a * int(x) + b) % MERSENNE_61 for x in h]
+            assert universal_hash(h, a, b).tolist() == want
