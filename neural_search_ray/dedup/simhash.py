@@ -30,6 +30,27 @@ def simhash32(text: str) -> int:
 
 
 def simhash_stage(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    ids = batch[id_col]
-    fps = [simhash32(t) for t in batch[text_col].to_pylist()]
-    return pa.table({id_col: ids, "simhash": pa.array(fps, type=pa.int64())})
+    """Batch-vectorized: one analyze_column pass, md5 once per UNIQUE
+    term in the batch, per-doc bit accumulation via reduceat — matches
+    simhash32 exactly (pytest parity)."""
+    from ..stages.tfvec import doc_term_tf
+
+    n = batch.num_rows
+    doc_idx, codes, tfs, uniques = doc_term_tf(
+        batch, id_column=id_col, text_column=text_col
+    )
+    fps = np.zeros(n, dtype=np.int64)
+    if codes.size:
+        uniq_h = np.fromiter(
+            (h64(t) & 0xFFFFFFFF for t in uniques.to_pylist()),
+            dtype=np.uint64, count=len(uniques),
+        )
+        bits = (
+            uniq_h[codes][:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)
+        ) & np.uint64(1)
+        contrib = np.where(bits == 1, tfs[:, None], -tfs[:, None])
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(doc_idx) != 0) + 1))
+        sums = np.add.reduceat(contrib, starts, axis=0)
+        fp_bits = (sums > 0).astype(np.int64)
+        fps[doc_idx[starts]] = fp_bits @ (1 << np.arange(SIMHASH_BITS, dtype=np.int64))
+    return pa.table({id_col: batch[id_col], "simhash": pa.array(fps)})

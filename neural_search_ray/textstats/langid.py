@@ -39,8 +39,36 @@ def predict_language(text: str) -> str:
 
 
 def langid_stage(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    preds = [predict_language(t) for t in batch[text_col].to_pylist()]
-    return pa.table({id_col: batch[id_col], "pred_lang": pa.array(preds, type=pa.string())})
+    """Batch-vectorized: one analyze_column pass, profile membership
+    tested once per UNIQUE batch term, per-doc scores by scatter-add —
+    matches predict_language exactly (argmax with strict >, ties → first
+    language in sorted order, all-zero → 'und')."""
+    import numpy as np
+
+    from ..stages.tfvec import doc_term_tf
+
+    n = batch.num_rows
+    doc_idx, codes, tfs, uniques = doc_term_tf(
+        batch, id_column=id_col, text_column=text_col
+    )
+    langs = sorted(LANG_PROFILES)
+    scores = np.zeros((n, len(langs)), dtype=np.int64)
+    if codes.size:
+        uniq_list = uniques.to_pylist()
+        for j, lang in enumerate(langs):
+            prof = LANG_PROFILES[lang]
+            in_prof = np.fromiter(
+                (u in prof for u in uniq_list), dtype=bool, count=len(uniq_list)
+            )
+            mask = in_prof[codes]
+            np.add.at(scores[:, j], doc_idx[mask], tfs[mask])
+    mx = scores.max(axis=1) if n else np.zeros(0, np.int64)
+    am = scores.argmax(axis=1) if n else np.zeros(0, np.int64)
+    lang_arr = np.asarray(langs, dtype=object)
+    preds = np.where(mx > 0, lang_arr[am], "und")
+    return pa.table(
+        {id_col: batch[id_col], "pred_lang": pa.array(list(preds), type=pa.string())}
+    )
 
 
 def langid_stopword_profile(text: str) -> str:
