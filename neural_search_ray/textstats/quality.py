@@ -17,21 +17,38 @@ from ..analysis.analyzer import ENGLISH_STOPWORDS, tokenize
 def quality_stats_stage(
     batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
 ) -> pa.Table:
-    texts = batch[text_col].to_pylist()
-    n = len(texts)
-    n_chars = np.empty(n, dtype=np.int64)
-    n_tokens = np.empty(n, dtype=np.int64)
-    n_unique = np.empty(n, dtype=np.int64)
-    n_stop = np.empty(n, dtype=np.int64)
-    sum_tok_len = np.empty(n, dtype=np.int64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        toks = tokenize(t)
-        n_chars[i] = len(t)
-        n_tokens[i] = len(toks)
-        n_unique[i] = len(set(toks))
-        n_stop[i] = sum(1 for x in toks if x in ENGLISH_STOPWORDS)
-        sum_tok_len[i] = sum(len(x) for x in toks)
+    """Batch-vectorized: one analyze_column pass (tfvec kernel); term
+    lengths and stopword membership computed once per UNIQUE batch term;
+    per-doc sums via scatter-add. Matches the scalar definition exactly
+    (pytest parity)."""
+    import pyarrow.compute as pc
+
+    from ..stages.tfvec import doc_term_tf
+
+    n = batch.num_rows
+    filled = pc.fill_null(batch[text_col], "")
+    if isinstance(filled, pa.ChunkedArray):
+        filled = filled.combine_chunks()
+    n_chars = pc.utf8_length(filled).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    doc_idx, codes, tf, uniques = doc_term_tf(
+        batch, id_column=id_col, text_column=text_col
+    )
+    n_tokens = np.zeros(n, dtype=np.int64)
+    n_stop = np.zeros(n, dtype=np.int64)
+    sum_tok_len = np.zeros(n, dtype=np.int64)
+    n_unique = np.bincount(doc_idx, minlength=n) if n else np.zeros(0, np.int64)
+    if codes.size:
+        np.add.at(n_tokens, doc_idx, tf)
+        uniq_len = (
+            pc.utf8_length(uniques).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        np.add.at(sum_tok_len, doc_idx, tf * uniq_len[codes])
+        uniq_stop = np.fromiter(
+            (u in ENGLISH_STOPWORDS for u in uniques.to_pylist()),
+            dtype=bool, count=len(uniques),
+        )
+        mask = uniq_stop[codes]
+        np.add.at(n_stop, doc_idx[mask], tf[mask])
     from ..pipelines.suite import round_half_up
 
     with np.errstate(divide="ignore", invalid="ignore"):
