@@ -250,6 +250,63 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
+def q_bm25_topk_multiseg(sf_dir: str) -> pa.Table:
+    """Incremental / multi-segment build path under the SAME oracle as
+    bm25_topk: the corpus is ingested as TWO segments (doc_id < half,
+    rest) — the resumable-checkpoint unit — and the searcher merges
+    per-term postings across segment files. Rank identity with the
+    single-segment oracle proves the merge (term-universe union, df
+    summation, docID-sorted concat) end to end."""
+    import pyarrow.dataset as pads
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:2seg".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/nsr_index2seg_{key}"
+    import pyarrow.parquet as pq2
+
+    half = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows // 2
+    for seg_id, pred in (
+        ("seg-000", pads.field("doc_id") < half),
+        ("seg-001", pads.field("doc_id") >= half),
+    ):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], filter=pred
+        )
+        build_index(
+            ds, index_dir, IndexConfig(num_shards=4, num_salts=2),
+            segment_id=seg_id, resume=True,
+        )
+    searcher = IndexSearcher(index_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_bm25_topk_distributed(sf_dir: str) -> pa.Table:
+    """The shard-parallel ACTOR-POOL serving path under the same oracle:
+    disjoint shard subsets per actor, coordinator global-df phase,
+    per-shard top-k merge (query/distributed.py) — rank-identical to the
+    single-process searcher by construction, proven through the gate."""
+    from ..query.distributed import DistributedSearcher
+
+    index_dir = get_index_dir(sf_dir)
+    dsearch = DistributedSearcher(index_dir, num_actors=2)
+    try:
+        rows = []
+        for qid, qtext in QUERY_SET:
+            docs, scores = dsearch.search_bm25(tokenize(qtext), k=BM25_K * 3)
+            rows.append((qid, docs, scores))
+    finally:
+        dsearch.shutdown()
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
 def q_sparse_dot_topk(sf_dir: str) -> pa.Table:
     searcher = get_searcher(sf_dir)
     docs, scores = searcher.search_sparse_dot(SPARSE_QUERY_WEIGHTS, k=BM25_K * 3)
@@ -1144,6 +1201,11 @@ def build_oracle_sql() -> dict[str, str]:
 SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::DOUBLE AS sum_tf
 FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["bm25_topk"] = _topk_sql(_bm25_scored_sql(), BM25_K)
+    # same oracle: the two-segment incremental build and the
+    # shard-actor-pool serving path must both be rank-identical to the
+    # single-segment single-process result
+    sqls["bm25_topk_multiseg"] = sqls["bm25_topk"]
+    sqls["bm25_topk_distributed"] = sqls["bm25_topk"]
     sqls["bm25_filtered_en"] = _topk_sql(
         f"SELECT sc.* FROM ({_bm25_scored_sql()}) sc "
         "JOIN documents d ON d.doc_id = sc.doc_id WHERE d.lang = 'en'",
@@ -1767,4 +1829,6 @@ def build_queries() -> dict:
         "events_page2": q_events_page2,
         "hybrid_fieldsort": q_hybrid_fieldsort,
         "semantic_highlight": q_semantic_highlight,
+        "bm25_topk_multiseg": q_bm25_topk_multiseg,
+        "bm25_topk_distributed": q_bm25_topk_distributed,
     }
