@@ -608,6 +608,18 @@ def q_minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
     return minhash_lsh_candidates(_docs_ds(sf_dir), num_hashes=8, bands=4)
 
 
+def q_dedup_components(sf_dir: str) -> "ray.data.Dataset":
+    """Connected components over the MinHash-LSH candidate pairs —
+    iterative distributed min-label propagation (dedup/components.py):
+    the keep-first-representative step of the dedup pipeline. Oracle:
+    recursive-CTE transitive closure over the same pairs."""
+    from ..dedup.components import connected_components
+    from ..dedup.minhash import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(_docs_ds(sf_dir), num_hashes=8, bands=4)
+    return connected_components(pairs)
+
+
 def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
     """2-gram Jaccard for the fixed pair list (2i, 2i+1), i < 100 — a
     DISTRIBUTED pair-join: row-filter pushdown reads only doc_id < 200,
@@ -1404,6 +1416,22 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bandkeys a JOIN bandkeys b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
 
+    # connected components over the minhash pairs: transitive closure via
+    # a recursive CTE (UNION dedup bounds the recursion); component =
+    # min reachable doc_id — the keep-first representative rule
+    sqls["dedup_components"] = f"""
+WITH RECURSIVE pairs AS ({sqls["minhash_lsh_pairs"]}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u::BIGINT AS doc_id, least(u, min(v))::BIGINT AS component
+FROM reach GROUP BY u"""
+
     # two-phase sparse (constants: high/low split of SPARSE_QUERY_WEIGHTS
     # by max_ratio 0.4, phase-1 window = k*5)
     from ..stages.prune import split_sparse_vector
@@ -1831,4 +1859,5 @@ def build_queries() -> dict:
         "semantic_highlight": q_semantic_highlight,
         "bm25_topk_multiseg": q_bm25_topk_multiseg,
         "bm25_topk_distributed": q_bm25_topk_distributed,
+        "dedup_components": q_dedup_components,
     }

@@ -319,3 +319,31 @@ class TestDocValues:
         assert set(dv01.accepted("lang", "==", "de")) == {
             i for i in range(n) if i % 3 == 0 and i % 4 in (0, 1)
         }
+
+
+class TestConnectedComponents:
+    def test_chain_clique_pair(self):
+        import ray.data
+
+        from neural_search_ray.dedup.components import connected_components
+
+        pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21),
+                 (30, 31), (31, 32), (32, 33), (33, 34)]
+        t = pa.table({"doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+                      "doc_b": pa.array([b for _, b in pairs], pa.int64())})
+        got = {r["doc_id"]: r["component"]
+               for r in connected_components(ray.data.from_arrow(t)).take_all()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
+                       20: 20, 21: 20, 30: 30, 31: 30, 32: 30, 33: 30, 34: 30}
+
+    def test_long_chain_converges(self):
+        import ray.data
+
+        from neural_search_ray.dedup.components import connected_components
+
+        n = 30  # diameter 29 — needs multiple propagation rounds
+        t = pa.table({"doc_a": pa.array(np.arange(n - 1, dtype=np.int64)),
+                      "doc_b": pa.array(np.arange(1, n, dtype=np.int64))})
+        got = {r["doc_id"]: r["component"]
+               for r in connected_components(ray.data.from_arrow(t), num_partitions=2).take_all()}
+        assert got == {i: 0 for i in range(n)}
