@@ -341,7 +341,7 @@ class TestConnectedComponents:
 
         from neural_search_ray.dedup.components import connected_components
 
-        n = 30  # diameter 29 — needs multiple propagation rounds
+        n = 8  # diameter 7 — needs multiple propagation rounds
         t = pa.table({"doc_a": pa.array(np.arange(n - 1, dtype=np.int64)),
                       "doc_b": pa.array(np.arange(1, n, dtype=np.int64))})
         got = {r["doc_id"]: r["component"]
