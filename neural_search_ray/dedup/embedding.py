@@ -213,11 +213,19 @@ def embedding_neardup_ivf(
             rep_ids = np.repeat(ids, p)
             buckets = probes.reshape(-1).astype(np.int64)
             rep_u = np.repeat(u, p, axis=0)
+            dim = rep_u.shape[1]
+            unit_col = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(rep_u.shape[0] + 1, dtype=np.int64) * dim,
+                    type=pa.int64(),
+                ),
+                pa.array(rep_u.reshape(-1)),
+            )
             return pa.table(
                 {
                     "bucket": pa.array(buckets),
                     id_col: pa.array(rep_ids),
-                    "unit": pa.array(list(rep_u), type=pa.list_(pa.float64())),
+                    "unit": unit_col,
                 }
             )
 
