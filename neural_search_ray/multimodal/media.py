@@ -95,6 +95,37 @@ class MediaDecodeStage:
         )
 
 
+def media_from_documents(batch: pa.Table) -> pa.Table:
+    """Deterministic media table synthesized from a (doc_id, text,
+    n_chars) documents batch — the fixture that lets the multimodal
+    PLUMBING run through the DuckDB-oracle gate without codec libs:
+    kind cycles by doc_id % 3 (image/audio/video), payload = utf8 text
+    bytes, video duration = n_chars * 10 ms."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    kinds_all = np.asarray(["image", "audio", "video"], dtype=object)
+    mimes_all = np.asarray(["image/png", "audio/wav", "video/mp4"], dtype=object)
+    sel = ids % 3
+    n_chars = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_video = sel == 2
+    is_image = sel == 0
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "kind": pa.array(list(kinds_all[sel]), type=pa.string()),
+            "mime": pa.array(list(mimes_all[sel]), type=pa.string()),
+            "width": pa.array(np.where(is_image, 8, -1).astype(np.int32)),
+            "height": pa.array(np.where(is_image, 8, -1).astype(np.int32)),
+            "duration_ms": pa.array(
+                np.where(is_video, n_chars * 10, -1).astype(np.int32)
+            ),
+            "payload": pa.array(
+                [t.encode("utf-8") if t else b"" for t in batch["text"].to_pylist()],
+                type=pa.binary(),
+            ),
+        }
+    )
+
+
 def frame_sample_stage(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
     """Video frame-sampling plumbing: emit one row per sampled frame
     timestamp (decode itself is the stubbed kernel above). Pure function

@@ -608,6 +608,55 @@ def q_minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
     return minhash_lsh_candidates(_docs_ds(sf_dir), num_hashes=8, bands=4)
 
 
+def _media_ds(sf_dir: str) -> "ray.data.Dataset":
+    from ..multimodal.media import media_from_documents
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ).map_batches(media_from_documents, batch_format="pyarrow")
+
+
+def q_media_frame_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Video frame-sampling plumbing over the deterministic synthesized
+    media table (multimodal/media.py): one row per 1000 ms frame
+    timestamp of each video. The decode kernel stays stubbed (no codec
+    libs); the explode layout is what this verifies."""
+    from ..multimodal.media import frame_sample_stage
+
+    return _media_ds(sf_dir).map_batches(frame_sample_stage, batch_format="pyarrow")
+
+
+def q_media_decode_feat(sf_dir: str) -> "ray.data.Dataset":
+    """Media decode → mean-channel feature via the ACTOR-POOL stage with
+    the deterministic FakeImageDecoder (pseudo-pixels tiled from
+    md5(payload) — channel means provably equal the digest byte mean, so
+    the SQL oracle recomputes them from md5 hex)."""
+    from ..multimodal.media import FakeImageDecoder, MediaDecodeStage
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        col = batch["feat"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, 3)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "f0": pa.array(round_half_up(flat[:, 0], 6)),
+                "f1": pa.array(round_half_up(flat[:, 1], 6)),
+                "f2": pa.array(round_half_up(flat[:, 2], 6)),
+            }
+        )
+
+    return _media_ds(sf_dir).map_batches(
+        MediaDecodeStage,
+        fn_constructor_kwargs=dict(decoder=FakeImageDecoder(8, 8)),
+        concurrency=2,
+        batch_size=64,
+        batch_format="pyarrow",
+    ).map_batches(flatten, batch_format="pyarrow")
+
+
 def q_dedup_components(sf_dir: str) -> "ray.data.Dataset":
     """Connected components over the MinHash-LSH candidate pairs —
     iterative distributed min-label propagation (dedup/components.py):
@@ -1256,6 +1305,26 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["hybrid_minmax_bounded"] = _hybrid_minmax_bounded_sql()
     sqls["hybrid_fieldsort"] = _hybrid_fieldsort_sql()
     sqls["semantic_highlight"] = _semantic_highlight_sql()
+    # multimodal plumbing over the synthesized media table: videos are
+    # doc_id % 3 == 2 with duration n_chars*10 ms; frames every 1000 ms
+    sqls["media_frame_sample"] = """
+SELECT doc_id::BIGINT AS media_id, 'video' AS kind,
+       ((i - 1) * 1000)::INTEGER AS frame_ts_ms
+FROM documents CROSS JOIN generate_series(1, 4000) AS g(i)
+WHERE doc_id % 3 = 2 AND n_chars * 10 > 0 AND (i - 1) * 1000 < n_chars * 10"""
+    # FakeImageDecoder channel means == md5-digest byte mean (see
+    # q_media_decode_feat docstring); payload = utf8(text)
+    sqls["media_decode_feat"] = """
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         (SELECT sum(CAST(('0x' || substr(md5(text), 2*j.j - 1, 2)) AS INTEGER))
+          FROM generate_series(1, 16) j(j)) / 16.0 AS mean_byte
+  FROM documents)
+SELECT doc_id::BIGINT AS media_id, kind,
+       round(mean_byte, 6) AS f0, round(mean_byte, 6) AS f1,
+       round(mean_byte, 6) AS f2
+FROM m"""
     sqls["hybrid_rrf"] = _hybrid_rrf_sql()
 
     # chunkers
@@ -1860,4 +1929,6 @@ def build_queries() -> dict:
         "bm25_topk_multiseg": q_bm25_topk_multiseg,
         "bm25_topk_distributed": q_bm25_topk_distributed,
         "dedup_components": q_dedup_components,
+        "media_frame_sample": q_media_frame_sample,
+        "media_decode_feat": q_media_decode_feat,
     }
