@@ -122,7 +122,10 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
     from neural_search_ray.query.distributed import DistributedSearcher
 
     query_set = make_query_set(200)
-    n_actors = max(2, min(8, num_cpus // 4))
+    # serving-topology sizing: per-query work on a small corpus is
+    # microseconds, so fan-out RPC overhead dominates — use a small pool;
+    # big corpora amortize the fan-out across real per-shard work
+    n_actors = max(2, min(8, num_cpus // 4)) if n_pages > 1_000_000 else 2
     t0 = time.perf_counter()
     dsearch = DistributedSearcher(index_dir, num_actors=n_actors)
     # warm term caches (the reference's explicit warmup API, SURVEY §3.3)

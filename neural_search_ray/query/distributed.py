@@ -60,12 +60,21 @@ class DistributedSearcher:
         self.actors = [
             ShardSearchActor.remote(index_dir, c) for c in chunks
         ]
+        # coordinator-side global-df cache: dfs are immutable for a built
+        # index, so each term pays the phase-1 fan-out ONCE — warm
+        # queries are a single RPC round (halves steady-state latency)
+        self._gdf: dict[str, float] = {}
 
     def search_bm25(self, terms: list[str], k: int = 10):
         terms = sorted(set(terms))
-        # phase 1 (coordinator): global df = Σ local df
-        local = ray.get([a.local_dfs.remote(terms) for a in self.actors])
-        gdfs = np.asarray(local, dtype=np.float64).sum(axis=0)
+        # phase 1 (coordinator): global df = Σ local df, for terms not
+        # already cached
+        missing = [t for t in terms if t not in self._gdf]
+        if missing:
+            local = ray.get([a.local_dfs.remote(missing) for a in self.actors])
+            sums = np.asarray(local, dtype=np.float64).sum(axis=0)
+            self._gdf.update(zip(missing, sums.tolist()))
+        gdfs = np.asarray([self._gdf[t] for t in terms], dtype=np.float64)
         # phase 2: fan out with global stats, merge per-shard top-k
         parts = ray.get(
             [a.search.remote(terms, k, gdfs.tolist()) for a in self.actors]
