@@ -39,3 +39,24 @@ class StatsRegistry:
 
 # process-local default registry (one per Ray worker / driver)
 stats = StatsRegistry()
+
+
+def track_batch_memory(stage: str):
+    """RAM accounting at partition grain (the reference's circuit-breaker
+    bookkeeping analogue — sparse/cache RamBytesUsed accounting): wrap a
+    map_batches fn so each batch records its Arrow buffer footprint
+    (pa.Table.nbytes) in and out, per stage. Ray's object-store
+    backpressure enforces the actual limit; these counters make the
+    per-stage footprint observable (stats.snapshot())."""
+
+    def wrap(fn):
+        def inner(batch, *a, **kw):
+            stats.incr(f"{stage}_bytes_in", int(batch.nbytes))
+            stats.incr(f"{stage}_batches", 1)
+            out = fn(batch, *a, **kw)
+            stats.incr(f"{stage}_bytes_out", int(out.nbytes))
+            return out
+
+        return inner
+
+    return wrap

@@ -137,3 +137,50 @@ class TestQuantize:
     def test_feature_encode_rejects_negative(self):
         with pytest.raises(ValueError):
             feature_encode(np.array([-1.0], dtype=np.float32))
+
+
+class TestUnflatten:
+    def test_dict_roundtrip(self):
+        from neural_search_ray.stages.unflatten import flatten_dict, unflatten_dict
+
+        d = {"a.b": 1, "a.c": 2, "x": 3, "a.d.e": 4}
+        nested = unflatten_dict(d)
+        assert nested == {"a": {"b": 1, "c": 2, "d": {"e": 4}}, "x": 3}
+        assert flatten_dict(nested) == d
+
+    def test_batch_roundtrip(self):
+        import pyarrow as pa
+
+        from neural_search_ray.stages.unflatten import flatten_batch, unflatten_batch
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "meta.lang": pa.array(["en", "de"]),
+            "meta.score": pa.array([0.5, 0.7]),
+        })
+        nested = unflatten_batch(t)
+        assert nested.column_names == ["doc_id", "meta"]
+        assert pa.types.is_struct(nested["meta"].type)
+        back = flatten_batch(nested)
+        assert back.column_names == ["doc_id", "meta.lang", "meta.score"]
+        assert back["meta.lang"].to_pylist() == ["en", "de"]
+        assert back["meta.score"].to_pylist() == [0.5, 0.7]
+
+
+class TestRamAccounting:
+    def test_track_batch_memory(self):
+        import pyarrow as pa
+
+        from neural_search_ray.state.stats import stats, track_batch_memory
+
+        @track_batch_memory("mystage")
+        def fn(batch):
+            return batch.select(["a"])
+
+        t = pa.table({"a": list(range(100)), "b": ["x" * 10] * 100})
+        before = stats.snapshot().get("mystage_bytes_in", 0)
+        out = fn(t)
+        snap = stats.snapshot()
+        assert snap["mystage_bytes_in"] - before == t.nbytes
+        assert snap["mystage_bytes_out"] >= out.nbytes
+        assert out.column_names == ["a"]
