@@ -608,6 +608,30 @@ def q_minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
     return minhash_lsh_candidates(_docs_ds(sf_dir), num_hashes=8, bands=4)
 
 
+def q_sink_roundtrip_by_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Resumable partitioned sink end-to-end under the gate: documents
+    are written one Parquet directory per lang (_SUCCESS markers,
+    sources/sink.py), read back via read_partitioned (complete
+    partitions only), and aggregated — proving write+marker+readback
+    produce exactly the input partition contents."""
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.sink import read_partitioned, write_partitioned
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    out_dir = tempfile.mkdtemp(prefix="nsr_sinkrt_")
+    write_partitioned(ds, out_dir, "lang")
+    return (
+        read_partitioned(out_dir)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    )
+
+
 def _media_ds(sf_dir: str) -> "ray.data.Dataset":
     from ..multimodal.media import media_from_documents
 
@@ -1305,6 +1329,9 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["hybrid_minmax_bounded"] = _hybrid_minmax_bounded_sql()
     sqls["hybrid_fieldsort"] = _hybrid_fieldsort_sql()
     sqls["semantic_highlight"] = _semantic_highlight_sql()
+    sqls["sink_roundtrip_by_lang"] = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY lang"""
     # multimodal plumbing over the synthesized media table: videos are
     # doc_id % 3 == 2 with duration n_chars*10 ms; frames every 1000 ms
     sqls["media_frame_sample"] = """
@@ -1931,4 +1958,5 @@ def build_queries() -> dict:
         "dedup_components": q_dedup_components,
         "media_frame_sample": q_media_frame_sample,
         "media_decode_feat": q_media_decode_feat,
+        "sink_roundtrip_by_lang": q_sink_roundtrip_by_lang,
     }
