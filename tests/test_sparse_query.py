@@ -92,3 +92,55 @@ def test_resolve_n_postings_formula():
     assert cfg.resolve_n_postings(1_000_000) == 500
     assert cfg.resolve_n_postings(1000) == 160  # floor at 160
     assert IndexConfig(n_postings=7).resolve_n_postings(10**9) == 7
+
+
+class TestAgenticSeam:
+    """Agentic search planner seam (AgenticSearchQueryBuilder.java —
+    stub policy: planner is the documented LLM adapter point)."""
+
+    def _searcher(self, sf_dir):
+        from neural_search_ray.pipelines.suite import get_searcher
+
+        return get_searcher(sf_dir)
+
+    def test_default_planner_raises(self, sf_dir):
+        from neural_search_ray.query.agentic import agentic_search
+
+        with pytest.raises(NotImplementedError, match="planner"):
+            agentic_search(self._searcher(sf_dir), "find fast joins")
+
+    def test_deterministic_planner_routes_and_matches(self, sf_dir):
+        from neural_search_ray.query.agentic import agentic_search
+
+        s = self._searcher(sf_dir)
+
+        def planner(question, context):
+            assert context["n_docs"] > 0
+            if "english only" in question:
+                return {"type": "filtered_bm25", "query_text": question.split(":")[1],
+                        "k": 5, "filter": ["lang", "==", "en"]}
+            return {"type": "bm25", "query_text": question, "k": 5}
+
+        docs, scores, plan = agentic_search(s, "data query", planner)
+        want_docs, want_scores = s.search_bm25(["data", "query"], k=5)
+        assert docs.tolist() == want_docs.tolist()
+        assert plan["type"] == "bm25"
+
+        from neural_search_ray.pipelines.suite import _ensure_docvalues
+
+        _ensure_docvalues(sf_dir)
+        docs2, _, plan2 = agentic_search(s, "english only:data query", planner)
+        assert plan2["type"] == "filtered_bm25"
+        assert len(docs2) > 0
+
+    def test_plan_validation(self, sf_dir):
+        from neural_search_ray.query.agentic import validate_plan
+
+        with pytest.raises(ValueError, match="unknown plan type"):
+            validate_plan({"type": "nope"})
+        with pytest.raises(ValueError, match="query_text"):
+            validate_plan({"type": "bm25"})
+        with pytest.raises(ValueError, match="token_weights"):
+            validate_plan({"type": "sparse"})
+        with pytest.raises(ValueError, match="filter"):
+            validate_plan({"type": "filtered_bm25", "query_text": "x"})
