@@ -1270,6 +1270,118 @@ def q_orders_by_segment(sf_dir: str) -> "ray.data.Dataset":
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
+
+# ---------------------------------------------------------------------------
+# web-corpus training-data filters (textstats/webfilter.py, corpus/urlnorm.py)
+
+
+def q_repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    from ..textstats.webfilter import repetition_stats_stage
+
+    return _docs_ds(sf_dir).map_batches(repetition_stats_stage, batch_format="pyarrow")
+
+
+def q_c4_filter(sf_dir: str) -> "ray.data.Dataset":
+    from ..textstats.webfilter import c4_filter_stage
+
+    return _docs_ds(sf_dir).map_batches(c4_filter_stage, batch_format="pyarrow")
+
+
+def q_window_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Cross-doc duplicated-window fractions: per-batch combiner emits
+    (whash, doc_id, cnt), ONE groupby(whash) exchange flags windows
+    spanning >= 2 distinct docs, and a doc-keyed sum re-aggregates —
+    the Lee et al. dedup shape without a suffix array."""
+    from ray.data.aggregate import Sum
+
+    from ..textstats.webfilter import (
+        DEDUP_WINDOW_WIDTH,
+        window_dup_flag_group,
+        window_hash_rows_stage,
+    )
+
+    agg = (
+        _docs_ds(sf_dir)
+        .map_batches(window_hash_rows_stage(DEDUP_WINDOW_WIDTH), batch_format="pyarrow")
+        .groupby("whash")
+        .map_groups(window_dup_flag_group, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_windows", alias_name="n_windows"),
+            Sum("n_dup_windows", alias_name="n_dup_windows"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nw = batch["n_windows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = batch["n_dup_windows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(nw > 0, nd / np.maximum(nw, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_windows": pa.array(nw),
+                "n_dup_windows": pa.array(nd),
+                "dup_frac": pa.array(round_half_up(frac, 6)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_decontaminate(sf_dir: str) -> "ray.data.Dataset":
+    from ..textstats.webfilter import decontaminate_stage
+
+    return _docs_ds(sf_dir).map_batches(decontaminate_stage, batch_format="pyarrow")
+
+
+def q_quality_sample(sf_dir: str) -> "ray.data.Dataset":
+    from ..textstats.quality import quality_stats_stage
+    from ..textstats.webfilter import quality_sample_stage
+
+    return (
+        _docs_ds(sf_dir)
+        .map_batches(quality_stats_stage, batch_format="pyarrow")
+        .map_batches(quality_sample_stage, batch_format="pyarrow")
+    )
+
+
+def q_url_canonicalize(sf_dir: str) -> "ray.data.Dataset":
+    """Derive the deterministic raw-URL column from (doc_id, source)
+    (mixed case, default/non-default ports, utm tracking params,
+    unsorted params — the oracle derives the identical string in SQL),
+    then run the generic vectorized canonicalizer."""
+    from ..corpus.urlnorm import canonicalize_urls
+
+    def stage(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.asarray(batch["source"].to_pylist(), dtype=str)
+        did_s = did.astype(str).astype("U")
+        port = np.where(did % 5 == 0, ":8080", ":443")
+        b = (did % 7).astype(str).astype("U")
+        a = (did % 3).astype(str).astype("U")
+        add = np.char.add
+        q = add(add(add("?utm_source=feed&b=", b), "&a="), a)
+        q = np.where(did % 4 == 0, "", q)
+        raw = add(
+            add(add(add(add(add("HTTPS://WWW.", src), ".Example.COM"), port), "/docs/"), did_s),
+            q,
+        )
+        out = canonicalize_urls(pa.array(raw.tolist(), type=pa.string()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url_norm": out["url_norm"],
+                "host": out["host"],
+                "domain": out["domain"],
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(stage, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 
@@ -1396,6 +1508,131 @@ FROM documents d LEFT JOIN (
          sum(length(term))::BIGINT AS sum_len
   FROM tok GROUP BY doc_id) s USING (doc_id)"""
 
+    # -- web-corpus training-data filters ---------------------------------
+    from ..textstats.webfilter import (
+        C4_MEAN_LEN_HI,
+        C4_MEAN_LEN_LO,
+        C4_MIN_STOP_RATIO,
+        C4_MIN_WORDS,
+        CONTAMINATION_PHRASES,
+        DEDUP_WINDOW_WIDTH,
+        SAMPLE_BUCKET_EDGES,
+        SAMPLE_RATE_PER_MILLE,
+        SAMPLE_SALT,
+    )
+
+    SQL_WORDS = (
+        "SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') "
+        "AS words FROM documents"
+    )
+    sqls["repetition_stats"] = f"""
+WITH w AS ({SQL_WORDS}),
+s AS (SELECT doc_id, count(*)::BIGINT n, count(DISTINCT term)::BIGINT u,
+             sum(length(term))::BIGINT sl FROM ({SQL_TOK}) GROUP BY doc_id),
+b2 AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') wt
+       FROM w, unnest(range(1, len(words))) r(i)),
+bc AS (SELECT doc_id, wt, count(*)::BIGINT c FROM b2 GROUP BY doc_id, wt),
+bt AS (SELECT doc_id, wt, c FROM (
+         SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, wt ASC) rn
+         FROM bc) WHERE rn = 1),
+t3 AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') wt
+       FROM w, unnest(range(1, len(words) - 1)) r(i)),
+tc AS (SELECT doc_id, wt, count(*)::BIGINT c FROM t3 GROUP BY doc_id, wt),
+td AS (SELECT doc_id, sum(c * (length(wt) - 2))::BIGINT dupch FROM tc WHERE c >= 2 GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(s.n, 0)::BIGINT AS n_tokens,
+       coalesce(round((s.n - s.u) / s.n::DOUBLE, 6), 0.0) AS dup_word_frac,
+       coalesce(round(bt.c * (length(bt.wt) - 1) / s.sl::DOUBLE, 6), 0.0) AS top_bigram_char_frac,
+       coalesce(round(td.dupch / s.sl::DOUBLE, 6), 0.0) AS dup_trigram_char_frac
+FROM documents d LEFT JOIN s USING (doc_id) LEFT JOIN bt USING (doc_id)
+LEFT JOIN td USING (doc_id)"""
+
+    sqls["c4_filter"] = f"""
+WITH s AS (SELECT doc_id, count(*)::BIGINT n,
+                  sum(CASE WHEN term IN ({stop_list}) THEN 1 ELSE 0 END)::BIGINT ns,
+                  sum(length(term))::BIGINT sl FROM ({SQL_TOK}) GROUP BY doc_id)
+SELECT d.doc_id,
+       (coalesce(s.n, 0) < {C4_MIN_WORDS})::BIGINT AS flag_too_short,
+       (coalesce(s.sl / s.n::DOUBLE, 0.0) < {C4_MEAN_LEN_LO}
+        OR coalesce(s.sl / s.n::DOUBLE, 0.0) > {C4_MEAN_LEN_HI})::BIGINT AS flag_mean_len,
+       (coalesce(s.ns / s.n::DOUBLE, 0.0) < {C4_MIN_STOP_RATIO})::BIGINT AS flag_low_stop,
+       (coalesce(s.n, 0) >= {C4_MIN_WORDS}
+        AND coalesce(s.sl / s.n::DOUBLE, 0.0) >= {C4_MEAN_LEN_LO}
+        AND coalesce(s.sl / s.n::DOUBLE, 0.0) <= {C4_MEAN_LEN_HI}
+        AND coalesce(s.ns / s.n::DOUBLE, 0.0) >= {C4_MIN_STOP_RATIO})::BIGINT AS keep
+FROM documents d LEFT JOIN s USING (doc_id)"""
+
+    W = DEDUP_WINDOW_WIDTH
+    sqls["window_dedup"] = f"""
+WITH w AS ({SQL_WORDS}),
+win AS (SELECT doc_id,
+        CAST(md5_number_lower(array_to_string(words[({W}*i+1):({W}*i+{W})], ' '))
+             & 9223372036854775807 AS BIGINT) AS whash
+        FROM w, unnest(range(0, len(words) // {W})) AS r(i)),
+g AS (SELECT whash, min(doc_id) mn, max(doc_id) mx FROM win GROUP BY whash),
+per AS (SELECT win.doc_id, count(*)::BIGINT AS n_windows,
+               sum(CASE WHEN g.mn <> g.mx THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        FROM win JOIN g USING (whash) GROUP BY win.doc_id)
+SELECT doc_id, n_windows, n_dup AS n_dup_windows,
+       round(n_dup / n_windows::DOUBLE, 6) AS dup_frac FROM per"""
+
+    phrase_values = ", ".join(f"('{p}')" for p in CONTAMINATION_PHRASES)
+    sqls["decontaminate"] = f"""
+WITH w AS ({SQL_WORDS}),
+win AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') wt
+        FROM w, unnest(range(1, len(words) - 1)) r(i)),
+ph AS (SELECT * FROM (VALUES {phrase_values}) v(p)),
+h AS (SELECT doc_id, count(*)::BIGINT c FROM win JOIN ph ON win.wt = ph.p GROUP BY doc_id)
+SELECT d.doc_id, coalesce(h.c, 0)::BIGINT AS n_hits,
+       (coalesce(h.c, 0) > 0)::BIGINT AS contaminated
+FROM documents d LEFT JOIN h USING (doc_id)"""
+
+    e0, e1 = SAMPLE_BUCKET_EDGES
+    r0, r1, r2 = SAMPLE_RATE_PER_MILLE
+    sqls["quality_sample"] = f"""
+WITH s AS (SELECT doc_id, count(*)::BIGINT n,
+                  sum(CASE WHEN term IN ({stop_list}) THEN 1 ELSE 0 END)::BIGINT ns
+           FROM ({SQL_TOK}) GROUP BY doc_id),
+b AS (SELECT d.doc_id,
+             CASE WHEN coalesce(round(s.ns / s.n::DOUBLE, 6), 0.0) < {e0} THEN 0
+                  WHEN coalesce(round(s.ns / s.n::DOUBLE, 6), 0.0) < {e1} THEN 1
+                  ELSE 2 END AS bucket
+      FROM documents d LEFT JOIN s USING (doc_id))
+SELECT doc_id, bucket::BIGINT AS bucket FROM b
+WHERE (md5_number_lower(doc_id::VARCHAR || '{SAMPLE_SALT}') & 9223372036854775807) % 1000
+      < CASE bucket WHEN 0 THEN {r0} WHEN 1 THEN {r1} ELSE {r2} END"""
+
+    sqls["url_canonicalize"] = r"""
+WITH raw AS (SELECT doc_id,
+  'HTTPS://WWW.' || source || '.Example.COM'
+   || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE ':443' END
+   || '/docs/' || doc_id
+   || CASE WHEN doc_id % 4 = 0 THEN ''
+           ELSE '?utm_source=feed&b=' || (doc_id % 7) || '&a=' || (doc_id % 3) END AS url
+  FROM documents),
+p AS (SELECT doc_id, regexp_extract(url,
+        '^([^:]+)://([^/:?#]+)(?::([0-9]+))?([^?#]*)(?:\?(.*))?$',
+        ['scheme', 'host', 'port', 'path', 'query']) AS g FROM raw),
+c AS (SELECT doc_id,
+        lower(g['scheme']) AS scheme,
+        CASE WHEN starts_with(lower(g['host']), 'www.')
+             THEN substr(lower(g['host']), 5) ELSE lower(g['host']) END AS host,
+        CASE WHEN (lower(g['scheme']) = 'https' AND g['port'] = '443')
+               OR (lower(g['scheme']) = 'http' AND g['port'] = '80')
+             THEN '' ELSE coalesce(g['port'], '') END AS port,
+        g['path'] AS path,
+        coalesce(array_to_string(list_sort(list_filter(
+          string_split(coalesce(g['query'], ''), '&'),
+          x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '') AS q
+      FROM p)
+SELECT doc_id,
+  scheme || '://' || host || CASE WHEN port = '' THEN '' ELSE ':' || port END
+   || path || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_norm,
+  host,
+  CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
+       ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+FROM c"""
+
     sqls["fingerprint"] = (
         "SELECT doc_id, md5(text) AS md5_hex, "
         "CAST(md5_number_lower(text) & 9223372036854775807 AS BIGINT) AS fp63 "
@@ -1467,7 +1704,7 @@ GROUP BY c.c_mktsegment"""
     sqls["ngram_jaccard_pairs"] = _ngram_jaccard_sql()
     sqls["bpe_token_count"] = (
         "SELECT doc_id, len(regexp_extract_all(lower(text), "
-        "'[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_pieces FROM documents"
+        r"'[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_pieces FROM documents"
     )
     sqls["simhash"] = f"""
 WITH tf AS ({SQL_TF}),
@@ -1959,4 +2196,10 @@ def build_queries() -> dict:
         "media_frame_sample": q_media_frame_sample,
         "media_decode_feat": q_media_decode_feat,
         "sink_roundtrip_by_lang": q_sink_roundtrip_by_lang,
+        "repetition_stats": q_repetition_stats,
+        "c4_filter": q_c4_filter,
+        "window_dedup": q_window_dedup,
+        "decontaminate": q_decontaminate,
+        "quality_sample": q_quality_sample,
+        "url_canonicalize": q_url_canonicalize,
     }
