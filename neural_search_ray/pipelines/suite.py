@@ -1382,6 +1382,56 @@ def q_url_canonicalize(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(stage, batch_format="pyarrow")
 
 
+def q_pii_redact(sf_dir: str) -> "ray.data.Dataset":
+    """PII redaction over a deterministically PII-seeded text column
+    (the corpus has none): the seeding CASEs are mirrored verbatim in
+    the SQL oracle; the redaction kernel itself is generic
+    (corpus/scrub.py, RE2 on both sides)."""
+    from ..corpus.scrub import redact_pii
+
+    def stage(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"]
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        ids = did.cast(pa.string())
+        i = did.to_numpy(zero_copy_only=False).astype(np.int64)
+        cat = lambda *parts: pc.binary_join_element_wise(*parts, "")  # noqa: E731
+        empty = pa.scalar("", type=pa.string())
+        email = pc.if_else(
+            pa.array(i % 3 != 0), cat(" contact user", ids, "@example.org"), empty
+        )
+        ip_oct = pa.array((i % 256).astype(str), type=pa.string())
+        ip = pc.if_else(pa.array(i % 4 != 0), cat(" ip 10.0.", ip_oct, ".", ip_oct), empty)
+        ph_num = pa.array((1000 + i % 9000).astype(str), type=pa.string())
+        phone = pc.if_else(pa.array(i % 5 != 0), cat(" tel 555-", ph_num), empty)
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        seeded = cat(pc.fill_null(text, ""), email, ip, phone)
+        out = redact_pii(seeded)
+        return pa.table({"doc_id": batch["doc_id"], **{c: out[c] for c in out.column_names}})
+
+    return _docs_ds(sf_dir).map_batches(stage, batch_format="pyarrow")
+
+
+def q_text_normalize(sf_dir: str) -> "ray.data.Dataset":
+    """Whitespace normalization over deterministically-mangled text
+    (doubled spaces, leading runs, tab tail — mirrored in SQL)."""
+    from ..corpus.scrub import normalize_ws
+
+    def stage(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        doubled = pc.replace_substring(pc.fill_null(text, ""), " ", "  ")
+        cat = lambda *parts: pc.binary_join_element_wise(*parts, "")  # noqa: E731
+        messy = cat("  ", doubled, "\t tail")
+        out = normalize_ws(messy)
+        return pa.table({"doc_id": batch["doc_id"], **{c: out[c] for c in out.column_names}})
+
+    return _docs_ds(sf_dir).map_batches(stage, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 
@@ -1632,6 +1682,38 @@ SELECT doc_id,
   CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
        ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
 FROM c"""
+
+    from ..corpus.scrub import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IP_TOKEN,
+        IPV4_RE,
+        PHONE_RE,
+        PHONE_TOKEN,
+        WS_RUN_RE,
+    )
+
+    sqls["pii_redact"] = f"""
+WITH m AS (SELECT doc_id, text
+  || CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || doc_id || '@example.org' ELSE '' END
+  || CASE WHEN doc_id % 4 <> 0 THEN ' ip 10.0.' || (doc_id % 256) || '.' || (doc_id % 256) ELSE '' END
+  || CASE WHEN doc_id % 5 <> 0 THEN ' tel 555-' || (1000 + doc_id % 9000) ELSE '' END AS t
+  FROM documents),
+s1 AS (SELECT doc_id, t, regexp_replace(t, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g') AS t1 FROM m),
+s2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '{IPV4_RE}', '{IP_TOKEN}', 'g') AS t2 FROM s1)
+SELECT doc_id,
+  regexp_replace(t2, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS text_redacted,
+  len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(t2, '{PHONE_RE}'))::BIGINT AS n_phones,
+  len(regexp_extract_all(t1, '{IPV4_RE}'))::BIGINT AS n_ips
+FROM s2"""
+
+    sqls["text_normalize"] = f"""
+WITH m AS (SELECT doc_id, '  ' || replace(text, ' ', '  ') || chr(9) || ' tail' AS t
+           FROM documents),
+n AS (SELECT doc_id, t, trim(regexp_replace(t, '{WS_RUN_RE}', ' ', 'g')) AS text_norm FROM m)
+SELECT doc_id, text_norm,
+       (length(t) - length(text_norm))::BIGINT AS n_ws_removed FROM n"""
 
     sqls["fingerprint"] = (
         "SELECT doc_id, md5(text) AS md5_hex, "
@@ -2202,4 +2284,6 @@ def build_queries() -> dict:
         "decontaminate": q_decontaminate,
         "quality_sample": q_quality_sample,
         "url_canonicalize": q_url_canonicalize,
+        "pii_redact": q_pii_redact,
+        "text_normalize": q_text_normalize,
     }
