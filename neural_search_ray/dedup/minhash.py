@@ -210,18 +210,66 @@ def minhash_lsh_candidates(
     )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy())
-        if max_bucket is not None and ids.size > max_bucket:
-            ids = ids[:max_bucket]
-        if ids.size < 2:
-            return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                             "doc_b": pa.array([], type=pa.int64())})
-        ii, jj = np.triu_indices(ids.size, k=1)
-        return pa.table({"doc_a": pa.array(ids[ii]), "doc_b": pa.array(ids[jj])})
+        """Vectorized all-pairs over a SALT bucket holding many
+        (band, band_key) groups: one Python call per salt bucket. For
+        each element at rank r within its group (doc-sorted, deduped,
+        capped at max_bucket), emit r pairs against the r preceding
+        docs — the standard segmented pair-expansion, all numpy."""
+        empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64())})
+        band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = group["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if doc.size == 0:
+            return empty
+        order = np.lexsort((doc, key, band))
+        band, key, doc = band[order], key[order], doc[order]
+        # dedup identical (band, key, doc) triples (same doc from several blocks)
+        keep = np.empty(doc.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (
+            (band[1:] != band[:-1]) | (key[1:] != key[:-1]) | (doc[1:] != doc[:-1])
+        )
+        band, key, doc = band[keep], key[keep], doc[keep]
+        g_new = np.empty(doc.size, dtype=bool)
+        g_new[0] = True
+        g_new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        gidx = np.cumsum(g_new) - 1
+        starts = np.flatnonzero(g_new)
+        rank = np.arange(doc.size) - starts[gidx]
+        if max_bucket is not None:
+            capped = rank < max_bucket
+            doc, gidx = doc[capped], gidx[capped]
+            if doc.size == 0:
+                return empty
+            g_new = np.concatenate(([True], gidx[1:] != gidx[:-1]))
+            gidx = np.cumsum(g_new) - 1
+            starts = np.flatnonzero(g_new)
+            rank = np.arange(doc.size) - starts[gidx]
+        total = int(rank.sum())
+        if total == 0:
+            return empty
+        # expand: element i (rank r_i) contributes r_i pairs as doc_b
+        b_pos = np.repeat(np.arange(doc.size), rank)
+        excl = np.concatenate(([0], np.cumsum(rank)[:-1]))
+        offs = np.arange(total) - np.repeat(excl, rank)
+        a_pos = starts[gidx[b_pos]] + offs
+        return pa.table({"doc_a": pa.array(doc[a_pos]), "doc_b": pa.array(doc[b_pos])})
 
-    pairs = sigs.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    num_salt = 256
+    sigs = sigs.map_batches(
+        lambda b: b.append_column(
+            "salt",
+            pa.array(
+                (
+                    b["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                    % num_salt
+                ).astype(np.int64)
+            ),
+        ),
+        batch_format="pyarrow",
     )
+    pairs = sigs.groupby("salt").map_groups(bucket_pairs, batch_format="pyarrow")
     # distinct pairs (a pair may collide in several bands)
     from ray.data.aggregate import Count
 

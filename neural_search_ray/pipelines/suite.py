@@ -828,34 +828,60 @@ def q_ivf_ann(sf_dir: str) -> pa.Table:
 
 
 def q_events_sessionize(sf_dir: str) -> "ray.data.Dataset":
-    """Per-user sessionization (30-min gap): windowed/stateful operator via
-    groupby(user).map_groups with vectorized gap detection."""
+    """Per-user sessionization (30-min gap): windowed/stateful operator.
+    Users are co-located by a SALT bucket (user_id % 256) so the shuffle
+    has a bounded group count; inside each bucket the gap detection runs
+    vectorized over ALL users at once (lexsort by (user, ts), session
+    boundary = user change OR gap > 30 min) — one Python call per
+    bucket, not per user."""
     GAP_US = 30 * 60 * 1_000_000
+    NUM_BUCKETS = 256
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("ubucket", pa.array(uid % NUM_BUCKETS))
 
     def fn(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = group["ts"].cast(pa.int64()).to_numpy()
-        order = np.argsort(ts, kind="stable")
-        ts = ts[order]
-        new_session = np.empty(ts.size, dtype=np.int64)
-        new_session[0] = 0
-        new_session[1:] = (np.diff(ts) > GAP_US).astype(np.int64)
-        sess = np.cumsum(new_session)
-        uid = group["user_id"][0].as_py()
-        n_sessions = int(sess[-1]) + 1
-        counts = np.bincount(sess, minlength=n_sessions)
-        starts = ts[np.searchsorted(sess, np.arange(n_sessions))]
+        if uid.size == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_ts_us": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        uchg = np.empty(uid.size, dtype=bool)
+        uchg[0] = True
+        uchg[1:] = uid[1:] != uid[:-1]
+        new_s = uchg.copy()
+        new_s[1:] |= (ts[1:] - ts[:-1]) > GAP_US
+        sidx = np.cumsum(new_s) - 1
+        counts = np.bincount(sidx).astype(np.int64)
+        bpos = np.flatnonzero(new_s)          # first event of each session
+        s_user = uid[bpos]
+        s_start = ts[bpos]
+        # session_id within user: session ordinal minus the user's first
+        u_first = np.flatnonzero(uchg[bpos])  # first session of each user
+        sess_per_user = np.diff(np.append(u_first, bpos.size))
+        sess_id = np.arange(bpos.size) - np.repeat(u_first, sess_per_user)
         return pa.table(
             {
-                "user_id": pa.array(np.full(n_sessions, uid, dtype=np.int64)),
-                "session_id": pa.array(np.arange(n_sessions, dtype=np.int64)),
-                "n_events": pa.array(counts.astype(np.int64)),
-                "start_ts_us": pa.array(starts.astype(np.int64)),
+                "user_id": pa.array(s_user),
+                "session_id": pa.array(sess_id.astype(np.int64)),
+                "n_events": pa.array(counts),
+                "start_ts_us": pa.array(s_start.astype(np.int64)),
             }
         )
 
     return (
         ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-        .groupby("user_id")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ubucket")
         .map_groups(fn, batch_format="pyarrow")
     )
 
@@ -1289,22 +1315,24 @@ def q_c4_filter(sf_dir: str) -> "ray.data.Dataset":
 
 def q_window_dedup(sf_dir: str) -> "ray.data.Dataset":
     """Cross-doc duplicated-window fractions: per-batch combiner emits
-    (whash, doc_id, cnt), ONE groupby(whash) exchange flags windows
-    spanning >= 2 distinct docs, and a doc-keyed sum re-aggregates —
-    the Lee et al. dedup shape without a suffix array."""
+    (wbucket, whash, doc_id, cnt), ONE groupby(wbucket) salt-bucket
+    exchange flags windows spanning >= 2 distinct docs (vectorized over
+    every hash in the bucket — a Python call per bucket, not per
+    distinct window), and a doc-keyed sum re-aggregates — the Lee et
+    al. dedup shape without a suffix array."""
     from ray.data.aggregate import Sum
 
     from ..textstats.webfilter import (
         DEDUP_WINDOW_WIDTH,
-        window_dup_flag_group,
+        window_dup_bucket_group,
         window_hash_rows_stage,
     )
 
     agg = (
         _docs_ds(sf_dir)
         .map_batches(window_hash_rows_stage(DEDUP_WINDOW_WIDTH), batch_format="pyarrow")
-        .groupby("whash")
-        .map_groups(window_dup_flag_group, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(window_dup_bucket_group, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(
             Sum("n_windows", alias_name="n_windows"),

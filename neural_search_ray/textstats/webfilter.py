@@ -273,12 +273,19 @@ def c4_filter_stage(
 # cross-document window dedup
 
 
-def window_hash_rows_stage(width: int = DEDUP_WINDOW_WIDTH):
-    """map_batches fn: (doc_id, text) -> (whash, doc_id, cnt) rows —
-    the per-batch combiner before the single groupby(whash) exchange.
-    whash is the 63-bit md5_number_lower of the window string, so the
-    SQL oracle groups by the identical key (collision semantics match
-    exactly on both sides)."""
+DEDUP_HASH_BUCKETS = 256  # salt buckets for the whash exchange
+
+
+def window_hash_rows_stage(
+    width: int = DEDUP_WINDOW_WIDTH, num_buckets: int = DEDUP_HASH_BUCKETS
+):
+    """map_batches fn: (doc_id, text) -> (wbucket, whash, doc_id, cnt)
+    rows — the per-batch combiner before the single groupby(wbucket)
+    exchange. whash is the 63-bit md5_number_lower of the window string,
+    so the SQL oracle groups by the identical key (collision semantics
+    match exactly on both sides). wbucket = whash % num_buckets bounds
+    the downstream group COUNT (a Python call per bucket, not per
+    distinct window hash) while keeping co-location of equal hashes."""
     from ..dedup.common import h64_batch
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -289,9 +296,11 @@ def window_hash_rows_stage(width: int = DEDUP_WINDOW_WIDTH):
         uh = (
             h64_batch(uniques.to_pylist()).astype(np.uint64) & _MASK63
         ).astype(np.int64) if len(uniques) else np.empty(0, np.int64)
+        wh = uh[c] if c.size else c
         return pa.table(
             {
-                "whash": pa.array(uh[c] if c.size else c),
+                "wbucket": pa.array(wh % num_buckets),
+                "whash": pa.array(wh),
                 "doc_id": pa.array(doc_ids[d] if d.size else d),
                 "cnt": pa.array(cnt),
             }
@@ -300,20 +309,50 @@ def window_hash_rows_stage(width: int = DEDUP_WINDOW_WIDTH):
     return fn
 
 
-def window_dup_flag_group(g: pa.Table) -> pa.Table:
-    """map_groups over whash: combine per-doc counts (the same doc may
-    arrive from several input blocks), mark the window duplicated when
-    it spans >= 2 distinct docs."""
+def window_dup_bucket_group(g: pa.Table) -> pa.Table:
+    """map_groups over wbucket (a SALT bucket holding many whash
+    groups): vectorized over every window hash in the bucket at once —
+    combine per-(whash, doc) counts across input blocks, mark a window
+    duplicated when it spans >= 2 distinct docs, emit per-doc partial
+    (n_windows, n_dup_windows) sums for the final doc-keyed aggregate.
+    Segmented numpy throughout; one Python call per bucket."""
+    wh = g["whash"].to_numpy(zero_copy_only=False).astype(np.int64)
     docs = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     cnt = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ud, inv = np.unique(docs, return_inverse=True)
-    per_doc = np.bincount(inv, weights=cnt).astype(np.int64)
-    dup = int(ud.size > 1)
+    if wh.size == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_windows": pa.array([], pa.int64()),
+                "n_dup_windows": pa.array([], pa.int64()),
+            }
+        )
+    order = np.lexsort((docs, wh))
+    wh, docs, cnt = wh[order], docs[order], cnt[order]
+    # combine duplicate (whash, doc) pairs arriving from different blocks
+    pair_new = np.empty(wh.size, dtype=bool)
+    pair_new[0] = True
+    pair_new[1:] = (wh[1:] != wh[:-1]) | (docs[1:] != docs[:-1])
+    pidx = np.cumsum(pair_new) - 1
+    p_cnt = np.bincount(pidx, weights=cnt).astype(np.int64)
+    p_wh = wh[pair_new]
+    p_doc = docs[pair_new]
+    # distinct-doc count per whash over the combined pairs
+    w_new = np.empty(p_wh.size, dtype=bool)
+    w_new[0] = True
+    w_new[1:] = p_wh[1:] != p_wh[:-1]
+    widx = np.cumsum(w_new) - 1
+    ndocs = np.bincount(widx)
+    dup = (ndocs[widx] > 1).astype(np.int64)
+    # per-doc partials within this bucket
+    ud, dinv = np.unique(p_doc, return_inverse=True)
+    n_windows = np.bincount(dinv, weights=p_cnt).astype(np.int64)
+    n_dup = np.bincount(dinv, weights=p_cnt * dup).astype(np.int64)
     return pa.table(
         {
             "doc_id": pa.array(ud),
-            "n_windows": pa.array(per_doc),
-            "n_dup_windows": pa.array(per_doc * dup),
+            "n_windows": pa.array(n_windows),
+            "n_dup_windows": pa.array(n_dup),
         }
     )
 

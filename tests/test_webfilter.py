@@ -14,7 +14,7 @@ from neural_search_ray.textstats.webfilter import (
     decontaminate_stage,
     quality_sample_stage,
     repetition_stats_stage,
-    window_dup_flag_group,
+    window_dup_bucket_group,
     window_hash_rows_stage,
     window_strings,
     _token_arrays,
@@ -107,25 +107,26 @@ def test_c4_filter_flags():
 
 def test_window_dedup_group_semantics():
     rows = window_hash_rows_stage(2)(_table(["a b a b", "a b c d", "e f g h"]))
-    tbl = rows.sort_by("whash")
-    # group rows by whash manually and apply the group fn
+    # the bucket-group fn is vectorized over every whash it receives, so
+    # applying it to the whole row table = applying it to one salt bucket
+    # holding all hashes (also exercise split across two "blocks": dup
+    # (whash, doc) rows must combine)
     import collections
 
-    groups = collections.defaultdict(list)
-    for r in tbl.to_pylist():
-        groups[r["whash"]].append(r)
     per_doc = collections.Counter()
     per_doc_dup = collections.Counter()
-    for g in groups.values():
-        gt = pa.Table.from_pylist(g)
-        out = window_dup_flag_group(gt).to_pylist()
-        for row in out:
-            per_doc[row["doc_id"]] += row["n_windows"]
-            per_doc_dup[row["doc_id"]] += row["n_dup_windows"]
+    out = window_dup_bucket_group(rows).to_pylist()
+    for row in out:
+        per_doc[row["doc_id"]] += row["n_windows"]
+        per_doc_dup[row["doc_id"]] += row["n_dup_windows"]
     # doc0 windows: 'a b','a b' (cnt 2); doc1: 'a b','c d'; doc2: 'e f','g h'
     assert per_doc[0] == 2 and per_doc[1] == 2 and per_doc[2] == 2
     # 'a b' spans docs 0 and 1 -> dup; 'c d','e f','g h' unique
     assert per_doc_dup[0] == 2 and per_doc_dup[1] == 1 and per_doc_dup[2] == 0
+    # duplicate (whash, doc) rows from different input blocks combine
+    doubled = pa.concat_tables([rows, rows])
+    out2 = {r["doc_id"]: r for r in window_dup_bucket_group(doubled).to_pylist()}
+    assert out2[0]["n_windows"] == 4 and out2[2]["n_dup_windows"] == 0
 
 
 def test_decontaminate_counts_overlapping():
