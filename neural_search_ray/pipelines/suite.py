@@ -68,9 +68,24 @@ def round_half_up(x, decimals: int = 6):
 # shared helpers
 
 
+def _blocks_for(path: str, bytes_per_block: int = 128 << 20) -> int:
+    """Block count proportional to file BYTES, floored at the CPU count.
+    Ray's default read heuristic emits ~2×cpus blocks regardless of
+    size, so a few-MB table gets 64 near-empty blocks and every
+    downstream shuffle pays a sort task per block; this keeps map-side
+    parallelism (floor = cpus) without shuffle-width block spam, and at
+    real scale bytes/128MB dominates — proportional either way."""
+    need = max(1, -(-os.path.getsize(path) // bytes_per_block))
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return int(min(max(need, cpus), 10_000))
+
+
 def _docs_ds(sf_dir: str) -> "ray.data.Dataset":
+    path = f"{sf_dir}/documents.parquet"
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        path,
+        columns=["doc_id", "text"],
+        override_num_blocks=_blocks_for(path),
     )
 
 
@@ -879,7 +894,11 @@ def q_events_sessionize(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return (
-        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts"],
+            override_num_blocks=_blocks_for(f"{sf_dir}/events.parquet"),
+        )
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("ubucket")
         .map_groups(fn, batch_format="pyarrow")

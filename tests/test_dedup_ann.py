@@ -345,5 +345,5 @@ class TestConnectedComponents:
         t = pa.table({"doc_a": pa.array(np.arange(n - 1, dtype=np.int64)),
                       "doc_b": pa.array(np.arange(1, n, dtype=np.int64))})
         got = {r["doc_id"]: r["component"]
-               for r in connected_components(ray.data.from_arrow(t), num_partitions=2).take_all()}
+               for r in connected_components(ray.data.from_arrow(t), num_buckets=2).take_all()}
         assert got == {i: 0 for i in range(n)}
