@@ -43,6 +43,9 @@ class ShardSearchActor:
             terms, k, global_dfs=np.asarray(global_dfs, dtype=np.float64)
         )
 
+    def warm(self, terms: list[str]) -> int:
+        return self.searcher.warm_terms(terms)
+
 
 class DistributedSearcher:
     """Driver-side handle: builds the actor pool over disjoint shard
@@ -64,6 +67,21 @@ class DistributedSearcher:
         # index, so each term pays the phase-1 fan-out ONCE — warm
         # queries are a single RPC round (halves steady-state latency)
         self._gdf: dict[str, float] = {}
+
+    def warmup(self, term_lists: list[list[str]]) -> None:
+        """Batched cache warmup for an expected query workload — the
+        reference's explicit warmup API (SURVEY.md §3.3). ONE df
+        fan-out round for every distinct term, then one RPC per actor
+        that decodes postings + builds block-max metadata in-actor —
+        versus 2 RPC rounds per query when warming by just running the
+        workload."""
+        terms = sorted({t for ts in term_lists for t in ts})
+        missing = [t for t in terms if t not in self._gdf]
+        if missing:
+            local = ray.get([a.local_dfs.remote(missing) for a in self.actors])
+            sums = np.asarray(local, dtype=np.float64).sum(axis=0)
+            self._gdf.update(zip(missing, sums.tolist()))
+        ray.get([a.warm.remote(terms) for a in self.actors])
 
     def search_bm25(self, terms: list[str], k: int = 10):
         terms = sorted(set(terms))

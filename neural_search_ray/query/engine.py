@@ -31,6 +31,7 @@ from collections import OrderedDict, defaultdict
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..config import BM25Config, QueryConfig
@@ -44,6 +45,16 @@ from .bm25 import bm25_idf
 # 128-posting block_max_tf written at build; this one aligns across terms
 # so per-block UBs sum with one vector add)
 _BLOCKMAX_B = 1024
+
+
+def _binary_views(chunked) -> tuple[np.ndarray, memoryview]:
+    """(offsets int64, data memoryview) for a binary column — row i's
+    payload is data[offsets[i]:offsets[i+1]], zero-copy."""
+    col = chunked.cast(pa.large_binary()).combine_chunks()
+    off = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    return off, memoryview(col.buffers()[2])
 
 
 def topk_desc(doc_ids: np.ndarray, scores: np.ndarray, k: int):
@@ -109,33 +120,84 @@ class IndexSearcher:
         self.shards = (
             set(shards) if shards is not None else set(range(manifest.num_doc_shards))
         )
-        # term → list[(docs_buf, tfs_buf, df, max_tf)] raw segments
-        self._raw: dict[str, list[tuple[bytes, bytes, int, int]]] = defaultdict(list)
-        self._df: dict[str, int] = defaultdict(int)
         self._cache = _LruTerms(term_cache_items)
         self._bm_cache = _LruTerms(4096)  # (term, B) → dense block-max tfn
-        dl_docs: list[np.ndarray] = []
-        dl_vals: list[np.ndarray] = []
+        post_paths: list[str] = []
+        dl_paths: list[str] = []
         for seg in manifest.complete_segments():
             for f in seg["files"]:
                 if f["doc_shard"] not in self.shards:
                     continue
-                t = pq.read_table(os.path.join(index_dir, f["path"]))
-                if f["term_bucket"] == DOCLEN_BUCKET:
-                    dl_docs.append(t["doc_id"].to_numpy())
-                    dl_vals.append(t["dl"].to_numpy())
-                else:
-                    terms = t["term"].to_pylist()
-                    dfs = t["df"].to_numpy()
-                    docs_bufs = t["docs"].to_pylist()
-                    tfs_bufs = t["tfs"].to_pylist()
-                    bm = t["block_max_tf"].to_pylist()
-                    for term, df, db, tb, bmax in zip(
-                        terms, dfs, docs_bufs, tfs_bufs, bm
-                    ):
-                        mx = max(bmax) if bmax else 0
-                        self._raw[term].append((db, tb, int(df), int(mx)))
-                        self._df[term] += int(df)
+                p = os.path.join(index_dir, f["path"])
+                (dl_paths if f["term_bucket"] == DOCLEN_BUCKET else post_paths).append(p)
+        # One threaded Arrow dataset scan over every posting file (vs one
+        # sequential pq.read_table per (shard, bucket) file — 2k+ tiny
+        # reads dominated searcher warmup), then VECTORIZED term grouping:
+        # posting buffers stay zero-copy memoryview slices of the Arrow
+        # data buffer (to_pylist boxed every buffer into Python bytes).
+        self._gid: dict[str, int] = {}
+        n_rows = 0
+        if post_paths:
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(post_paths).to_table(
+                columns=["term", "df", "docs", "tfs", "block_max_tf"]
+            )
+            n_rows = tbl.num_rows
+        if n_rows:
+            self._p_df = tbl["df"].to_numpy()  # int64 on disk
+            # per-row max tf from the block-max lists (reduceat over the
+            # flattened child; empty lists contribute 0)
+            bm = tbl.column("block_max_tf").combine_chunks()
+            bm_off = bm.offsets.to_numpy().astype(np.int64)
+            bm_flat = bm.flatten().to_numpy()
+            row_max = np.zeros(n_rows, dtype=np.int64)
+            nz = np.diff(bm_off) > 0
+            if bm_flat.size:
+                row_max[nz] = np.maximum.reduceat(bm_flat, bm_off[:-1][nz])
+            # zero-copy binary views (large_binary → int64 offsets so a
+            # combined shard column > 2 GiB can't overflow)
+            self._docs_off, self._docs_data = _binary_views(tbl.column("docs"))
+            self._tfs_off, self._tfs_data = _binary_views(tbl.column("tfs"))
+            # group rows by term with Arrow C++ string sort (an object-dtype
+            # np.argsort is 10x slower); row order within a term group is
+            # irrelevant — multi-segment postings re-sort by docID at decode
+            term_col = tbl["term"].combine_chunks()
+            order_arr = pc.sort_indices(term_col)
+            order = order_arr.to_numpy().astype(np.int64)
+            st = term_col.take(order_arr)
+            neq = pc.not_equal(st.slice(1), st.slice(0, n_rows - 1))
+            bnd = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+            starts = np.concatenate(([0], bnd))
+            ends = np.concatenate((bnd, [n_rows]))
+            self._row_order = order
+            self._gstart = starts
+            self._gend = ends
+            self._gdf = np.add.reduceat(self._p_df[order], starts)
+            self._gmax = np.maximum.reduceat(row_max[order], starts)
+            self._gid = dict(
+                zip(st.take(pa.array(starts)).to_pylist(), range(starts.size))
+            )
+        else:
+            self._p_df = np.empty(0, np.int64)
+            self._docs_off = np.zeros(1, np.int64)
+            self._docs_data = memoryview(b"")
+            self._tfs_off = np.zeros(1, np.int64)
+            self._tfs_data = memoryview(b"")
+            self._row_order = np.empty(0, np.int64)
+            self._gstart = np.empty(0, np.int64)
+            self._gend = np.empty(0, np.int64)
+            self._gdf = np.empty(0, np.int64)
+            self._gmax = np.empty(0, np.int64)
+        dl_docs: list[np.ndarray] = []
+        dl_vals: list[np.ndarray] = []
+        if dl_paths:
+            import pyarrow.dataset as pads
+
+            dt = pads.dataset(dl_paths).to_table(columns=["doc_id", "dl"])
+            if dt.num_rows:
+                dl_docs.append(dt["doc_id"].to_numpy())
+                dl_vals.append(dt["dl"].to_numpy())
         if dl_docs:
             all_docs = np.concatenate(dl_docs)
             all_dls = np.concatenate(dl_vals)
@@ -174,10 +236,12 @@ class IndexSearcher:
 
     # ---- stats -----------------------------------------------------------
     def local_df(self, term: str) -> int:
-        return self._df.get(term, 0)
+        g = self._gid.get(term)
+        return int(self._gdf[g]) if g is not None else 0
 
     def max_tf(self, term: str) -> int:
-        return max((s[3] for s in self._raw.get(term, [])), default=0)
+        g = self._gid.get(term)
+        return int(self._gmax[g]) if g is not None else 0
 
     def doc_length(self, doc_ids: np.ndarray) -> np.ndarray:
         pos = np.searchsorted(self._dl_doc_ids, doc_ids)
@@ -193,22 +257,41 @@ class IndexSearcher:
         if hit is not None:
             return hit
         stats.incr("postings_decoded")
-        segs = self._raw.get(term)
+        g = self._gid.get(term)
         empty = (
             np.empty(0, np.int64), np.empty(0, np.float64),
             np.empty(0, np.int64), np.empty(0, np.float64),
         )
-        if not segs:
+        if g is None:
             return empty
-        if len(segs) == 1:
-            db, tb, df, _ = segs[0]
-            docs = np.cumsum(varint_decode(db, df))
-            tfs = varint_decode(tb, df).astype(np.float64)
+        rows = self._row_order[self._gstart[g] : self._gend[g]]
+        if rows.size == 1:
+            r = int(rows[0])
+            df = int(self._p_df[r])
+            docs = np.cumsum(
+                varint_decode(self._docs_data[self._docs_off[r] : self._docs_off[r + 1]], df)
+            )
+            tfs = varint_decode(
+                self._tfs_data[self._tfs_off[r] : self._tfs_off[r + 1]], df
+            ).astype(np.float64)
         else:
+            # one row per segment: decode each, merge doc-sorted
             ds_, fs = [], []
-            for db, tb, df, _ in segs:
-                ds_.append(np.cumsum(varint_decode(db, df)))
-                fs.append(varint_decode(tb, df).astype(np.float64))
+            for r in rows:
+                r = int(r)
+                df = int(self._p_df[r])
+                ds_.append(
+                    np.cumsum(
+                        varint_decode(
+                            self._docs_data[self._docs_off[r] : self._docs_off[r + 1]], df
+                        )
+                    )
+                )
+                fs.append(
+                    varint_decode(
+                        self._tfs_data[self._tfs_off[r] : self._tfs_off[r + 1]], df
+                    ).astype(np.float64)
+                )
             docs = np.concatenate(ds_)
             tfs = np.concatenate(fs)
             order = np.argsort(docs, kind="stable")
@@ -233,6 +316,22 @@ class IndexSearcher:
         """(doc_ids int64 sorted, tfs float64) for a term; decoded once."""
         v = self.postings_full(term)
         return v[0], v[1]
+
+    def warm_terms(self, terms: list[str]) -> int:
+        """Explicit cache warmup — the reference's warmup API
+        (NeuralSparseIndexShard.warmUp, sparse/NeuralSparseIndexShard.java:82-104)
+        restated over this searcher's caches: decode postings, precompute
+        tf-norms, and build block-max metadata for each distinct term, so
+        the first real query runs at steady-state latency. Returns the
+        number of terms touched."""
+        n = 0
+        build_bm = self._dl_doc_ids.size >= 4 * _BLOCKMAX_B
+        for t in dict.fromkeys(terms):
+            docs = self.postings_full(t)[0]
+            if build_bm and docs.size:
+                self._block_max_tfn(t, _BLOCKMAX_B)
+            n += 1
+        return n
 
     # ---- search ----------------------------------------------------------
     def _score_candidates(

@@ -69,11 +69,13 @@ def test_hot_term_bounded_by_doc_sharding(skewed_index):
     single shuffle group sees the whole posting list."""
     index_dir, oracle = skewed_index
     s = IndexSearcher(index_dir)
-    segs = s._raw["the"]
-    assert len(segs) >= 4  # >= num_shards entries (2 segments x shards hit)
-    total_df = sum(df for _, _, df, _ in segs)
+    g = s._gid["the"]
+    rows = s._row_order[s._gstart[g] : s._gend[g]]
+    assert rows.size >= 4  # >= num_shards entries (2 segments x shards hit)
+    dfs = s._p_df[rows]
+    total_df = int(dfs.sum())
     assert total_df == oracle.df["the"]
-    assert max(df for _, _, df, _ in segs) < total_df  # split, not one group
+    assert int(dfs.max()) < total_df  # split, not one group
 
 
 def test_topk_ties():
@@ -113,6 +115,27 @@ def test_distributed_searcher_rank_identity(skewed_index, ray_session):
     ds = DistributedSearcher(index_dir, num_actors=2)
     try:
         for q in ["the data query", "merge w0500", "of and the"]:
+            d, sc = ds.search_bm25(q.split(), k=10)
+            od, osc = oracle.search_bm25(q, k=10)
+            assert d.tolist() == od, q
+            assert np.allclose(sc, osc, atol=1e-12), q
+    finally:
+        ds.shutdown()
+
+
+def test_distributed_warmup_identity(skewed_index, ray_session):
+    """Batched warmup must not change any result (it only pre-populates
+    the same LRU caches the lazy path fills) — and must cover the
+    df-coordinator phase so warm queries are a single RPC round."""
+    from neural_search_ray.query.distributed import DistributedSearcher
+
+    index_dir, oracle = skewed_index
+    queries = ["the data query", "merge w0500", "of and the"]
+    ds = DistributedSearcher(index_dir, num_actors=2)
+    try:
+        ds.warmup([q.split() for q in queries])
+        assert set(ds._gdf) == {t for q in queries for t in q.split()}
+        for q in queries:
             d, sc = ds.search_bm25(q.split(), k=10)
             od, osc = oracle.search_bm25(q, k=10)
             assert d.tolist() == od, q

@@ -96,8 +96,8 @@ def test_pathological_skew_build(tmp_path, ray_session):
     build_index(ray.data.from_arrow(docs), idx, IndexConfig(num_shards=4, num_salts=2))
     s = IndexSearcher(idx)
     assert s.local_df("the") == n
-    segs = s._raw["the"]
-    assert len(segs) == 4  # one bounded group per doc shard
+    g = s._gid["the"]
+    assert s._gend[g] - s._gstart[g] == 4  # one bounded group per doc shard
     d, sc = s.search_bm25(["the"], k=5)
     assert d.size == 5
     # highest tf (14) + shortest dl wins; all docs have only 'the'

@@ -77,9 +77,7 @@ def test_static_pruning_caps_posting_length(tmp_path, ray_session):
     build_index(generate_pages(300, seed=11), idx, cfg)
     s = IndexSearcher(idx)
     # every per-(shard,segment) posting entry capped at 5
-    for term, segs in s._raw.items():
-        for _, _, df, _ in segs:
-            assert df <= 5, term
+    assert s._p_df.size and (s._p_df <= 5).all()
     # kept postings are the highest-tf ones: compare 'the' against full idx
     full = IndexSearcher(str(tmp_path / "full")) if False else None
     docs, tfs = s.postings("the")
