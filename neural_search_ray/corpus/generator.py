@@ -111,13 +111,16 @@ def _gen_batch(batch: pa.Table, seed: int) -> pa.Table:
     # paragraph structure (FIXTURES.md F1): two-level C++ join — tokens →
     # " "-joined paragraphs of _PARA_TOKENS, paragraphs → "\n\n"-joined doc
     paras_per_doc = (n_tokens + _PARA_TOKENS - 1) // _PARA_TOKENS
+    # segmented arange (no per-doc allocations): paragraph p of doc i
+    # starts at offsets[i] + 50*p
+    total_paras = int(paras_per_doc.sum())
+    para_doc = np.repeat(np.arange(n, dtype=np.int64), paras_per_doc)
+    para_within = np.arange(total_paras, dtype=np.int64) - np.repeat(
+        np.cumsum(paras_per_doc) - paras_per_doc, paras_per_doc
+    )
     para_tok_offsets = np.concatenate(
-        [
-            np.arange(offsets[i], offsets[i + 1], _PARA_TOKENS)
-            for i in range(n)
-        ]
-        + [np.asarray([offsets[-1]])]
-    ).astype(np.int64)
+        (offsets[para_doc] + _PARA_TOKENS * para_within, offsets[-1:])
+    )
     paras = pc.binary_join(
         pa.ListArray.from_arrays(pa.array(para_tok_offsets), tok_arr), " "
     )

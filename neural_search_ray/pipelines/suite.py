@@ -1279,16 +1279,33 @@ def q_orders_by_segment(sf_dir: str) -> "ray.data.Dataset":
     cust = pq2.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    seg_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
-                               cust["c_mktsegment"].to_pylist())))
+    # broadcast a (sorted keys, dictionary codes, dictionary) triple, not a
+    # Python dict: the per-batch probe is one searchsorted + Arrow take —
+    # no per-row Python objects on either side of the join
+    ckeys = cust["c_custkey"].to_numpy()
+    corder = np.argsort(ckeys)
+    seg_dict = cust["c_mktsegment"].combine_chunks().dictionary_encode()
+    seg_ref = ray.put((
+        ckeys[corder],
+        seg_dict.indices.to_numpy(zero_copy_only=False).astype(np.int32)[corder],
+        seg_dict.dictionary,
+    ))
 
     class JoinStage:
         def __init__(self, ref):
-            self.seg = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.keys, self.codes, self.dictionary = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            segs = [self.seg.get(k) for k in batch["o_custkey"].to_pylist()]
-            return batch.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
+            probe = batch["o_custkey"].to_numpy()
+            pos = np.searchsorted(self.keys, probe).clip(0, self.keys.size - 1)
+            hit = self.keys[pos] == probe
+            idx = np.where(hit, self.codes[pos], 0).astype(np.int32)
+            segs = pa.DictionaryArray.from_arrays(
+                pa.array(idx, type=pa.int32(), mask=~hit), self.dictionary
+            ).cast(pa.string())
+            return batch.append_column("c_mktsegment", segs)
 
     from ray.data.aggregate import Count, Sum
 
