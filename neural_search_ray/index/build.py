@@ -54,7 +54,7 @@ import ray.data
 
 from ..analysis.analyzer import analyze_column
 from ..config import IndexConfig
-from .codec import encode_postings, varint_encode_with_widths
+from .codec import encode_postings, grouped_encoder_for, grouped_varint_encode
 from .manifest import DOCLEN_BUCKET, IndexManifest, SegmentManifest
 
 DOCLEN_TERM = ""  # analyzer never produces an empty token
@@ -185,17 +185,7 @@ def make_tokenize_partial_postings(
     return fn
 
 
-def _grouped_varint(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> list[bytes]:
-    """varint-encode many groups in ONE vectorized pass, slice per group."""
-    buf, widths = varint_encode_with_widths(flat)
-    if not len(buf):
-        return [b""] * len(starts)
-    bends = np.cumsum(widths)
-    bstarts = np.concatenate(([0], bends[:-1]))
-    return [
-        buf[int(bstarts[s]) : int(bends[e - 1])] if e > s else b""
-        for s, e in zip(starts, ends)
-    ]
+_grouped_varint = grouped_varint_encode  # back-compat alias (moved to codec.py)
 
 
 def make_write_group(index_dir: str, segment_id: str, config: IndexConfig):
@@ -210,6 +200,7 @@ def make_write_group(index_dir: str, segment_id: str, config: IndexConfig):
     block_size = config.block_size
     n_postings = config.n_postings
     quantize_u8 = config.weight_quantization == "u8"
+    grouped_encode = grouped_encoder_for(config.posting_codec)
 
     def fn(group: pa.Table) -> pa.Table:
         from ..runtime import ensure_worker_tuned
@@ -302,8 +293,8 @@ def make_write_group(index_dir: str, segment_id: str, config: IndexConfig):
             deltas[0] = g_doc[0]
             np.subtract(g_doc[1:], g_doc[:-1], out=deltas[1:])
             deltas[starts] = g_doc[starts]
-        doc_bufs = _grouped_varint(deltas, starts, ends)
-        tf_bufs = _grouped_varint(g_tf, starts, ends)
+        doc_bufs = grouped_encode(deltas, starts, ends)
+        tf_bufs = grouped_encode(g_tf, starts, ends)
 
         # block-max tf per term, vectorized with reduceat
         dfs = (ends - starts).astype(np.int64)
@@ -378,7 +369,14 @@ def build_index(
         analyzer=asdict(config.analyzer),
         bm25=asdict(config.bm25),
         weight_quantization=config.weight_quantization,
+        posting_codec=config.posting_codec,
     )
+    if manifest.posting_codec != config.posting_codec:
+        raise ValueError(
+            f"index at {index_dir} was built with posting_codec="
+            f"{manifest.posting_codec!r}; cannot add segments with "
+            f"{config.posting_codec!r} (readers decode per-manifest)"
+        )
     if resume and segment_id in manifest.segments and manifest.segments[segment_id]["complete"]:
         return manifest
 

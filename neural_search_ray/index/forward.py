@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..index.codec import varint_decode
+from ..index.codec import decoder_for
 from .manifest import DOCLEN_BUCKET, IndexManifest
 
 FORWARD_DIR = "forward"
@@ -40,6 +40,7 @@ def _build_shard_forward(index_dir: str, shard: int, manifest: IndexManifest) ->
 
     ensure_worker_tuned()
     quantized = manifest.weight_quantization == "u8"
+    decode = decoder_for(manifest.posting_codec)
     if quantized:
         from ..stages.quantize import byte_quantize, feature_decode
     term_ids: dict[str, int] = {}
@@ -63,8 +64,8 @@ def _build_shard_forward(index_dir: str, shard: int, manifest: IndexManifest) ->
                     tid = len(terms_list)
                     term_ids[term] = tid
                     terms_list.append(term)
-                docs = np.cumsum(varint_decode(db, int(df)))
-                tfs = varint_decode(tb, int(df))
+                docs = np.cumsum(decode(db, int(df)))
+                tfs = decode(tb, int(df))
                 all_docs.append(docs)
                 all_tids.append(np.full(docs.size, tid, dtype=np.int32))
                 if quantized:

@@ -46,6 +46,7 @@ class IndexManifest:
     analyzer: dict
     bm25: dict
     weight_quantization: str = "none"  # "none" | "u8" (quantized sparse tier)
+    posting_codec: str = "varint"      # "varint" | "for" (index/codec.py)
     segments: dict[str, Any] = field(default_factory=dict)  # id → SegmentManifest dict
 
     # -- global stats over complete segments --
@@ -83,5 +84,6 @@ class IndexManifest:
             analyzer=d["analyzer"],
             bm25=d["bm25"],
             weight_quantization=d.get("weight_quantization", "none"),
+            posting_codec=d.get("posting_codec", "varint"),
             segments=d["segments"],
         )

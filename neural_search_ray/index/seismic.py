@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from .codec import varint_decode, varint_encode
+from .codec import decoder_for, varint_decode, varint_encode
 from .forward import ShardForward
 from .manifest import DOCLEN_BUCKET, IndexManifest
 
@@ -79,6 +79,8 @@ def _cluster_shard(
     from ..runtime import ensure_worker_tuned
 
     ensure_worker_tuned()
+    decode = decoder_for(manifest.posting_codec)  # main posting files only;
+    # the seismic sidecar rows written below stay varint (own format)
     fwd = ShardForward(index_dir, shard)
     rows: dict[str, list] = {
         "term": [], "cluster_id": [], "docs": [], "tfs": [],
@@ -97,8 +99,8 @@ def _cluster_shard(
                 df = int(df)
                 if df < approximate_threshold:
                     continue
-                docs = np.cumsum(varint_decode(db, df))
-                tfs = varint_decode(tb, df)
+                docs = np.cumsum(decode(db, df))
+                tfs = decode(tb, df)
                 doc_idx = np.searchsorted(fwd.doc_ids, docs)
                 n_clusters = max(1, int(np.ceil(cluster_ratio * df)))
                 rng = np.random.RandomState(

@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..config import BM25Config, QueryConfig
-from ..index.codec import varint_decode
+from ..index.codec import decoder_for
 from ..index.manifest import DOCLEN_BUCKET, IndexManifest
 from ..state.stats import stats
 from .bm25 import bm25_idf
@@ -122,6 +122,7 @@ class IndexSearcher:
         )
         self._cache = _LruTerms(term_cache_items)
         self._bm_cache = _LruTerms(4096)  # (term, B) → dense block-max tfn
+        self._decode = decoder_for(manifest.posting_codec)
         post_paths: list[str] = []
         dl_paths: list[str] = []
         for seg in manifest.complete_segments():
@@ -269,9 +270,9 @@ class IndexSearcher:
             r = int(rows[0])
             df = int(self._p_df[r])
             docs = np.cumsum(
-                varint_decode(self._docs_data[self._docs_off[r] : self._docs_off[r + 1]], df)
+                self._decode(self._docs_data[self._docs_off[r] : self._docs_off[r + 1]], df)
             )
-            tfs = varint_decode(
+            tfs = self._decode(
                 self._tfs_data[self._tfs_off[r] : self._tfs_off[r + 1]], df
             ).astype(np.float64)
         else:
@@ -282,13 +283,13 @@ class IndexSearcher:
                 df = int(self._p_df[r])
                 ds_.append(
                     np.cumsum(
-                        varint_decode(
+                        self._decode(
                             self._docs_data[self._docs_off[r] : self._docs_off[r + 1]], df
                         )
                     )
                 )
                 fs.append(
-                    varint_decode(
+                    self._decode(
                         self._tfs_data[self._tfs_off[r] : self._tfs_off[r + 1]], df
                     ).astype(np.float64)
                 )

@@ -123,6 +123,39 @@ def test_distributed_searcher_rank_identity(skewed_index, ray_session):
         ds.shutdown()
 
 
+def test_for_codec_rank_identity(tmp_path, ray_session):
+    """An index built with posting_codec='for' (bit-packed FOR) returns
+    bitwise-identical BM25 results to the default varint build, across
+    the maxscore, dense, and block-max paths — and a second segment with
+    a mismatched codec is refused."""
+    import pytest
+
+    from neural_search_ray.corpus.generator import generate_pages
+    from neural_search_ray.index.build import build_index
+
+    ds = generate_pages(800, seed=19)
+    cfgs = {}
+    for codec in ("varint", "for"):
+        idx = str(tmp_path / codec)
+        cfg = IndexConfig(num_shards=4, num_salts=2, posting_codec=codec)
+        build_index(ds, idx, cfg)
+        cfgs[codec] = IndexSearcher(idx)
+    sv, sf = cfgs["varint"], cfgs["for"]
+    assert sf.manifest.posting_codec == "for"
+    for q in ["the data query", "merge w0500 of", "the of and", "w0007"]:
+        for pruning in ("maxscore", "none"):
+            dv, scv = sv.search_bm25(q.split(), k=10, pruning=pruning)
+            df_, scf = sf.search_bm25(q.split(), k=10, pruning=pruning)
+            assert dv.tolist() == df_.tolist(), (q, pruning)
+            assert np.array_equal(scv, scf), (q, pruning)
+    with pytest.raises(ValueError, match="posting_codec"):
+        build_index(
+            ds, str(tmp_path / "for"),
+            IndexConfig(num_shards=4, num_salts=2, posting_codec="varint"),
+            segment_id="s1",
+        )
+
+
 def test_distributed_warmup_identity(skewed_index, ray_session):
     """Batched warmup must not change any result (it only pre-populates
     the same LRU caches the lazy path fills) — and must cover the
