@@ -98,6 +98,12 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
     # num_cpus: the scaling comparison must run the identical job at two
     # cluster sizes, or block-size/memory effects masquerade as scaling.
     cfg = IndexConfig(num_shards=16, num_salts=8)
+    # ~32k docs per input block: measured sweet spot for the packed-
+    # partials build at 8M pages (62.5k-doc batches at 128 blocks ran
+    # 2x slower — interleaved A/B 121-152k vs 65-67k docs/s); floor at
+    # 128 blocks keeps map parallelism at small N. IDENTICAL at both
+    # scaling CPU levels (shape is a function of N only).
+    n_blocks = max(128, -(-n_pages // 32_000))
     # best-of-2 on small jobs: the shared sandbox box has noisy
     # co-tenants and the driver runs this ONCE — a single cold build can
     # read 3-5x slow. Large (scaling) jobs amortize and run once.
@@ -106,7 +112,7 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
     for rep in range(build_reps):
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        pages = generate_pages(n_pages, seed=42, parallelism=128).map_batches(
+        pages = generate_pages(n_pages, seed=42, parallelism=n_blocks).map_batches(
             extract_text_stage, batch_format="pyarrow", batch_size=None
         )
         build_index(pages, index_dir, cfg, segment_id="bench")
