@@ -76,11 +76,27 @@ def topk_desc(doc_ids: np.ndarray, scores: np.ndarray, k: int):
 
 
 class _LruTerms:
-    """Bounded decoded-postings cache (term → (doc_ids, tfs_float64))."""
+    """Bounded decoded-postings cache (term → tuple of ndarrays).
 
-    def __init__(self, max_items: int = 100_000):
+    Optionally RAM-accounted against a per-actor ``CircuitBreaker``
+    (state/breaker.py): a put the breaker refuses is SKIPPED — the value
+    is still returned to the caller, just not cached — matching the
+    reference's "cache writes blocked when breaker trips"
+    (CircuitBreakerManager.java:37-52); eviction credits bytes back."""
+
+    def __init__(self, max_items: int = 100_000, breaker=None, label: str = "terms"):
+        from ..state.breaker import NOOP_BREAKER
+
         self.max_items = max_items
-        self._d: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
+        self.breaker = breaker if breaker is not None else NOOP_BREAKER
+        self.label = label
+        self._d: OrderedDict[str, tuple[np.ndarray, ...]] = OrderedDict()
+
+    @staticmethod
+    def _nbytes(value) -> int:
+        if isinstance(value, tuple):
+            return sum(getattr(a, "nbytes", 0) for a in value)
+        return getattr(value, "nbytes", 0)
 
     def get(self, term):
         v = self._d.get(term)
@@ -89,10 +105,18 @@ class _LruTerms:
         return v
 
     def put(self, term, value):
+        if not self.breaker.add_memory_usage(self._nbytes(value), self.label):
+            return
         self._d[term] = value
         self._d.move_to_end(term)
         if len(self._d) > self.max_items:
-            self._d.popitem(last=False)
+            _, old = self._d.popitem(last=False)
+            self.breaker.release_bytes(self._nbytes(old))
+
+    def clear(self):
+        for old in self._d.values():
+            self.breaker.release_bytes(self._nbytes(old))
+        self._d.clear()
 
 
 class IndexSearcher:
@@ -107,6 +131,7 @@ class IndexSearcher:
         index_dir: str,
         shards: list[int] | None = None,
         term_cache_items: int = 100_000,
+        cache_limit_bytes: int | None = None,
     ):
         manifest = IndexManifest.load(index_dir)
         if manifest is None:
@@ -120,8 +145,20 @@ class IndexSearcher:
         self.shards = (
             set(shards) if shards is not None else set(range(manifest.num_doc_shards))
         )
-        self._cache = _LruTerms(term_cache_items)
-        self._bm_cache = _LruTerms(4096)  # (term, B) → dense block-max tfn
+        # per-actor RAM budget for decoded caches (the reference's sparse
+        # circuit breaker, CircuitBreakerManager.java); None = unlimited,
+        # bounded by LRU item count + object-store backpressure only.
+        if cache_limit_bytes is not None:
+            from ..state.breaker import CircuitBreaker
+
+            self.breaker = CircuitBreaker(cache_limit_bytes)
+        else:
+            from ..state.breaker import NOOP_BREAKER
+
+            self.breaker = NOOP_BREAKER
+        self._cache = _LruTerms(term_cache_items, self.breaker, "postings")
+        # (term, B) → dense block-max tfn
+        self._bm_cache = _LruTerms(4096, self.breaker, "block_max")
         self._decode = decoder_for(manifest.posting_codec)
         post_paths: list[str] = []
         dl_paths: list[str] = []
@@ -333,6 +370,14 @@ class IndexSearcher:
                 self._block_max_tfn(t, _BLOCKMAX_B)
             n += 1
         return n
+
+    def clear_caches(self) -> dict:
+        """The reference's clear-cache API (NeuralSparseIndexShard.clearCache):
+        drop decoded postings + block-max caches, credit the breaker, and
+        return the breaker snapshot (used_bytes should drop to ~0)."""
+        self._cache.clear()
+        self._bm_cache.clear()
+        return self.breaker.snapshot()
 
     # ---- search ----------------------------------------------------------
     def _score_candidates(
