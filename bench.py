@@ -166,7 +166,14 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
     # ---- suite samples over the sf tables -------------------------------
     from neural_search_ray.pipelines import suite
 
-    for name in ("term_stats", "dedup_exact", "knn_cosine", "quality_stats"):
+    for name in (
+        "term_stats",
+        "dedup_exact",
+        "knn_cosine",
+        "quality_stats",
+        "minhash_lsh_pairs",
+        "c4_filter",
+    ):
         t0 = time.perf_counter()
         res = suite.build_queries()[name](sf_dir)
         if hasattr(res, "materialize"):

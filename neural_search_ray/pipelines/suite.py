@@ -1496,6 +1496,19 @@ def q_text_normalize(sf_dir: str) -> "ray.data.Dataset":
     return _docs_ds(sf_dir).map_batches(stage, batch_format="pyarrow")
 
 
+SEQ_PACK_LEN = 256
+
+
+def q_sequence_pack(sf_dir: str) -> "ray.data.Dataset":
+    """Concat-then-chunk sequence packing (LLM training examples):
+    distributed prefix-sum of per-doc token counts (bucketed partials →
+    driver-side offsets over one small row per bucket → per-bucket span
+    expansion) — see stages/pack.py for the two-shuffle shape."""
+    from ..stages.pack import pack_sequences
+
+    return pack_sequences(_docs_ds(sf_dir), seq_len=SEQ_PACK_LEN)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 
@@ -1987,6 +2000,26 @@ SELECT doc_id,
        CAST(md5_number_lower(text) & 9223372036854775807 AS BIGINT) AS winnow_fp
 FROM d WHERE n < 32"""
 
+    L = SEQ_PACK_LEN
+    sqls["sequence_pack"] = f"""
+WITH dl AS (
+  SELECT doc_id,
+         length(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+    coalesce(sum(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before
+  FROM dl)
+SELECT c.doc_id,
+  u.seq_id::BIGINT AS seq_id,
+  (greatest(u.seq_id * {L}, before) - before)::BIGINT AS doc_start,
+  (greatest(u.seq_id * {L}, before) - u.seq_id * {L})::BIGINT AS seq_start,
+  (least((u.seq_id + 1) * {L}, before + n)
+     - greatest(u.seq_id * {L}, before))::BIGINT AS n_tokens
+FROM c, LATERAL (SELECT unnest(range(before // {L}, (before + n - 1) // {L} + 1)) AS seq_id) u
+WHERE n > 0"""
+
     return sqls
 
 
@@ -2350,4 +2383,5 @@ def build_queries() -> dict:
         "url_canonicalize": q_url_canonicalize,
         "pii_redact": q_pii_redact,
         "text_normalize": q_text_normalize,
+        "sequence_pack": q_sequence_pack,
     }
