@@ -101,9 +101,10 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
     # ~32k docs per input block: measured sweet spot for the packed-
     # partials build at 8M pages (62.5k-doc batches at 128 blocks ran
     # 2x slower — interleaved A/B 121-152k vs 65-67k docs/s); floor at
-    # 128 blocks keeps map parallelism at small N. IDENTICAL at both
-    # scaling CPU levels (shape is a function of N only).
-    n_blocks = max(128, -(-n_pages // 32_000))
+    # 32 blocks = one map wave at 32 cpus (measured 2.3s vs 4.2s for a
+    # 128-block floor on the 100k-page job). IDENTICAL at both scaling
+    # CPU levels (shape is a function of N only).
+    n_blocks = max(32, -(-n_pages // 32_000))
     # best-of-2 on small jobs: the shared sandbox box has noisy
     # co-tenants and the driver runs this ONCE — a single cold build can
     # read 3-5x slow. Large (scaling) jobs amortize and run once.
