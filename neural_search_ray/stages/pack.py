@@ -46,6 +46,32 @@ def count_tokens(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return pc.coalesce(n, pa.scalar(0, n.type)).to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+def expand_spans(
+    ids: np.ndarray, n: np.ndarray, before: np.ndarray, L: int
+) -> dict[str, np.ndarray]:
+    """Pure span-expansion kernel: docs with token counts ``n`` whose
+    global token offsets are ``before`` → one row per (doc, sequence)
+    overlap. Vectorized repeat/arange; empty docs must be pre-filtered."""
+    first = before // L
+    spans = (before + n - 1) // L - first + 1
+    total = int(spans.sum())
+    # concatenated per-doc arange: seq_id = first + 0..spans-1
+    idx = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(spans) - spans, spans)
+    seq_id = np.repeat(first, spans) + idx
+    g0 = seq_id * L
+    r_before = np.repeat(before, spans)
+    r_end = np.repeat(before + n, spans)
+    start = np.maximum(g0, r_before)
+    end = np.minimum(g0 + L, r_end)
+    return {
+        "doc_id": np.repeat(ids, spans),
+        "seq_id": seq_id,
+        "doc_start": start - r_before,
+        "seq_start": start - g0,
+        "n_tokens": end - start,
+    }
+
+
 def pack_sequences(
     ds: "ray.data.Dataset",
     seq_len: int,
@@ -115,28 +141,8 @@ def pack_sequences(
         ids, n, before = ids[keep], n[keep], before[keep]
         if ids.size == 0:
             return empty
-        first = before // L
-        spans = (before + n - 1) // L - first + 1
-        total = int(spans.sum())
-        # concatenated per-doc arange: seq_id = first + 0..spans-1
-        idx = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(spans) - spans, spans
-        )
-        seq_id = np.repeat(first, spans) + idx
-        g0 = seq_id * L
-        r_before = np.repeat(before, spans)
-        r_end = np.repeat(before + n, spans)
-        start = np.maximum(g0, r_before)
-        end = np.minimum(g0 + L, r_end)
-        return pa.table(
-            {
-                "doc_id": pa.array(np.repeat(ids, spans)),
-                "seq_id": pa.array(seq_id),
-                "doc_start": pa.array(start - r_before),
-                "seq_start": pa.array(start - g0),
-                "n_tokens": pa.array(end - start),
-            }
-        )
+        out = expand_spans(ids, n, before, L)
+        return pa.table({k: pa.array(v) for k, v in out.items()})
 
     return (
         ds.map_batches(to_bucket_rows, batch_format="pyarrow")

@@ -101,3 +101,50 @@ def test_pack_matches_duckdb_oracle(tmp_path):
         zip(*[t[c].to_pylist() for c in sorted(t.column_names)])
     )
     assert key(got) == key(want)
+
+
+class TestPackProperties:
+    """Pure-kernel property tests (no Ray) against a per-token reference."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(st.integers(1, 50), min_size=1, max_size=30),
+        st.integers(1, 17),
+        st.integers(0, 100),
+    )
+    def test_expand_spans_matches_reference(self, counts, L, base):
+        from neural_search_ray.stages.pack import expand_spans
+
+        n = np.asarray(counts, dtype=np.int64)
+        ids = np.arange(n.size, dtype=np.int64) * 3 + 1
+        before = base + np.cumsum(n) - n
+        out = expand_spans(ids, n, before, L)
+        # reference: walk every token, note (doc, seq, pos-in-doc, pos-in-seq)
+        ref = []
+        cur = None
+        for d in range(n.size):
+            for t in range(n[d]):
+                g = before[d] + t
+                key = (ids[d], g // L)
+                if cur is None or cur[:2] != key:
+                    if cur is not None:
+                        ref.append(cur)
+                    cur = (key[0], key[1], t, g % L, 0)
+                cur = cur[:4] + (cur[4] + 1,)
+        if cur is not None:
+            ref.append(cur)
+        got = list(
+            zip(
+                out["doc_id"],
+                out["seq_id"],
+                out["doc_start"],
+                out["seq_start"],
+                out["n_tokens"],
+            )
+        )
+        assert [tuple(int(x) for x in r) for r in got] == [
+            tuple(int(x) for x in r) for r in ref
+        ]
