@@ -1499,6 +1499,32 @@ def q_text_normalize(sf_dir: str) -> "ray.data.Dataset":
 SEQ_PACK_LEN = 256
 
 
+def q_events_asof(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join: each purchase event enriched with the user's latest
+    click at-or-before the purchase (point-in-time-correct feature
+    join). Both sides predicate-pruned at the read; one salted-bucket
+    groupby exchange; per-bucket segmented-cummax merge
+    (stages/asof.py)."""
+    from ..stages.asof import asof_join
+
+    import pyarrow.dataset as pads
+
+    def typed(event_type: str) -> "ray.data.Dataset":
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+            filter=pads.field("event_type") == event_type,
+        )
+
+    return asof_join(
+        typed("purchase"),
+        typed("click"),
+        key_col="user_id",
+        ts_col="ts",
+        right_cols=["event_id", "ts", "value"],
+    )
+
+
 def q_sequence_pack(sf_dir: str) -> "ray.data.Dataset":
     """Concat-then-chunk sequence packing (LLM training examples):
     distributed prefix-sum of per-doc token counts (bucketed partials →
@@ -2020,6 +2046,13 @@ SELECT c.doc_id,
 FROM c, LATERAL (SELECT unnest(range(before // {L}, (before + n - 1) // {L} + 1)) AS seq_id) u
 WHERE n > 0"""
 
+    sqls["events_asof"] = """
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       r.event_id AS event_id_r, r.ts AS ts_r, r.value AS value_r
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
     return sqls
 
 
@@ -2384,4 +2417,5 @@ def build_queries() -> dict:
         "pii_redact": q_pii_redact,
         "text_normalize": q_text_normalize,
         "sequence_pack": q_sequence_pack,
+        "events_asof": q_events_asof,
     }

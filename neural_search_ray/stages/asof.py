@@ -1,0 +1,140 @@
+"""Distributed as-of join: match each left row to the LATEST right row
+of the same key with ``right.ts <= left.ts`` (the classic event-stream
+enrichment / point-in-time-correct feature join; SQL ``ASOF LEFT JOIN``).
+
+Ray Data has no join operator for this; the restatement is the same
+salted-bucket groupby shape used across this repo (dedup/components.py,
+window dedup): tag side → union → ONE ``groupby(key % num_buckets)``
+exchange → per-bucket vectorized merge. Inside a bucket the kernel
+handles ALL keys of the bucket at once:
+
+1. lexsort the combined rows by (key, ts, side) with right-side rows
+   ordering BEFORE left at equal ts (inclusive match) and equal-ts right
+   rows tie-broken by their ordinal (last wins — deterministic);
+2. one segmented cumulative-max over (key_run * N + right_ordinal)
+   forward-fills "latest right row seen so far within this key" in O(n)
+   with no Python loop;
+3. left rows gather the matched right payload; no match → nulls
+   (LEFT join semantics).
+
+Scale notes: both sides should be column- and predicate-pruned at the
+read (pass pre-filtered Datasets). The single shuffle moves each row
+once, keyed by a uniform hash bucket; per-bucket memory is the bucket's
+rows only. Skewed hot keys share a bucket with others but never split —
+same exposure as any groupby — and the kernel is O(rows log rows) in
+the bucket, not per key."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def _to_numpy(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False)
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """LEFT as-of join. Output = every left row + ``right_cols`` of the
+    matched right row renamed with ``suffix`` (null when the key has no
+    right row at-or-before the left ts). ``ts_col`` may be any ordered
+    Arrow type (timestamp, int, float)."""
+
+    left_schema = left.schema()
+    left_cols = list(left_schema.names)
+    out_right = [c + suffix for c in right_cols]
+
+    # right-side output types resolved once from the right schema
+    right_schema = right.schema()
+    _right_types = {
+        c + suffix: right_schema.types[right_schema.names.index(c)] for c in right_cols
+    }
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        key = _to_numpy(batch[key_col]).astype(np.int64)
+        cols: dict = {"_bucket": pa.array(key % num_buckets)}
+        cols["_side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        for c in left_cols:
+            cols[c] = batch[c]
+        for rc in out_right:
+            cols[rc] = pa.nulls(batch.num_rows, _right_types[rc])
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        key = _to_numpy(batch[key_col]).astype(np.int64)
+        cols = {"_bucket": pa.array(key % num_buckets)}
+        cols["_side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        for c in left_cols:
+            if c == key_col:
+                cols[c] = batch[c]
+            elif c == ts_col:
+                cols[c] = batch[c]
+            else:
+                cols[c] = pa.nulls(batch.num_rows, left_schema.types[left_cols.index(c)])
+        for c, rc in zip(right_cols, out_right):
+            cols[rc] = batch[c].cast(_right_types[rc])
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        out_schema = pa.schema(
+            [group.schema.field(c) for c in left_cols]
+            + [pa.field(rc, _right_types[rc]) for rc in out_right]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        key = _to_numpy(group[key_col]).astype(np.int64)
+        side = _to_numpy(group["_side"])  # 0 = right, 1 = left
+        ts = group[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_floating(ts.type) or pa.types.is_integer(ts.type):
+            ts_np = ts.to_numpy(zero_copy_only=False)
+        else:
+            ts_np = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ts_np, key))
+        k_s, side_s = key[order], side[order]
+        is_right = side_s == 0
+        # segment id per key run
+        seg = np.concatenate(([0], np.cumsum(k_s[1:] != k_s[:-1]))).astype(np.int64)
+        # right ordinal+1 at right rows, 0 elsewhere; cummax of
+        # seg*(n+1)+ordinal forward-fills within segments in one pass
+        ordinal = np.where(is_right, np.arange(n, dtype=np.int64) + 1, 0)
+        acc = np.maximum.accumulate(seg * (n + 1) + ordinal)
+        matched = acc - seg * (n + 1) - 1  # sorted-position of match, -1 = none
+        l_mask = ~is_right
+        l_matched = matched[l_mask]
+        has = l_matched >= 0
+        # matched holds positions in the SORTED order → map back through
+        # `order` to original row indices for the Arrow takes
+        l_orig = order[l_mask]  # original row index of each left row
+        r_orig = order[np.where(has, l_matched, 0)]  # matched right row
+        cols: dict = {}
+        for c in left_cols:
+            cols[c] = group[c].take(pa.array(l_orig))
+        r_take = pa.array(np.where(has, r_orig, 0))
+        valid = pa.array(has)
+        import pyarrow.compute as pc
+
+        for rc in out_right:
+            taken = group[rc].take(r_take)
+            if isinstance(taken, pa.ChunkedArray):
+                taken = taken.combine_chunks()
+            cols[rc] = pc.if_else(valid, taken, pa.scalar(None, _right_types[rc]))
+        return pa.table(cols, schema=out_schema)
+
+    return tagged.groupby("_bucket").map_groups(merge, batch_format="pyarrow")

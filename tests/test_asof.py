@@ -1,0 +1,110 @@
+"""As-of join (stages/asof.py): inclusive match, LEFT nulls, bucketing."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from neural_search_ray.stages.asof import asof_join
+
+
+def _ds(rows, schema=None):
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+
+
+SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", pa.int64()), ("value", pa.float64())]
+)
+
+
+def _run(left_rows, right_rows, **kw):
+    out = asof_join(
+        _ds(left_rows, SCHEMA),
+        _ds(right_rows, SCHEMA),
+        key_col="user_id",
+        ts_col="ts",
+        right_cols=["event_id", "ts", "value"],
+        **kw,
+    )
+    rows = sorted(out.take_all(), key=lambda r: r["event_id"])
+    return rows
+
+
+def test_basic_latest_at_or_before():
+    left = [
+        {"event_id": 1, "user_id": 7, "ts": 100, "value": 1.0},
+        {"event_id": 2, "user_id": 7, "ts": 250, "value": 2.0},
+    ]
+    right = [
+        {"event_id": 10, "user_id": 7, "ts": 50, "value": 0.5},
+        {"event_id": 11, "user_id": 7, "ts": 200, "value": 0.7},
+        {"event_id": 12, "user_id": 7, "ts": 300, "value": 0.9},
+    ]
+    rows = _run(left, right)
+    assert rows[0]["event_id_r"] == 10 and rows[0]["ts_r"] == 50
+    assert rows[1]["event_id_r"] == 11 and rows[1]["value_r"] == 0.7
+
+
+def test_equal_ts_is_inclusive_and_no_match_is_null():
+    left = [
+        {"event_id": 1, "user_id": 3, "ts": 100, "value": 1.0},
+        {"event_id": 2, "user_id": 4, "ts": 100, "value": 2.0},
+        {"event_id": 3, "user_id": 3, "ts": 10, "value": 3.0},
+    ]
+    right = [{"event_id": 20, "user_id": 3, "ts": 100, "value": 0.1}]
+    rows = _run(left, right)
+    assert rows[0]["event_id_r"] == 20  # ts == ts matches (>=)
+    assert rows[1]["event_id_r"] is None  # user 4: no right rows
+    assert rows[1]["value_r"] is None
+    assert rows[2]["event_id_r"] is None  # earlier than every right row
+
+
+def test_keys_never_cross_and_buckets_collide():
+    # users 5 and 5+64 share bucket 5 at num_buckets=64 — must not mix
+    left = [
+        {"event_id": 1, "user_id": 5, "ts": 100, "value": 1.0},
+        {"event_id": 2, "user_id": 69, "ts": 100, "value": 2.0},
+    ]
+    right = [
+        {"event_id": 30, "user_id": 5, "ts": 90, "value": 0.5},
+        {"event_id": 31, "user_id": 69, "ts": 95, "value": 0.6},
+    ]
+    rows = _run(left, right, num_buckets=64)
+    assert rows[0]["event_id_r"] == 30
+    assert rows[1]["event_id_r"] == 31
+
+
+def test_matches_duckdb_asof_random():
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 300, 400
+    mk = lambda n, base: [
+        {
+            "event_id": base + i,
+            "user_id": int(rng.integers(0, 20)),
+            "ts": int(rng.integers(0, 10_000)),
+            "value": float(np.round(rng.random(), 6)),
+        }
+        for i in range(n)
+    ]
+    # dedupe (user, ts) collisions: DuckDB ASOF picks an arbitrary row
+    # among equal right ts — keep the comparison well-defined
+    left, right = mk(n_l, 0), []
+    seen = set()
+    for r in mk(n_r, 10_000):
+        if (r["user_id"], r["ts"]) not in seen:
+            seen.add((r["user_id"], r["ts"]))
+            right.append(r)
+    got = _run(left, right)
+    con = duckdb.connect()
+    con.register("l", pa.Table.from_pylist(left, SCHEMA))
+    con.register("r", pa.Table.from_pylist(right, SCHEMA))
+    want = con.execute(
+        """SELECT l.event_id, l.user_id, l.ts, l.value,
+                  r.event_id AS event_id_r, r.ts AS ts_r, r.value AS value_r
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+           ORDER BY l.event_id"""
+    ).arrow()
+    assert len(got) == want.num_rows
+    for col in want.column_names:
+        assert [r[col] for r in got] == want[col].to_pylist(), col
