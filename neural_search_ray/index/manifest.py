@@ -18,6 +18,24 @@ from typing import Any
 MANIFEST_NAME = "manifest.json"
 DOCLEN_BUCKET = -1  # sentinel bucket id for doc-length "posting" files
 
+# On-disk format versioning, the reference's codec-version discipline
+# (reference sparse/codec/SparsePostingsConsumer.java:48-49 pins
+# VERSION_START/VERSION_CURRENT and refuses out-of-range headers;
+# qa/restart-upgrade exercises old-index reads). A resumable 100-TB build
+# must be able to tell "this partial index was written by an older/newer
+# layout" apart from "corrupt".
+#
+# Version history:
+#   1 — round-1/2 layout (no format_version field in manifest.json).
+#       Identical physical layout to v2; readable without migration.
+#   2 — format_version field added (round 3). Current.
+FORMAT_VERSION_START = 1   # oldest version this reader accepts
+FORMAT_VERSION_CURRENT = 2
+
+
+class IndexFormatError(Exception):
+    """Raised when an on-disk index was written by an incompatible layout."""
+
 
 @dataclass
 class GroupFile:
@@ -47,6 +65,7 @@ class IndexManifest:
     bm25: dict
     weight_quantization: str = "none"  # "none" | "u8" (quantized sparse tier)
     posting_codec: str = "varint"      # "varint" | "for" (index/codec.py)
+    format_version: int = FORMAT_VERSION_CURRENT
     segments: dict[str, Any] = field(default_factory=dict)  # id → SegmentManifest dict
 
     # -- global stats over complete segments --
@@ -65,6 +84,9 @@ class IndexManifest:
         return [s for s in self.segments.values() if s["complete"]]
 
     def save(self, index_dir: str) -> None:
+        # Always stamp the current version on write: a resumed v1 index is
+        # upgraded to v2 on its next commit (the physical layout is the same).
+        self.format_version = FORMAT_VERSION_CURRENT
         tmp = os.path.join(index_dir, MANIFEST_NAME + ".tmp")
         with open(tmp, "w") as f:
             json.dump(asdict(self), f, indent=1)
@@ -77,6 +99,18 @@ class IndexManifest:
             return None
         with open(path) as f:
             d = json.load(f)
+        # BWC gate: a manifest without the field is version 1 (round-1/2
+        # layout, physically identical — read as-is). Anything outside
+        # [START, CURRENT] is refused with a clear error rather than being
+        # misread as corrupt data or silently mis-decoded.
+        version = d.get("format_version", 1)
+        if not (FORMAT_VERSION_START <= version <= FORMAT_VERSION_CURRENT):
+            raise IndexFormatError(
+                f"index at {index_dir!r} has format_version={version}; this "
+                f"reader supports [{FORMAT_VERSION_START}, "
+                f"{FORMAT_VERSION_CURRENT}]. Rebuild the index or upgrade "
+                f"the library."
+            )
         return cls(
             num_doc_shards=d["num_doc_shards"],
             num_term_buckets=d["num_term_buckets"],
@@ -85,5 +119,6 @@ class IndexManifest:
             bm25=d["bm25"],
             weight_quantization=d.get("weight_quantization", "none"),
             posting_codec=d.get("posting_codec", "varint"),
+            format_version=version,
             segments=d["segments"],
         )
