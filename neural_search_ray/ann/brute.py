@@ -74,6 +74,101 @@ class BruteForceKNNStage:
         return _cosine_topk_block(emb, ids, self.queries, self.query_ids, self.k)
 
 
+def _radial_threshold(min_score: float | None, max_distance: float | None) -> float:
+    """Resolve the radial threshold. Exactly one of min_score /
+    max_distance must be given (the reference's NeuralQueryBuilder radial
+    contract, query/NeuralQueryBuilder.java:156-157,232); cosine distance
+    is 1 - cosine similarity, so max_distance=d ⇔ min_score=1-d."""
+    if (min_score is None) == (max_distance is None):
+        raise ValueError("radial search requires exactly one of min_score / max_distance")
+    return float(min_score) if min_score is not None else 1.0 - float(max_distance)
+
+
+class RadialSearchStage:
+    """map_batches callable: emits every (query, neighbor) pair in the
+    block whose cosine similarity clears the radial threshold. Unlike the
+    top-k stage there is no per-block truncation — the result is exactly
+    the within-radius set, so no merge step is needed."""
+
+    def __init__(self, queries_ref, query_ids, min_score: float,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        self.queries = (
+            ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        )
+        qn = np.linalg.norm(self.queries, axis=1)
+        qn[qn == 0] = 1.0
+        self.unit_q = self.queries / qn[:, None]
+        self.query_ids = np.asarray(query_ids, dtype=np.int64)
+        self.min_score = min_score
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch[self.emb_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        emb = flat.reshape(len(ids), -1) if len(ids) else flat.reshape(0, 0)
+        e_norm = np.linalg.norm(emb, axis=1)
+        e_norm[e_norm == 0] = 1.0
+        sims = self.unit_q @ (emb / e_norm[:, None]).T  # (nq, nb)
+        qi, ni = np.nonzero(sims >= self.min_score)
+        return pa.table(
+            {
+                "query_id": pa.array(self.query_ids[qi]),
+                "neighbor_id": pa.array(ids[ni]),
+                "score": pa.array(sims[qi, ni]),
+            }
+        )
+
+
+def radial_search(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    min_score: float | None = None,
+    max_distance: float | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    as_dataset: bool = False,
+) -> "pa.Table | ray.data.Dataset":
+    """Radial (threshold) dense retrieval: ALL neighbors with cosine
+    similarity >= min_score (equivalently cosine distance <=
+    max_distance), the reference `neural` query's radial variant
+    (query/NeuralQueryBuilder.java:156-157,232).
+
+    Streaming: each block emits only its within-radius pairs; there is no
+    top-k merge because the semantics are exact set membership. With
+    ``as_dataset=True`` the (unsorted) match Dataset is returned for
+    sink-sized results; the default collects and sorts — use it only when
+    the radius is selective enough that matches fit the driver."""
+    thr = _radial_threshold(min_score, max_distance)
+    queries_ref = ray.put(np.ascontiguousarray(queries, dtype=np.float64))
+    matches = ds.map_batches(
+        RadialSearchStage,
+        fn_constructor_kwargs=dict(
+            queries_ref=queries_ref, query_ids=query_ids, min_score=thr,
+            id_col=id_col, emb_col=emb_col,
+        ),
+        concurrency=2,
+        batch_format="pyarrow",
+    )
+    if as_dataset:
+        return matches
+    t = pa.Table.from_pylist(matches.take_all())
+    if t.num_rows == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    order = np.lexsort(
+        (t["neighbor_id"].to_numpy(), -t["score"].to_numpy(), t["query_id"].to_numpy())
+    )
+    return t.take(order)
+
+
 def knn_brute_force(
     ds: "ray.data.Dataset",
     queries: np.ndarray,

@@ -48,7 +48,19 @@ def fit_centroids(
     x = _normalize(np.asarray(vectors, dtype=np.float64))
     rng = np.random.RandomState(seed)
     k = min(n_centroids, x.shape[0])
-    cent = x[rng.choice(x.shape[0], size=k, replace=False)]
+    # Farthest-first (Gonzalez) seeding: first seed random, each next seed
+    # the point farthest (min cosine) from all chosen so far. Deterministic
+    # given the seed and — unlike uniform choice — spreads the k seeds
+    # across well-separated clusters, so no cluster eats two centroids
+    # while another is split (bucket-balance prerequisite for IVF).
+    first = int(rng.randint(x.shape[0]))
+    chosen = [first]
+    best_sim = x @ x[first]  # similarity to nearest chosen seed, per point
+    for _ in range(k - 1):
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, x @ x[nxt])
+    cent = x[chosen].copy()
     for _ in range(n_iters):
         assign = np.argmax(x @ cent.T, axis=1)
         for c in range(k):
@@ -110,6 +122,43 @@ class IVFIndex:
 # --------------------------------------------------------------------------
 # distributed build
 
+_MASK63 = np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+
+
+def _sample_embeddings(
+    ds: "ray.data.Dataset", sample_size: int, seed: int, id_col: str, emb_col: str
+) -> np.ndarray:
+    """Deterministic UNBIASED centroid sample: keep a row iff
+    h63(id || seed) clears a rate-scaled gate (the quality_sample
+    hash-gate pattern), then take the sample_size smallest hashes.
+
+    Unlike ``ds.limit(sample_size)`` (the round-2 version) this is
+    independent of row order — on an id-sorted corpus whose content
+    correlates with id, a prefix sample fits centroids on a biased slice
+    and skews bucket sizes. The gate bounds the driver materialization to
+    ~1.25× sample_size rows regardless of N."""
+    from ..dedup.common import h64_batch
+
+    n_total = ds.count()
+    rate = 1.0 if n_total <= sample_size else min(1.0, 1.25 * sample_size / n_total)
+    gate = np.int64(min(int(rate * float(_MASK63)), int(_MASK63)))
+
+    def keep_sampled(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (h64_batch([f"{i}|ivf{seed}" for i in ids]).astype(np.uint64) & _MASK63).astype(
+            np.int64
+        )
+        m = h <= gate
+        col = batch[emb_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"h": pa.array(h[m]), emb_col: col.take(np.nonzero(m)[0])})
+
+    rows = ds.map_batches(keep_sampled, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: int(r["h"]))  # deterministic truncation order
+    rows = rows[:sample_size]
+    return np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+
 
 def build_ivf_index(
     ds: "ray.data.Dataset",
@@ -126,8 +175,7 @@ def build_ivf_index(
     out_dir/ivf_manifest.json). Raw embeddings are stored per bucket so
     the searcher scores true cosine (identical to brute force)."""
     os.makedirs(out_dir, exist_ok=True)
-    sample = ds.limit(sample_size).take_all()  # bounded: O(sample_size)
-    sample_mat = np.asarray([r[emb_col] for r in sample], dtype=np.float64)
+    sample_mat = _sample_embeddings(ds, sample_size, seed, id_col, emb_col)
     cent = fit_centroids(sample_mat, n_centroids, seed, n_iters)
     np.save(os.path.join(out_dir, "centroids.npy"), cent)
     cent_ref = ray.put(cent)
@@ -160,8 +208,20 @@ def build_ivf_index(
         b = int(group["bucket"][0].as_py())
         path = os.path.join(out_dir, f"bucket_{b:05d}.parquet")
         pq.write_table(group.select([id_col, emb_col]), path)
+        # Angular radius of the bucket: the MIN member·centroid dot (unit
+        # vectors) — lets radial queries prune whole buckets with the
+        # exact spherical bound cos(max(0, θ(q,c) − r_b)) < min_score.
+        col = group[emb_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = (
+            col.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float64).reshape(len(group), -1)
+        )
+        mindot = float(np.min(_normalize(mat) @ cent[b]))
         return pa.table({"bucket": pa.array([b], pa.int64()),
-                         "n": pa.array([len(group)], pa.int64())})
+                         "n": pa.array([len(group)], pa.int64()),
+                         "mindot": pa.array([mindot], pa.float64())})
 
     manifest_rows = (
         ds.map_batches(AssignStage, concurrency=2, batch_format="pyarrow")
@@ -176,6 +236,9 @@ def build_ivf_index(
         "emb_col": emb_col,
         "buckets": {
             str(int(r["bucket"])): int(r["n"]) for r in manifest_rows
+        },
+        "bucket_mindot": {
+            str(int(r["bucket"])): float(r["mindot"]) for r in manifest_rows
         },
     }
     with open(os.path.join(out_dir, "ivf_manifest.json"), "w") as f:
@@ -240,4 +303,66 @@ class IVFSearcher:
         ids = np.concatenate(cand_ids)
         sims = np.concatenate(cand_sims)
         order = np.lexsort((ids, -sims))[:k]
+        return ids[order], sims[order]
+
+    def radial_buckets(self, query: np.ndarray, threshold: float) -> list[int]:
+        """Bucket ids that MIGHT hold a within-radius member — the exact
+        spherical pruning bound. For unit vectors, the angle triangle
+        inequality gives θ(q,x) ≥ θ(q,c_b) − r_b where r_b is the bucket's
+        angular radius (arccos of the stored min member·centroid dot), so
+        the best possible member similarity in bucket b is
+        cos(max(0, θ(q,c_b) − r_b)); any bucket whose bound is below the
+        threshold cannot contain a match. Manifests written before round 3
+        lack ``bucket_mindot`` — those buckets are never pruned (still
+        exact, just slower)."""
+        q = np.asarray(query, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        if qn > 0:
+            q = q / qn
+        mindots = self.manifest.get("bucket_mindot", {})
+        out = []
+        for bs in self.manifest["buckets"]:
+            b = int(bs)
+            if bs in mindots:
+                theta_qc = np.arccos(np.clip(float(self.centroids[b] @ q), -1.0, 1.0))
+                r_b = np.arccos(np.clip(float(mindots[bs]), -1.0, 1.0))
+                bound = np.cos(max(0.0, theta_qc - r_b))
+                if bound < threshold:
+                    continue
+            out.append(b)
+        return out
+
+    def radial_search(
+        self,
+        query: np.ndarray,
+        min_score: float | None = None,
+        max_distance: float | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """EXACT radial retrieval over the IVF index: centroid-distance
+        pruning bounds the scan (radial_buckets), surviving buckets are
+        scanned and filtered. Same semantics as ann.brute.radial_search
+        (reference query/NeuralQueryBuilder.java:156-157,232)."""
+        from .brute import _radial_threshold
+
+        thr = _radial_threshold(min_score, max_distance)
+        q = np.asarray(query, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        if qn > 0:
+            q = q / qn
+        cand_ids, cand_sims = [], []
+        for b in self.radial_buckets(q, thr):
+            loaded = self._bucket(b)
+            if loaded is None:
+                continue
+            ids, unit = loaded
+            sims = unit @ q
+            m = sims >= thr
+            if m.any():
+                cand_ids.append(ids[m])
+                cand_sims.append(sims[m])
+        if not cand_ids:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids = np.concatenate(cand_ids)
+        sims = np.concatenate(cand_sims)
+        order = np.lexsort((ids, -sims))
         return ids[order], sims[order]

@@ -780,6 +780,73 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     )
 
 
+RADIAL_MIN_SCORE = 0.2  # shared by knn_radial / ivf_radial and their oracle
+
+
+def q_knn_radial(sf_dir: str) -> pa.Table:
+    """Radial (min_score) dense retrieval, brute streaming path — the
+    reference neural query's radial variant
+    (query/NeuralQueryBuilder.java:156-157,232): ALL neighbors with
+    cosine >= threshold, no top-k truncation."""
+    from ..ann.brute import radial_search
+
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # engine filters a hair below the gate; the oracle-visible gate is on
+    # the ROUNDED score (both sides) so borderline ulps can't flip rows
+    out = radial_search(ds, queries, qids, min_score=RADIAL_MIN_SCORE - 1e-7)
+    sc = round_half_up(out["score"].to_numpy(), 6)
+    keep = sc >= RADIAL_MIN_SCORE
+    out = out.filter(pa.array(keep))
+    return out.set_column(
+        out.schema.get_field_index("score"),
+        "score",
+        pa.array(sc[keep]),
+    )
+
+
+def q_ivf_radial(sf_dir: str) -> pa.Table:
+    """Radial retrieval over the DISTRIBUTED on-disk IVF index with
+    centroid-distance bucket pruning (ann/ivf.py radial_buckets) — EXACT
+    by the spherical bound, so the same brute-force SQL oracle applies."""
+    import pyarrow.parquet as pq
+
+    from ..ann.ivf import IVFSearcher
+
+    ivf_dir = _get_ivf_dir(sf_dir)
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    searcher = IVFSearcher(ivf_dir)
+    out_q, out_n, out_s = [], [], []
+    for qid, q in zip(qids, queries):
+        ids, sims = searcher.radial_search(q, min_score=RADIAL_MIN_SCORE - 1e-7)
+        sc = round_half_up(sims, 6)
+        keep = sc >= RADIAL_MIN_SCORE
+        out_q.append(np.full(int(keep.sum()), qid, dtype=np.int64))
+        out_n.append(ids[keep])
+        out_s.append(sc[keep])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "score": pa.array(np.concatenate(out_s)),
+        }
+    )
+
+
 _IVF_CACHE: dict[str, str] = {}
 
 
@@ -790,7 +857,10 @@ def _get_ivf_dir(sf_dir: str, n_centroids: int = 8) -> str:
     from ..ann.ivf import build_ivf_index
 
     st = os.stat(f"{sf_dir}/embeddings.parquet")
-    key = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    # "v3" = round-3 IVF layout (bucket_mindot + farthest-first centroids)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:v3".encode()
+    ).hexdigest()[:12]
     out_dir = f"/tmp/nsr_ivf_{key}"
     if not os.path.exists(os.path.join(out_dir, "ivf_manifest.json")):
         ds = ray.data.read_parquet(
@@ -1847,6 +1917,19 @@ SELECT query_id::BIGINT AS query_id, rank, neighbor_id::BIGINT AS neighbor_id, s
     # so the brute-force cosine oracle applies verbatim.
     sqls["ivf_ann"] = sqls["knn_cosine"]
 
+    # radial retrieval: ALL neighbors with cosine >= threshold (no top-k)
+    sqls["knn_radial"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN embeddings e)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+       round(score, 6) AS score
+FROM scored WHERE round(score, 6) >= {RADIAL_MIN_SCORE}"""
+    # ivf_radial prunes buckets with an exact spherical bound → same oracle
+    sqls["ivf_radial"] = sqls["knn_radial"]
+
     # events
     sqls["events_sessionize"] = """
 WITH e AS (
@@ -2383,6 +2466,8 @@ def build_queries() -> dict:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "knn_cosine": q_knn_cosine,
+        "knn_radial": q_knn_radial,
+        "ivf_radial": q_ivf_radial,
         "events_sessionize": q_events_sessionize,
         "top_events": q_top_events,
         "pricing_summary": q_pricing_summary,

@@ -347,3 +347,208 @@ class TestConnectedComponents:
         got = {r["doc_id"]: r["component"]
                for r in connected_components(ray.data.from_arrow(t), num_buckets=2).take_all()}
         assert got == {i: 0 for i in range(n)}
+
+
+class TestRadial:
+    """Radial (min_score / max_distance) dense retrieval — the reference
+    neural query's radial variant (query/NeuralQueryBuilder.java:156-157,232)."""
+
+    def _vec_table(self, n=150, dim=16, seed=3):
+        rng = np.random.RandomState(seed)
+        base = rng.randn(n, dim)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(base.astype(np.float64)),
+                                      type=pa.list_(pa.float64())),
+            }
+        ), base
+
+    def _naive(self, mat, q, thr):
+        unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+        sims = unit @ (q / np.linalg.norm(q))
+        keep = np.nonzero(sims >= thr)[0]
+        return {int(i): float(sims[i]) for i in keep}
+
+    def test_brute_radial_matches_naive(self, ray_session):
+        import ray.data
+
+        from neural_search_ray.ann.brute import radial_search
+
+        t, mat = self._vec_table()
+        queries = mat[:3]
+        got = radial_search(
+            ray.data.from_arrow(t), queries, np.arange(3), min_score=0.4
+        )
+        for qi in range(3):
+            want = self._naive(mat, mat[qi], 0.4)
+            m = got["query_id"].to_numpy() == qi
+            ids = got["neighbor_id"].to_numpy()[m]
+            sims = got["score"].to_numpy()[m]
+            assert set(ids.tolist()) == set(want)
+            for i, s in zip(ids, sims):
+                assert abs(s - want[int(i)]) < 1e-12
+            # sorted by score desc, id asc within query
+            assert (np.diff(sims) <= 1e-15).all()
+
+    def test_max_distance_equivalent(self, ray_session):
+        import ray.data
+
+        from neural_search_ray.ann.brute import radial_search
+
+        t, mat = self._vec_table(n=60)
+        a = radial_search(ray.data.from_arrow(t), mat[:2], np.arange(2), min_score=0.3)
+        b = radial_search(
+            ray.data.from_arrow(t), mat[:2], np.arange(2), max_distance=0.7
+        )
+        assert a.equals(b)
+
+    def test_exactly_one_threshold_required(self):
+        from neural_search_ray.ann.brute import _radial_threshold
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            _radial_threshold(None, None)
+        with _pytest.raises(ValueError):
+            _radial_threshold(0.5, 0.5)
+
+    def test_ivf_radial_exact_on_diffuse_corpus(self, ray_session, tmp_path):
+        """Random Gaussian vectors: bucket radii are wide so the bound
+        rarely prunes, but the result must STILL be exact."""
+        import ray.data
+
+        from neural_search_ray.ann.ivf import IVFSearcher, build_ivf_index
+
+        t, mat = self._vec_table(n=200)
+        build_ivf_index(
+            ray.data.from_arrow(t), str(tmp_path / "ivf"), n_centroids=8,
+            sample_size=128, seed=42,
+        )
+        s = IVFSearcher(str(tmp_path / "ivf"))
+        assert "bucket_mindot" in s.manifest
+        for qi in (0, 11, 42, 77):
+            thr = 0.45
+            want = self._naive(mat, mat[qi], thr)
+            ids, sims = s.radial_search(mat[qi], min_score=thr)
+            assert set(ids.tolist()) == set(want)
+            for i, sv in zip(ids, sims):
+                assert abs(sv - want[int(i)]) < 1e-12
+
+    def test_ivf_radial_prunes_clustered_corpus(self, ray_session, tmp_path):
+        """Clustered corpus (tight buckets): the spherical bound must
+        actually skip far-away buckets AND stay exact."""
+        import ray.data
+
+        from neural_search_ray.ann.ivf import IVFSearcher, build_ivf_index
+
+        rng = np.random.RandomState(9)
+        n, dim, k = 400, 12, 4
+        centers = rng.randn(k, dim) * 5
+        mat = np.concatenate(
+            [centers[c] + 0.2 * rng.randn(n // k, dim) for c in range(k)]
+        )
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(mat.astype(np.float64)),
+                                      type=pa.list_(pa.float64())),
+            }
+        )
+        build_ivf_index(
+            ray.data.from_arrow(t), str(tmp_path / "ivf"), n_centroids=k,
+            sample_size=200, seed=42,
+        )
+        s = IVFSearcher(str(tmp_path / "ivf"))
+        pruned_any = False
+        for qi in (3, 150, 399):
+            thr = 0.8
+            want = self._naive(mat, mat[qi], thr)
+            ids, sims = s.radial_search(mat[qi], min_score=thr)
+            assert set(ids.tolist()) == set(want)
+            q = mat[qi] / np.linalg.norm(mat[qi])
+            if len(s.radial_buckets(q, thr)) < len(s.manifest["buckets"]):
+                pruned_any = True
+        assert pruned_any  # the bound actually skips buckets here
+
+    def test_ivf_radial_old_manifest_unpruned_still_exact(self, ray_session, tmp_path):
+        import json
+        import os
+
+        import ray.data
+
+        from neural_search_ray.ann.ivf import IVFSearcher, build_ivf_index
+
+        t, mat = self._vec_table(n=80)
+        build_ivf_index(
+            ray.data.from_arrow(t), str(tmp_path / "ivf"), n_centroids=4,
+            sample_size=64, seed=42,
+        )
+        # simulate a round-2 manifest: no bucket_mindot
+        mp = os.path.join(str(tmp_path / "ivf"), "ivf_manifest.json")
+        with open(mp) as f:
+            man = json.load(f)
+        man.pop("bucket_mindot")
+        with open(mp, "w") as f:
+            json.dump(man, f)
+        s = IVFSearcher(str(tmp_path / "ivf"))
+        want = self._naive(mat, mat[5], 0.4)
+        ids, _ = s.radial_search(mat[5], min_score=0.4)
+        assert set(ids.tolist()) == set(want)
+
+
+class TestIVFSampleBalance:
+    def test_hash_sample_unbiased_on_sorted_clustered_corpus(self, ray_session, tmp_path):
+        """Round-2 bug (VERDICT what's-wrong #1): centroid sample was
+        ds.limit(n) — a PREFIX — so an id-ordered corpus whose content
+        drifts with id fit centroids on a biased slice. The hash-gated
+        sample must produce buckets balanced within a factor bound on
+        exactly that corpus shape."""
+        import ray.data
+
+        from neural_search_ray.ann.ivf import IVFSearcher, build_ivf_index
+
+        rng = np.random.RandomState(7)
+        n, dim, k = 1200, 12, 4
+        # id-sorted clustered corpus: first 300 ids cluster 0, next 300
+        # cluster 1, ... (a prefix sample sees ONLY cluster 0)
+        centers = rng.randn(k, dim) * 4
+        mat = np.concatenate(
+            [centers[c] + 0.3 * rng.randn(n // k, dim) for c in range(k)]
+        )
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(mat.astype(np.float64)),
+                                      type=pa.list_(pa.float64())),
+            }
+        )
+        build_ivf_index(
+            ray.data.from_arrow(t), str(tmp_path / "ivf"), n_centroids=k,
+            sample_size=256, seed=42,
+        )
+        s = IVFSearcher(str(tmp_path / "ivf"))
+        sizes = sorted(s.manifest["buckets"].values())
+        assert len(sizes) == k  # every centroid got a bucket
+        assert sizes[-1] <= 3 * sizes[0], sizes  # balanced within 3x
+
+    def test_sample_deterministic_across_block_layouts(self, ray_session):
+        import ray.data
+
+        from neural_search_ray.ann.ivf import _sample_embeddings
+
+        rng = np.random.RandomState(11)
+        mat = rng.randn(500, 8)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(500, dtype=np.int64)),
+                "embedding": pa.array(list(mat.astype(np.float64)),
+                                      type=pa.list_(pa.float64())),
+            }
+        )
+        a = _sample_embeddings(ray.data.from_arrow(t), 100, 42, "vec_id", "embedding")
+        b = _sample_embeddings(
+            ray.data.from_arrow(t).repartition(7), 100, 42, "vec_id", "embedding"
+        )
+        assert a.shape == (100, 8)
+        assert np.array_equal(np.sort(a, axis=0), np.sort(b, axis=0))
