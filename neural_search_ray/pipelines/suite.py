@@ -623,6 +623,15 @@ def q_minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
     return minhash_lsh_candidates(_docs_ds(sf_dir), num_hashes=8, bands=4)
 
 
+def q_minhash_lsh_pairs_k16(sf_dir: str) -> "ray.data.Dataset":
+    """16-hash signature / 8 bands: exercises the PRNG-extended
+    coefficient stream beyond the 8 pinned pairs (dedup/minhash.py
+    coefficients()); the oracle regenerates the same stream."""
+    from ..dedup.minhash import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs_ds(sf_dir), num_hashes=16, bands=8)
+
+
 def q_sink_roundtrip_by_lang(sf_dir: str) -> "ray.data.Dataset":
     """Resumable partitioned sink end-to-end under the gate: documents
     are written one Parquet directory per lang (_SUCCESS markers,
@@ -1165,6 +1174,17 @@ def q_fingerprint_winnow(sf_dir: str) -> "ray.data.Dataset":
                          "winnow_fp": pa.array(fps)})
 
     return _docs_ds(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_fingerprint_winnow_roll(sf_dir: str) -> "ray.data.Dataset":
+    """Scale-grade winnowing fingerprint: Karp-Rabin polynomial rolling
+    hash (stages/winnow.py), every window of the batch hashed in 32
+    vectorized numpy passes — the kernel the md5 variant can't become
+    (its hash is pinned by the md5_number_lower oracle). Same window
+    geometry (32 code points, stride 16, whole text when shorter)."""
+    from ..stages.winnow import winnow_roll_stage
+
+    return _docs_ds(sf_dir).map_batches(winnow_roll_stage, batch_format="pyarrow")
 
 
 def q_bm25_filtered_en(sf_dir: str) -> pa.Table:
@@ -1987,21 +2007,30 @@ SELECT d.doc_id,
                          THEN CAST(power(2, b.j) AS BIGINT) ELSE 0 END), 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN bits b USING (doc_id)
 GROUP BY d.doc_id"""
-    from ..dedup.minhash import _A, _B
+    from ..dedup.minhash import coefficients
     from ..dedup.common import MERSENNE_61
 
-    num_hashes, bands, rpb = 8, 4, 2
-    hash_exprs = ", ".join(
-        f"min((({_A[i]}::HUGEINT * md5_number_lower(shingle)::HUGEINT + {_B[i]}) % {MERSENNE_61}))::UBIGINT AS m{i}"
-        for i in range(num_hashes)
-    )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"md5_number_lower(cast(m{2*b} AS VARCHAR) || ',' || cast(m{2*b+1} AS VARCHAR)) AS band_key "
-        f"FROM sigs"
-        for b in range(bands)
-    )
-    sqls["minhash_lsh_pairs"] = f"""
+    def _minhash_sql(num_hashes: int, bands: int) -> str:
+        """SQL mirror of dedup/minhash.py for any num_hashes — the
+        coefficient stream beyond the 8 pinned pairs is the same
+        fixed-seed PRNG extension (coefficients()), so the oracle stays
+        value-exact at every signature width."""
+        A, B = coefficients(num_hashes)
+        rpb = num_hashes // bands
+        hash_exprs = ", ".join(
+            f"min((({A[i]}::HUGEINT * md5_number_lower(shingle)::HUGEINT + {B[i]}) % {MERSENNE_61}))::UBIGINT AS m{i}"
+            for i in range(num_hashes)
+        )
+        band_rows = " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, md5_number_lower({key}) AS band_key FROM sigs".format(
+                b=b,
+                key=" || ',' || ".join(
+                    f"cast(m{b*rpb + r} AS VARCHAR)" for r in range(rpb)
+                ),
+            )
+            for b in range(bands)
+        )
+        return f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
   FROM documents),
@@ -2016,6 +2045,10 @@ bandkeys AS ({band_rows})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bandkeys a JOIN bandkeys b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+
+    sqls["minhash_lsh_pairs"] = _minhash_sql(8, 4)
+    # 16-hash signature: exercises the PRNG-extended coefficient stream
+    sqls["minhash_lsh_pairs_k16"] = _minhash_sql(16, 8)
 
     # connected components over the minhash pairs: transitive closure via
     # a recursive CTE (UNION dedup bounds the recursion); component =
@@ -2108,6 +2141,28 @@ UNION ALL
 SELECT doc_id,
        CAST(md5_number_lower(text) & 9223372036854775807 AS BIGINT) AS winnow_fp
 FROM d WHERE n < 32"""
+
+    # rolling-hash winnow: same window geometry, Karp-Rabin polynomial over
+    # code points mod 2^64 (HUGEINT-expressible) — the vectorizable kernel
+    sqls["fingerprint_winnow_roll"] = """
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(text, ''), c -> unicode(c)::HUGEINT) AS cs,
+         length(text) AS n
+  FROM documents),
+win AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 THEN [0::HUGEINT]
+              WHEN n >= 32 THEN
+           list_transform(range(0, ((n-32)//16)::BIGINT + 1),
+             i -> list_reduce(cs[(i*16+1):(i*16+32)],
+                  (acc, x) -> (acc * 131 + x) % 18446744073709551616::HUGEINT))
+         ELSE
+           [list_reduce(cs, (acc, x) -> (acc * 131 + x) % 18446744073709551616::HUGEINT)]
+         END AS hs
+  FROM codes)
+SELECT doc_id, (list_min(hs) % 9223372036854775808::HUGEINT)::BIGINT AS winnow_fp
+FROM win"""
 
     L = SEQ_PACK_LEN
     sqls["sequence_pack"] = f"""
@@ -2464,6 +2519,7 @@ def build_queries() -> dict:
         "dedup_exact": q_dedup_exact,
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_pairs_k16": q_minhash_lsh_pairs_k16,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "knn_cosine": q_knn_cosine,
         "knn_radial": q_knn_radial,
@@ -2477,6 +2533,7 @@ def build_queries() -> dict:
         "rerank_byfield": q_rerank_byfield,
         "embed_neardup": q_embed_neardup,
         "fingerprint_winnow": q_fingerprint_winnow,
+        "fingerprint_winnow_roll": q_fingerprint_winnow_roll,
         "bpe_token_count": q_bpe_token_count,
         "forward_index_stats": q_forward_index_stats,
         "seismic_ann": q_seismic_ann,

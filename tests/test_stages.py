@@ -184,3 +184,46 @@ class TestRamAccounting:
         assert snap["mystage_bytes_in"] - before == t.nbytes
         assert snap["mystage_bytes_out"] >= out.nbytes
         assert out.column_names == ["a"]
+
+
+class TestWinnowRoll:
+    def test_matches_scalar_reference(self):
+        from neural_search_ray.stages.winnow import winnow_roll_batch, winnow_roll_scalar
+
+        texts = [
+            "", "x", "a" * 31, "b" * 32, "c" * 33,
+            "hello world this is a long document " * 4,
+            "ünïcode tèxt with ümläuts over thirty-two codepoints in total!",
+            "exactly sixteen!" * 3,
+        ]
+        got = winnow_roll_batch(texts).tolist()
+        assert got == [winnow_roll_scalar(t) for t in texts]
+
+    def test_hypothesis_random_texts(self):
+        import string
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from neural_search_ray.stages.winnow import winnow_roll_batch, winnow_roll_scalar
+
+        alphabet = string.ascii_letters + string.digits + " .,!ü漢"
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.lists(st.text(alphabet=alphabet, max_size=120), max_size=8))
+        def check(texts):
+            assert winnow_roll_batch(texts).tolist() == [
+                winnow_roll_scalar(t) for t in texts
+            ]
+
+        check()
+
+    def test_stride_sensitivity(self):
+        # shifting a long doc by one stride keeps some window hashes in
+        # common → frequently equal fingerprints for shared content
+        from neural_search_ray.stages.winnow import winnow_roll_scalar
+
+        body = "shared content that spans many windows of text " * 8
+        a = winnow_roll_scalar(body)
+        b = winnow_roll_scalar(("x" * 16) + body)  # prefix of one stride
+        assert a == b  # min window survives the stride-aligned shift
