@@ -149,7 +149,16 @@ def connected_components(
         e_src = src[~is_label]
         e_dst = dst[~is_label]
         pos = np.searchsorted(lnode, e_src)
-        # every edge src has a label row by construction
+        # every edge src has a label row by construction — fail LOUDLY if
+        # that invariant ever breaks (e.g. a caller filtered the labels
+        # dataset) instead of gathering a wrong neighbor's label
+        if e_src.size and not (
+            (pos < lnode.size).all() and (lnode[np.minimum(pos, lnode.size - 1)] == e_src).all()
+        ):
+            raise AssertionError(
+                "connected-components invariant broken: edge src without a "
+                "label row in its bucket (labels dataset was filtered?)"
+            )
         e_lab = llab[pos]
         node = np.concatenate((e_dst, lnode))
         label = np.concatenate((e_lab, llab))

@@ -79,10 +79,11 @@ class _LruTerms:
     """Bounded decoded-postings cache (term → tuple of ndarrays).
 
     Optionally RAM-accounted against a per-actor ``CircuitBreaker``
-    (state/breaker.py): a put the breaker refuses is SKIPPED — the value
-    is still returned to the caller, just not cached — matching the
-    reference's "cache writes blocked when breaker trips"
-    (CircuitBreakerManager.java:37-52); eviction credits bytes back."""
+    (state/breaker.py), matching the reference's "cache writes blocked
+    when breaker trips" (CircuitBreakerManager.java:37-52): a put the
+    breaker refuses first evicts LRU entries (crediting their bytes)
+    until the new value fits; only a value larger than the entire budget
+    is skipped outright. Overwrites credit the replaced value's bytes."""
 
     def __init__(self, max_items: int = 100_000, breaker=None, label: str = "terms"):
         from ..state.breaker import NOOP_BREAKER
@@ -105,13 +106,28 @@ class _LruTerms:
         return v
 
     def put(self, term, value):
-        if not self.breaker.add_memory_usage(self._nbytes(value), self.label):
-            return
-        self._d[term] = value
-        self._d.move_to_end(term)
-        if len(self._d) > self.max_items:
-            _, old = self._d.popitem(last=False)
+        old = self._d.pop(term, None)
+        if old is not None:
+            # overwrite: credit the old value's bytes first, or a racing
+            # double-put (concurrent warmup + query) permanently inflates
+            # used_bytes and trips the breaker spuriously
             self.breaker.release_bytes(self._nbytes(old))
+        nb = self._nbytes(value)
+        limit = getattr(self.breaker, "limit_bytes", None)
+        if limit is not None and nb * getattr(self.breaker, "overhead", 1.0) > limit:
+            return  # value alone exceeds the whole budget: never evict for it
+        # breaker full: evict LRU entries (crediting bytes) until the new
+        # value fits — otherwise the cache freezes on whatever was cached
+        # first and a workload shift decodes every query forever
+        while not self.breaker.add_memory_usage(nb, self.label):
+            if not self._d:
+                return  # other tenants hold the budget; give up
+            _, victim = self._d.popitem(last=False)
+            self.breaker.release_bytes(self._nbytes(victim))
+        self._d[term] = value
+        if len(self._d) > self.max_items:
+            _, lru = self._d.popitem(last=False)
+            self.breaker.release_bytes(self._nbytes(lru))
 
     def clear(self):
         for old in self._d.values():

@@ -8,9 +8,12 @@ window dedup): tag side → union → ONE ``groupby(key % num_buckets)``
 exchange → per-bucket vectorized merge. Inside a bucket the kernel
 handles ALL keys of the bucket at once:
 
-1. lexsort the combined rows by (key, ts, side) with right-side rows
-   ordering BEFORE left at equal ts (inclusive match) and equal-ts right
-   rows tie-broken by their ordinal (last wins — deterministic);
+1. lexsort the combined rows by (key, ts, [tiebreak,] side) with
+   right-side rows ordering BEFORE left at equal ts (inclusive match).
+   Equal-(key, ts) right rows are matched ARBITRARILY unless
+   ``tiebreak_col`` is given (Ray gives no row-order guarantee through
+   union+groupby); with a tiebreak column, the right row with the
+   LARGEST tiebreak value wins — deterministic;
 2. one segmented cumulative-max over (key_run * N + right_ordinal)
    forward-fills "latest right row seen so far within this key" in O(n)
    with no Python loop;
@@ -44,11 +47,19 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_r",
     num_buckets: int = 64,
+    tiebreak_col: str | None = None,
 ) -> "ray.data.Dataset":
     """LEFT as-of join. Output = every left row + ``right_cols`` of the
     matched right row renamed with ``suffix`` (null when the key has no
-    right row at-or-before the left ts). ``ts_col`` may be any ordered
-    Arrow type (timestamp, int, float)."""
+    right row at-or-before the left ts).
+
+    ``key_col`` must be an integer Arrow type on both sides (it feeds the
+    bucket hash); ``ts_col`` may be any ordered Arrow type (timestamp,
+    int, float). Null ts rows — and float NaN ts — are DROPPED on the
+    right and never match on the left. Among right rows with equal
+    (key, ts) the match is arbitrary unless ``tiebreak_col`` names an
+    integer right column; then the row with the largest tiebreak value
+    wins, deterministically."""
 
     left_schema = left.schema()
     left_cols = list(left_schema.names)
@@ -59,11 +70,40 @@ def asof_join(
     _right_types = {
         c + suffix: right_schema.types[right_schema.names.index(c)] for c in right_cols
     }
+    for side_name, schema in (("left", left_schema), ("right", right_schema)):
+        ktype = schema.types[list(schema.names).index(key_col)]
+        if not pa.types.is_integer(ktype):
+            raise TypeError(
+                f"asof_join key column {key_col!r} must be an integer Arrow "
+                f"type; {side_name} side has {ktype} (float keys would be "
+                f"silently truncated, string keys crash opaquely)"
+            )
+    if tiebreak_col is not None:
+        tb_type = right_schema.types[list(right_schema.names).index(tiebreak_col)]
+        if not pa.types.is_integer(tb_type):
+            raise TypeError(
+                f"asof_join tiebreak column {tiebreak_col!r} must be an "
+                f"integer Arrow type, got {tb_type}"
+            )
+
+    def _valid_ts_mask(ts) -> pa.Array:
+        import pyarrow.compute as pc
+
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_floating(ts.type):
+            return pc.invert(pc.is_null(ts, nan_is_null=True))
+        return pc.is_valid(ts)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         key = _to_numpy(batch[key_col]).astype(np.int64)
         cols: dict = {"_bucket": pa.array(key % num_buckets)}
         cols["_side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        if tiebreak_col is not None:
+            # left rows sort AFTER every equal-ts right row regardless
+            cols["_tb"] = pa.array(
+                np.full(batch.num_rows, np.iinfo(np.int64).max, dtype=np.int64)
+            )
         for c in left_cols:
             cols[c] = batch[c]
         for rc in out_right:
@@ -71,9 +111,14 @@ def asof_join(
         return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(_valid_ts_mask(batch[ts_col]))  # null/NaN ts: no match
         key = _to_numpy(batch[key_col]).astype(np.int64)
         cols = {"_bucket": pa.array(key % num_buckets)}
         cols["_side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        if tiebreak_col is not None:
+            cols["_tb"] = pa.array(
+                _to_numpy(batch[tiebreak_col]).astype(np.int64)
+            )
         for c in left_cols:
             if c == key_col:
                 cols[c] = batch[c]
@@ -106,7 +151,16 @@ def asof_join(
             ts_np = ts.to_numpy(zero_copy_only=False)
         else:
             ts_np = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        order = np.lexsort((side, ts_np, key))
+        # left rows with null/NaN ts never match (right ones were dropped
+        # at tag time); give them a sortable placeholder and mask later
+        left_ts_invalid = ~np.asarray(_valid_ts_mask(ts)) & (side == 1)
+        if left_ts_invalid.any():
+            ts_np = np.where(left_ts_invalid, np.zeros_like(ts_np), ts_np)
+        if tiebreak_col is not None:
+            tb = _to_numpy(group["_tb"])
+            order = np.lexsort((side, tb, ts_np, key))
+        else:
+            order = np.lexsort((side, ts_np, key))
         k_s, side_s = key[order], side[order]
         is_right = side_s == 0
         # segment id per key run
@@ -119,6 +173,8 @@ def asof_join(
         l_mask = ~is_right
         l_matched = matched[l_mask]
         has = l_matched >= 0
+        if left_ts_invalid.any():
+            has &= ~left_ts_invalid[order][l_mask]
         # matched holds positions in the SORTED order → map back through
         # `order` to original row indices for the Arrow takes
         l_orig = order[l_mask]  # original row index of each left row

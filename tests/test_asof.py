@@ -108,3 +108,69 @@ def test_matches_duckdb_asof_random():
     assert len(got) == want.num_rows
     for col in want.column_names:
         assert [r[col] for r in got] == want[col].to_pylist(), col
+
+
+def test_tiebreak_col_deterministic_among_equal_ts():
+    left = [{"event_id": 1, "user_id": 7, "ts": 100, "value": 1.0}]
+    # three right rows at the SAME (key, ts): largest tiebreak must win,
+    # independent of shuffle arrival order
+    right = [
+        {"event_id": 40, "user_id": 7, "ts": 100, "value": 0.4},
+        {"event_id": 42, "user_id": 7, "ts": 100, "value": 0.2},
+        {"event_id": 41, "user_id": 7, "ts": 100, "value": 0.1},
+    ]
+    for perm in ([0, 1, 2], [2, 1, 0], [1, 2, 0]):
+        rows = _run(left, [right[i] for i in perm], tiebreak_col="event_id")
+        assert rows[0]["event_id_r"] == 42
+        assert rows[0]["value_r"] == 0.2
+
+
+def test_key_must_be_integer():
+    import pytest
+
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.float64()),
+         ("ts", pa.int64()), ("value", pa.float64())]
+    )
+    rows = [{"event_id": 1, "user_id": 1.5, "ts": 10, "value": 0.0}]
+    with pytest.raises(TypeError, match="integer Arrow type"):
+        asof_join(
+            _ds(rows, schema), _ds(rows, schema),
+            key_col="user_id", ts_col="ts", right_cols=["value"],
+        )
+
+
+def test_tiebreak_must_be_integer():
+    import pytest
+
+    rows = [{"event_id": 1, "user_id": 1, "ts": 10, "value": 0.0}]
+    with pytest.raises(TypeError, match="tiebreak"):
+        asof_join(
+            _ds(rows, SCHEMA), _ds(rows, SCHEMA),
+            key_col="user_id", ts_col="ts", right_cols=["value"],
+            tiebreak_col="value",
+        )
+
+
+def test_nan_ts_right_dropped_left_unmatched():
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.float64()), ("value", pa.float64())]
+    )
+    left = [
+        {"event_id": 1, "user_id": 7, "ts": 100.0, "value": 1.0},
+        {"event_id": 2, "user_id": 7, "ts": float("nan"), "value": 2.0},
+    ]
+    right = [
+        {"event_id": 50, "user_id": 7, "ts": 90.0, "value": 0.5},
+        # NaN ts sorts last in a plain lexsort — without the guard this
+        # row would be treated as the "latest" right row
+        {"event_id": 51, "user_id": 7, "ts": float("nan"), "value": 0.9},
+    ]
+    out = asof_join(
+        _ds(left, schema), _ds(right, schema),
+        key_col="user_id", ts_col="ts", right_cols=["event_id", "value"],
+    )
+    rows = sorted(out.take_all(), key=lambda r: r["event_id"])
+    assert rows[0]["event_id_r"] == 50  # NaN right row never matches
+    assert rows[1]["event_id_r"] is None  # NaN left ts matches nothing

@@ -110,7 +110,7 @@ def test_noop_breaker():
     NOOP_BREAKER.release_bytes(5)
 
 
-def test_lru_cache_respects_breaker():
+def test_lru_cache_evicts_on_breaker_refusal():
     from neural_search_ray.query.engine import _LruTerms
 
     arr = np.zeros(100, dtype=np.float64)  # 800 bytes
@@ -119,14 +119,41 @@ def test_lru_cache_respects_breaker():
     c.put("a", (arr,))
     c.put("b", (arr,))
     assert br.used_bytes == 1600
-    c.put("c", (arr,))  # refused: would be 2400 > 2000
-    assert c.get("c") is None
-    assert c.get("a") is not None
-    assert br.trip_count == 1
-    c.clear()
-    assert br.used_bytes == 0
+    # refused at first (2400 > 2000) → LRU "a" is evicted to make room,
+    # so the cache adapts to a workload shift instead of freezing
     c.put("c", (arr,))
     assert c.get("c") is not None
+    assert c.get("a") is None
+    assert c.get("b") is not None
+    assert br.used_bytes == 1600
+    assert br.trip_count >= 1
+    c.clear()
+    assert br.used_bytes == 0
+
+
+def test_lru_cache_skips_value_bigger_than_budget():
+    from neural_search_ray.query.engine import _LruTerms
+
+    br = CircuitBreaker(limit_bytes=1000)
+    c = _LruTerms(max_items=100, breaker=br, label="t")
+    c.put("small", (np.zeros(10, dtype=np.float64),))  # 80 bytes
+    c.put("huge", (np.zeros(1000, dtype=np.float64),))  # 8000 > budget
+    assert c.get("huge") is None
+    assert c.get("small") is not None  # survivors untouched
+    assert br.used_bytes == 80
+
+
+def test_lru_cache_overwrite_credits_old_bytes():
+    from neural_search_ray.query.engine import _LruTerms
+
+    br = CircuitBreaker(limit_bytes=10_000)
+    c = _LruTerms(max_items=100, breaker=br, label="t")
+    c.put("a", (np.zeros(100, dtype=np.float64),))  # 800
+    for _ in range(5):  # racing double-puts must not inflate used_bytes
+        c.put("a", (np.zeros(100, dtype=np.float64),))
+    assert br.used_bytes == 800
+    c.put("a", (np.zeros(10, dtype=np.float64),))  # shrink to 80
+    assert br.used_bytes == 80
 
 
 def test_lru_eviction_credits_breaker():
