@@ -161,3 +161,98 @@ class TestSkipExisting:
         whole = HashEmbeddingStage(dim=8, micro_batch_size=64)(batch)
         assert tiny["embedding"].to_pylist() == whole["embedding"].to_pylist()
         assert tiny["doc_id"].to_pylist() == [0, 1, 2, 3, 4]
+
+
+class TestSemanticFieldCompiler:
+    """Declarative semantic-field config → pipeline/index
+    (mappingtransformer/SemanticMappingTransformer.java analogue)."""
+
+    PROPS = {
+        "body": {
+            "type": "semantic",
+            "model_id": "hash-embed-32",
+            "chunking": {"algorithm": "fixed_token_length", "token_limit": 24},
+            "dense": {"dim": 16},
+        },
+        "title": {"type": "text"},
+    }
+
+    def test_transform_mapping_shape(self):
+        from neural_search_ray.pipelines.semantic import transform_mapping
+
+        out = transform_mapping({"properties": dict(self.PROPS)})
+        info = out["properties"]["body_semantic_info"]["properties"]
+        assert info["chunks"]["type"] == "nested"
+        emb = info["chunks"]["properties"]["embedding"]
+        assert emb == {"type": "knn_vector", "dimension": 16}
+        assert "title_semantic_info" not in out["properties"]
+        # sparse variant maps to rank_features
+        out2 = transform_mapping(
+            {"properties": {"b": {"type": "semantic", "model_id": "m", "sparse": {}}}}
+        )
+        assert (
+            out2["properties"]["b_semantic_info"]["properties"]["chunks"][
+                "properties"
+            ]["embedding"]["type"]
+            == "rank_features"
+        )
+
+    def test_compile_stage_list(self):
+        from neural_search_ray.pipelines.semantic import compile_semantic_fields
+
+        stages = compile_semantic_fields(self.PROPS)
+        assert [s["type"] for s in stages] == ["text_chunking", "text_embedding"]
+        assert stages[0]["text_column"] == "body"
+        assert stages[1]["text_column"] == "chunk"
+        assert stages[1]["dim"] == 16
+
+    def test_two_chunking_fields_rejected(self):
+        import pytest
+
+        from neural_search_ray.pipelines.semantic import compile_semantic_fields
+
+        props = {
+            "a": {"type": "semantic", "model_id": "m"},
+            "b": {"type": "semantic", "model_id": "m"},
+        }
+        with pytest.raises(ValueError, match="chunking"):
+            compile_semantic_fields(props)
+
+    def test_ingest_and_index_from_config_alone(self, ray_session, tmp_path):
+        import ray as _ray
+
+        from neural_search_ray.pipelines.semantic import (
+            MAX_CHUNKS_PER_DOC,
+            build_semantic_index,
+            ingest_semantic,
+        )
+        from neural_search_ray.query.engine import IndexSearcher
+        from neural_search_ray.analysis.analyzer import tokenize
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                "body": pa.array(
+                    [
+                        "alpha beta gamma " * 10,
+                        "delta epsilon zeta " * 8,
+                        "merge sort stream batch " * 6,
+                        "quick data table row",
+                        "",
+                        "join hash filter " * 5,
+                    ]
+                ),
+            }
+        )
+        enriched = ingest_semantic(_ray.data.from_arrow(docs), self.PROPS)
+        rows = enriched.take_all()
+        assert {"doc_id", "chunk_idx", "chunk", "embedding"} <= set(rows[0])
+        assert all(len(r["embedding"]) == 16 for r in rows)
+
+        m = build_semantic_index(
+            _ray.data.from_arrow(docs), self.PROPS, str(tmp_path / "idx")
+        )
+        assert m.n_docs == len(rows)  # one index doc per chunk
+        s = IndexSearcher(str(tmp_path / "idx"))
+        ids, _ = s.search_bm25(tokenize("merge sort"), k=3)
+        assert all(i // MAX_CHUNKS_PER_DOC == 2 for i in ids.tolist())
