@@ -71,9 +71,11 @@ _CLASSIC_SRC = "|".join([
     r"[^\W_]+(?:['’][^\W_]+)*",
 ])
 
-# thai: Thai runs are emitted whole (no dictionary segmentation — Lucene
-# delegates to an ICU/BreakIterator dictionary unavailable in this
-# container; documented stub), non-Thai text tokenizes like standard.
+# thai: Thai runs are found by script block, then dictionary-segmented by
+# greedy maximal matching (analysis/thai.py) — the reference gets this from
+# Lucene's ThaiTokenizer / ICU BreakIterator; the mechanism here is real,
+# the embedded lexicon is a starter set (extensible at runtime). Non-Thai
+# text tokenizes like standard.
 _THAI_BLOCK = "฀-๿"
 _THAI_SRC = (
     f"[{_THAI_BLOCK}]+|"
@@ -105,6 +107,16 @@ def tokenize(text: str, config: AnalyzerConfig = AnalyzerConfig()) -> list[str]:
     if not text:
         return []
     raw = _TOKENIZER_RES[config.tokenizer].findall(text)
+    if config.tokenizer == "thai":
+        from .thai import DEFAULT_SEGMENTER, _THAI_RUN_RE
+
+        raw = [
+            seg
+            for tok in raw
+            for seg in (
+                DEFAULT_SEGMENTER.segment(tok) if _THAI_RUN_RE.match(tok) else (tok,)
+            )
+        ]
     mtl = config.max_token_length
     out: list[str] = []
     stops = _stop_tuple(config.remove_stopwords)

@@ -120,9 +120,11 @@ class TestTokenizerVariants:
         ]
         assert self._tk("a-b@c.org", "classic")[0] == "a-b@c.org"
 
-    def test_thai_runs_whole(self):
+    def test_thai_runs_dictionary_segmented(self):
+        # round-3: Thai runs are dictionary-segmented (maximal matching),
+        # no longer emitted whole — สวัสดี + ครับ are separate lexicon words
         assert self._tk("hello สวัสดีครับ world", "thai") == [
-            "hello", "สวัสดีครับ", "world",
+            "hello", "สวัสดี", "ครับ", "world",
         ]
 
     def test_lowercase_is_letter_boundaries(self):
@@ -138,3 +140,50 @@ class TestTokenizerVariants:
         std = chunk_fixed_token_length(text, token_limit=3, tokenizer="standard")
         assert len(uax) < len(std)
         assert "".join(c for c in uax) == text  # zero-overlap chunks cover text
+
+
+class TestThaiSegmentation:
+    """Dictionary maximal-matching (analysis/thai.py) — the mechanism the
+    reference gets from Lucene ThaiTokenizer/ICU, tested with both the
+    embedded starter lexicon and a caller-supplied dictionary."""
+
+    def test_known_words_segment(self):
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.config import AnalyzerConfig
+
+        cfg = AnalyzerConfig(tokenizer="thai")
+        # "hello" + "thank you" run together: both in the starter lexicon
+        toks = tokenize("สวัสดีขอบคุณ", cfg)
+        assert toks == ["สวัสดี", "ขอบคุณ"]
+
+    def test_unknown_span_accumulates(self):
+        from neural_search_ray.analysis.thai import ThaiSegmenter
+
+        seg = ThaiSegmenter()
+        # junk Thai-block chars not in the lexicon stay one token,
+        # bounded by the known words around them
+        out = seg.segment("สวัสดี" + "๛๛" + "ปลา")
+        assert out == ["สวัสดี", "๛๛", "ปลา"]
+
+    def test_longest_match_wins(self):
+        from neural_search_ray.analysis.thai import ThaiSegmenter
+
+        seg = ThaiSegmenter()
+        # ประเทศไทย (Thailand) must win over ประเทศ + ไทย
+        assert seg.segment("ประเทศไทย") == ["ประเทศไทย"]
+
+    def test_custom_dictionary(self):
+        from neural_search_ray.analysis.thai import ThaiSegmenter
+
+        seg = ThaiSegmenter(words=["กขค", "งจฉ"])
+        assert seg.segment("กขคงจฉ") == ["กขค", "งจฉ"]
+        seg.add_words(["ชซฌ"])
+        assert seg.segment("ชซฌกขค") == ["ชซฌ", "กขค"]
+
+    def test_mixed_thai_english(self):
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.config import AnalyzerConfig
+
+        cfg = AnalyzerConfig(tokenizer="thai")
+        toks = tokenize("hello สวัสดี world", cfg)
+        assert toks == ["hello", "สวัสดี", "world"]
