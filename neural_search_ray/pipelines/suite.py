@@ -1615,6 +1615,32 @@ def q_events_asof(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def q_events_asof_broadcast(sf_dir: str) -> "ray.data.Dataset":
+    """Shuffle-free as-of variant: the click timeline is small enough to
+    broadcast (ray.put once, zero-copy probe per batch) — the purchases
+    side never moves (stages/asof.py asof_join_broadcast). Same
+    semantics/oracle as events_asof."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..stages.asof import asof_join_broadcast
+
+    left = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+        filter=pads.field("event_type") == "purchase",
+    )
+    right = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+        filters=[("event_type", "==", "click")],
+    )
+    return asof_join_broadcast(
+        left, right, key_col="user_id", ts_col="ts",
+        right_cols=["event_id", "ts", "value"],
+    )
+
+
 def q_sequence_pack(sf_dir: str) -> "ray.data.Dataset":
     """Concat-then-chunk sequence packing (LLM training examples):
     distributed prefix-sum of per-doc token counts (bucketed partials →
@@ -2190,6 +2216,8 @@ SELECT l.event_id, l.user_id, l.ts, l.value,
 FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') r
   ON l.user_id = r.user_id AND l.ts >= r.ts"""
+    # broadcast variant: same semantics, same oracle
+    sqls["events_asof_broadcast"] = sqls["events_asof"]
 
     return sqls
 
@@ -2560,4 +2588,5 @@ def build_queries() -> dict:
         "text_normalize": q_text_normalize,
         "sequence_pack": q_sequence_pack,
         "events_asof": q_events_asof,
+        "events_asof_broadcast": q_events_asof_broadcast,
     }

@@ -194,3 +194,109 @@ def asof_join(
         return pa.table(cols, schema=out_schema)
 
     return tagged.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def asof_join_broadcast(
+    left: "ray.data.Dataset",
+    right: pa.Table,
+    key_col: str,
+    ts_col: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+    tiebreak_col: str | None = None,
+) -> "ray.data.Dataset":
+    """As-of join with a SMALL in-memory right side: the shuffle-free
+    path. The right table is sorted once, ``ray.put`` once, and every
+    left batch probes it with two vectorized searchsorteds — the left
+    side never moves (the broadcast-join pattern this repo uses for
+    small dimension tables). Same semantics as :func:`asof_join`; use it
+    when the right side fits comfortably in a worker's heap (the common
+    "enrich events with a reference timeline" shape); the shuffle form
+    is the both-sides-large path.
+
+    VERDICT r02 item 8 context: trimming the shuffle form's null-padded
+    union schema requires a second exchange (match-ids → left-payload
+    re-join) that re-ships the left payload it saved; this broadcast form
+    removes the padding AND the exchange outright for the case where the
+    padding actually mattered (many right rows × wide left schema)."""
+    import ray
+
+    for side_name, schema in (("left", left.schema()), ("right", right.schema)):
+        ktype = schema.types[list(schema.names).index(key_col)]
+        if not pa.types.is_integer(ktype):
+            raise TypeError(
+                f"asof_join key column {key_col!r} must be an integer Arrow "
+                f"type; {side_name} side has {ktype}"
+            )
+
+    def _ts_np(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_floating(col.type) or pa.types.is_integer(col.type):
+            return col.to_numpy(zero_copy_only=False)
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    # sort right once by (key, ts, [tiebreak]): within equal (key, ts) the
+    # LAST row has the largest tiebreak → searchsorted 'right' - 1 matches
+    # the deterministic winner, same rule as the shuffle form
+    import pyarrow.compute as pc
+
+    rt = right
+    valid = pc.is_valid(rt[ts_col])
+    if pa.types.is_floating(rt.schema.field(ts_col).type):
+        valid = pc.invert(pc.is_null(rt[ts_col], nan_is_null=True))
+    rt = rt.filter(valid)
+    r_key = rt[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    r_ts = _ts_np(rt[ts_col])
+    if tiebreak_col is not None:
+        tb = rt[tiebreak_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tb, r_ts, r_key))
+    else:
+        order = np.lexsort((r_ts, r_key))
+    rt = rt.take(pa.array(order))
+    r_key, r_ts = r_key[order], r_ts[order]
+    right_ref = ray.put((rt.select(right_cols), r_key, r_ts))
+    right_types = {c + suffix: rt.schema.field(c).type for c in right_cols}
+
+    def probe(batch: pa.Table) -> pa.Table:
+        r_payload, rk, rts = ray.get(right_ref)  # zero-copy object-store read
+        lk = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lts = _ts_np(batch[ts_col])
+        if lts.dtype.kind == "f":
+            lts_valid = ~np.isnan(lts)
+            lts = np.where(lts_valid, lts, 0.0)  # placement is masked below
+        else:
+            lts_valid = np.ones(len(lts), dtype=bool)
+        nr, nb = rk.size, lk.size
+        # merged lexsort + cumulative right-count: for each left row, the
+        # number of right rows with (key < lk) OR (key == lk AND ts <= lts)
+        # is its GLOBAL rank into the sorted right arrays — one vectorized
+        # pass, no per-row bisects (right sorts before left at equal ts →
+        # inclusive match; equal-ts rights all count → last/largest-
+        # tiebreak one wins, same rule as the shuffle kernel)
+        comb_key = np.concatenate((rk, lk))
+        comb_ts = np.concatenate((rts, lts))
+        comb_side = np.concatenate(
+            (np.zeros(nr, dtype=np.int8), np.ones(nb, dtype=np.int8))
+        )
+        order = np.lexsort((comb_side, comb_ts, comb_key))
+        cnt_incl = np.cumsum(comb_side[order] == 0)
+        inv = np.empty(nr + nb, dtype=np.int64)
+        inv[order] = np.arange(nr + nb)
+        match_global = cnt_incl[inv[nr:]] - 1
+        lo = np.searchsorted(rk, lk, side="left")  # rights with key < lk
+        has = (match_global >= lo) & lts_valid
+        take = np.where(has, match_global, 0)
+        cols = {c: batch[c] for c in batch.column_names}
+        valid_arr = pa.array(has)
+        take_arr = pa.array(take)
+        for c in right_cols:
+            taken = r_payload[c].take(take_arr)
+            if isinstance(taken, pa.ChunkedArray):
+                taken = taken.combine_chunks()
+            cols[c + suffix] = pc.if_else(
+                valid_arr, taken, pa.scalar(None, right_types[c + suffix])
+            )
+        return pa.table(cols)
+
+    return left.map_batches(probe, batch_format="pyarrow")

@@ -174,3 +174,82 @@ def test_nan_ts_right_dropped_left_unmatched():
     rows = sorted(out.take_all(), key=lambda r: r["event_id"])
     assert rows[0]["event_id_r"] == 50  # NaN right row never matches
     assert rows[1]["event_id_r"] is None  # NaN left ts matches nothing
+
+
+def test_broadcast_matches_shuffle_random():
+    """asof_join_broadcast (shuffle-free small-right path) must agree with
+    the shuffle form AND DuckDB on random data."""
+    import duckdb
+
+    from neural_search_ray.stages.asof import asof_join_broadcast
+
+    rng = np.random.default_rng(5)
+    mk = lambda n, base: [
+        {
+            "event_id": base + i,
+            "user_id": int(rng.integers(0, 15)),
+            "ts": int(rng.integers(0, 5_000)),
+            "value": float(np.round(rng.random(), 6)),
+        }
+        for i in range(n)
+    ]
+    left = mk(300, 0)
+    right, seen = [], set()
+    for r in mk(400, 10_000):  # dedupe (user, ts): DuckDB picks arbitrarily
+        if (r["user_id"], r["ts"]) not in seen:
+            seen.add((r["user_id"], r["ts"]))
+            right.append(r)
+
+    shuffle_rows = _run(left, right)
+    out = asof_join_broadcast(
+        _ds(left, SCHEMA),
+        pa.Table.from_pylist(right, SCHEMA),
+        key_col="user_id",
+        ts_col="ts",
+        right_cols=["event_id", "ts", "value"],
+    )
+    bcast_rows = sorted(out.take_all(), key=lambda r: r["event_id"])
+    assert bcast_rows == shuffle_rows
+
+    con = duckdb.connect()
+    con.register("l", pa.Table.from_pylist(left, SCHEMA))
+    con.register("r", pa.Table.from_pylist(right, SCHEMA))
+    want = con.execute(
+        """SELECT l.event_id, l.user_id, l.ts, l.value,
+                  r.event_id AS event_id_r, r.ts AS ts_r, r.value AS value_r
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+           ORDER BY l.event_id"""
+    ).arrow()
+    for col in want.column_names:
+        assert [r[col] for r in bcast_rows] == want[col].to_pylist(), col
+
+
+def test_broadcast_tiebreak_and_nan():
+    from neural_search_ray.stages.asof import asof_join_broadcast
+
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.float64()), ("value", pa.float64())]
+    )
+    left = [
+        {"event_id": 1, "user_id": 7, "ts": 100.0, "value": 1.0},
+        {"event_id": 2, "user_id": 7, "ts": float("nan"), "value": 2.0},
+        {"event_id": 3, "user_id": 9, "ts": 50.0, "value": 3.0},  # no right key
+    ]
+    right = [
+        {"event_id": 40, "user_id": 7, "ts": 100.0, "value": 0.4},
+        {"event_id": 42, "user_id": 7, "ts": 100.0, "value": 0.2},
+        {"event_id": 41, "user_id": 7, "ts": float("nan"), "value": 0.9},
+    ]
+    out = asof_join_broadcast(
+        _ds(left, schema),
+        pa.Table.from_pylist(right, schema),
+        key_col="user_id",
+        ts_col="ts",
+        right_cols=["event_id", "value"],
+        tiebreak_col="event_id",
+    )
+    rows = sorted(out.take_all(), key=lambda r: r["event_id"])
+    assert rows[0]["event_id_r"] == 42  # largest tiebreak among equal ts
+    assert rows[1]["event_id_r"] is None  # NaN left ts
+    assert rows[2]["event_id_r"] is None  # key absent on right
