@@ -174,6 +174,11 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
         "quality_stats",
         "minhash_lsh_pairs",
         "c4_filter",
+        # winnow A/B: md5 loop (oracle-pinned hash) vs vectorized
+        # Karp-Rabin rolling hash — the r02-verdict requested evidence
+        # that the roll kernel beats the md5 loop at the same geometry
+        "fingerprint_winnow",
+        "fingerprint_winnow_roll",
     ):
         t0 = time.perf_counter()
         res = suite.build_queries()[name](sf_dir)
