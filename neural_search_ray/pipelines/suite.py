@@ -617,6 +617,16 @@ def q_simhash(sf_dir: str) -> "ray.data.Dataset":
     return _docs_ds(sf_dir).map_batches(simhash_stage, batch_format="pyarrow")
 
 
+def q_simhash_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """SimHash near-dup pairs via banded hamming LSH (dedup/simhash.py
+    simhash_lsh_pairs): full recall at hamming<=3 by pigeonhole over 4
+    disjoint 8-bit bands — the banded groupby replaces the all-pairs
+    scan (Manku et al. WWW'07 shape)."""
+    from ..dedup.simhash import simhash_lsh_pairs
+
+    return simhash_lsh_pairs(_docs_ds(sf_dir), max_hamming=3)
+
+
 def q_minhash_lsh_pairs(sf_dir: str) -> "ray.data.Dataset":
     from ..dedup.minhash import minhash_lsh_candidates
 
@@ -2033,6 +2043,22 @@ SELECT d.doc_id,
                          THEN CAST(power(2, b.j) AS BIGINT) ELSE 0 END), 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN bits b USING (doc_id)
 GROUP BY d.doc_id"""
+
+    # simhash hamming-LSH candidate pairs: any pair within hamming<=3 of a
+    # 32-bit fingerprint shares one of 4 disjoint 8-bit bands (pigeonhole),
+    # so the banded self-join finds exactly the brute-force pair set; the
+    # max_bucket cap (2048) is unreachable at oracle scale
+    sqls["simhash_pairs"] = f"""
+WITH s AS ({sqls["simhash"]}),
+bands AS (
+  SELECT doc_id, simhash, b.b AS band,
+         (simhash >> (b.b * 8)) & 255 AS band_key
+  FROM s CROSS JOIN generate_series(0, 3) AS b(b))
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       bit_count(xor(a.simhash, c.simhash))::BIGINT AS hamming
+FROM bands a JOIN bands c
+  ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+WHERE bit_count(xor(a.simhash, c.simhash)) <= 3"""
     from ..dedup.minhash import coefficients
     from ..dedup.common import MERSENNE_61
 
@@ -2546,6 +2572,7 @@ def build_queries() -> dict:
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_pairs_k16": q_minhash_lsh_pairs_k16,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -552,3 +552,60 @@ class TestIVFSampleBalance:
         )
         assert a.shape == (100, 8)
         assert np.array_equal(np.sort(a, axis=0), np.sort(b, axis=0))
+
+
+class TestSimhashPairs:
+    def test_lsh_equals_bruteforce(self, ray_session):
+        import ray.data
+
+        from neural_search_ray.dedup.simhash import (
+            _POPCNT8,
+            simhash32,
+            simhash_lsh_pairs,
+        )
+
+        rng = np.random.RandomState(4)
+        words = [f"w{i}" for i in range(40)]
+        texts = []
+        for i in range(60):
+            toks = [words[rng.randint(40)] for _ in range(12)]
+            texts.append(" ".join(toks))
+            if i % 7 == 0:  # plant near-dups: one token swapped
+                mut = list(toks)
+                mut[0] = words[rng.randint(40)]
+                texts.append(" ".join(mut))
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts),
+            }
+        )
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_lsh_pairs(ray.data.from_arrow(t), max_hamming=3).take_all()
+        }
+        h = np.array([simhash32(x) for x in texts], dtype=np.uint64)
+        ii, jj = np.triu_indices(len(texts), k=1)
+        x = h[ii] ^ h[jj]
+        ham = (
+            _POPCNT8[x & 0xFF] + _POPCNT8[(x >> 8) & 0xFF]
+            + _POPCNT8[(x >> 16) & 0xFF] + _POPCNT8[(x >> 24) & 0xFF]
+        )
+        keep = ham <= 3
+        want = {
+            (int(a), int(b), int(hm))
+            for a, b, hm in zip(ii[keep], jj[keep], ham[keep])
+        }
+        # pigeonhole (hamming<=3 over 4 bands) → LSH finds EVERY pair
+        assert got == want
+        assert want  # the planted near-dups actually produced pairs
+
+    def test_max_hamming_bound_validated(self, ray_session):
+        import pytest as _pytest
+        import ray.data
+
+        from neural_search_ray.dedup.simhash import simhash_lsh_pairs
+
+        t = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["x"])})
+        with _pytest.raises(ValueError, match="pigeonhole"):
+            simhash_lsh_pairs(ray.data.from_arrow(t), max_hamming=4)
