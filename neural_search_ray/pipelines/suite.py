@@ -302,6 +302,45 @@ def q_bm25_topk_multiseg(sf_dir: str) -> pa.Table:
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
+def q_bm25_topk_merged(sf_dir: str) -> pa.Table:
+    """Force-merge/compaction path under the SAME oracle as bm25_topk:
+    two segments built then merged into one (index/merge.py — per-group
+    decode → union → re-encode, manifest swap with lineage); rank
+    identity with the single-segment oracle proves the physical merge
+    (the reference's SparsePostingsReader merge analogue)."""
+    import pyarrow.dataset as pads
+
+    from ..index.merge import merge_segments
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:merged".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/nsr_indexmerged_{key}"
+    import pyarrow.parquet as pq2
+
+    half = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows // 2
+    for seg_id, pred in (
+        ("seg-000", pads.field("doc_id") < half),
+        ("seg-001", pads.field("doc_id") >= half),
+    ):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], filter=pred
+        )
+        build_index(
+            ds, index_dir, IndexConfig(num_shards=4, num_salts=2),
+            segment_id=seg_id, resume=True,
+        )
+    merge_segments(index_dir, "merged-000")
+    searcher = IndexSearcher(index_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
 def q_bm25_topk_distributed(sf_dir: str) -> pa.Table:
     """The shard-parallel ACTOR-POOL serving path under the same oracle:
     disjoint shard subsets per actor, coordinator global-df phase,
@@ -1681,6 +1720,8 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     # shard-actor-pool serving path must both be rank-identical to the
     # single-segment single-process result
     sqls["bm25_topk_multiseg"] = sqls["bm25_topk"]
+    # merged (force-merge/compaction) path: same single-segment oracle
+    sqls["bm25_topk_merged"] = sqls["bm25_topk"]
     sqls["bm25_topk_distributed"] = sqls["bm25_topk"]
     sqls["bm25_filtered_en"] = _topk_sql(
         f"SELECT sc.* FROM ({_bm25_scored_sql()}) sc "
@@ -2600,6 +2641,7 @@ def build_queries() -> dict:
         "hybrid_fieldsort": q_hybrid_fieldsort,
         "semantic_highlight": q_semantic_highlight,
         "bm25_topk_multiseg": q_bm25_topk_multiseg,
+        "bm25_topk_merged": q_bm25_topk_merged,
         "bm25_topk_distributed": q_bm25_topk_distributed,
         "dedup_components": q_dedup_components,
         "media_frame_sample": q_media_frame_sample,

@@ -1,0 +1,101 @@
+"""Segment merge / compaction (index/merge.py): rank identity with the
+multi-segment searcher, manifest swap, lineage, resume, crash safety."""
+
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+import ray
+
+from neural_search_ray.analysis.analyzer import tokenize
+from neural_search_ray.config import IndexConfig
+from neural_search_ray.index.build import build_index
+from neural_search_ray.index.manifest import FORMAT_VERSION_CURRENT, IndexManifest
+from neural_search_ray.index.merge import merge_segments
+from neural_search_ray.query.engine import IndexSearcher
+
+QUERIES = ["fast hash join", "window merge sort", "the quick data", "dup", "zzz"]
+
+
+def _build_three_segments(sf_dir, index_dir):
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        pred = (pads.field("doc_id") >= cuts[i]) & (pads.field("doc_id") < cuts[i + 1])
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], filter=pred
+        )
+        build_index(
+            ds, index_dir, IndexConfig(num_shards=4, num_salts=2),
+            segment_id=f"seg-{i:03d}",
+        )
+
+
+def _results(searcher):
+    out = []
+    for q in QUERIES:
+        docs, scores = searcher.search_bm25(tokenize(q), k=20)
+        out.append((docs.tolist(), [round(s, 12) for s in scores.tolist()]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def merged(tmp_path_factory, sf_dir, ray_session):
+    index_dir = str(tmp_path_factory.mktemp("merge_idx"))
+    _build_three_segments(sf_dir, index_dir)
+    before = IndexManifest.load(index_dir)
+    pre = _results(IndexSearcher(index_dir))
+    pre_stats = (before.n_docs, before.avgdl)
+    manifest = merge_segments(index_dir, "merged-000")
+    return index_dir, manifest, pre, pre_stats
+
+
+def test_merge_rank_identical(merged):
+    index_dir, manifest, pre, _ = merged
+    post = _results(IndexSearcher(index_dir))
+    assert post == pre
+
+
+def test_merge_manifest_swap_and_lineage(merged):
+    index_dir, manifest, _, pre_stats = merged
+    assert list(manifest.segments) == ["merged-000"]
+    seg = manifest.segments["merged-000"]
+    assert sorted(seg["input_files"]) == [
+        "merged:seg-000", "merged:seg-001", "merged:seg-002",
+    ]
+    assert (manifest.n_docs, round(manifest.avgdl, 9)) == (
+        pre_stats[0], round(pre_stats[1], 9),
+    )
+    assert manifest.format_version == FORMAT_VERSION_CURRENT
+    # compaction removed the source segment dirs
+    segs = os.listdir(os.path.join(index_dir, "segments"))
+    assert segs == ["merged-000"]
+
+
+def test_merge_resume_noop(merged):
+    index_dir, _, pre, _ = merged
+    m2 = merge_segments(index_dir, "merged-000")
+    assert list(m2.segments) == ["merged-000"]
+    assert _results(IndexSearcher(index_dir)) == pre
+
+
+def test_merge_single_segment_noop(tmp_path, sf_dir, ray_session):
+    index_dir = str(tmp_path / "one")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    build_index(ds, index_dir, IndexConfig(num_shards=2, num_salts=1))
+    m = merge_segments(index_dir)
+    assert list(m.segments) == ["seg-000"]  # nothing to merge
+
+
+def test_merge_preserves_df_and_doclens(merged):
+    index_dir, manifest, _, _ = merged
+    s = IndexSearcher(index_dir)
+    # spot-check: df of a common term equals count of docs containing it
+    assert s.n_docs == manifest.n_docs
+    d, sc = s.search_bm25(tokenize("data"), k=5)
+    assert len(d) > 0 and (np.diff(sc) <= 1e-15).all()
