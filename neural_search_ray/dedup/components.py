@@ -195,3 +195,44 @@ def connected_components(
         )
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def apply_dedup(
+    corpus: "ray.data.Dataset",
+    components: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Keep-first near-dup REMOVAL: the last step of the dedup pipeline.
+
+    A doc survives iff it has no near-dup component (never appeared in a
+    candidate pair) or it IS its component's representative (the min
+    label — keep-first). Distributed left-outer hash join of the corpus
+    against the (small, pairs-only) components table — the corpus side
+    streams; no driver-side set, no broadcast (the drop set at web scale
+    is a large fraction of the corpus, so membership must arrive via the
+    join exchange, the skip_existing shape)."""
+    import pyarrow.compute as pc
+
+    def comp_keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: batch["doc_id"], "component": batch["component"]}
+        )
+
+    joined = corpus.join(
+        components.map_batches(comp_keyed, batch_format="pyarrow"),
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(id_col,),
+    )
+
+    def keep_survivors(batch: pa.Table) -> pa.Table:
+        comp = batch["component"]
+        # or_kleene, not or_: plain or_ propagates the null from
+        # equal(null, id) and the filter would DROP every unmatched row
+        survive = pc.or_kleene(
+            pc.is_null(comp), pc.equal(comp, batch[id_col])
+        )
+        return batch.filter(survive).drop_columns(["component"])
+
+    return joined.map_batches(keep_survivors, batch_format="pyarrow")

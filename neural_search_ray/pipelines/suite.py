@@ -766,6 +766,24 @@ def q_dedup_components(sf_dir: str) -> "ray.data.Dataset":
     return connected_components(pairs)
 
 
+def q_dedup_apply(sf_dir: str) -> "ray.data.Dataset":
+    """END-TO-END near-dup removal: MinHash-LSH pairs → connected
+    components (keep-first representative) → corpus anti-join. A doc
+    survives iff it never near-dup-paired or it is its component's min
+    doc_id. The corpus side is column-pruned to doc_id at the read and
+    streams through a distributed left-outer hash join — no driver-side
+    drop set (dedup/components.py apply_dedup)."""
+    from ..dedup.components import apply_dedup, connected_components
+    from ..dedup.minhash import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(_docs_ds(sf_dir), num_hashes=8, bands=4)
+    comps = connected_components(pairs)
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return apply_dedup(corpus, comps)
+
+
 def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
     """2-gram Jaccard for the fixed pair list (2i, 2i+1), i < 100 — a
     DISTRIBUTED pair-join: row-filter pushdown reads only doc_id < 200,
@@ -2159,6 +2177,23 @@ reach(u, v) AS (
 SELECT u::BIGINT AS doc_id, least(u, min(v))::BIGINT AS component
 FROM reach GROUP BY u"""
 
+    # end-to-end dedup: corpus minus non-representative near-dup members
+    sqls["dedup_apply"] = f"""
+WITH RECURSIVE pairs AS ({sqls["minhash_lsh_pairs"]}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u)
+SELECT d.doc_id::BIGINT AS doc_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.component IS NULL OR c.component = d.doc_id"""
+
     # two-phase sparse (constants: high/low split of SPARSE_QUERY_WEIGHTS
     # by max_ratio 0.4, phase-1 window = k*5)
     from ..stages.prune import split_sparse_vector
@@ -2644,6 +2679,7 @@ def build_queries() -> dict:
         "bm25_topk_merged": q_bm25_topk_merged,
         "bm25_topk_distributed": q_bm25_topk_distributed,
         "dedup_components": q_dedup_components,
+        "dedup_apply": q_dedup_apply,
         "media_frame_sample": q_media_frame_sample,
         "media_decode_feat": q_media_decode_feat,
         "sink_roundtrip_by_lang": q_sink_roundtrip_by_lang,

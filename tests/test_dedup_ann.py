@@ -609,3 +609,25 @@ class TestSimhashPairs:
         t = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["x"])})
         with _pytest.raises(ValueError, match="pigeonhole"):
             simhash_lsh_pairs(ray.data.from_arrow(t), max_hamming=4)
+
+
+class TestApplyDedup:
+    def test_keep_first_and_unpaired(self, ray_session):
+        import ray.data
+
+        from neural_search_ray.dedup.components import apply_dedup
+
+        corpus = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(np.arange(10, dtype=np.int64))})
+        )
+        # components: {1,4,7} rep 1, {3,9} rep 3 → drop 4,7,9
+        comps = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 4, 7, 3, 9], pa.int64()),
+                    "component": pa.array([1, 1, 1, 3, 3], pa.int64()),
+                }
+            )
+        )
+        got = sorted(r["doc_id"] for r in apply_dedup(corpus, comps).take_all())
+        assert got == [0, 1, 2, 3, 5, 6, 8]
