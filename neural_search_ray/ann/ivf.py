@@ -2,9 +2,9 @@
 
 Distributed build (``build_ivf_index``), expressed as a Ray pipeline:
 
-1. centroid fit: deterministic spherical k-means (fixed seed/iters) over
-   a bounded SAMPLE of the dataset (``ds.limit(sample_size)`` — the only
-   driver-side materialization, O(sample), never O(N));
+1. centroid fit: deterministic spherical k-means (farthest-first seeded,
+   fixed seed/iters) over a bounded hash-gated UNBIASED sample of the
+   dataset (the only driver-side materialization, O(sample), never O(N));
 2. assignment: ``map_batches`` against the broadcast centroid matrix
    (``ray.put`` once) adds a bucket id per vector;
 3. bucket build: ``groupby(bucket).map_groups`` writes one Parquet file
@@ -123,6 +123,7 @@ class IVFIndex:
 # distributed build
 
 _MASK63 = np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+IVF_FORMAT_VERSION = 1
 
 
 def _sample_embeddings(
@@ -230,6 +231,11 @@ def build_ivf_index(
         .take_all()
     )  # one row per bucket — small
     manifest = {
+        # 1 = round-3 layout (bucket_mindot + farthest-first centroids);
+        # round-2 manifests have no field and read as version 0 (no radial
+        # pruning available, still exact). Same BWC discipline as
+        # index/manifest.py.
+        "format_version": IVF_FORMAT_VERSION,
         "n_centroids": int(cent.shape[0]),
         "dim": int(cent.shape[1]),
         "id_col": id_col,
@@ -258,6 +264,14 @@ class IVFSearcher:
         self.centroids = np.load(os.path.join(index_dir, "centroids.npy"))
         with open(os.path.join(index_dir, "ivf_manifest.json")) as f:
             self.manifest = json.load(f)
+        version = self.manifest.get("format_version", 0)
+        if version > IVF_FORMAT_VERSION:
+            from ..index.manifest import IndexFormatError
+
+            raise IndexFormatError(
+                f"IVF index at {index_dir!r} has format_version={version}; "
+                f"this reader supports <= {IVF_FORMAT_VERSION}"
+            )
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._cache_buckets = cache_buckets
 

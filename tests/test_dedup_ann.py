@@ -631,3 +631,37 @@ class TestApplyDedup:
         )
         got = sorted(r["doc_id"] for r in apply_dedup(corpus, comps).take_all())
         assert got == [0, 1, 2, 3, 5, 6, 8]
+
+
+class TestIVFVersioning:
+    def test_refuses_future_ivf_version(self, ray_session, tmp_path):
+        import json
+        import os
+
+        import ray.data
+
+        from neural_search_ray.ann.ivf import IVFSearcher, build_ivf_index
+        from neural_search_ray.index.manifest import IndexFormatError
+
+        rng = np.random.RandomState(1)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                "embedding": pa.array(list(rng.randn(40, 8)),
+                                      type=pa.list_(pa.float64())),
+            }
+        )
+        d = str(tmp_path / "ivf")
+        build_ivf_index(ray.data.from_arrow(t), d, n_centroids=4, sample_size=40)
+        s = IVFSearcher(d)
+        assert s.manifest["format_version"] == 1
+        mp = os.path.join(d, "ivf_manifest.json")
+        with open(mp) as f:
+            m = json.load(f)
+        m["format_version"] = 99
+        with open(mp, "w") as f:
+            json.dump(m, f)
+        import pytest as _pytest
+
+        with _pytest.raises(IndexFormatError):
+            IVFSearcher(d)
