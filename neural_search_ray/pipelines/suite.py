@@ -319,19 +319,29 @@ def q_bm25_topk_merged(sf_dir: str) -> pa.Table:
     index_dir = f"/tmp/nsr_indexmerged_{key}"
     import pyarrow.parquet as pq2
 
-    half = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows // 2
-    for seg_id, pred in (
-        ("seg-000", pads.field("doc_id") < half),
-        ("seg-001", pads.field("doc_id") >= half),
-    ):
-        ds = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], filter=pred
-        )
-        build_index(
-            ds, index_dir, IndexConfig(num_shards=4, num_salts=2),
-            segment_id=seg_id, resume=True,
-        )
-    merge_segments(index_dir, "merged-000")
+    from ..index.manifest import IndexManifest
+
+    # idempotence: after a merge the source segments are GONE from the
+    # manifest, so a naive resume would rebuild them into the merged
+    # index and double-count docs — skip entirely once merged
+    existing = IndexManifest.load(index_dir)
+    already = existing is not None and existing.segments.get("merged-000", {}).get(
+        "complete", False
+    )
+    if not already:
+        half = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows // 2
+        for seg_id, pred in (
+            ("seg-000", pads.field("doc_id") < half),
+            ("seg-001", pads.field("doc_id") >= half),
+        ):
+            ds = ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], filter=pred
+            )
+            build_index(
+                ds, index_dir, IndexConfig(num_shards=4, num_salts=2),
+                segment_id=seg_id, resume=True,
+            )
+        merge_segments(index_dir, "merged-000")
     searcher = IndexSearcher(index_dir)
     rows = []
     for qid, qtext in QUERY_SET:
