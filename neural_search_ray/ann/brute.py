@@ -65,12 +65,17 @@ class BruteForceKNNStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:  # empty block: a 0-dim reshape would break matmul
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
         emb_col = batch[self.emb_col]
         if isinstance(emb_col, pa.ChunkedArray):
             emb_col = emb_col.combine_chunks()
         flat = emb_col.flatten().to_numpy(zero_copy_only=False)
-        dim = len(flat) // max(len(ids), 1)
-        emb = flat.reshape(len(ids), dim)
+        emb = flat.reshape(len(ids), -1)
         return _cosine_topk_block(emb, ids, self.queries, self.query_ids, self.k)
 
 
@@ -105,11 +110,17 @@ class RadialSearchStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:  # empty block: (0, 0) reshape would break matmul
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
         col = batch[self.emb_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        emb = flat.reshape(len(ids), -1) if len(ids) else flat.reshape(0, 0)
+        emb = flat.reshape(len(ids), -1)
         e_norm = np.linalg.norm(emb, axis=1)
         e_norm[e_norm == 0] = 1.0
         sims = self.unit_q @ (emb / e_norm[:, None]).T  # (nq, nb)

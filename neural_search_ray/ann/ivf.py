@@ -48,16 +48,23 @@ def fit_centroids(
     x = _normalize(np.asarray(vectors, dtype=np.float64))
     rng = np.random.RandomState(seed)
     k = min(n_centroids, x.shape[0])
-    # Farthest-first (Gonzalez) seeding: first seed random, each next seed
-    # the point farthest (min cosine) from all chosen so far. Deterministic
-    # given the seed and — unlike uniform choice — spreads the k seeds
-    # across well-separated clusters, so no cluster eats two centroids
-    # while another is split (bucket-balance prerequisite for IVF).
+    # k-means++ (D²-weighted) seeding, Arthur & Vassilvitskii SODA'07:
+    # first seed random, each next seed drawn with probability ∝ squared
+    # angular distance to the nearest chosen seed. Deterministic given the
+    # seed, spreads seeds across well-separated clusters (no cluster eats
+    # two centroids while another splits — the IVF bucket-balance
+    # prerequisite), and — unlike farthest-first — is not hijacked by a
+    # single outlier point.
     first = int(rng.randint(x.shape[0]))
     chosen = [first]
     best_sim = x @ x[first]  # similarity to nearest chosen seed, per point
     for _ in range(k - 1):
-        nxt = int(np.argmin(best_sim))
+        d2 = np.square(1.0 - np.clip(best_sim, -1.0, 1.0))
+        total = d2.sum()
+        if total <= 0:  # all points coincide with a seed
+            nxt = int(rng.randint(x.shape[0]))
+        else:
+            nxt = int(rng.choice(x.shape[0], p=d2 / total))
         chosen.append(nxt)
         best_sim = np.maximum(best_sim, x @ x[nxt])
     cent = x[chosen].copy()
@@ -126,6 +133,15 @@ _MASK63 = np.uint64(0x7FFF_FFFF_FFFF_FFFF)
 IVF_FORMAT_VERSION = 1
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain, Steele et al.): vectorized
+    full-avalanche mixing of uint64 — uint64 wrap = mod 2^64."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def _sample_embeddings(
     ds: "ray.data.Dataset", sample_size: int, seed: int, id_col: str, emb_col: str
 ) -> np.ndarray:
@@ -138,17 +154,20 @@ def _sample_embeddings(
     correlates with id, a prefix sample fits centroids on a biased slice
     and skews bucket sizes. The gate bounds the driver materialization to
     ~1.25× sample_size rows regardless of N."""
-    from ..dedup.common import h64_batch
-
     n_total = ds.count()
     rate = 1.0 if n_total <= sample_size else min(1.0, 1.25 * sample_size / n_total)
     gate = np.int64(min(int(rate * float(_MASK63)), int(_MASK63)))
+    salt = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
 
     def keep_sampled(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (h64_batch([f"{i}|ivf{seed}" for i in ids]).astype(np.uint64) & _MASK63).astype(
-            np.int64
-        )
+        # splitmix64 finalizer: full-avalanche integer mixing, fully
+        # vectorized (an AFFINE map like universal_hash would leave
+        # sequential ids order-preserving — the gate would then pass
+        # everything and the smallest-hash truncation would be a prefix
+        # sample again, the exact bias this function exists to remove)
+        h = _mix64(ids.astype(np.uint64) ^ salt)
+        h = (h & _MASK63).astype(np.int64)
         m = h <= gate
         col = batch[emb_col]
         if isinstance(col, pa.ChunkedArray):

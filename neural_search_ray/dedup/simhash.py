@@ -49,7 +49,7 @@ def simhash_lsh_pairs(
     finds every such pair with no all-pairs scan. Within a bucket the
     hamming check is one vectorized XOR + popcount over the bucket's
     fingerprint vector; pairs found in several bands are deduped by a
-    final groupby on the packed pair id (pair count is output-sized,
+    final groupby on (doc_a, doc_b) (pair count is output-sized,
     not corpus-sized). ``max_bucket`` caps degenerate buckets (e.g.
     simhash 0 from empty docs) like dedup/minhash.py does.
 
@@ -89,8 +89,7 @@ def simhash_lsh_pairs(
         if ids.size > max_bucket:  # degenerate bucket cap (documented)
             ids, h = ids[:max_bucket], h[:max_bucket]
         empty = pa.table(
-            {"pair_id": pa.array([], pa.int64()),
-             "doc_a": pa.array([], pa.int64()),
+            {"doc_a": pa.array([], pa.int64()),
              "doc_b": pa.array([], pa.int64()),
              "hamming": pa.array([], pa.int64())}
         )
@@ -107,9 +106,6 @@ def simhash_lsh_pairs(
         a, b = ids[ii[keep]], ids[jj[keep]]
         return pa.table(
             {
-                # ids are doc ids < 2^31 in this corpus; packed pair id
-                # gives the cross-band dedup key
-                "pair_id": pa.array(a * np.int64(1 << 31) + b),
                 "doc_a": pa.array(a),
                 "doc_b": pa.array(b),
                 "hamming": pa.array(ham[keep].astype(np.int64)),
@@ -117,13 +113,15 @@ def simhash_lsh_pairs(
         )
 
     def first_of_pair(group: pa.Table) -> pa.Table:
-        return group.select(["doc_a", "doc_b", "hamming"]).slice(0, 1)
+        return group.slice(0, 1)
 
+    # cross-band dedup groups on BOTH id columns (a packed single-int
+    # pair id would silently collide once doc ids reach 2^31)
     return (
         ds.map_batches(to_bands, batch_format="pyarrow")
         .groupby(["band", "band_key"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby("pair_id")
+        .groupby(["doc_a", "doc_b"])
         .map_groups(first_of_pair, batch_format="pyarrow")
     )
 

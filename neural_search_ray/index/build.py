@@ -417,6 +417,15 @@ def build_index(
         )
     if resume and segment_id in manifest.segments and manifest.segments[segment_id]["complete"]:
         return manifest
+    if resume and any(
+        f"merged:{segment_id}" in seg.get("input_files", [])
+        for seg in manifest.segments.values()
+        if seg["complete"]
+    ):
+        # the segment was already built AND compacted away by
+        # merge_segments — rebuilding it would double-count every doc.
+        # The merged segment's lineage is the resume record.
+        return manifest
 
     # Push-based sort shuffle: measured 2.3x faster end-to-end than the
     # default pull-based sort for this groupby (1M docs, 32 cpus: 42s→18s);

@@ -188,9 +188,17 @@ def merge_segments(
         .take_all()
     )
 
+    # lineage: the direct sources PLUS their own merged:* ancestry, so
+    # build_index(resume=True) can recognize any segment ever compacted
+    # into this index, across merge generations
+    lineage = {f"merged:{sid}" for sid in source_ids}
+    for _, src in sources:
+        lineage.update(
+            e for e in src.get("input_files", []) if e.startswith("merged:")
+        )
     seg = SegmentManifest(
         segment_id=merged_id,
-        input_files=[f"merged:{sid}" for sid in source_ids],  # lineage
+        input_files=sorted(lineage),
         n_docs=sum(r["n_docs"] for r in rows),
         sum_dl=sum(r["sum_dl"] for r in rows),
         files=[

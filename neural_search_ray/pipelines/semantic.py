@@ -162,17 +162,36 @@ def build_semantic_index(
     from ..config import IndexConfig
     from ..index.build import build_index
 
+    semantic_fields = [
+        f for f, c in properties.items()
+        if isinstance(c, dict) and c.get("type") == SEMANTIC_TYPE
+    ]
+    chunked = any(
+        properties[f].get("chunking", True) for f in semantic_fields
+    )
+    if not chunked and len(semantic_fields) != 1:
+        raise ValueError(
+            "build_semantic_index without chunking needs exactly one "
+            "semantic field to index (got "
+            f"{semantic_fields!r}); enable chunking or split the config"
+        )
+    text_field = semantic_fields[0]
     enriched = ingest_semantic(ds, properties, id_column)
 
     def to_chunk_docs(batch: pa.Table) -> pa.Table:
         import numpy as np
 
         doc = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = batch["chunk_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if chunked:
+            idx = batch["chunk_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+            text = batch["chunk"]
+        else:  # unchunked: the whole field is one chunk (chunk_idx 0)
+            idx = np.zeros(len(doc), dtype=np.int64)
+            text = batch[text_field]
         return pa.table(
             {
                 "doc_id": pa.array(doc * MAX_CHUNKS_PER_DOC + idx),
-                "text": batch["chunk"],
+                "text": text,
             }
         )
 

@@ -886,9 +886,11 @@ def q_knn_radial(sf_dir: str) -> pa.Table:
     queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
     qids = qt["vec_id"].to_numpy()
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    # engine filters a hair below the gate; the oracle-visible gate is on
-    # the ROUNDED score (both sides) so borderline ulps can't flip rows
-    out = radial_search(ds, queries, qids, min_score=RADIAL_MIN_SCORE - 1e-7)
+    # engine pre-filters a full rounding step below the gate (1e-6 >
+    # half-step 5e-7 + ulp slack: a raw score in [thr-5e-7, thr) rounds UP
+    # to thr and must reach the rounded filter); the oracle-visible gate is
+    # on the ROUNDED score on both sides so borderline ulps can't flip rows
+    out = radial_search(ds, queries, qids, min_score=RADIAL_MIN_SCORE - 1e-6)
     sc = round_half_up(out["score"].to_numpy(), 6)
     keep = sc >= RADIAL_MIN_SCORE
     out = out.filter(pa.array(keep))
@@ -918,7 +920,7 @@ def q_ivf_radial(sf_dir: str) -> pa.Table:
     searcher = IVFSearcher(ivf_dir)
     out_q, out_n, out_s = [], [], []
     for qid, q in zip(qids, queries):
-        ids, sims = searcher.radial_search(q, min_score=RADIAL_MIN_SCORE - 1e-7)
+        ids, sims = searcher.radial_search(q, min_score=RADIAL_MIN_SCORE - 1e-6)
         sc = round_half_up(sims, 6)
         keep = sc >= RADIAL_MIN_SCORE
         out_q.append(np.full(int(keep.sum()), qid, dtype=np.int64))
@@ -943,9 +945,9 @@ def _get_ivf_dir(sf_dir: str, n_centroids: int = 8) -> str:
     from ..ann.ivf import build_ivf_index
 
     st = os.stat(f"{sf_dir}/embeddings.parquet")
-    # "v3" = round-3 IVF layout (bucket_mindot + farthest-first centroids)
+    # "v4" = round-3 IVF layout (bucket_mindot, splitmix64 sample, kmeans++ seeding)
     key = hashlib.md5(
-        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:v3".encode()
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:v4".encode()
     ).hexdigest()[:12]
     out_dir = f"/tmp/nsr_ivf_{key}"
     if not os.path.exists(os.path.join(out_dir, "ivf_manifest.json")):

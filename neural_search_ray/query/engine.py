@@ -114,16 +114,28 @@ class _LruTerms:
             self.breaker.release_bytes(self._nbytes(old))
         nb = self._nbytes(value)
         limit = getattr(self.breaker, "limit_bytes", None)
+        admitted = True
         if limit is not None and nb * getattr(self.breaker, "overhead", 1.0) > limit:
-            return  # value alone exceeds the whole budget: never evict for it
-        # breaker full: evict LRU entries (crediting bytes) until the new
-        # value fits — otherwise the cache freezes on whatever was cached
-        # first and a workload shift decodes every query forever
-        while not self.breaker.add_memory_usage(nb, self.label):
-            if not self._d:
-                return  # other tenants hold the budget; give up
-            _, victim = self._d.popitem(last=False)
-            self.breaker.release_bytes(self._nbytes(victim))
+            admitted = False  # value alone exceeds the budget: never evict for it
+        else:
+            # breaker full: evict LRU entries (crediting bytes) until the
+            # new value fits — otherwise the cache freezes on whatever was
+            # cached first and a workload shift decodes every query forever
+            while not self.breaker.add_memory_usage(nb, self.label):
+                if not self._d:
+                    admitted = False  # other tenants hold the budget
+                    break
+                _, victim = self._d.popitem(last=False)
+                self.breaker.release_bytes(self._nbytes(victim))
+        if not admitted:
+            # a refused OVERWRITE must not lose the previously cached
+            # value — re-admit it (its bytes were just released, so this
+            # only fails if another tenant grabbed them mid-flight)
+            if old is not None and self.breaker.add_memory_usage(
+                self._nbytes(old), self.label
+            ):
+                self._d[term] = old
+            return
         self._d[term] = value
         if len(self._d) > self.max_items:
             _, lru = self._d.popitem(last=False)

@@ -39,6 +39,59 @@ def _to_numpy(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
+def _check_int_key(key_col: str, sides: list[tuple[str, "pa.Schema"]]) -> None:
+    for side_name, schema in sides:
+        ktype = schema.types[list(schema.names).index(key_col)]
+        if not pa.types.is_integer(ktype):
+            raise TypeError(
+                f"asof_join key column {key_col!r} must be an integer Arrow "
+                f"type; {side_name} side has {ktype} (float keys would be "
+                f"silently truncated, string keys crash opaquely)"
+            )
+
+
+def _check_int_tiebreak(tiebreak_col: str | None, right_schema: "pa.Schema") -> None:
+    if tiebreak_col is None:
+        return
+    tb_type = right_schema.types[list(right_schema.names).index(tiebreak_col)]
+    if not pa.types.is_integer(tb_type):
+        raise TypeError(
+            f"asof_join tiebreak column {tiebreak_col!r} must be an "
+            f"integer Arrow type, got {tb_type}"
+        )
+
+
+def _valid_ts_mask(ts) -> pa.Array:
+    """True where ts participates in the join (not null, not float NaN)."""
+    import pyarrow.compute as pc
+
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    if pa.types.is_floating(ts.type):
+        return pc.invert(pc.is_null(ts, nan_is_null=True))
+    return pc.is_valid(ts)
+
+
+def _ts_to_numpy(ts) -> tuple[np.ndarray, np.ndarray]:
+    """(sortable ts array, valid mask). Invalid slots hold 0.
+
+    Int/timestamp columns stay int64 end to end — casting a
+    null-containing int64 to float64 (numpy's default for nullable ints)
+    would round nanosecond-scale epochs above 2^53 and silently corrupt
+    at-or-before comparisons."""
+    import pyarrow.compute as pc
+
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    valid = np.asarray(_valid_ts_mask(ts))
+    if pa.types.is_floating(ts.type):
+        arr = ts.to_numpy(zero_copy_only=False)
+        return np.where(valid, arr, 0.0), valid
+    as_int = ts if pa.types.is_integer(ts.type) else ts.cast(pa.int64())
+    filled = pc.fill_null(as_int, 0)
+    return filled.to_numpy(zero_copy_only=False).astype(np.int64, copy=False), valid
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -70,30 +123,8 @@ def asof_join(
     _right_types = {
         c + suffix: right_schema.types[right_schema.names.index(c)] for c in right_cols
     }
-    for side_name, schema in (("left", left_schema), ("right", right_schema)):
-        ktype = schema.types[list(schema.names).index(key_col)]
-        if not pa.types.is_integer(ktype):
-            raise TypeError(
-                f"asof_join key column {key_col!r} must be an integer Arrow "
-                f"type; {side_name} side has {ktype} (float keys would be "
-                f"silently truncated, string keys crash opaquely)"
-            )
-    if tiebreak_col is not None:
-        tb_type = right_schema.types[list(right_schema.names).index(tiebreak_col)]
-        if not pa.types.is_integer(tb_type):
-            raise TypeError(
-                f"asof_join tiebreak column {tiebreak_col!r} must be an "
-                f"integer Arrow type, got {tb_type}"
-            )
-
-    def _valid_ts_mask(ts) -> pa.Array:
-        import pyarrow.compute as pc
-
-        if isinstance(ts, pa.ChunkedArray):
-            ts = ts.combine_chunks()
-        if pa.types.is_floating(ts.type):
-            return pc.invert(pc.is_null(ts, nan_is_null=True))
-        return pc.is_valid(ts)
+    _check_int_key(key_col, [("left", left_schema), ("right", right_schema)])
+    _check_int_tiebreak(tiebreak_col, right_schema)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         key = _to_numpy(batch[key_col]).astype(np.int64)
@@ -144,18 +175,11 @@ def asof_join(
             return out_schema.empty_table()
         key = _to_numpy(group[key_col]).astype(np.int64)
         side = _to_numpy(group["_side"])  # 0 = right, 1 = left
-        ts = group[ts_col]
-        if isinstance(ts, pa.ChunkedArray):
-            ts = ts.combine_chunks()
-        if pa.types.is_floating(ts.type) or pa.types.is_integer(ts.type):
-            ts_np = ts.to_numpy(zero_copy_only=False)
-        else:
-            ts_np = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
         # left rows with null/NaN ts never match (right ones were dropped
-        # at tag time); give them a sortable placeholder and mask later
-        left_ts_invalid = ~np.asarray(_valid_ts_mask(ts)) & (side == 1)
-        if left_ts_invalid.any():
-            ts_np = np.where(left_ts_invalid, np.zeros_like(ts_np), ts_np)
+        # at tag time); _ts_to_numpy gives them a 0 placeholder for the
+        # sort (int64-preserving — no float64 coercion) + a mask for later
+        ts_np, ts_valid = _ts_to_numpy(group[ts_col])
+        left_ts_invalid = ~ts_valid & (side == 1)
         if tiebreak_col is not None:
             tb = _to_numpy(group["_tb"])
             order = np.lexsort((side, tb, ts_np, key))
@@ -220,34 +244,17 @@ def asof_join_broadcast(
     removes the padding AND the exchange outright for the case where the
     padding actually mattered (many right rows × wide left schema)."""
     import ray
-
-    for side_name, schema in (("left", left.schema()), ("right", right.schema)):
-        ktype = schema.types[list(schema.names).index(key_col)]
-        if not pa.types.is_integer(ktype):
-            raise TypeError(
-                f"asof_join key column {key_col!r} must be an integer Arrow "
-                f"type; {side_name} side has {ktype}"
-            )
-
-    def _ts_np(col) -> np.ndarray:
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_floating(col.type) or pa.types.is_integer(col.type):
-            return col.to_numpy(zero_copy_only=False)
-        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-
-    # sort right once by (key, ts, [tiebreak]): within equal (key, ts) the
-    # LAST row has the largest tiebreak → searchsorted 'right' - 1 matches
-    # the deterministic winner, same rule as the shuffle form
     import pyarrow.compute as pc
 
-    rt = right
-    valid = pc.is_valid(rt[ts_col])
-    if pa.types.is_floating(rt.schema.field(ts_col).type):
-        valid = pc.invert(pc.is_null(rt[ts_col], nan_is_null=True))
-    rt = rt.filter(valid)
+    _check_int_key(key_col, [("left", left.schema()), ("right", right.schema)])
+    _check_int_tiebreak(tiebreak_col, right.schema)
+
+    # sort right once by (key, ts, [tiebreak]): within equal (key, ts) the
+    # LAST row has the largest tiebreak → the cumulative-count match picks
+    # the deterministic winner, same rule as the shuffle form
+    rt = right.filter(_valid_ts_mask(right[ts_col]))  # null/NaN ts: no match
     r_key = rt[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    r_ts = _ts_np(rt[ts_col])
+    r_ts, _ = _ts_to_numpy(rt[ts_col])
     if tiebreak_col is not None:
         tb = rt[tiebreak_col].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((tb, r_ts, r_key))
@@ -261,13 +268,13 @@ def asof_join_broadcast(
     def probe(batch: pa.Table) -> pa.Table:
         r_payload, rk, rts = ray.get(right_ref)  # zero-copy object-store read
         lk = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        lts = _ts_np(batch[ts_col])
-        if lts.dtype.kind == "f":
-            lts_valid = ~np.isnan(lts)
-            lts = np.where(lts_valid, lts, 0.0)  # placement is masked below
-        else:
-            lts_valid = np.ones(len(lts), dtype=bool)
+        lts, lts_valid = _ts_to_numpy(batch[ts_col])
         nr, nb = rk.size, lk.size
+        if nr == 0:  # empty right (or all its ts invalid): LEFT semantics
+            cols = {c: batch[c] for c in batch.column_names}
+            for c in right_cols:
+                cols[c + suffix] = pa.nulls(nb, right_types[c + suffix])
+            return pa.table(cols)
         # merged lexsort + cumulative right-count: for each left row, the
         # number of right rows with (key < lk) OR (key == lk AND ts <= lts)
         # is its GLOBAL rank into the sorted right arrays — one vectorized

@@ -253,3 +253,47 @@ def test_broadcast_tiebreak_and_nan():
     assert rows[0]["event_id_r"] == 42  # largest tiebreak among equal ts
     assert rows[1]["event_id_r"] is None  # NaN left ts
     assert rows[2]["event_id_r"] is None  # key absent on right
+
+
+def test_broadcast_empty_right_all_null():
+    from neural_search_ray.stages.asof import asof_join_broadcast
+
+    left = [{"event_id": 1, "user_id": 7, "ts": 100, "value": 1.0}]
+    out = asof_join_broadcast(
+        _ds(left, SCHEMA),
+        SCHEMA.empty_table(),
+        key_col="user_id",
+        ts_col="ts",
+        right_cols=["event_id", "value"],
+    )
+    rows = out.take_all()
+    assert rows[0]["event_id_r"] is None and rows[0]["value_r"] is None
+
+
+def test_nanosecond_precision_with_null_ts():
+    """A null ts in a bucket must NOT coerce int64 ns epochs to float64
+    (2^53 rounding would corrupt at-or-before comparisons)."""
+    from neural_search_ray.stages.asof import asof_join, asof_join_broadcast
+
+    base = 1_700_000_000_000_000_000  # ns epoch, needs 61 bits
+    left = [
+        {"event_id": 1, "user_id": 7, "ts": base + 100, "value": 1.0},
+        {"event_id": 2, "user_id": 7, "ts": None, "value": 2.0},
+    ]
+    right = [
+        # 100ns after left's ts — must NOT match; float64 would round
+        # both to the same value and (right-before-left) WOULD match
+        {"event_id": 50, "user_id": 7, "ts": base + 200, "value": 0.5},
+        {"event_id": 51, "user_id": 7, "ts": base - 500, "value": 0.9},
+    ]
+    rows = _run(left, right)
+    assert rows[0]["event_id_r"] == 51  # only the earlier row matches
+    assert rows[1]["event_id_r"] is None  # null left ts
+
+    out = asof_join_broadcast(
+        _ds(left, SCHEMA), pa.Table.from_pylist(right, SCHEMA),
+        key_col="user_id", ts_col="ts", right_cols=["event_id", "value"],
+    )
+    brows = sorted(out.take_all(), key=lambda r: r["event_id"])
+    assert brows[0]["event_id_r"] == 51
+    assert brows[1]["event_id_r"] is None

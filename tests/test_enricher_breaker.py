@@ -193,3 +193,17 @@ def test_searcher_clear_caches(tmp_path):
     docs2, scores2 = s.search_bm25(["alpha", "beta"], k=5)
     np.testing.assert_array_equal(docs_, docs2)
     np.testing.assert_allclose(scores, scores2)
+
+
+def test_lru_refused_overwrite_keeps_old_value():
+    """A put that can't be admitted (value bigger than the whole budget)
+    must not lose the previously cached entry for the same term."""
+    from neural_search_ray.query.engine import _LruTerms
+
+    br = CircuitBreaker(limit_bytes=1000)
+    c = _LruTerms(max_items=100, breaker=br, label="t")
+    small = (np.zeros(10, dtype=np.float64),)  # 80 bytes
+    c.put("a", small)
+    c.put("a", (np.zeros(1000, dtype=np.float64),))  # 8000 > budget: refused
+    assert c.get("a") is not None  # old value survived
+    assert br.used_bytes == 80

@@ -256,3 +256,45 @@ class TestSemanticFieldCompiler:
         s = IndexSearcher(str(tmp_path / "idx"))
         ids, _ = s.search_bm25(tokenize("merge sort"), k=3)
         assert all(i // MAX_CHUNKS_PER_DOC == 2 for i in ids.tolist())
+
+
+class TestSemanticUnchunked:
+    def test_index_without_chunking(self, ray_session, tmp_path):
+        import ray as _ray
+
+        from neural_search_ray.pipelines.semantic import build_semantic_index
+        from neural_search_ray.query.engine import IndexSearcher
+        from neural_search_ray.analysis.analyzer import tokenize
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+                "body": pa.array(["alpha beta", "merge sort", "quick data", ""]),
+            }
+        )
+        props = {"body": {"type": "semantic", "model_id": "m", "chunking": False,
+                          "dense": {"dim": 8}}}
+        m = build_semantic_index(
+            _ray.data.from_arrow(docs), props, str(tmp_path / "idx")
+        )
+        assert m.n_docs == 4  # one index doc per source doc
+        s = IndexSearcher(str(tmp_path / "idx"))
+        ids, _ = s.search_bm25(tokenize("merge"), k=2)
+        from neural_search_ray.pipelines.semantic import MAX_CHUNKS_PER_DOC
+
+        assert [i // MAX_CHUNKS_PER_DOC for i in ids.tolist()] == [1]
+
+    def test_two_unchunked_fields_rejected(self, ray_session, tmp_path):
+        import pytest as _pytest
+        import ray as _ray
+
+        from neural_search_ray.pipelines.semantic import build_semantic_index
+
+        docs = pa.table({"doc_id": pa.array([0], pa.int64()),
+                         "a": pa.array(["x"]), "b": pa.array(["y"])})
+        props = {
+            "a": {"type": "semantic", "model_id": "m", "chunking": False},
+            "b": {"type": "semantic", "model_id": "m", "chunking": False},
+        }
+        with _pytest.raises(ValueError, match="exactly one"):
+            build_semantic_index(_ray.data.from_arrow(docs), props, str(tmp_path / "i"))

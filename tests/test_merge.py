@@ -99,3 +99,46 @@ def test_merge_preserves_df_and_doclens(merged):
     assert s.n_docs == manifest.n_docs
     d, sc = s.search_bm25(tokenize("data"), k=5)
     assert len(d) > 0 and (np.diff(sc) <= 1e-15).all()
+
+
+def test_resume_after_merge_skips_merged_sources(tmp_path, sf_dir, ray_session):
+    """Library-level guard: build_index(resume=True) of a segment that was
+    compacted away by merge_segments must NO-OP via the merged lineage —
+    rebuilding it would double-count every doc."""
+    index_dir = str(tmp_path / "idx")
+    _build_three_segments(sf_dir, index_dir)
+    pre = _results(IndexSearcher(index_dir))
+    n_before = IndexManifest.load(index_dir).n_docs
+    merge_segments(index_dir, "merged-000")
+    # the driver's documented resume pattern: re-run the same builds
+    _build_three_segments(sf_dir, index_dir)
+    m = IndexManifest.load(index_dir)
+    assert list(m.segments) == ["merged-000"]  # nothing rebuilt
+    assert m.n_docs == n_before
+    assert _results(IndexSearcher(index_dir)) == pre
+
+
+def test_merge_lineage_transitive(tmp_path, sf_dir, ray_session):
+    """Merge-of-merged: the second merge must carry the first's lineage so
+    the ORIGINAL segments still resume as no-ops."""
+    import pyarrow.dataset as pads
+
+    index_dir = str(tmp_path / "idx")
+    _build_three_segments(sf_dir, index_dir)
+    merge_segments(index_dir, "merged-000")
+    # add one more segment, then merge again
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < 0,  # empty extra segment is fine
+    )
+    build_index(
+        ds, index_dir, IndexConfig(num_shards=4, num_salts=2), segment_id="seg-extra"
+    )
+    merge_segments(index_dir, "merged-001")
+    m = IndexManifest.load(index_dir)
+    lineage = set(m.segments["merged-001"]["input_files"])
+    assert {"merged:merged-000", "merged:seg-extra",
+            "merged:seg-000", "merged:seg-001", "merged:seg-002"} <= lineage
+    n = m.n_docs
+    _build_three_segments(sf_dir, index_dir)  # must all no-op
+    assert IndexManifest.load(index_dir).n_docs == n
