@@ -391,11 +391,16 @@ class IndexSearcher:
         the first real query runs at steady-state latency. Returns the
         number of terms touched."""
         n = 0
-        build_bm = self._dl_doc_ids.size >= 4 * _BLOCKMAX_B
+        n_docs = self._dl_doc_ids.size
+        build_bm = n_docs >= 4 * _BLOCKMAX_B
         for t in dict.fromkeys(terms):
             docs = self.postings_full(t)[0]
             if build_bm and docs.size:
                 self._block_max_tfn(t, _BLOCKMAX_B)
+            if docs.size >= self.DENSE_TFN_THRESHOLD * n_docs:
+                # stopword-grade term: pre-build the dense tf-norm vector
+                # so the first query doesn't pay the one-time scatter
+                self._dense_term(t)
             n += 1
         return n
 
@@ -491,11 +496,38 @@ class IndexSearcher:
         scores = self._score_candidates(cand, terms, idfs, query_weights)
         return topk_desc(cand, scores, k)
 
+    # coverage fraction above which a term's tf-norms are cached DENSE
+    # (one n-float vector): contiguous SIMD add beats the gather/scatter
+    # by ~4x, and stopword-grade terms (df/n ≈ 0.95-1.0) dominate the
+    # query-latency tail
+    DENSE_TFN_THRESHOLD = 0.5
+
+    def _dense_term(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(tfn over the FULL doc space with 0 at absent docs, presence
+        mask). Cached in the RAM-accounted LRU under (term, -1) — the
+        block-max cache's key space uses B > 0 so keys can't collide."""
+        key = (term, -1)
+        hit = self._bm_cache.get(key)
+        if hit is not None:
+            return hit
+        _, _, pos, tfn = self.postings_full(term)
+        n = self._dl_doc_ids.size
+        dense = np.zeros(n, dtype=np.float64)
+        dense[pos] = tfn
+        present = np.zeros(n, dtype=bool)
+        present[pos] = True
+        val = (dense, present)
+        self._bm_cache.put(key, val)
+        return val
+
     def _search_dense(self, terms, idfs, k, query_weights):
         """Dense-accumulator scoring over the shard's doc space: postings
         carry precomputed local positions, so each term is one
-        scatter-add. Accumulation order = sorted terms, same expression —
-        bitwise identical scores to the candidate path."""
+        scatter-add — or, for high-coverage (stopword-grade) terms, one
+        contiguous add of the cached dense tf-norm vector (adding w·0 at
+        absent docs is a float no-op, so scores stay bitwise identical).
+        Accumulation order = sorted terms, same expression — identical
+        scores to the candidate path."""
         n = self._dl_doc_ids.size
         scores = np.zeros(n, dtype=np.float64)
         touched = np.zeros(n, dtype=bool)
@@ -506,11 +538,18 @@ class IndexSearcher:
             if docs.size == 0:
                 continue
             w = idfs[i] if query_weights is None else idfs[i] * query_weights[i]
-            scores[pos] += w * tfn  # doc appears once per posting list
-            touched[pos] = True
+            if pos.size >= self.DENSE_TFN_THRESHOLD * n:
+                dense, present = self._dense_term(t)
+                scores += w * dense
+                touched |= present
+            else:
+                scores[pos] += w * tfn  # doc appears once per posting list
+                touched[pos] = True
         cand_pos = np.flatnonzero(touched)
         if cand_pos.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        if cand_pos.size == n:  # full coverage: skip two n-sized gathers
+            return topk_desc(self._dl_doc_ids, scores, k)
         return topk_desc(self._dl_doc_ids[cand_pos], scores[cand_pos], k)
 
     def _block_max_tfn(self, term: str, B: int) -> np.ndarray:
