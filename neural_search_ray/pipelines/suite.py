@@ -493,6 +493,55 @@ def q_semantic_highlight(sf_dir: str) -> pa.Table:
     )
 
 
+def q_semantic_highlight_idf(sf_dir: str) -> pa.Table:
+    """idf-WEIGHTED semantic highlighting: fragment score = sum of
+    round(bm25_idf·1e6) over distinct query terms present (integer
+    weights → cross-engine-exact sums), so rare terms dominate window
+    choice instead of counting 'the' like the rare term — the principled
+    stand-in for the reference's model-scored sentences
+    (highlight/SemanticHighlighter.java), via the same scorer seam."""
+    import pyarrow.parquet as pq2
+
+    from ..query.bm25 import bm25_idf
+    from ..rank.highlight import highlight_text, make_weighted_scorer
+
+    searcher = get_searcher(sf_dir)
+    n_docs = searcher.n_docs
+    hits: list[tuple[int, int, set, dict]] = []
+    for qid, qtext in QUERY_SET:
+        terms = set(tokenize(qtext))
+        weights = {}
+        for t in terms:
+            df = searcher.local_df(t)
+            if df > 0:
+                weights[t] = int(round_half_up(bm25_idf(df, n_docs) * 1e6, 0))
+        docs, _ = searcher.search_bm25(sorted(terms), k=10)
+        hits.extend((qid, int(d), terms, weights) for d in docs)
+    wanted = sorted({d for _, d, _, _ in hits})
+    t = pq2.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", wanted)],
+    )
+    text_of = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    qs, ds_, hl = [], [], []
+    for qid, d, terms, weights in hits:
+        qs.append(qid)
+        ds_.append(d)
+        hl.append(
+            highlight_text(
+                terms, text_of[d] or "", scorer=make_weighted_scorer(weights)
+            )[0]
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "doc_id": pa.array(ds_, type=pa.int64()),
+            "highlighted": pa.array(hl, type=pa.string()),
+        }
+    )
+
+
 def q_hybrid_fieldsort(sf_dir: str) -> pa.Table:
     """Hybrid FIELD-SORT collector
     (HybridTopFieldDocSortCollector.java): the matched union ranked by
@@ -1791,6 +1840,7 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["hybrid_minmax_bounded"] = _hybrid_minmax_bounded_sql()
     sqls["hybrid_fieldsort"] = _hybrid_fieldsort_sql()
     sqls["semantic_highlight"] = _semantic_highlight_sql()
+    sqls["semantic_highlight_idf"] = _semantic_highlight_idf_sql()
     sqls["sink_roundtrip_by_lang"] = """
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
 FROM documents GROUP BY lang"""
@@ -2500,6 +2550,54 @@ SELECT query_id, doc_id,
 FROM best WHERE rn = 1"""
 
 
+def _semantic_highlight_idf_sql() -> str:
+    """idf-weighted highlight oracle: window score = integer sum of
+    round(bm25_idf·1e6) over the distinct query terms present (exactly
+    the engine's make_weighted_scorer); tie → earliest window."""
+    W = 20
+    hits = _topk_raw_sql(_bm25_scored_sql(), 10)
+    return f"""
+WITH qtw AS (
+  SELECT q.query_id, q.term,
+         CAST(round(ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5)) * 1000000)
+              AS BIGINT) AS tw
+  FROM ({_query_values_sql()}) q
+  JOIN ({SQL_DF}) df ON df.term = q.term
+  CROSS JOIN ({SQL_STATS}) s),
+h AS (SELECT query_id, doc_id FROM ({hits})),
+dt AS (
+  SELECT h.query_id, h.doc_id, d.text,
+         string_split(d.text, ' ') AS toks,
+         len(string_split(d.text, ' ')) AS n
+  FROM h JOIN documents d USING (doc_id)),
+scored AS (
+  SELECT dt.query_id, dt.doc_id, dt.text, dt.toks, dt.n, g.i AS w,
+         coalesce(
+           (SELECT sum(qtw.tw) FROM qtw
+            WHERE qtw.query_id = dt.query_id
+              AND list_contains(
+                    list_distinct(dt.toks[(g.i-1)*{W}+1 : least(g.i*{W}, dt.n)]),
+                    qtw.term)), 0) AS score
+  FROM dt
+  CROSS JOIN generate_series(1, 4000) AS g(i)
+  WHERE (g.i - 1) * {W} < dt.n),
+best AS (
+  SELECT query_id, doc_id, text, toks, n, w, score,
+         row_number() OVER (PARTITION BY query_id, doc_id
+                            ORDER BY score DESC, w) AS rn
+  FROM scored)
+SELECT query_id, doc_id,
+       CASE WHEN score = 0 THEN text ELSE
+         CASE WHEN w > 1
+              THEN array_to_string(toks[1:(w-1)*{W}], ' ') || ' ' ELSE '' END
+         || '<em>' || array_to_string(toks[(w-1)*{W}+1 : least(w*{W}, n)], ' ')
+         || '</em>'
+         || CASE WHEN w*{W} < n
+                 THEN ' ' || array_to_string(toks[w*{W}+1 : n], ' ') ELSE '' END
+       END AS highlighted
+FROM best WHERE rn = 1"""
+
+
 def _hybrid_rrf_sql() -> str:
     bm_top = _bm25_scored_sql()
     dot_scored = f"""
@@ -2687,6 +2785,7 @@ def build_queries() -> dict:
         "events_page2": q_events_page2,
         "hybrid_fieldsort": q_hybrid_fieldsort,
         "semantic_highlight": q_semantic_highlight,
+        "semantic_highlight_idf": q_semantic_highlight_idf,
         "bm25_topk_multiseg": q_bm25_topk_multiseg,
         "bm25_topk_merged": q_bm25_topk_merged,
         "bm25_topk_distributed": q_bm25_topk_distributed,

@@ -42,6 +42,28 @@ def overlap_scorer(fragments: list[list[str]], query_terms: set[str]) -> np.ndar
     )
 
 
+def make_weighted_scorer(weight_of: dict[str, int]) -> Callable:
+    """Term-weighted fragment scorer: sum of per-term integer weights
+    over the DISTINCT query terms present. With weights =
+    round(bm25_idf·1e6) this is classic idf-weighted passage scoring
+    (the principled form of the reference's model-scored sentences —
+    rare query terms dominate fragment choice instead of counting 'the'
+    as heavily as the rare term). Integer weights keep cross-engine
+    (numpy vs SQL) sums exact, so the oracle can pin the winner."""
+
+    def scorer(fragments: list[list[str]], query_terms: set[str]) -> np.ndarray:
+        return np.fromiter(
+            (
+                sum(weight_of.get(t, 0) for t in (query_terms & set(f)))
+                for f in fragments
+            ),
+            dtype=np.int64,
+            count=len(fragments),
+        )
+
+    return scorer
+
+
 def highlight_text(
     query_terms: set[str],
     text: str,

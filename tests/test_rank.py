@@ -304,3 +304,38 @@ class TestSemanticHighlight:
         })
         out = SemanticHighlightStage()(batch)
         assert out["highlighted"][0].as_py() == "alpha beta. <em>gamma delta query.</em>"
+
+
+class TestWeightedHighlight:
+    def test_rare_term_wins_over_stopword_pile(self):
+        from neural_search_ray.rank.highlight import (
+            highlight_text,
+            make_weighted_scorer,
+        )
+
+        # window 1: three low-weight terms; window 2: one rare term.
+        # Overlap scoring picks window 1; idf weighting picks window 2.
+        w1 = "the of and " + "x " * 17
+        w2 = "zebra " + "y " * 19
+        text = (w1 + w2).strip()
+        terms = {"the", "of", "and", "zebra"}
+        weights = {"the": 1, "of": 1, "and": 1, "zebra": 100}
+        hl_overlap, s1 = highlight_text(terms, text)
+        hl_idf, s2 = highlight_text(
+            terms, text, scorer=make_weighted_scorer(weights)
+        )
+        assert "<em>the of and" in hl_overlap
+        assert "<em>zebra" in hl_idf
+        assert s2 == 100
+
+    def test_zero_weight_terms_leave_text_unchanged(self):
+        from neural_search_ray.rank.highlight import (
+            highlight_text,
+            make_weighted_scorer,
+        )
+
+        text = "alpha beta gamma " * 10
+        out, score = highlight_text(
+            {"alpha"}, text.strip(), scorer=make_weighted_scorer({})
+        )
+        assert out == text.strip() and score == 0
