@@ -456,12 +456,11 @@ def q_hybrid_minmax_bounded(sf_dir: str) -> pa.Table:
     return _hits_table(rows)
 
 
-def q_semantic_highlight(sf_dir: str) -> pa.Table:
-    """Semantic highlighting (SemanticHighlighter.java, stub scorer =
-    distinct-query-term overlap): best 20-token window of each bm25
-    top-10 hit wrapped in <em>; zero-overlap docs pass through
-    unchanged. Hit texts are fetched with parquet row-filter pushdown —
-    only the ~80 hit rows leave storage."""
+def _highlight_entry(sf_dir: str, scorer_factory=None) -> pa.Table:
+    """Shared body of the two highlight entries: gather bm25 top-10 hits,
+    fetch hit texts with parquet row-filter pushdown (only the ~80 hit
+    rows leave storage), highlight each with the scorer built by
+    ``scorer_factory(terms) -> scorer | None`` (None = default overlap)."""
     import pyarrow.parquet as pq2
 
     from ..rank.highlight import highlight_text
@@ -483,7 +482,8 @@ def q_semantic_highlight(sf_dir: str) -> pa.Table:
     for qid, d, terms in hits:
         qs.append(qid)
         ds_.append(d)
-        hl.append(highlight_text(terms, text_of[d] or "")[0])
+        scorer = scorer_factory(searcher, terms) if scorer_factory else None
+        hl.append(highlight_text(terms, text_of[d] or "", scorer=scorer)[0])
     return pa.table(
         {
             "query_id": pa.array(qs, type=pa.int64()),
@@ -491,55 +491,42 @@ def q_semantic_highlight(sf_dir: str) -> pa.Table:
             "highlighted": pa.array(hl, type=pa.string()),
         }
     )
+
+
+def q_semantic_highlight(sf_dir: str) -> pa.Table:
+    """Semantic highlighting (SemanticHighlighter.java, stub scorer =
+    distinct-query-term overlap): best 20-token window of each bm25
+    top-10 hit wrapped in <em>; zero-overlap docs pass through
+    unchanged."""
+    return _highlight_entry(sf_dir)
+
+
+def _idf_weight_scorer(searcher, terms: set):
+    """Integer round(bm25_idf·1e6) weights. The log is written ln(1+x)
+    — the SAME expression the SQL oracle evaluates — so the two engines
+    differ only by libm ulps, far from the .5 rounding boundary in
+    practice (same tolerance class as every other rounded oracle here;
+    np.log1p would add an avoidable expression-level divergence)."""
+    from ..rank.highlight import make_weighted_scorer
+
+    n_docs = searcher.n_docs
+    weights = {}
+    for t in terms:
+        df = searcher.local_df(t)
+        if df > 0:
+            idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            weights[t] = int(round_half_up(idf * 1e6, 0))
+    return make_weighted_scorer(weights)
 
 
 def q_semantic_highlight_idf(sf_dir: str) -> pa.Table:
-    """idf-WEIGHTED semantic highlighting: fragment score = sum of
-    round(bm25_idf·1e6) over distinct query terms present (integer
-    weights → cross-engine-exact sums), so rare terms dominate window
-    choice instead of counting 'the' like the rare term — the principled
-    stand-in for the reference's model-scored sentences
-    (highlight/SemanticHighlighter.java), via the same scorer seam."""
-    import pyarrow.parquet as pq2
-
-    from ..query.bm25 import bm25_idf
-    from ..rank.highlight import highlight_text, make_weighted_scorer
-
-    searcher = get_searcher(sf_dir)
-    n_docs = searcher.n_docs
-    hits: list[tuple[int, int, set, dict]] = []
-    for qid, qtext in QUERY_SET:
-        terms = set(tokenize(qtext))
-        weights = {}
-        for t in terms:
-            df = searcher.local_df(t)
-            if df > 0:
-                weights[t] = int(round_half_up(bm25_idf(df, n_docs) * 1e6, 0))
-        docs, _ = searcher.search_bm25(sorted(terms), k=10)
-        hits.extend((qid, int(d), terms, weights) for d in docs)
-    wanted = sorted({d for _, d, _, _ in hits})
-    t = pq2.read_table(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text"],
-        filters=[("doc_id", "in", wanted)],
-    )
-    text_of = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    qs, ds_, hl = [], [], []
-    for qid, d, terms, weights in hits:
-        qs.append(qid)
-        ds_.append(d)
-        hl.append(
-            highlight_text(
-                terms, text_of[d] or "", scorer=make_weighted_scorer(weights)
-            )[0]
-        )
-    return pa.table(
-        {
-            "query_id": pa.array(qs, type=pa.int64()),
-            "doc_id": pa.array(ds_, type=pa.int64()),
-            "highlighted": pa.array(hl, type=pa.string()),
-        }
-    )
+    """idf-WEIGHTED semantic highlighting: fragment score = integer sum
+    of round(bm25_idf·1e6) over distinct query terms present, so rare
+    terms dominate window choice instead of counting 'the' like the rare
+    term — the principled stand-in for the reference's model-scored
+    sentences (highlight/SemanticHighlighter.java), via the same scorer
+    seam."""
+    return _highlight_entry(sf_dir, scorer_factory=_idf_weight_scorer)
 
 
 def q_hybrid_fieldsort(sf_dir: str) -> pa.Table:
@@ -2510,16 +2497,18 @@ SELECT query_id, rank, doc_id, score FROM (
   FROM combined) WHERE rank <= 5"""
 
 
-def _semantic_highlight_sql() -> str:
-    """Window-mode highlight oracle: for each bm25 top-10 hit, the
-    20-token window with the most DISTINCT query terms (tie: earliest)
-    is wrapped in <em>; zero overlap → text unchanged. Valid because the
-    corpus text is single-space tokens (text == join(tokens, ' '))."""
+def _semantic_highlight_sql_template(
+    weights_cte: str, score_expr: str, from_extra: str = ""
+) -> str:
+    """Shared window-highlight oracle scaffolding (window enumeration,
+    best-window tie-break, <em> reconstruction — identical for every
+    scorer; only the per-window score expression differs). Valid because
+    the corpus text is single-space tokens (text == join(tokens, ' '))."""
     W = 20
     hits = _topk_raw_sql(_bm25_scored_sql(), 10)
+    window_slice = f"dt.toks[(g.i-1)*{W}+1 : least(g.i*{W}, dt.n)]"
     return f"""
-WITH qts AS (
-  SELECT query_id, list(term) AS terms FROM ({_query_values_sql()}) GROUP BY query_id),
+WITH {weights_cte},
 h AS (SELECT query_id, doc_id FROM ({hits})),
 dt AS (
   SELECT h.query_id, h.doc_id, d.text,
@@ -2528,9 +2517,8 @@ dt AS (
   FROM h JOIN documents d USING (doc_id)),
 scored AS (
   SELECT dt.query_id, dt.doc_id, dt.text, dt.toks, dt.n, g.i AS w,
-         len(list_intersect(list_distinct(dt.toks[(g.i-1)*{W}+1 : least(g.i*{W}, dt.n)]),
-                            q.terms)) AS score
-  FROM dt JOIN qts q USING (query_id)
+         {score_expr.format(window=window_slice)} AS score
+  FROM dt {from_extra}
   CROSS JOIN generate_series(1, 4000) AS g(i)
   WHERE (g.i - 1) * {W} < dt.n),
 best AS (
@@ -2550,52 +2538,35 @@ SELECT query_id, doc_id,
 FROM best WHERE rn = 1"""
 
 
+def _semantic_highlight_sql() -> str:
+    """Overlap scorer: count of DISTINCT query terms in the window."""
+    weights = f"""qts AS (
+  SELECT query_id, list(term) AS terms FROM ({_query_values_sql()}) GROUP BY query_id)"""
+    # q.terms must arrive via a JOIN: DuckDB rejects subqueries inside
+    # list_intersect's lambda-backed implementation
+    score = "len(list_intersect(list_distinct({window}), q.terms))"
+    return _semantic_highlight_sql_template(
+        weights, score, from_extra="JOIN qts q USING (query_id)"
+    )
+
+
 def _semantic_highlight_idf_sql() -> str:
-    """idf-weighted highlight oracle: window score = integer sum of
-    round(bm25_idf·1e6) over the distinct query terms present (exactly
-    the engine's make_weighted_scorer); tie → earliest window."""
-    W = 20
-    hits = _topk_raw_sql(_bm25_scored_sql(), 10)
-    return f"""
-WITH qtw AS (
+    """idf-weighted scorer: integer sum of round(bm25_idf·1e6) over the
+    distinct query terms present (exactly the engine's
+    make_weighted_scorer + _idf_weight_scorer); tie → earliest window."""
+    weights = f"""qtw AS (
   SELECT q.query_id, q.term,
          CAST(round(ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5)) * 1000000)
               AS BIGINT) AS tw
   FROM ({_query_values_sql()}) q
   JOIN ({SQL_DF}) df ON df.term = q.term
-  CROSS JOIN ({SQL_STATS}) s),
-h AS (SELECT query_id, doc_id FROM ({hits})),
-dt AS (
-  SELECT h.query_id, h.doc_id, d.text,
-         string_split(d.text, ' ') AS toks,
-         len(string_split(d.text, ' ')) AS n
-  FROM h JOIN documents d USING (doc_id)),
-scored AS (
-  SELECT dt.query_id, dt.doc_id, dt.text, dt.toks, dt.n, g.i AS w,
-         coalesce(
-           (SELECT sum(qtw.tw) FROM qtw
-            WHERE qtw.query_id = dt.query_id
-              AND list_contains(
-                    list_distinct(dt.toks[(g.i-1)*{W}+1 : least(g.i*{W}, dt.n)]),
-                    qtw.term)), 0) AS score
-  FROM dt
-  CROSS JOIN generate_series(1, 4000) AS g(i)
-  WHERE (g.i - 1) * {W} < dt.n),
-best AS (
-  SELECT query_id, doc_id, text, toks, n, w, score,
-         row_number() OVER (PARTITION BY query_id, doc_id
-                            ORDER BY score DESC, w) AS rn
-  FROM scored)
-SELECT query_id, doc_id,
-       CASE WHEN score = 0 THEN text ELSE
-         CASE WHEN w > 1
-              THEN array_to_string(toks[1:(w-1)*{W}], ' ') || ' ' ELSE '' END
-         || '<em>' || array_to_string(toks[(w-1)*{W}+1 : least(w*{W}, n)], ' ')
-         || '</em>'
-         || CASE WHEN w*{W} < n
-                 THEN ' ' || array_to_string(toks[w*{W}+1 : n], ' ') ELSE '' END
-       END AS highlighted
-FROM best WHERE rn = 1"""
+  CROSS JOIN ({SQL_STATS}) s)"""
+    score = (
+        "coalesce((SELECT sum(qtw.tw) FROM qtw "
+        "WHERE qtw.query_id = dt.query_id "
+        "AND list_contains(list_distinct({window}), qtw.term)), 0)"
+    )
+    return _semantic_highlight_sql_template(weights, score)
 
 
 def _hybrid_rrf_sql() -> str:

@@ -187,6 +187,7 @@ class IndexSearcher:
         self._cache = _LruTerms(term_cache_items, self.breaker, "postings")
         # (term, B) → dense block-max tfn
         self._bm_cache = _LruTerms(4096, self.breaker, "block_max")
+        self._dense_refused: set[str] = set()  # breaker-refused dense terms
         self._decode = decoder_for(manifest.posting_codec)
         post_paths: list[str] = []
         dl_paths: list[str] = []
@@ -397,7 +398,7 @@ class IndexSearcher:
             docs = self.postings_full(t)[0]
             if build_bm and docs.size:
                 self._block_max_tfn(t, _BLOCKMAX_B)
-            if docs.size >= self.DENSE_TFN_THRESHOLD * n_docs:
+            if docs.size and docs.size >= self.DENSE_TFN_THRESHOLD * n_docs:
                 # stopword-grade term: pre-build the dense tf-norm vector
                 # so the first query doesn't pay the one-time scatter
                 self._dense_term(t)
@@ -410,6 +411,7 @@ class IndexSearcher:
         return the breaker snapshot (used_bytes should drop to ~0)."""
         self._cache.clear()
         self._bm_cache.clear()
+        self._dense_refused.clear()
         return self.breaker.snapshot()
 
     # ---- search ----------------------------------------------------------
@@ -502,10 +504,16 @@ class IndexSearcher:
     # query-latency tail
     DENSE_TFN_THRESHOLD = 0.5
 
-    def _dense_term(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+    def _dense_term(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
         """(tfn over the FULL doc space with 0 at absent docs, presence
-        mask). Cached in the RAM-accounted LRU under (term, -1) — the
-        block-max cache's key space uses B > 0 so keys can't collide."""
+        mask), or None when the breaker refuses to cache it — the dense
+        form only pays for itself when built ONCE, so on refusal the
+        caller must stay on the scatter path (rebuilding 9n bytes per
+        query would be slower than the scatter-add it replaces). Cached
+        in the RAM-accounted LRU under (term, -1) — the block-max cache's
+        key space uses B > 0 so keys can't collide."""
+        if term in self._dense_refused:
+            return None
         key = (term, -1)
         hit = self._bm_cache.get(key)
         if hit is not None:
@@ -518,6 +526,9 @@ class IndexSearcher:
         present[pos] = True
         val = (dense, present)
         self._bm_cache.put(key, val)
+        if self._bm_cache.get(key) is None:  # breaker refused the bytes
+            self._dense_refused.add(term)
+            return None
         return val
 
     def _search_dense(self, terms, idfs, k, query_weights):
@@ -538,8 +549,13 @@ class IndexSearcher:
             if docs.size == 0:
                 continue
             w = idfs[i] if query_weights is None else idfs[i] * query_weights[i]
-            if pos.size >= self.DENSE_TFN_THRESHOLD * n:
-                dense, present = self._dense_term(t)
+            dt = (
+                self._dense_term(t)
+                if pos.size >= self.DENSE_TFN_THRESHOLD * n
+                else None
+            )
+            if dt is not None:
+                dense, present = dt
                 scores += w * dense
                 touched |= present
             else:

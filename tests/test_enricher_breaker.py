@@ -207,3 +207,32 @@ def test_lru_refused_overwrite_keeps_old_value():
     c.put("a", (np.zeros(1000, dtype=np.float64),))  # 8000 > budget: refused
     assert c.get("a") is not None  # old value survived
     assert br.used_bytes == 80
+
+
+def test_dense_term_breaker_refusal_falls_back_to_scatter(tmp_path):
+    """When the budget can't hold a dense tf-norm vector, _search_dense
+    must stay on the scatter path (no per-query rebuild) and stay exact."""
+    import ray
+
+    from neural_search_ray.config import IndexConfig
+    from neural_search_ray.index.build import build_index
+    from neural_search_ray.query.engine import IndexSearcher
+
+    docs = [
+        {"doc_id": i, "text": "common " + f"rare{i} filler word", "lang": "en"}
+        for i in range(200)
+    ]
+    ds = ray.data.from_items(docs)
+    idx = str(tmp_path / "idx")
+    build_index(ds, idx, IndexConfig(num_shards=1), segment_id="s0")
+    # tiny budget: the dense vector (200*9 bytes) alone exceeds it
+    s = IndexSearcher(idx, cache_limit_bytes=1000)
+    big = IndexSearcher(idx)  # unlimited → dense path allowed
+    terms = ["common", "rare5"]
+    d1, s1 = s.search_bm25(terms, k=5, pruning="none")
+    d2, s2 = big.search_bm25(terms, k=5, pruning="none")
+    assert d1.tolist() == d2.tolist()
+    np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
+    assert "common" in s._dense_refused  # memoized, not rebuilt per query
+    s.search_bm25(terms, k=5, pruning="none")  # second query: still fine
+
