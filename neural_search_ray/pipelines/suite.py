@@ -1554,6 +1554,37 @@ def q_c4_filter(sf_dir: str) -> "ray.data.Dataset":
     return _docs_ds(sf_dir).map_batches(c4_filter_stage, batch_format="pyarrow")
 
 
+def q_web_curation(sf_dir: str) -> "ray.data.Dataset":
+    """END-TO-END web-corpus curation: C4-style quality filter → exact
+    dedup → surviving representatives, composed as ONE streaming Dataset
+    pipeline (the standard training-data curation shape). Stage 1 is a
+    fused per-batch map (verdicts computed and applied in place, no
+    verdict/doc join exchange); stage 2 is the existing per-batch
+    combiner + one groupby(text_hash). Output: (doc_id, n_dups) of each
+    surviving doc."""
+    from ..dedup.exact import exact_dedup
+    from ..textstats.webfilter import c4_filter_stage
+
+    def keep_c4(batch: pa.Table) -> pa.Table:
+        verdicts = c4_filter_stage(batch)
+        vd = verdicts["doc_id"].to_numpy(zero_copy_only=False)
+        vk = verdicts["keep"].to_numpy(zero_copy_only=False)
+        order = np.argsort(vd)
+        bd = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vd[order], bd)
+        keep = vk[order][pos].astype(bool)
+        return batch.filter(pa.array(keep))
+
+    deduped = exact_dedup(_docs_ds(sf_dir).map_batches(keep_c4, batch_format="pyarrow"))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["keeper_doc_id"], "n_dups": batch["n_docs"]}
+        )
+
+    return deduped.map_batches(project, batch_format="pyarrow")
+
+
 def q_window_dedup(sf_dir: str) -> "ray.data.Dataset":
     """Cross-doc duplicated-window fractions: per-batch combiner emits
     (wbucket, whash, doc_id, cnt), ONE groupby(wbucket) salt-bucket
@@ -1948,6 +1979,21 @@ SELECT d.doc_id,
         AND coalesce(s.sl / s.n::DOUBLE, 0.0) <= {C4_MEAN_LEN_HI}
         AND coalesce(s.ns / s.n::DOUBLE, 0.0) >= {C4_MIN_STOP_RATIO})::BIGINT AS keep
 FROM documents d LEFT JOIN s USING (doc_id)"""
+
+    # composed curation pipeline: C4 keep → exact dedup representatives
+    sqls["web_curation"] = f"""
+WITH s AS (SELECT doc_id, count(*)::BIGINT n,
+                  sum(CASE WHEN term IN ({stop_list}) THEN 1 ELSE 0 END)::BIGINT ns,
+                  sum(length(term))::BIGINT sl FROM ({SQL_TOK}) GROUP BY doc_id),
+kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d LEFT JOIN s USING (doc_id)
+  WHERE coalesce(s.n, 0) >= {C4_MIN_WORDS}
+    AND coalesce(s.sl / s.n::DOUBLE, 0.0) >= {C4_MEAN_LEN_LO}
+    AND coalesce(s.sl / s.n::DOUBLE, 0.0) <= {C4_MEAN_LEN_HI}
+    AND coalesce(s.ns / s.n::DOUBLE, 0.0) >= {C4_MIN_STOP_RATIO})
+SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups
+FROM kept GROUP BY text"""
 
     W = DEDUP_WINDOW_WIDTH
     sqls["window_dedup"] = f"""
@@ -2767,6 +2813,7 @@ def build_queries() -> dict:
         "sink_roundtrip_by_lang": q_sink_roundtrip_by_lang,
         "repetition_stats": q_repetition_stats,
         "c4_filter": q_c4_filter,
+        "web_curation": q_web_curation,
         "window_dedup": q_window_dedup,
         "decontaminate": q_decontaminate,
         "quality_sample": q_quality_sample,
