@@ -265,6 +265,29 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
+def q_agentic_bm25(sf_dir: str) -> pa.Table:
+    """Agentic query path under the SAME oracle as bm25_topk: a
+    deterministic stand-in planner (the LLM adapter seam,
+    query/agentic.py — a real deployment passes an ML-Commons-agent-
+    backed callable) emits a validated bm25 plan per question; execution
+    routes through agentic_search's dispatch. Rank identity with the
+    plain bm25 oracle proves the plan-validate-execute path end to end."""
+    from ..query.agentic import agentic_search
+
+    searcher = get_searcher(sf_dir)
+
+    def planner(question: str, context: dict) -> dict:
+        return {"type": "bm25", "query_text": question, "k": BM25_K * 3}
+
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores, plan = agentic_search(searcher, qtext, planner=planner)
+        assert plan["type"] == "bm25"
+        rows.append((qid, docs[:0] if docs.size == 0 else docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
 def q_bm25_topk_multiseg(sf_dir: str) -> pa.Table:
     """Incremental / multi-segment build path under the SAME oracle as
     bm25_topk: the corpus is ingested as TWO segments (doc_id < half,
@@ -1817,6 +1840,8 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     # shard-actor-pool serving path must both be rank-identical to the
     # single-segment single-process result
     sqls["bm25_topk_multiseg"] = sqls["bm25_topk"]
+    # agentic plan-dispatch path: same single-segment bm25 oracle
+    sqls["agentic_bm25"] = sqls["bm25_topk"]
     # merged (force-merge/compaction) path: same single-segment oracle
     sqls["bm25_topk_merged"] = sqls["bm25_topk"]
     sqls["bm25_topk_distributed"] = sqls["bm25_topk"]
@@ -2804,6 +2829,7 @@ def build_queries() -> dict:
         "semantic_highlight": q_semantic_highlight,
         "semantic_highlight_idf": q_semantic_highlight_idf,
         "bm25_topk_multiseg": q_bm25_topk_multiseg,
+        "agentic_bm25": q_agentic_bm25,
         "bm25_topk_merged": q_bm25_topk_merged,
         "bm25_topk_distributed": q_bm25_topk_distributed,
         "dedup_components": q_dedup_components,
