@@ -460,6 +460,37 @@ def q_hybrid_minmax_arith(sf_dir: str) -> pa.Table:
     return _hits_table(rows)
 
 
+def q_hybrid_l2_arith(sf_dir: str) -> pa.Table:
+    """Hybrid fusion with L2 normalization (L2ScoreNormalizationTechnique
+    .java:47-72) + weighted arithmetic mean — same sub-queries as the
+    min_max entry, oracled end to end."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        subs = _subquery_results(searcher, qtext, k=10)
+        docs, comb = hybrid_rank(
+            subs, normalization="l2", combination="arithmetic_mean",
+            weights=[0.7, 0.3], k=5,
+        )
+        rows.append((qid, docs, comb))
+    return _hits_table(rows)
+
+
+def q_hybrid_zscore_arith(sf_dir: str) -> pa.Table:
+    """Hybrid fusion with z_score normalization (ZScoreNormalization
+    Technique.java:40-72, sample std) + weighted arithmetic mean."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        subs = _subquery_results(searcher, qtext, k=10)
+        docs, comb = hybrid_rank(
+            subs, normalization="z_score", combination="arithmetic_mean",
+            weights=[0.7, 0.3], k=5,
+        )
+        rows.append((qid, docs, comb))
+    return _hits_table(rows)
+
+
 def q_hybrid_minmax_bounded(sf_dir: str) -> pa.Table:
     """Hybrid min_max with per-subquery BOUNDS
     (normalization/bounds/*.java): lower bound mode=apply min_score=0.1
@@ -1880,6 +1911,8 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
 
     # hybrid min_max + arithmetic mean (weights 0.7/0.3, k=5 over top-10 subs)
     sqls["hybrid_minmax_arith"] = _hybrid_minmax_sql()
+    sqls["hybrid_l2_arith"] = _hybrid_norm_sql("l2")
+    sqls["hybrid_zscore_arith"] = _hybrid_norm_sql("z_score")
     sqls["hybrid_minmax_bounded"] = _hybrid_minmax_bounded_sql()
     sqls["hybrid_fieldsort"] = _hybrid_fieldsort_sql()
     sqls["semantic_highlight"] = _semantic_highlight_sql()
@@ -2456,15 +2489,7 @@ def _hybrid_minmax_combined_cte() -> str:
   JOIN ({SQL_TF}) tf ON tf.term = q.term
   GROUP BY q.query_id, tf.doc_id"""
     dot_top = _topk_raw_sql(dot_scored, 10)
-    norm = """
-  SELECT query_id, doc_id,
-         CASE WHEN mx = mn THEN 1.0
-              WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
-              ELSE (score - mn) / (mx - mn) END AS nscore
-  FROM (SELECT query_id, doc_id, score,
-               min(score) OVER (PARTITION BY query_id) AS mn,
-               max(score) OVER (PARTITION BY query_id) AS mx
-        FROM ({top}))"""
+    norm = _NORM_SQL["min_max"]
     return f"""bmn AS ({norm.format(top=bm_top)}),
      dtn AS ({norm.format(top=dot_top)}),
      joined AS (
@@ -2479,6 +2504,76 @@ def _hybrid_minmax_combined_cte() -> str:
               (CASE WHEN s1 IS NULL THEN 0 ELSE 0.7 END +
                CASE WHEN s2 IS NULL THEN 0 ELSE 0.3 END) AS score
        FROM joined)"""
+
+
+# per-subquery normalization SQL bodies (mirror rank/normalize.py exactly;
+# window = the subquery's top-10 rows of one query)
+_NORM_SQL = {
+    "min_max": """
+  SELECT query_id, doc_id,
+         CASE WHEN mx = mn THEN 1.0
+              WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
+              ELSE (score - mn) / (mx - mn) END AS nscore
+  FROM (SELECT query_id, doc_id, score,
+               min(score) OVER (PARTITION BY query_id) AS mn,
+               max(score) OVER (PARTITION BY query_id) AS mx
+        FROM ({top}))""",
+    "l2": """
+  SELECT query_id, doc_id,
+         CASE WHEN nrm = 0 THEN 0.001 ELSE score / nrm END AS nscore
+  FROM (SELECT query_id, doc_id, score,
+               sqrt(sum(score * score) OVER (PARTITION BY query_id)) AS nrm
+        FROM ({top}))""",
+    # z_score (sample std; single result → std NULL): std 0/NULL →
+    # mx where score==mean else mn; (s-mean)/std <= 0 → 0.001; s==mean → mx
+    "z_score": """
+  SELECT query_id, doc_id,
+         CASE WHEN sd IS NULL OR sd = 0
+              THEN CASE WHEN score = av THEN mx ELSE mn END
+              WHEN score = av THEN mx
+              WHEN (score - av) / sd <= 0.0 THEN 0.001
+              ELSE (score - av) / sd END AS nscore
+  FROM (SELECT query_id, doc_id, score,
+               avg(score) OVER (PARTITION BY query_id) AS av,
+               stddev_samp(score) OVER (PARTITION BY query_id) AS sd,
+               max(score) OVER (PARTITION BY query_id) AS mx,
+               min(score) OVER (PARTITION BY query_id) AS mn
+        FROM ({top}))""",
+}
+
+
+def _hybrid_norm_sql(norm: str) -> str:
+    """Full hybrid oracle for any _NORM_SQL technique + weighted
+    arithmetic mean (0.7 bm25, 0.3 dot), top-5."""
+    bm_top = _topk_raw_sql(_bm25_scored_sql(), 10)
+    dot_scored = f"""
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum(tf.tf)::DOUBLE AS score
+  FROM ({_query_values_sql()}) q
+  JOIN ({SQL_TF}) tf ON tf.term = q.term
+  GROUP BY q.query_id, tf.doc_id"""
+    dot_top = _topk_raw_sql(dot_scored, 10)
+    body = _NORM_SQL[norm]
+    return f"""
+WITH bmn AS ({body.format(top=bm_top)}),
+     dtn AS ({body.format(top=dot_top)}),
+     joined AS (
+       SELECT coalesce(b.query_id, d.query_id) AS query_id,
+              coalesce(b.doc_id, d.doc_id) AS doc_id,
+              b.nscore AS s1, d.nscore AS s2
+       FROM bmn b FULL OUTER JOIN dtn d
+         ON b.query_id = d.query_id AND b.doc_id = d.doc_id),
+     combined AS (
+       SELECT query_id, doc_id,
+              (coalesce(0.7 * s1, 0) + coalesce(0.3 * s2, 0)) /
+              (CASE WHEN s1 IS NULL THEN 0 ELSE 0.7 END +
+               CASE WHEN s2 IS NULL THEN 0 ELSE 0.3 END) AS score
+       FROM joined)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM combined) WHERE rank <= 5"""
 
 
 def _hybrid_minmax_sql() -> str:
@@ -2823,6 +2918,8 @@ def build_queries() -> dict:
         "ivf_ann": q_ivf_ann,
         "chunk_fixed_token_uax": q_chunk_fixed_token_uax,
         "hybrid_minmax_bounded": q_hybrid_minmax_bounded,
+        "hybrid_l2_arith": q_hybrid_l2_arith,
+        "hybrid_zscore_arith": q_hybrid_zscore_arith,
         "sparse_dot_topk_quantized": q_sparse_dot_topk_quantized,
         "events_page2": q_events_page2,
         "hybrid_fieldsort": q_hybrid_fieldsort,
