@@ -491,6 +491,36 @@ def q_hybrid_zscore_arith(sf_dir: str) -> pa.Table:
     return _hits_table(rows)
 
 
+def q_hybrid_minmax_geo(sf_dir: str) -> pa.Table:
+    """Hybrid fusion, min_max + weighted GEOMETRIC mean
+    (GeometricMeanScoreCombinationTechnique.java:44-60)."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        subs = _subquery_results(searcher, qtext, k=10)
+        docs, comb = hybrid_rank(
+            subs, normalization="min_max", combination="geometric_mean",
+            weights=[0.7, 0.3], k=5,
+        )
+        rows.append((qid, docs, comb))
+    return _hits_table(rows)
+
+
+def q_hybrid_minmax_harm(sf_dir: str) -> pa.Table:
+    """Hybrid fusion, min_max + weighted HARMONIC mean
+    (HarmonicMeanScoreCombinationTechnique.java:42-55)."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        subs = _subquery_results(searcher, qtext, k=10)
+        docs, comb = hybrid_rank(
+            subs, normalization="min_max", combination="harmonic_mean",
+            weights=[0.7, 0.3], k=5,
+        )
+        rows.append((qid, docs, comb))
+    return _hits_table(rows)
+
+
 def q_hybrid_minmax_bounded(sf_dir: str) -> pa.Table:
     """Hybrid min_max with per-subquery BOUNDS
     (normalization/bounds/*.java): lower bound mode=apply min_score=0.1
@@ -1913,6 +1943,8 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["hybrid_minmax_arith"] = _hybrid_minmax_sql()
     sqls["hybrid_l2_arith"] = _hybrid_norm_sql("l2")
     sqls["hybrid_zscore_arith"] = _hybrid_norm_sql("z_score")
+    sqls["hybrid_minmax_geo"] = _hybrid_norm_sql("min_max", "geometric_mean")
+    sqls["hybrid_minmax_harm"] = _hybrid_norm_sql("min_max", "harmonic_mean")
     sqls["hybrid_minmax_bounded"] = _hybrid_minmax_bounded_sql()
     sqls["hybrid_fieldsort"] = _hybrid_fieldsort_sql()
     sqls["semantic_highlight"] = _semantic_highlight_sql()
@@ -2542,9 +2574,29 @@ _NORM_SQL = {
 }
 
 
-def _hybrid_norm_sql(norm: str) -> str:
-    """Full hybrid oracle for any _NORM_SQL technique + weighted
-    arithmetic mean (0.7 bm25, 0.3 dot), top-5."""
+# weighted combination SQL bodies over joined (s1, s2) with weights
+# 0.7/0.3 (mirror rank/combine.py; NULL sn = doc absent from subquery n;
+# post-normalization scores are always > 0, so the s>0 guards reduce to
+# presence)
+_COMBINE_SQL = {
+    "arithmetic_mean": """
+              (coalesce(0.7 * s1, 0) + coalesce(0.3 * s2, 0)) /
+              (CASE WHEN s1 IS NULL THEN 0 ELSE 0.7 END +
+               CASE WHEN s2 IS NULL THEN 0 ELSE 0.3 END)""",
+    "geometric_mean": """
+              exp((coalesce(0.7 * ln(s1), 0) + coalesce(0.3 * ln(s2), 0)) /
+                  (CASE WHEN s1 IS NULL THEN 0 ELSE 0.7 END +
+                   CASE WHEN s2 IS NULL THEN 0 ELSE 0.3 END))""",
+    "harmonic_mean": """
+              (CASE WHEN s1 IS NULL THEN 0 ELSE 0.7 END +
+               CASE WHEN s2 IS NULL THEN 0 ELSE 0.3 END) /
+              (coalesce(0.7 / s1, 0) + coalesce(0.3 / s2, 0))""",
+}
+
+
+def _hybrid_norm_sql(norm: str, combination: str = "arithmetic_mean") -> str:
+    """Full hybrid oracle for any _NORM_SQL technique + any _COMBINE_SQL
+    weighted combination (0.7 bm25, 0.3 dot), top-5."""
     bm_top = _topk_raw_sql(_bm25_scored_sql(), 10)
     dot_scored = f"""
   SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
@@ -2565,9 +2617,7 @@ WITH bmn AS ({body.format(top=bm_top)}),
          ON b.query_id = d.query_id AND b.doc_id = d.doc_id),
      combined AS (
        SELECT query_id, doc_id,
-              (coalesce(0.7 * s1, 0) + coalesce(0.3 * s2, 0)) /
-              (CASE WHEN s1 IS NULL THEN 0 ELSE 0.7 END +
-               CASE WHEN s2 IS NULL THEN 0 ELSE 0.3 END) AS score
+              {_COMBINE_SQL[combination]} AS score
        FROM joined)
 SELECT query_id, rank, doc_id, score FROM (
   SELECT query_id, doc_id, round(score, 6) AS score,
@@ -2920,6 +2970,8 @@ def build_queries() -> dict:
         "hybrid_minmax_bounded": q_hybrid_minmax_bounded,
         "hybrid_l2_arith": q_hybrid_l2_arith,
         "hybrid_zscore_arith": q_hybrid_zscore_arith,
+        "hybrid_minmax_geo": q_hybrid_minmax_geo,
+        "hybrid_minmax_harm": q_hybrid_minmax_harm,
         "sparse_dot_topk_quantized": q_sparse_dot_topk_quantized,
         "events_page2": q_events_page2,
         "hybrid_fieldsort": q_hybrid_fieldsort,
