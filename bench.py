@@ -173,12 +173,18 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
         "knn_cosine",
         "quality_stats",
         "minhash_lsh_pairs",
+        # band-key A/B: per-(doc,band) md5 loop (oracle-pinned) vs the
+        # vectorized Karp-Rabin chain — the scale-grade kernel
+        "minhash_lsh_pairs_mix",
         "c4_filter",
         # winnow A/B: md5 loop (oracle-pinned hash) vs vectorized
         # Karp-Rabin rolling hash — the r02-verdict requested evidence
         # that the roll kernel beats the md5 loop at the same geometry
         "fingerprint_winnow",
         "fingerprint_winnow_roll",
+        # compaction + end-to-end dedup tracked per r03 verdict
+        "bm25_topk_merged",
+        "dedup_apply",
     ):
         t0 = time.perf_counter()
         res = suite.build_queries()[name](sf_dir)

@@ -146,14 +146,47 @@ class MinHasher:
         return sig
 
 
+_KR_BASE = np.uint64(131)
+
+
+def band_keys_mix(sig: np.ndarray, bands: int) -> np.ndarray:
+    """Vectorized band keys: Karp-Rabin polynomial chain
+    ``acc = acc*131 + m  (mod 2^64)`` over each band's signature slice,
+    seeded with 1.  rows_per_band numpy ops total (no per-row Python) —
+    the scale-grade replacement for the md5-of-ASCII-join key.  The same
+    chain is HUGEINT-expressible in DuckDB (products stay < 2^71, the
+    winnow-roll pattern), so the variant keeps an exact SQL oracle.
+    → (n_docs * bands,) uint64, laid out doc-major (matches np.tile/repeat
+    emission order in the signature stage)."""
+    n_docs = sig.shape[0]
+    rpb = sig.shape[1] // bands
+    chunks = sig.reshape(n_docs, bands, rpb)
+    acc = np.ones((n_docs, bands), dtype=np.uint64)
+    for r in range(rpb):
+        acc = acc * _KR_BASE + chunks[:, :, r]
+    return acc.reshape(-1)
+
+
 def make_signature_stage(
-    hasher: MinHasher, bands: int, id_col: str = "doc_id", text_col: str = "text"
+    hasher: MinHasher,
+    bands: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "md5",
 ):
     """map_batches fn → rows (band, band_key, doc_id); rows_per_band =
-    num_hashes // bands signature values hashed into one band key."""
+    num_hashes // bands signature values hashed into one band key.
+
+    ``key`` selects the band-key kernel: ``"md5"`` is the original
+    md5-of-ASCII-join (exact parity with the md5_number_lower SQL oracle,
+    but a per-(doc, band) Python loop); ``"mix"`` is the fully vectorized
+    Karp-Rabin chain (band_keys_mix) with its own HUGEINT SQL oracle —
+    use it at scale."""
     rows_per_band = hasher.num_hashes // bands
     if rows_per_band * bands != hasher.num_hashes:
         raise ValueError("bands must divide num_hashes")
+    if key not in ("md5", "mix"):
+        raise ValueError(f"unknown band-key kernel: {key!r}")
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -161,19 +194,22 @@ def make_signature_stage(
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         sig = hasher.signature_matrix(col)
-        md5 = hashlib.md5
         n_docs = ids.size
-        keys = np.empty(n_docs * bands, dtype=np.uint64)
-        pos = 0
-        for d in range(n_docs):
-            row = sig[d]
-            for band in range(bands):
-                chunk = row[band * rows_per_band : (band + 1) * rows_per_band]
-                s = ",".join(map(str, chunk.tolist()))
-                keys[pos] = int.from_bytes(
-                    md5(s.encode()).digest()[8:16], "little"
-                )
-                pos += 1
+        if key == "mix":
+            keys = band_keys_mix(sig, bands)
+        else:
+            md5 = hashlib.md5
+            keys = np.empty(n_docs * bands, dtype=np.uint64)
+            pos = 0
+            for d in range(n_docs):
+                row = sig[d]
+                for band in range(bands):
+                    chunk = row[band * rows_per_band : (band + 1) * rows_per_band]
+                    s = ",".join(map(str, chunk.tolist()))
+                    keys[pos] = int.from_bytes(
+                        md5(s.encode()).digest()[8:16], "little"
+                    )
+                    pos += 1
         return pa.table(
             {
                 "band": pa.array(
@@ -195,6 +231,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = None,
+    key: str = "md5",
 ) -> "ray.data.Dataset":
     """→ Dataset(doc_a, doc_b) DISTINCT candidate near-dup pairs
     (doc_a < doc_b) sharing at least one LSH band bucket.
@@ -202,10 +239,13 @@ def minhash_lsh_candidates(
     ``max_bucket`` (None = unlimited, required for exact SQL-oracle
     parity) bounds pair generation per bucket to the ``max_bucket``
     smallest doc_ids — set it in web-scale runs so a degenerate bucket
-    (e.g. the empty-doc sentinel) cannot emit O(m²) pairs."""
+    (e.g. the empty-doc sentinel) cannot emit O(m²) pairs.
+
+    ``key`` picks the band-key kernel (see make_signature_stage):
+    ``"mix"`` is the vectorized scale path, ``"md5"`` the original."""
     hasher = MinHasher(num_hashes, shingle_size)
     sigs = ds.map_batches(
-        make_signature_stage(hasher, bands, id_col, text_col),
+        make_signature_stage(hasher, bands, id_col, text_col, key=key),
         batch_format="pyarrow",
     )
 

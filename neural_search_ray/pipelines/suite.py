@@ -811,6 +811,15 @@ def q_minhash_lsh_pairs_k16(sf_dir: str) -> "ray.data.Dataset":
     return minhash_lsh_candidates(_docs_ds(sf_dir), num_hashes=16, bands=8)
 
 
+def q_minhash_lsh_pairs_mix(sf_dir: str) -> "ray.data.Dataset":
+    """Vectorized Karp-Rabin band-key kernel (dedup/minhash.py
+    band_keys_mix) — same signatures, no per-(doc, band) Python md5
+    loop; the oracle mirrors the chain in HUGEINT arithmetic."""
+    from ..dedup.minhash import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs_ds(sf_dir), num_hashes=8, bands=4, key="mix")
+
+
 def q_sink_roundtrip_by_lang(sf_dir: str) -> "ray.data.Dataset":
     """Resumable partitioned sink end-to-end under the gate: documents
     are written one Parquet directory per lang (_SUCCESS markers,
@@ -2306,24 +2315,37 @@ WHERE bit_count(xor(a.simhash, c.simhash)) <= 3"""
     from ..dedup.minhash import coefficients
     from ..dedup.common import MERSENNE_61
 
-    def _minhash_sql(num_hashes: int, bands: int) -> str:
+    def _minhash_sql(num_hashes: int, bands: int, key: str = "md5") -> str:
         """SQL mirror of dedup/minhash.py for any num_hashes — the
         coefficient stream beyond the 8 pinned pairs is the same
         fixed-seed PRNG extension (coefficients()), so the oracle stays
-        value-exact at every signature width."""
+        value-exact at every signature width.  ``key="mix"`` mirrors the
+        vectorized Karp-Rabin band key (dedup/minhash.py band_keys_mix):
+        acc = acc*131 + m mod 2^64, seeded 1, nested HUGEINT arithmetic
+        (the winnow-roll pattern — products stay < 2^71)."""
         A, B = coefficients(num_hashes)
         rpb = num_hashes // bands
+
+        def _band_key_expr(b: int) -> str:
+            if key == "md5":
+                joined = " || ',' || ".join(
+                    f"cast(m{b*rpb + r} AS VARCHAR)" for r in range(rpb)
+                )
+                return f"md5_number_lower({joined})"
+            expr = "1::HUGEINT"
+            for r in range(rpb):
+                expr = (
+                    f"(({expr} * 131 + m{b*rpb + r})"
+                    " % 18446744073709551616::HUGEINT)"
+                )
+            return expr
+
         hash_exprs = ", ".join(
             f"min((({A[i]}::HUGEINT * md5_number_lower(shingle)::HUGEINT + {B[i]}) % {MERSENNE_61}))::UBIGINT AS m{i}"
             for i in range(num_hashes)
         )
         band_rows = " UNION ALL ".join(
-            "SELECT doc_id, {b} AS band, md5_number_lower({key}) AS band_key FROM sigs".format(
-                b=b,
-                key=" || ',' || ".join(
-                    f"cast(m{b*rpb + r} AS VARCHAR)" for r in range(rpb)
-                ),
-            )
+            f"SELECT doc_id, {b} AS band, {_band_key_expr(b)} AS band_key FROM sigs"
             for b in range(bands)
         )
         return f"""
@@ -2345,6 +2367,8 @@ FROM bandkeys a JOIN bandkeys b
     sqls["minhash_lsh_pairs"] = _minhash_sql(8, 4)
     # 16-hash signature: exercises the PRNG-extended coefficient stream
     sqls["minhash_lsh_pairs_k16"] = _minhash_sql(16, 8)
+    # vectorized Karp-Rabin band-key kernel (the 100-TB path)
+    sqls["minhash_lsh_pairs_mix"] = _minhash_sql(8, 4, key="mix")
 
     # connected components over the minhash pairs: transitive closure via
     # a recursive CTE (UNION dedup bounds the recursion); component =
@@ -2960,7 +2984,7 @@ def build_queries() -> dict:
         "events_asof": q_events_asof,
         "events_asof_broadcast": q_events_asof_broadcast,
         # --- block 2: new this round ---
-        # (round-4 additions are inserted here as they land)
+        "minhash_lsh_pairs_mix": q_minhash_lsh_pairs_mix,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,

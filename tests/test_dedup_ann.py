@@ -52,6 +52,64 @@ class TestDedupPrimitives:
         assert ngram_jaccard("a b c", "x y z", 2) == 0.0
         assert ngram_jaccard("", "", 2) == 0.0
 
+    def test_band_keys_mix_matches_scalar_chain(self):
+        from neural_search_ray.dedup.minhash import band_keys_mix
+
+        rng = np.random.RandomState(42)
+        sig = rng.randint(0, 1 << 61, size=(7, 8)).astype(np.uint64)
+        bands, rpb = 4, 2
+        got = band_keys_mix(sig, bands)
+        # scalar reference: acc = acc*131 + m mod 2^64, seeded 1
+        expect = []
+        for d in range(sig.shape[0]):
+            for b in range(bands):
+                acc = 1
+                for r in range(rpb):
+                    acc = (acc * 131 + int(sig[d, b * rpb + r])) % (1 << 64)
+                expect.append(acc)
+        assert got.tolist() == expect
+
+    def test_band_keys_mix_distinct_vs_equal(self):
+        from neural_search_ray.dedup.minhash import band_keys_mix
+
+        sig = np.array(
+            [[1, 2, 3, 4], [1, 2, 3, 4], [1, 2, 9, 4]], dtype=np.uint64
+        )
+        keys = band_keys_mix(sig, 2).reshape(3, 2)
+        assert (keys[0] == keys[1]).all()  # identical sigs → same keys
+        assert keys[0][0] == keys[2][0]  # band 0 slice equal
+        assert keys[0][1] != keys[2][1]  # band 1 slice differs
+
+    def test_mix_and_md5_keys_yield_same_pairs(self, ray_session):
+        import ray.data
+
+        from neural_search_ray.dedup.minhash import minhash_lsh_candidates
+
+        rows = [
+            {"doc_id": i, "text": t}
+            for i, t in enumerate(
+                [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over a sleepy dog",
+                    "completely different words entirely unrelated",
+                    "another doc about databases queries and indexes",
+                    "",
+                    "",
+                ]
+            )
+        ]
+        ds = ray.data.from_items(rows)
+        md5_pairs = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_candidates(ds, key="md5").take_all()
+        )
+        mix_pairs = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_candidates(ds, key="mix").take_all()
+        )
+        assert md5_pairs == mix_pairs and len(md5_pairs) > 0
+
 
 class TestANN:
     def test_ivf_recall_vs_brute(self):
