@@ -1312,6 +1312,79 @@ def q_rerank_byfield(sf_dir: str) -> pa.Table:
     )
 
 
+def q_mmr_select(sf_dir: str) -> pa.Table:
+    """MMR diversity rerank (MMRNeuralQueryTransformer.java:40-170):
+    candidates = top-20 embeddings by cosine vs a deterministic query
+    vector (mean of embeddings 0 and 1), then greedy MMR (lambda 0.5)
+    selects 5 in order — the SQL oracle replays the greedy argmax via a
+    recursive CTE carrying the selected set as a list column."""
+    import pyarrow.parquet as pq
+
+    from ..rank.rerank import mmr_select
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy()
+    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    q = (emb[ids == 0][0] + emb[ids == 1][0]) / 2.0
+    qn = q / np.linalg.norm(q)
+    en = emb / np.linalg.norm(emb, axis=1)[:, None]
+    rel = en @ qn
+    order = np.lexsort((ids, -rel))[:20]
+    cids, cemb, crel = ids[order], emb[order], rel[order]
+    sel = mmr_select(crel, cemb, k=5, lambda_=0.5)
+    return pa.table(
+        {
+            "step": pa.array(np.arange(1, sel.size + 1, dtype=np.int64)),
+            "vec_id": pa.array(cids[sel].astype(np.int64)),
+        }
+    )
+
+
+def q_hybrid_explain(sf_dir: str) -> pa.Table:
+    """Explain provenance (ExplanationResponseProcessor.java:1-161): the
+    min_max+arithmetic hybrid top-5 per query, with each hit's raw and
+    normalized score per sub-query alongside the combined score."""
+    searcher = get_searcher(sf_dir)
+
+    def r6(v):
+        return None if v is None else float(round_half_up(np.float64(v), 6))
+
+    qs, rks, ds_, rb, nb, rd, nd, sc = ([] for _ in range(8))
+    for qid, qtext in QUERY_SET:
+        subs = _subquery_results(searcher, qtext, k=10)
+        docs, comb, expl = hybrid_rank(
+            subs, normalization="min_max", combination="arithmetic_mean",
+            weights=[0.7, 0.3], k=5, explain=True,
+        )
+        comb_r = round_half_up(comb, 6)
+        order = np.lexsort((docs, -comb_r))
+        for rank, i in enumerate(order, 1):
+            e = expl[i]
+            s1, s2 = e["subqueries"]
+            qs.append(qid)
+            rks.append(rank)
+            ds_.append(int(docs[i]))
+            rb.append(r6(s1["raw_score"]))
+            nb.append(r6(s1["normalized_score"]))
+            rd.append(r6(s2["raw_score"]))
+            nd.append(r6(s2["normalized_score"]))
+            sc.append(float(comb_r[i]))
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "rank": pa.array(rks, type=pa.int64()),
+            "doc_id": pa.array(ds_, type=pa.int64()),
+            "raw_bm25": pa.array(rb, type=pa.float64()),
+            "norm_bm25": pa.array(nb, type=pa.float64()),
+            "raw_dot": pa.array(rd, type=pa.float64()),
+            "norm_dot": pa.array(nd, type=pa.float64()),
+            "score": pa.array(sc, type=pa.float64()),
+        }
+    )
+
+
 def q_embed_neardup(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs (threshold 0.4) via the EXACT
     blocked all-pairs self-join (dedup/embedding.py): vectors are
@@ -1956,6 +2029,8 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["hybrid_minmax_harm"] = _hybrid_norm_sql("min_max", "harmonic_mean")
     sqls["hybrid_minmax_bounded"] = _hybrid_minmax_bounded_sql()
     sqls["hybrid_fieldsort"] = _hybrid_fieldsort_sql()
+    sqls["hybrid_explain"] = _hybrid_explain_sql()
+    sqls["mmr_select"] = _MMR_SQL
     sqls["semantic_highlight"] = _semantic_highlight_sql()
     sqls["semantic_highlight_idf"] = _semantic_highlight_idf_sql()
     sqls["sink_roundtrip_by_lang"] = """
@@ -2660,6 +2735,84 @@ SELECT query_id, rank, doc_id, score FROM (
   FROM combined) WHERE rank <= 5"""
 
 
+def _hybrid_explain_sql() -> str:
+    """Explain-provenance oracle: the min_max+arith hybrid top-5 with raw
+    and normalized per-subquery scores carried through the join."""
+    bm_top = _topk_raw_sql(_bm25_scored_sql(), 10)
+    dot_scored = f"""
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum(tf.tf)::DOUBLE AS score
+  FROM ({_query_values_sql()}) q
+  JOIN ({SQL_TF}) tf ON tf.term = q.term
+  GROUP BY q.query_id, tf.doc_id"""
+    dot_top = _topk_raw_sql(dot_scored, 10)
+    norm_keep_raw = """
+  SELECT query_id, doc_id, score AS raw,
+         CASE WHEN mx = mn THEN 1.0
+              WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
+              ELSE (score - mn) / (mx - mn) END AS nscore
+  FROM (SELECT query_id, doc_id, score,
+               min(score) OVER (PARTITION BY query_id) AS mn,
+               max(score) OVER (PARTITION BY query_id) AS mx
+        FROM ({top}))"""
+    return f"""
+WITH bmn AS ({norm_keep_raw.format(top=bm_top)}),
+     dtn AS ({norm_keep_raw.format(top=dot_top)}),
+     joined AS (
+       SELECT coalesce(b.query_id, d.query_id) AS query_id,
+              coalesce(b.doc_id, d.doc_id) AS doc_id,
+              b.raw AS raw_bm25, b.nscore AS s1,
+              d.raw AS raw_dot, d.nscore AS s2
+       FROM bmn b FULL OUTER JOIN dtn d
+         ON b.query_id = d.query_id AND b.doc_id = d.doc_id),
+     combined AS (
+       SELECT query_id, doc_id, raw_bm25, s1, raw_dot, s2,
+              (coalesce(0.7 * s1, 0) + coalesce(0.3 * s2, 0)) /
+              (CASE WHEN s1 IS NULL THEN 0 ELSE 0.7 END +
+               CASE WHEN s2 IS NULL THEN 0 ELSE 0.3 END) AS score
+       FROM joined)
+SELECT query_id, rank, doc_id, raw_bm25, norm_bm25, raw_dot, norm_dot, score
+FROM (
+  SELECT query_id, doc_id,
+         round(raw_bm25, 6) AS raw_bm25, round(s1, 6) AS norm_bm25,
+         round(raw_dot, 6) AS raw_dot, round(s2, 6) AS norm_dot,
+         round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM combined) WHERE rank <= 5"""
+
+
+_MMR_SQL = """
+WITH RECURSIVE
+qv AS (
+  SELECT list_transform(range(1, len(a.e) + 1), i -> (a.e[i] + b.e[i]) / 2.0) AS q
+  FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0) a,
+       (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 1) b),
+cand AS (
+  SELECT vec_id, emb, rel FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
+           list_cosine_similarity(e.embedding::DOUBLE[], qv.q) AS rel
+    FROM embeddings e, qv)
+  ORDER BY rel DESC, vec_id LIMIT 20),
+mmr AS (
+  SELECT * FROM (
+    SELECT 1 AS step, vec_id, [vec_id] AS sel
+    FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+  UNION ALL
+  -- greedy argmax of 0.5*rel - 0.5*max_sim_to_selected; tie-break
+  -- mirrors the library's candidate-index order (rel desc, vec_id asc)
+  SELECT m.step + 1, c.vec_id, list_append(m.sel, c.vec_id)
+  FROM mmr m, cand c
+  WHERE m.step < 5 AND NOT list_contains(m.sel, c.vec_id)
+  QUALIFY row_number() OVER (
+    ORDER BY 0.5 * c.rel - 0.5 * (
+      SELECT max(list_cosine_similarity(c.emb, s.emb))
+      FROM cand s WHERE list_contains(m.sel, s.vec_id)) DESC,
+    c.rel DESC, c.vec_id) = 1
+)
+SELECT step::BIGINT AS step, vec_id::BIGINT AS vec_id FROM mmr"""
+
+
 def _hybrid_fieldsort_sql() -> str:
     """Field-sort collector: top-5 of the matched union by n_chars desc
     (tie: doc_id asc); the combined score is reported per hit."""
@@ -2985,6 +3138,8 @@ def build_queries() -> dict:
         "events_asof_broadcast": q_events_asof_broadcast,
         # --- block 2: new this round ---
         "minhash_lsh_pairs_mix": q_minhash_lsh_pairs_mix,
+        "mmr_select": q_mmr_select,
+        "hybrid_explain": q_hybrid_explain,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,
