@@ -47,17 +47,26 @@ def merge_segments(
     merged_id: str = "merged-000",
     *,
     delete_sources: bool = True,
+    source_ids: list[str] | None = None,
 ) -> IndexManifest:
-    """Merge every complete segment of the index into one. Returns the
-    updated manifest (unchanged if there are fewer than 2 segments)."""
+    """Merge complete segments of the index into one. Returns the
+    updated manifest (unchanged if there are fewer than 2 sources).
+
+    ``source_ids`` restricts the merge to that subset (the tiered-policy
+    hook, see compact_tiered); default = every complete segment."""
     manifest = IndexManifest.load(index_dir)
     if manifest is None:
         raise FileNotFoundError(f"no index manifest in {index_dir}")
     if merged_id in manifest.segments and manifest.segments[merged_id]["complete"]:
         return manifest  # resume no-op
     sources = [
-        (sid, seg) for sid, seg in manifest.segments.items() if seg["complete"]
+        (sid, seg)
+        for sid, seg in manifest.segments.items()
+        if seg["complete"] and (source_ids is None or sid in source_ids)
     ]
+    if source_ids is not None and len(sources) != len(set(source_ids)):
+        missing = set(source_ids) - {sid for sid, _ in sources}
+        raise ValueError(f"source segments not complete or unknown: {sorted(missing)}")
     if len(sources) < 2:
         return manifest
 
@@ -223,3 +232,59 @@ def merge_segments(
                 os.path.join(index_dir, "segments", sid), ignore_errors=True
             )
     return manifest
+
+
+def compact_tiered(
+    index_dir: str,
+    *,
+    fanin: int = 4,
+    target_segments: int = 1,
+    merged_prefix: str = "tier",
+    delete_sources: bool = True,
+) -> IndexManifest:
+    """Tiered compaction policy (the Lucene merge-policy analogue the
+    reference inherits — SparsePostingsReader.java:47-145 runs per
+    Lucene-CHOSEN merge, never index-wide): repeatedly merge the
+    ``fanin`` SMALLEST complete segments (by n_docs, tie: segment id)
+    into one, until at most ``target_segments`` remain.
+
+    At continuous-ingest scale this bounds per-pass merge I/O to the
+    small tail instead of rewriting the whole index every compaction;
+    write amplification is O(log_fanin) per doc instead of O(passes).
+
+    Resumable: each pass is one atomic manifest swap (merge_segments),
+    selection is deterministic from the manifest, and pass ids continue
+    from the highest existing ``merged_prefix`` generation — re-running
+    after a crash mid-sequence repeats only the unfinished pass."""
+    if fanin < 2:
+        raise ValueError("fanin must be >= 2")
+    if target_segments < 1:
+        raise ValueError("target_segments must be >= 1")
+    manifest = IndexManifest.load(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no index manifest in {index_dir}")
+    while True:
+        complete = [
+            (sid, seg)
+            for sid, seg in manifest.segments.items()
+            if seg["complete"]
+        ]
+        if len(complete) <= max(target_segments, 1):
+            return manifest
+        # smallest-first, deterministic
+        complete.sort(key=lambda kv: (kv[1]["n_docs"], kv[0]))
+        picked = [sid for sid, _ in complete[: min(fanin, len(complete))]]
+        gen = -1
+        for sid in manifest.segments:
+            if sid.startswith(f"{merged_prefix}-"):
+                try:
+                    gen = max(gen, int(sid.rsplit("-", 1)[1]))
+                except ValueError:
+                    pass
+        merged_id = f"{merged_prefix}-{gen + 1:03d}"
+        manifest = merge_segments(
+            index_dir,
+            merged_id,
+            delete_sources=delete_sources,
+            source_ids=picked,
+        )

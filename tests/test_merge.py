@@ -118,6 +118,101 @@ def test_resume_after_merge_skips_merged_sources(tmp_path, sf_dir, ray_session):
     assert _results(IndexSearcher(index_dir)) == pre
 
 
+def _build_eight_segments(sf_dir, index_dir):
+    """8 segments of deliberately UNEVEN sizes so smallest-first tier
+    selection is meaningful."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    fracs = [0, 0.02, 0.05, 0.09, 0.15, 0.25, 0.4, 0.65, 1.0]
+    cuts = [int(n * f) for f in fracs]
+    for i in range(8):
+        pred = (pads.field("doc_id") >= cuts[i]) & (pads.field("doc_id") < cuts[i + 1])
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], filter=pred
+        )
+        build_index(
+            ds, index_dir, IndexConfig(num_shards=2, num_salts=1),
+            segment_id=f"seg-{i:03d}",
+        )
+
+
+def test_tiered_compaction_rank_identity(tmp_path, sf_dir, ray_session):
+    """8 uneven segments → tiered passes (fanin=3) → one segment,
+    rank-identical to both the pre-merge multi-segment searcher and the
+    single-pass merge of a parallel copy."""
+    from neural_search_ray.index.merge import compact_tiered
+
+    tiered_dir = str(tmp_path / "tiered")
+    single_dir = str(tmp_path / "single")
+    _build_eight_segments(sf_dir, tiered_dir)
+    _build_eight_segments(sf_dir, single_dir)
+    pre = _results(IndexSearcher(tiered_dir))
+
+    m = compact_tiered(tiered_dir, fanin=3, target_segments=1)
+    assert len(m.segments) == 1
+    (only,) = m.segments
+    assert only.startswith("tier-")
+    assert _results(IndexSearcher(tiered_dir)) == pre
+
+    merge_segments(single_dir, "merged-000")
+    assert _results(IndexSearcher(single_dir)) == pre
+    # same totals either way
+    ms = IndexManifest.load(single_dir)
+    assert (m.n_docs, round(m.avgdl, 9)) == (ms.n_docs, round(ms.avgdl, 9))
+
+
+def test_tiered_picks_smallest_and_resumes_mid_sequence(
+    tmp_path, sf_dir, ray_session
+):
+    """One tier pass merges exactly the fanin smallest segments; a later
+    compact_tiered call resumes the sequence with fresh generation ids
+    and converges without touching finished tiers' results."""
+    from neural_search_ray.index.merge import compact_tiered
+
+    index_dir = str(tmp_path / "idx")
+    _build_eight_segments(sf_dir, index_dir)
+    pre = _results(IndexSearcher(index_dir))
+    sizes = {
+        sid: seg["n_docs"]
+        for sid, seg in IndexManifest.load(index_dir).segments.items()
+    }
+    smallest3 = sorted(sizes, key=lambda s: (sizes[s], s))[:3]
+
+    # first pass only (stop at 6 segments: 8 - 3 + 1)
+    m1 = compact_tiered(index_dir, fanin=3, target_segments=6)
+    assert len(m1.segments) == 6
+    assert "tier-000" in m1.segments
+    assert not (set(smallest3) & set(m1.segments))  # smallest got merged
+    assert m1.segments["tier-000"]["n_docs"] == sum(sizes[s] for s in smallest3)
+
+    # resume mid-sequence: continue to a single segment
+    m2 = compact_tiered(index_dir, fanin=3, target_segments=1)
+    assert len(m2.segments) == 1
+    assert _results(IndexSearcher(index_dir)) == pre
+    # re-run is a no-op
+    m3 = compact_tiered(index_dir, fanin=3, target_segments=1)
+    assert list(m3.segments) == list(m2.segments)
+
+
+def test_tiered_validates_args(tmp_path, sf_dir, ray_session):
+    from neural_search_ray.index.merge import compact_tiered
+
+    with pytest.raises(ValueError):
+        compact_tiered(str(tmp_path), fanin=1)
+    with pytest.raises(ValueError):
+        compact_tiered(str(tmp_path), target_segments=0)
+    with pytest.raises(FileNotFoundError):
+        compact_tiered(str(tmp_path / "nope"))
+
+
+def test_merge_source_ids_validation(tmp_path, sf_dir, ray_session):
+    index_dir = str(tmp_path / "idx")
+    _build_three_segments(sf_dir, index_dir)
+    with pytest.raises(ValueError, match="not complete or unknown"):
+        merge_segments(index_dir, "m", source_ids=["seg-000", "seg-xyz"])
+
+
 def test_merge_lineage_transitive(tmp_path, sf_dir, ray_session):
     """Merge-of-merged: the second merge must carry the first's lineage so
     the ORIGINAL segments still resume as no-ops."""
