@@ -1927,6 +1927,33 @@ def q_events_asof(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def q_events_asof_trim(sf_dir: str) -> "ray.data.Dataset":
+    """Trimmed-exchange as-of variant (stages/asof.py left_id_col): the
+    as-of exchange ships only (bucket, side, key, ts, event_id | right
+    payload) — no zero-padded left payload — and a left_outer hash join
+    on event_id re-attaches the purchase columns. Same semantics/oracle
+    as events_asof."""
+    from ..stages.asof import asof_join
+
+    import pyarrow.dataset as pads
+
+    def typed(event_type: str) -> "ray.data.Dataset":
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+            filter=pads.field("event_type") == event_type,
+        )
+
+    return asof_join(
+        typed("purchase"),
+        typed("click"),
+        key_col="user_id",
+        ts_col="ts",
+        right_cols=["event_id", "ts", "value"],
+        left_id_col="event_id",
+    )
+
+
 def q_events_asof_broadcast(sf_dir: str) -> "ray.data.Dataset":
     """Shuffle-free as-of variant: the click timeline is small enough to
     broadcast (ray.put once, zero-copy probe per batch) — the purchases
@@ -2604,6 +2631,8 @@ ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type
   ON l.user_id = r.user_id AND l.ts >= r.ts"""
     # broadcast variant: same semantics, same oracle
     sqls["events_asof_broadcast"] = sqls["events_asof"]
+    # trimmed-exchange variant: same semantics, same oracle
+    sqls["events_asof_trim"] = sqls["events_asof"]
 
     return sqls
 
@@ -3140,6 +3169,7 @@ def build_queries() -> dict:
         "minhash_lsh_pairs_mix": q_minhash_lsh_pairs_mix,
         "mmr_select": q_mmr_select,
         "hybrid_explain": q_hybrid_explain,
+        "events_asof_trim": q_events_asof_trim,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,

@@ -297,3 +297,59 @@ def test_nanosecond_precision_with_null_ts():
     brows = sorted(out.take_all(), key=lambda r: r["event_id"])
     assert brows[0]["event_id_r"] == 51
     assert brows[1]["event_id_r"] is None
+
+
+def test_trim_plan_matches_legacy_random(ray_session):
+    """left_id_col trimmed-exchange plan: identical rows to the legacy
+    single-exchange plan on random data with unmatched lefts and null
+    ts on both sides."""
+    rng = np.random.RandomState(11)
+    n_l, n_r = 300, 400
+    left = [
+        {
+            "event_id": int(i),
+            "user_id": int(rng.randint(0, 20)),
+            "ts": None if rng.rand() < 0.05 else int(rng.randint(0, 1000)),
+            "value": float(rng.rand()),
+        }
+        for i in range(n_l)
+    ]
+    right = [
+        {
+            "event_id": int(1000 + i),
+            "user_id": int(rng.randint(0, 25)),
+            "ts": None if rng.rand() < 0.05 else int(rng.randint(0, 1000)),
+            "value": float(rng.rand()),
+        }
+        for i in range(n_r)
+    ]
+    legacy = _run(left, right, tiebreak_col="event_id")
+    trim = _run(left, right, tiebreak_col="event_id", left_id_col="event_id")
+    assert trim == legacy
+
+
+def test_trim_left_id_must_be_integer(ray_session):
+    import pytest
+
+    schema = pa.schema(
+        [("eid", pa.string()), ("user_id", pa.int64()),
+         ("ts", pa.int64()), ("value", pa.float64())]
+    )
+    left = _ds([{"eid": "a", "user_id": 1, "ts": 1, "value": 1.0}], schema)
+    right = _ds([{"event_id": 1, "user_id": 1, "ts": 1, "value": 1.0}], SCHEMA)
+    with pytest.raises(TypeError, match="left_id_col"):
+        asof_join(
+            left, right, key_col="user_id", ts_col="ts",
+            right_cols=["event_id"], left_id_col="eid",
+        )
+
+
+def test_trim_requires_right_cols(ray_session):
+    import pytest
+
+    left = _ds([{"event_id": 1, "user_id": 1, "ts": 1, "value": 1.0}], SCHEMA)
+    with pytest.raises(ValueError, match="right_cols"):
+        asof_join(
+            left, left, key_col="user_id", ts_col="ts",
+            right_cols=[], left_id_col="event_id",
+        )
