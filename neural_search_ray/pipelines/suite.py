@@ -3193,8 +3193,8 @@ def build_queries() -> dict:
         "ivf_ann": q_ivf_ann,
         "seismic_ann": q_seismic_ann,
         "embed_neardup": q_embed_neardup,
-        "top_events": q_top_events,
         # --- tail: remaining variants of window-covered families ---
+        "top_events": q_top_events,
         "collection_stats": q_collection_stats,
         "doc_lengths": q_doc_lengths,
         "hybrid_minmax_bounded": q_hybrid_minmax_bounded,

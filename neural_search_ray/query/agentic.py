@@ -38,18 +38,70 @@ def _no_planner(question: str, context: dict) -> dict:
     )
 
 
+FILTER_OPS = ("==", "!=", "<", "<=", ">", ">=")
+
+
 def validate_plan(plan: dict) -> dict:
+    """Schema gate between the (untrusted, model-produced) plan and the
+    engine: every field the executor reads is type- and range-checked
+    here, so a malformed LLM emission fails loudly at the seam instead
+    of deep inside a scorer."""
+    if not isinstance(plan, dict):
+        raise ValueError(f"plan must be a dict, got {type(plan).__name__}")
     t = plan.get("type")
     if t not in PLAN_TYPES:
         raise ValueError(f"unknown plan type {t!r}; one of {PLAN_TYPES}")
-    if t in ("bm25", "hybrid", "filtered_bm25") and not plan.get("query_text"):
-        raise ValueError(f"plan type {t!r} requires query_text")
-    if t == "sparse" and not plan.get("token_weights"):
-        raise ValueError("plan type 'sparse' requires token_weights")
+    k = plan.get("k", 10)
+    if not isinstance(k, int) or isinstance(k, bool) or k < 1:
+        raise ValueError(f"plan k must be a positive int, got {k!r}")
+    if t in ("bm25", "hybrid", "filtered_bm25"):
+        qt = plan.get("query_text")
+        if not isinstance(qt, str) or not qt:
+            raise ValueError(f"plan type {t!r} requires a non-empty query_text string")
+    if t == "sparse":
+        tw = plan.get("token_weights")
+        if not isinstance(tw, dict) or not tw:
+            raise ValueError("plan type 'sparse' requires token_weights")
+        for term, w in tw.items():
+            if not isinstance(term, str) or not isinstance(w, (int, float)) \
+                    or isinstance(w, bool):
+                raise ValueError(
+                    f"token_weights must map str -> number, got {term!r}: {w!r}"
+                )
     if t == "filtered_bm25":
         f = plan.get("filter")
         if not (isinstance(f, (list, tuple)) and len(f) == 3):
             raise ValueError("filtered_bm25 requires filter=[column, op, value]")
+        col, op, _ = f
+        if not isinstance(col, str):
+            raise ValueError(f"filter column must be a string, got {col!r}")
+        if op not in FILTER_OPS:
+            raise ValueError(f"filter op {op!r} not one of {FILTER_OPS}")
+    if t == "hybrid":
+        from ..rank.combine import COMBINATION_TECHNIQUES
+        from ..rank.normalize import NORMALIZATION_TECHNIQUES
+
+        norm = plan.get("normalization", "min_max")
+        if norm not in NORMALIZATION_TECHNIQUES:
+            raise ValueError(
+                f"unknown normalization {norm!r}; "
+                f"one of {sorted(NORMALIZATION_TECHNIQUES)}"
+            )
+        comb = plan.get("combination", "arithmetic_mean")
+        if comb not in COMBINATION_TECHNIQUES:
+            raise ValueError(
+                f"unknown combination {comb!r}; "
+                f"one of {sorted(COMBINATION_TECHNIQUES)}"
+            )
+        w = plan.get("weights")
+        if w is not None:
+            if not isinstance(w, (list, tuple)) or len(w) != 2 or not all(
+                isinstance(x, (int, float)) and not isinstance(x, bool) for x in w
+            ):
+                raise ValueError(
+                    "hybrid weights must be a list of 2 numbers "
+                    "(one per sub-query), got " + repr(w)
+                )
     return plan
 
 

@@ -187,3 +187,37 @@ class TestThaiSegmentation:
         cfg = AnalyzerConfig(tokenizer="thai")
         toks = tokenize("hello สวัสดี world", cfg)
         assert toks == ["hello", "สวัสดี", "world"]
+
+    def test_golden_paragraph_all_dictionary_words(self):
+        """A real multi-sentence Thai paragraph (no spaces, the normal
+        Thai writing convention) must segment entirely into dictionary
+        words with the embedded lexicon — no unknown-span fallbacks."""
+        from neural_search_ray.analysis.thai import ThaiSegmenter
+
+        seg = ThaiSegmenter()
+        # "Today I went to school with friends. In the morning the
+        # teacher taught Thai and mathematics. At noon we ate fried rice
+        # at a restaurant near the school; the food was delicious. In
+        # the evening I went home, read a book, then slept."
+        para = (
+            "วันนี้ฉันไปโรงเรียนกับเพื่อนตอนเช้าครูสอนภาษาไทยและคณิตศาสตร์"
+            "ตอนเที่ยงเรากินข้าวผัดที่ร้านอาหารใกล้โรงเรียนอาหารอร่อยมาก"
+            "ตอนเย็นฉันกลับบ้านอ่านหนังสือแล้วนอน"
+        )
+        toks = seg.segment(para)
+        assert toks == [
+            "วันนี้", "ฉัน", "ไป", "โรงเรียน", "กับ", "เพื่อน", "ตอน",
+            "เช้า", "ครู", "สอน", "ภาษาไทย", "และ", "คณิตศาสตร์", "ตอน",
+            "เที่ยง", "เรา", "กิน", "ข้าวผัด", "ที่", "ร้านอาหาร",
+            "ใกล้", "โรงเรียน", "อาหาร", "อร่อย", "มาก", "ตอน", "เย็น",
+            "ฉัน", "กลับ", "บ้าน", "อ่าน", "หนังสือ", "แล้ว", "นอน",
+        ]
+        assert all(t in seg._words for t in toks)
+
+    def test_lexicon_is_thai_and_sizeable(self):
+        from neural_search_ray.analysis.thai import (
+            _STARTER_LEXICON, _THAI_RUN_RE,
+        )
+
+        assert len(set(_STARTER_LEXICON)) > 600
+        assert all(_THAI_RUN_RE.match(w) for w in _STARTER_LEXICON)

@@ -142,3 +142,68 @@ class TestAgenticSeam:
             validate_plan({"type": "sparse"})
         with pytest.raises(ValueError, match="filter"):
             validate_plan({"type": "filtered_bm25", "query_text": "x"})
+
+    @pytest.mark.parametrize(
+        "plan, match",
+        [
+            # not a dict at all
+            ("bm25", "must be a dict"),
+            (["bm25"], "must be a dict"),
+            # unknown / missing type
+            ({"type": "knn", "query_text": "x"}, "unknown plan type"),
+            ({}, "unknown plan type"),
+            # bad k: wrong type, bool, zero, negative
+            ({"type": "bm25", "query_text": "x", "k": "10"}, "positive int"),
+            ({"type": "bm25", "query_text": "x", "k": True}, "positive int"),
+            ({"type": "bm25", "query_text": "x", "k": 0}, "positive int"),
+            ({"type": "bm25", "query_text": "x", "k": -3}, "positive int"),
+            # query_text wrong type / empty
+            ({"type": "bm25", "query_text": 42}, "query_text"),
+            ({"type": "hybrid", "query_text": ""}, "query_text"),
+            # sparse weights wrong shapes
+            ({"type": "sparse", "token_weights": []}, "token_weights"),
+            ({"type": "sparse", "token_weights": {"a": "hi"}}, "str -> number"),
+            ({"type": "sparse", "token_weights": {3: 1.0}}, "str -> number"),
+            ({"type": "sparse", "token_weights": {"a": True}}, "str -> number"),
+            # filter arity / op / column
+            ({"type": "filtered_bm25", "query_text": "x",
+              "filter": ["lang", "=="]}, "filter"),
+            ({"type": "filtered_bm25", "query_text": "x",
+              "filter": ["lang", "like", "en"]}, "not one of"),
+            ({"type": "filtered_bm25", "query_text": "x",
+              "filter": [7, "==", "en"]}, "column must be a string"),
+            # hybrid technique / weights arity
+            ({"type": "hybrid", "query_text": "x",
+              "normalization": "softmax"}, "unknown normalization"),
+            ({"type": "hybrid", "query_text": "x",
+              "combination": "max"}, "unknown combination"),
+            ({"type": "hybrid", "query_text": "x",
+              "weights": [0.5]}, "2 numbers"),
+            ({"type": "hybrid", "query_text": "x",
+              "weights": [0.5, "x"]}, "2 numbers"),
+            ({"type": "hybrid", "query_text": "x",
+              "weights": 0.7}, "2 numbers"),
+        ],
+    )
+    def test_plan_fuzz_rejected(self, plan, match):
+        """Lock the plan schema at the LLM seam: malformed emissions
+        fail loudly in validate_plan, never inside a scorer."""
+        from neural_search_ray.query.agentic import validate_plan
+
+        with pytest.raises(ValueError, match=match):
+            validate_plan(plan)
+
+    def test_plan_valid_shapes_accepted(self):
+        from neural_search_ray.query.agentic import validate_plan
+
+        for plan in (
+            {"type": "bm25", "query_text": "x"},
+            {"type": "bm25", "query_text": "x", "k": 3},
+            {"type": "sparse", "token_weights": {"a": 1.0, "b": 2}},
+            {"type": "filtered_bm25", "query_text": "x",
+             "filter": ("lang", "==", "en")},
+            {"type": "hybrid", "query_text": "x", "normalization": "z_score",
+             "combination": "geometric_mean", "weights": [0.7, 0.3]},
+            {"type": "hybrid", "query_text": "x"},
+        ):
+            assert validate_plan(plan) is plan
