@@ -406,6 +406,35 @@ class TestConnectedComponents:
                for r in connected_components(ray.data.from_arrow(t), num_buckets=2).take_all()}
         assert got == {i: 0 for i in range(n)}
 
+    def test_local_and_bsp_modes_agree(self):
+        """The single-task local path (default for small edge sets) and
+        the BSP path (forced via local_threshold=0) must produce the
+        same components on a random graph."""
+        import ray.data
+
+        from neural_search_ray.dedup.components import connected_components
+
+        rng = np.random.RandomState(5)
+        a = rng.randint(0, 200, size=300).astype(np.int64)
+        b = rng.randint(0, 200, size=300).astype(np.int64)
+        keep = a != b
+        t = pa.table({"doc_a": pa.array(a[keep]), "doc_b": pa.array(b[keep])})
+        local = {r["doc_id"]: r["component"]
+                 for r in connected_components(ray.data.from_arrow(t)).take_all()}
+        bsp = {r["doc_id"]: r["component"]
+               for r in connected_components(
+                   ray.data.from_arrow(t), local_threshold=0).take_all()}
+        assert local == bsp and len(local) > 0
+
+    def test_local_mode_empty_pairs(self):
+        import ray.data
+
+        from neural_search_ray.dedup.components import connected_components
+
+        t = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+        assert connected_components(ray.data.from_arrow(t)).take_all() == []
+
 
 class TestRadial:
     """Radial (min_score / max_distance) dense retrieval — the reference
