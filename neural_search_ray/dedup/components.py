@@ -245,32 +245,76 @@ def connected_components(
     return labels.map_batches(finish, batch_format="pyarrow")
 
 
+APPLY_BROADCAST_MAX_DROPS = 5_000_000
+
+
 def apply_dedup(
     corpus: "ray.data.Dataset",
     components: "ray.data.Dataset",
     id_col: str = "doc_id",
     num_partitions: int = 16,
+    broadcast_threshold: int = APPLY_BROADCAST_MAX_DROPS,
 ) -> "ray.data.Dataset":
     """Keep-first near-dup REMOVAL: the last step of the dedup pipeline.
 
     A doc survives iff it has no near-dup component (never appeared in a
     candidate pair) or it IS its component's representative (the min
-    label — keep-first). Distributed left-outer hash join of the corpus
-    against the (small, pairs-only) components table — the corpus side
-    streams; no driver-side set, no broadcast (the drop set at web scale
-    is a large fraction of the corpus, so membership must arrive via the
-    join exchange, the skip_existing shape)."""
+    label — keep-first).
+
+    Two-mode, like connected_components: when the DROP set (non-
+    representative members) fits ``broadcast_threshold`` rows (~8 B/row,
+    so the default caps the broadcast at ~40 MB), it is ray.put once and
+    every corpus batch filters with one sorted-membership searchsorted —
+    the corpus side NEVER moves, which is the whole point at 100 TB.
+    A drop set beyond the threshold (dup-heavy corpus) streams the
+    corpus through a distributed left-outer hash join instead. The
+    broadcast mode pulls at most ``broadcast_threshold`` ids through the
+    driver to build the array (bounded by construction); the join mode
+    never touches the driver."""
     import pyarrow.compute as pc
+
+    import ray
+
+    drops_tbl = components.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b["doc_id"], b["component"])
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    n_drops = drops_tbl.count()
+    if n_drops <= broadcast_threshold:
+        drop_ids = np.sort(
+            np.concatenate(
+                [
+                    b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    for b in drops_tbl.iter_batches(batch_format="pyarrow")
+                ]
+                or [np.empty(0, np.int64)]
+            )
+        )
+        drop_ref = ray.put(drop_ids)
+
+        def drop_members(batch: pa.Table) -> pa.Table:
+            drops = ray.get(drop_ref)  # zero-copy object-store read
+            if drops.size == 0:
+                return batch
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(drops, ids)
+            hit = (pos < drops.size) & (drops[np.minimum(pos, drops.size - 1)] == ids)
+            return batch.filter(pa.array(~hit))
+
+        return corpus.map_batches(drop_members, batch_format="pyarrow")
 
     def comp_keyed(batch: pa.Table) -> pa.Table:
         return pa.table(
             {id_col: batch["doc_id"], "component": batch["component"]}
         )
 
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     joined = corpus.join(
         components.map_batches(comp_keyed, batch_format="pyarrow"),
         join_type="left_outer",
-        num_partitions=num_partitions,
+        num_partitions=max(2, min(num_partitions, cpus)),
         on=(id_col,),
     )
 

@@ -718,6 +718,27 @@ class TestApplyDedup:
         )
         got = sorted(r["doc_id"] for r in apply_dedup(corpus, comps).take_all())
         assert got == [0, 1, 2, 3, 5, 6, 8]
+        # join mode (broadcast_threshold=0 forces it) must agree
+        got_join = sorted(
+            r["doc_id"]
+            for r in apply_dedup(corpus, comps, broadcast_threshold=0).take_all()
+        )
+        assert got_join == got
+
+    def test_empty_components_keeps_all(self, ray_session):
+        import ray.data
+
+        from neural_search_ray.dedup.components import apply_dedup
+
+        corpus = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64))})
+        )
+        comps = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "component": pa.array([], pa.int64())})
+        )
+        got = sorted(r["doc_id"] for r in apply_dedup(corpus, comps).take_all())
+        assert got == [0, 1, 2, 3, 4]
 
 
 class TestIVFVersioning:
