@@ -310,11 +310,12 @@ def apply_dedup(
             {id_col: batch["doc_id"], "component": batch["component"]}
         )
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    from ..runtime import join_partitions
+
     joined = corpus.join(
         components.map_batches(comp_keyed, batch_format="pyarrow"),
         join_type="left_outer",
-        num_partitions=max(2, min(num_partitions, cpus)),
+        num_partitions=join_partitions(num_partitions),
         on=(id_col,),
     )
 

@@ -22,3 +22,14 @@ def ensure_worker_tuned() -> None:
     pa.set_cpu_count(1)
     pa.set_io_thread_count(2)
     _done = True
+
+
+def join_partitions(requested: int) -> int:
+    """Partition count for Dataset.join: hash-join aggregators are
+    actors holding a CPU each, so more partitions than cluster CPUs
+    deadlocks a small cluster; on a big cluster the requested count
+    wins."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(requested, cpus))

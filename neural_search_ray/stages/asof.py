@@ -290,16 +290,12 @@ def _asof_join_trimmed(
         return kept.rename_columns(["_asof_lid"] + out_right)
 
     matches = matched.map_batches(keep_matched, batch_format="pyarrow")
-    # hash-join aggregators are actors holding a CPU each: more
-    # partitions than cluster CPUs deadlocks a small cluster, so cap by
-    # the actual CPU count (on a big cluster this keeps num_buckets)
-    import ray
+    from ..runtime import join_partitions
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return left.join(
         matches,
         "left_outer",
-        num_partitions=max(2, min(num_buckets, cpus)),
+        num_partitions=join_partitions(num_buckets),
         on=(left_id_col,),
         right_on=("_asof_lid",),
     )

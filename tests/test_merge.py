@@ -195,6 +195,23 @@ def test_tiered_picks_smallest_and_resumes_mid_sequence(
     assert list(m3.segments) == list(m2.segments)
 
 
+def test_tiered_keep_sources_on_disk_still_converges(
+    tmp_path, sf_dir, ray_session
+):
+    """delete_sources=False keeps source segment DIRECTORIES on disk but
+    still removes them from the manifest (merge_segments semantics), so
+    the tiered loop converges; the orphaned dirs remain as an archive."""
+    from neural_search_ray.index.merge import compact_tiered
+
+    index_dir = str(tmp_path / "idx")
+    _build_three_segments(sf_dir, index_dir)
+    m = compact_tiered(index_dir, fanin=2, target_segments=1,
+                       delete_sources=False)
+    assert len(m.segments) == 1
+    on_disk = set(os.listdir(os.path.join(index_dir, "segments")))
+    assert {"seg-000", "seg-001", "seg-002"} <= on_disk  # archived
+
+
 def test_tiered_validates_args(tmp_path, sf_dir, ray_session):
     from neural_search_ray.index.merge import compact_tiered
 
