@@ -178,6 +178,9 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
         "term_stats",
         "dedup_exact",
         "knn_cosine",
+        # dense-tier A/B: float64 brute cosine vs the int8
+        # scalar-quantized tier (4x-compressed index, integer dot)
+        "knn_cosine_sq8",
         "quality_stats",
         "minhash_lsh_pairs",
         # band-key A/B: per-(doc,band) md5 loop (oracle-pinned) vs the

@@ -995,6 +995,32 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     )
 
 
+def q_knn_cosine_sq8(sf_dir: str) -> pa.Table:
+    """Dense top-k over the int8 SCALAR-QUANTIZED tier (ann/sq8.py):
+    per-dimension symmetric scales trained in one streaming pass, corpus
+    and queries quantized to signed bytes, scored by the EXACT integer
+    dot product — the 4x-compressed dense-index path (the k-NN plugin's
+    byte-compression mode analogue, SURVEY.md §2.9). The score is an
+    int64, so the SQL oracle (same floor(v*s+0.5) codes in DuckDB)
+    matches bit-for-bit with no float rounding."""
+    import pyarrow.parquet as pq
+
+    from ..ann.sq8 import knn_sq8, train_sq8_scales
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    scales = train_sq8_scales(ds)
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    return knn_sq8(ds, queries, qids, scales, k=10)
+
+
 RADIAL_MIN_SCORE = 0.2  # shared by knn_radial / ivf_radial and their oracle
 
 
@@ -1310,6 +1336,70 @@ def q_rerank_byfield(sf_dir: str) -> pa.Table:
             "previous_score": pa.array(cat(prevs, np.float64)),
         }
     )
+
+
+def q_rerank_rescore(sf_dir: str) -> pa.Table:
+    """ml-similarity rerank (RescoringRerankProcessor.java:49-80,
+    MLOpenSearchRerankProcessor.java:26-100) under a DETERMINISTIC
+    stand-in cross-encoder: the bm25 top-10 candidates are rescored with
+    the token-set Jaccard similarity (rank/rerank.py
+    token_overlap_similarity — the model seam; a real deployment passes
+    an ML-Commons-backed scorer) and re-sorted (score desc, doc asc).
+    The stand-in score is a ratio of two small integers computed from
+    the SAME analyzer tokens the doc_tokenize oracle locks, so the SQL
+    oracle is exact — this puts the rescoring-rerank PLUMBING under the
+    oracle gate the way agentic_bm25 does for the planner seam."""
+    import pyarrow.parquet as pq
+
+    from ..rank.rerank import rerank_rescore
+
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=BM25_K * 3)
+        top = _hits_table([(qid, docs, scores)])
+        top = top.filter(pc.less_equal(top["rank"], BM25_K))
+        cand = top["doc_id"].to_numpy()
+        # candidate texts: k rows via parquet row-filter pushdown
+        tt = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filters=[("doc_id", "in", cand.tolist())],
+        )
+        texts = dict(zip(tt["doc_id"].to_numpy(), tt["text"].to_pylist()))
+        ids, sc = rerank_rescore(qtext, cand, [texts[d] for d in cand])
+        rows.append((qid, ids, sc))
+    return _hits_table(rows)
+
+
+def q_query_enrich_sparse(sf_dir: str) -> pa.Table:
+    """neural_query_enricher → execute: a neural_sparse request arrives
+    WITHOUT a model_id; the enricher (query/enricher.py, the
+    NeuralQueryEnricherProcessor.java:69-78 analogue) fills the
+    per-field default before dispatch, and this entry REFUSES to execute
+    an un-enriched spec (the visitor's missing-model failure,
+    query/visitor/NeuralSearchQueryVisitor.java:47-54) — making the
+    enrichment load-bearing, not decorative. The enriched query is then
+    rank-identical to sparse_dot_topk, proving enrich → dispatch end to
+    end under the oracle gate."""
+    from ..query.enricher import EnrichError, make_enricher
+
+    searcher = get_searcher(sf_dir)
+    spec = {
+        "type": "neural_sparse",
+        "field": "text",
+        "query_tokens": dict(SPARSE_QUERY_WEIGHTS),
+        "model_id": None,
+    }
+    enrich = make_enricher(neural_field_default_id={"text": "sparse-encoder-v1"})
+    espec = enrich(spec)
+    if espec.get("model_id") is None:
+        raise EnrichError(
+            "neural_sparse spec reached execution without a model id"
+        )
+    docs, scores = searcher.search_sparse_dot(espec["query_tokens"], k=BM25_K * 3)
+    out = _hits_table([(0, docs, scores)])
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
 def q_mmr_select(sf_dir: str) -> pa.Table:
@@ -1994,6 +2084,66 @@ def q_sequence_pack(sf_dir: str) -> "ray.data.Dataset":
 # oracle SQL
 
 
+# SQ8 dense tier: same trainer/codec as ann/sq8.py in pure SQL — per-dim
+# scale 127/max|v| over the corpus, codes floor(v*s+0.5), EXACT integer
+# dot. DuckDB zips parallel unnests in one SELECT, giving (value, dim).
+_KNN_SQ8_SQL = """
+WITH flat AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings),
+dims AS (
+  SELECT i, CASE WHEN max(abs(v)) = 0 THEN 0.0
+                 ELSE 127.0 / max(abs(v)) END AS s
+  FROM flat GROUP BY i),
+qv AS (
+  SELECT vec_id, i, floor(v * s + 0.5)::BIGINT AS q
+  FROM flat JOIN dims USING (i)),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         sum(a.q * b.q)::BIGINT AS score
+  FROM (SELECT * FROM qv WHERE vec_id < 5) a
+  JOIN qv b USING (i)
+  GROUP BY 1, 2)
+SELECT query_id::BIGINT AS query_id, rank, neighbor_id::BIGINT AS neighbor_id, score
+FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 10"""
+
+
+def _rerank_rescore_sql() -> str:
+    """Rescoring rerank over the bm25 top-k candidate set: Jaccard of
+    the query's DISTINCT analyzer tokens vs the doc's DISTINCT terms —
+    the deterministic stand-in similarity of rank/rerank.py
+    token_overlap_similarity, as a ratio of two exact integer counts."""
+    cand = _topk_sql(_bm25_scored_sql(), BM25_K)
+    return f"""
+WITH cand AS (SELECT query_id, doc_id FROM ({cand})),
+qt AS ({_query_values_sql()}),
+qn AS (SELECT query_id, count(*)::BIGINT AS nq FROM qt GROUP BY query_id),
+dt AS (SELECT DISTINCT doc_id, term FROM ({SQL_TF})
+       WHERE doc_id IN (SELECT doc_id FROM cand)),
+dn AS (SELECT doc_id, count(*)::BIGINT AS nd FROM dt GROUP BY doc_id),
+ix AS (
+  SELECT c.query_id, c.doc_id, count(dt.term)::BIGINT AS ni
+  FROM cand c
+  JOIN qt ON qt.query_id = c.query_id
+  LEFT JOIN dt ON dt.doc_id = c.doc_id AND dt.term = qt.term
+  GROUP BY c.query_id, c.doc_id),
+scored AS (
+  SELECT ix.query_id, ix.doc_id,
+         CASE WHEN qn.nq + dn.nd - ix.ni = 0 THEN 0.0
+              ELSE ix.ni::DOUBLE / (qn.nq + dn.nd - ix.ni) END AS score
+  FROM ix JOIN qn USING (query_id) JOIN dn USING (doc_id))
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored) WHERE rank <= {BM25_K}"""
+
+
 def build_oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
     sqls["doc_tokenize"] = SQL_TF
@@ -2036,6 +2186,11 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     # seismic_ann runs at its exact setting (no-skip + every term
     # clustered), so its result is definitionally the exact sparse dot.
     sqls["seismic_ann"] = sqls["sparse_dot_topk"]
+    # enrich → dispatch path: same sparse-dot oracle (rank identity
+    # proves the enriched plan executed the same query)
+    sqls["query_enrich_sparse"] = sqls["sparse_dot_topk"]
+    # rescoring rerank under the deterministic token-overlap stand-in
+    sqls["rerank_rescore"] = _rerank_rescore_sql()
     # quantized tier: integer tf → u8 grid {85,170,255} → dequantized
     # {1,2,3} survives the FeatureField round-trip exactly
     sqls["sparse_dot_topk_quantized"] = _topk_sql(
@@ -2327,6 +2482,8 @@ SELECT query_id::BIGINT AS query_id, rank, neighbor_id::BIGINT AS neighbor_id, s
     # ivf_ann runs at nprobe = n_centroids (all buckets scanned) → exact,
     # so the brute-force cosine oracle applies verbatim.
     sqls["ivf_ann"] = sqls["knn_cosine"]
+    # int8 scalar-quantized dense tier: exact integer-dot oracle
+    sqls["knn_cosine_sq8"] = _KNN_SQ8_SQL
 
     # radial retrieval: ALL neighbors with cosine >= threshold (no top-k)
     sqls["knn_radial"] = f"""
@@ -3170,6 +3327,9 @@ def build_queries() -> dict:
         "mmr_select": q_mmr_select,
         "hybrid_explain": q_hybrid_explain,
         "events_asof_trim": q_events_asof_trim,
+        "knn_cosine_sq8": q_knn_cosine_sq8,
+        "rerank_rescore": q_rerank_rescore,
+        "query_enrich_sparse": q_query_enrich_sparse,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,
@@ -3190,10 +3350,13 @@ def build_queries() -> dict:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "knn_cosine": q_knn_cosine,
+        # --- tail: remaining variants of window-covered families ---
+        # (ivf_ann / seismic_ann / embed_neardup displaced from the
+        # window by the three new block-2 entries; all three have driver
+        # CORRECTNESS rows in BOTH r02 and r03)
         "ivf_ann": q_ivf_ann,
         "seismic_ann": q_seismic_ann,
         "embed_neardup": q_embed_neardup,
-        # --- tail: remaining variants of window-covered families ---
         "top_events": q_top_events,
         "collection_stats": q_collection_stats,
         "doc_lengths": q_doc_lengths,

@@ -773,3 +773,98 @@ class TestIVFVersioning:
 
         with _pytest.raises(IndexFormatError):
             IVFSearcher(d)
+
+
+class TestSQ8:
+    """Int8 scalar-quantized dense tier (ann/sq8.py): codec semantics,
+    streaming trainer, and exact integer-dot top-k."""
+
+    def _vec_table(self, n=120, dim=12, seed=11):
+        rng = np.random.RandomState(seed)
+        base = rng.randn(n, dim) * rng.uniform(0.2, 5.0, size=dim)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(base.astype(np.float64)),
+                                      type=pa.list_(pa.float64())),
+            }
+        ), base
+
+    def test_quantize_half_up_and_range(self):
+        from neural_search_ray.ann.sq8 import quantize_sq8
+
+        s = np.array([1.0])
+        # floor(x*s + 0.5): half rounds toward +inf on both signs
+        assert quantize_sq8(np.array([[2.5]]), s)[0, 0] == 3
+        assert quantize_sq8(np.array([[-2.5]]), s)[0, 0] == -2
+        assert quantize_sq8(np.array([[0.49]]), s)[0, 0] == 0
+        # zero scale (all-zero dimension) -> code 0 for any value
+        z = np.array([0.0])
+        assert quantize_sq8(np.array([[-7.3]]), z)[0, 0] == 0
+        # in-domain values stay in [-127, 127]; out-of-domain clipped
+        big = np.array([[400.0], [-400.0]])
+        out = quantize_sq8(big, np.array([127.0 / 300.0]))
+        assert out.max() == 127 and out.min() == -127
+
+    def test_train_scales_streaming(self, ray_session):
+        import ray.data
+
+        from neural_search_ray.ann.sq8 import train_sq8_scales
+
+        t, base = self._vec_table()
+        got = train_sq8_scales(ray.data.from_arrow(t).repartition(7))
+        want = 127.0 / np.abs(base).max(axis=0)
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    def test_train_scales_zero_dim(self, ray_session):
+        import ray.data
+
+        from neural_search_ray.ann.sq8 import train_sq8_scales
+
+        t, base = self._vec_table(n=20, dim=4)
+        base = base.copy()
+        base[:, 2] = 0.0
+        t = pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": pa.array(list(base), type=pa.list_(pa.float64())),
+            }
+        )
+        got = train_sq8_scales(ray.data.from_arrow(t))
+        assert got[2] == 0.0
+        assert (got[[0, 1, 3]] > 0).all()
+
+    def test_knn_sq8_matches_naive(self, ray_session):
+        import ray.data
+
+        from neural_search_ray.ann.sq8 import knn_sq8, quantize_sq8, train_sq8_scales
+
+        t, base = self._vec_table()
+        ds = ray.data.from_arrow(t).repartition(5)
+        scales = train_sq8_scales(ds)
+        queries = base[:4]
+        got = knn_sq8(ds, queries, np.arange(4), scales, k=8)
+        codes = quantize_sq8(base, scales).astype(np.int64)
+        qc = quantize_sq8(queries, scales).astype(np.int64)
+        sims = qc @ codes.T
+        ids = np.arange(base.shape[0], dtype=np.int64)
+        for qi in range(4):
+            order = np.lexsort((ids, -sims[qi]))[:8]
+            m = got["query_id"].to_numpy() == qi
+            assert got["neighbor_id"].to_numpy()[m].tolist() == ids[order].tolist()
+            assert got["score"].to_numpy()[m].tolist() == sims[qi][order].tolist()
+        # scores are exact integers (no float in the scoring path)
+        assert got["score"].type == pa.int64()
+
+    def test_knn_sq8_deterministic_across_block_layouts(self, ray_session):
+        import ray.data
+
+        from neural_search_ray.ann.sq8 import knn_sq8, train_sq8_scales
+
+        t, base = self._vec_table(n=60)
+        a_ds = ray.data.from_arrow(t)
+        b_ds = ray.data.from_arrow(t).repartition(9)
+        scales = train_sq8_scales(a_ds)
+        got_a = knn_sq8(a_ds, base[:3], np.arange(3), scales, k=5)
+        got_b = knn_sq8(b_ds, base[:3], np.arange(3), scales, k=5)
+        assert got_a.equals(got_b)
