@@ -42,6 +42,137 @@ from .codec import decoder_for, grouped_encoder_for
 from .manifest import DOCLEN_BUCKET, IndexManifest, SegmentManifest
 
 
+def _live_mask(values: np.ndarray, drop_sorted: np.ndarray) -> np.ndarray:
+    """Boolean mask of ``values`` NOT present in the sorted ``drop_sorted``
+    array (vectorized membership via searchsorted; both int64)."""
+    pos = np.searchsorted(drop_sorted, values)
+    pos_c = np.minimum(pos, max(drop_sorted.size - 1, 0))
+    return drop_sorted[pos_c] != values
+
+
+def _rewrite_group(
+    index_dir: str,
+    out_seg_id: str,
+    shard: int,
+    bucket: int,
+    paths: list[str],
+    decode,
+    grouped_encode,
+    block_size: int,
+    drop_sorted: np.ndarray | None = None,
+) -> tuple:
+    """Rewrite one (doc_shard, term_bucket) group: read its posting (or
+    doc-length) files from one or more source segments, optionally drop
+    tombstoned docIDs, re-sort, re-encode, and write the group file under
+    ``segments/<out_seg_id>/``. Shared by segment merge (drop=None) and
+    delete purge (index/deletes.py — the Lucene liveDocs-purge path the
+    reference inherits via forceMergeDeletes). Returns
+    (shard, bucket, path, n_terms, n_postings, n_docs, sum_dl)."""
+    seg_dir = os.path.join(index_dir, "segments", out_seg_id)
+    os.makedirs(seg_dir, exist_ok=True)
+    tables = [pq.read_table(os.path.join(index_dir, p)) for p in paths]
+    drop = drop_sorted if drop_sorted is not None and drop_sorted.size else None
+
+    if bucket == DOCLEN_BUCKET:
+        t = pa.concat_tables(tables)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = t["dl"].to_numpy(zero_copy_only=False)
+        if drop is not None and d.size:
+            live = _live_mask(d, drop)
+            d, dl = d[live], dl[live]
+        order = np.argsort(d, kind="stable")
+        path = f"segments/{out_seg_id}/doclen_s{shard:04d}.parquet"
+        pq.write_table(
+            pa.table({"doc_id": d[order], "dl": dl[order].astype(np.int32)}),
+            os.path.join(index_dir, path),
+        )
+        return (shard, bucket, path, 0, 0, int(d.size), int(dl.sum()))
+
+    t = pa.concat_tables(tables)
+    terms = t["term"].to_pandas()
+    dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    docs_bufs = t["docs"].to_pylist()
+    tfs_bufs = t["tfs"].to_pylist()
+    # decode every source row (C-speed per buffer), lay out flat
+    import pandas as pd
+
+    codes_row, uniq = pd.factorize(terms)
+    total = int(dfs.sum())
+    flat_doc = np.empty(total, dtype=np.int64)
+    flat_tf = np.empty(total, dtype=np.int64)
+    flat_code = np.repeat(codes_row.astype(np.int64), dfs)
+    pos = 0
+    for df_i, db, tb in zip(dfs, docs_bufs, tfs_bufs):
+        n = int(df_i)
+        deltas = decode(db, n)
+        flat_doc[pos : pos + n] = np.cumsum(deltas)
+        flat_tf[pos : pos + n] = decode(tb, n)
+        pos += n
+    if drop is not None and flat_doc.size:
+        live = _live_mask(flat_doc, drop)
+        flat_doc, flat_tf, flat_code = flat_doc[live], flat_tf[live], flat_code[live]
+
+    order = np.lexsort((flat_doc, flat_code))
+    g_code, g_doc, g_tf = flat_code[order], flat_doc[order], flat_tf[order]
+    change = np.flatnonzero(np.diff(g_code) != 0)
+    starts = np.concatenate(([0], change + 1)) if g_code.size else np.empty(0, np.int64)
+    ends = (
+        np.concatenate((change + 1, [g_code.size])) if g_code.size else np.empty(0, np.int64)
+    )
+    deltas = np.empty_like(g_doc)
+    if g_doc.size:
+        deltas[0] = g_doc[0]
+        np.subtract(g_doc[1:], g_doc[:-1], out=deltas[1:])
+        deltas[starts] = g_doc[starts]
+    doc_out = grouped_encode(deltas, starts, ends)
+    tf_out = grouped_encode(g_tf, starts, ends)
+    mdfs = (ends - starts).astype(np.int64)
+    nblocks = (mdfs + block_size - 1) // block_size
+    bm_offsets = np.zeros(nblocks.size + 1, dtype=np.int64)
+    np.cumsum(nblocks, out=bm_offsets[1:])
+    red_idx = (
+        np.concatenate([np.arange(s, e, block_size) for s, e in zip(starts, ends)])
+        if g_tf.size
+        else np.empty(0, np.int64)
+    )
+    bm_flat = (
+        np.maximum.reduceat(g_tf, red_idx).astype(np.int32)
+        if red_idx.size
+        else np.empty(0, np.int32)
+    )
+    bm_col = pa.ListArray.from_arrays(
+        pa.array(bm_offsets), pa.array(bm_flat, type=pa.int32())
+    )
+    out_terms = uniq[g_code[starts]] if g_code.size else []
+    table = pa.table(
+        {
+            "term": pa.array(list(out_terms), type=pa.string()),
+            "df": pa.array(mdfs, type=pa.int64()),
+            "docs": pa.array(doc_out, type=pa.binary()),
+            "tfs": pa.array(tf_out, type=pa.binary()),
+            "block_max_tf": bm_col,
+        }
+    )
+    path = f"segments/{out_seg_id}/post_s{shard:04d}_b{bucket:05d}.parquet"
+    pq.write_table(table, os.path.join(index_dir, path))
+    return (shard, bucket, path, len(table), int(mdfs.sum()), 0, 0)
+
+
+def _group_rows_table(out_rows: list[tuple]) -> pa.Table:
+    cols = list(zip(*out_rows)) if out_rows else [[]] * 7
+    return pa.table(
+        {
+            "doc_shard": pa.array(cols[0], pa.int64()),
+            "term_bucket": pa.array(cols[1], pa.int64()),
+            "path": pa.array(cols[2], pa.string()),
+            "n_terms": pa.array(cols[3], pa.int64()),
+            "n_postings": pa.array(cols[4], pa.int64()),
+            "n_docs": pa.array(cols[5], pa.int64()),
+            "sum_dl": pa.array(cols[6], pa.int64()),
+        }
+    )
+
+
 def merge_segments(
     index_dir: str,
     merged_id: str = "merged-000",
@@ -87,108 +218,16 @@ def merge_segments(
     ]
 
     def merge_group(batch: dict) -> pa.Table:
-        out_rows = []
-        for shard, bucket, paths in zip(
-            batch["doc_shard"], batch["term_bucket"], batch["paths"]
-        ):
-            shard, bucket = int(shard), int(bucket)
-            seg_dir = os.path.join(index_dir, "segments", merged_id)
-            os.makedirs(seg_dir, exist_ok=True)
-            tables = [pq.read_table(os.path.join(index_dir, p)) for p in paths]
-
-            if bucket == DOCLEN_BUCKET:
-                t = pa.concat_tables(tables)
-                d = t["doc_id"].to_numpy(zero_copy_only=False)
-                dl = t["dl"].to_numpy(zero_copy_only=False)
-                order = np.argsort(d, kind="stable")
-                path = f"segments/{merged_id}/doclen_s{shard:04d}.parquet"
-                pq.write_table(
-                    pa.table({"doc_id": d[order], "dl": dl[order].astype(np.int32)}),
-                    os.path.join(index_dir, path),
+        return _group_rows_table(
+            [
+                _rewrite_group(
+                    index_dir, merged_id, int(shard), int(bucket), paths,
+                    decode, grouped_encode, block_size,
                 )
-                out_rows.append(
-                    (shard, bucket, path, 0, 0, int(d.size), int(dl.sum()))
+                for shard, bucket, paths in zip(
+                    batch["doc_shard"], batch["term_bucket"], batch["paths"]
                 )
-                continue
-
-            t = pa.concat_tables(tables)
-            terms = t["term"].to_pandas()
-            dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-            docs_bufs = t["docs"].to_pylist()
-            tfs_bufs = t["tfs"].to_pylist()
-            # decode every source row (C-speed per buffer), lay out flat
-            import pandas as pd
-
-            codes_row, uniq = pd.factorize(terms)
-            total = int(dfs.sum())
-            flat_doc = np.empty(total, dtype=np.int64)
-            flat_tf = np.empty(total, dtype=np.int64)
-            flat_code = np.repeat(codes_row.astype(np.int64), dfs)
-            pos = 0
-            for df_i, db, tb in zip(dfs, docs_bufs, tfs_bufs):
-                n = int(df_i)
-                deltas = decode(db, n)
-                flat_doc[pos : pos + n] = np.cumsum(deltas)
-                flat_tf[pos : pos + n] = decode(tb, n)
-                pos += n
-
-            order = np.lexsort((flat_doc, flat_code))
-            g_code, g_doc, g_tf = flat_code[order], flat_doc[order], flat_tf[order]
-            change = np.flatnonzero(np.diff(g_code) != 0)
-            starts = np.concatenate(([0], change + 1))
-            ends = np.concatenate((change + 1, [g_code.size]))
-            deltas = np.empty_like(g_doc)
-            if g_doc.size:
-                deltas[0] = g_doc[0]
-                np.subtract(g_doc[1:], g_doc[:-1], out=deltas[1:])
-                deltas[starts] = g_doc[starts]
-            doc_out = grouped_encode(deltas, starts, ends)
-            tf_out = grouped_encode(g_tf, starts, ends)
-            mdfs = (ends - starts).astype(np.int64)
-            nblocks = (mdfs + block_size - 1) // block_size
-            bm_offsets = np.zeros(nblocks.size + 1, dtype=np.int64)
-            np.cumsum(nblocks, out=bm_offsets[1:])
-            red_idx = (
-                np.concatenate(
-                    [np.arange(s, e, block_size) for s, e in zip(starts, ends)]
-                )
-                if g_tf.size
-                else np.empty(0, np.int64)
-            )
-            bm_flat = (
-                np.maximum.reduceat(g_tf, red_idx).astype(np.int32)
-                if red_idx.size
-                else np.empty(0, np.int32)
-            )
-            bm_col = pa.ListArray.from_arrays(
-                pa.array(bm_offsets), pa.array(bm_flat, type=pa.int32())
-            )
-            out_terms = uniq[g_code[starts]] if g_code.size else []
-            table = pa.table(
-                {
-                    "term": pa.array(list(out_terms), type=pa.string()),
-                    "df": pa.array(mdfs, type=pa.int64()),
-                    "docs": pa.array(doc_out, type=pa.binary()),
-                    "tfs": pa.array(tf_out, type=pa.binary()),
-                    "block_max_tf": bm_col,
-                }
-            )
-            path = f"segments/{merged_id}/post_s{shard:04d}_b{bucket:05d}.parquet"
-            pq.write_table(table, os.path.join(index_dir, path))
-            out_rows.append(
-                (shard, bucket, path, len(table), int(mdfs.sum()), 0, 0)
-            )
-        cols = list(zip(*out_rows)) if out_rows else [[]] * 7
-        return pa.table(
-            {
-                "doc_shard": pa.array(cols[0], pa.int64()),
-                "term_bucket": pa.array(cols[1], pa.int64()),
-                "path": pa.array(cols[2], pa.string()),
-                "n_terms": pa.array(cols[3], pa.int64()),
-                "n_postings": pa.array(cols[4], pa.int64()),
-                "n_docs": pa.array(cols[5], pa.int64()),
-                "sum_dl": pa.array(cols[6], pa.int64()),
-            }
+            ]
         )
 
     rows = (

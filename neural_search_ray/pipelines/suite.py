@@ -181,6 +181,36 @@ def _bm25_scored_sql() -> str:
   GROUP BY q.query_id, tf.doc_id"""
 
 
+def _bm25_scored_sql_filtered(doc_where: str) -> str:
+    """BM25 scored set with the ENTIRE stats chain (tf, df, N, avgdl)
+    recomputed over ``documents WHERE doc_where`` — the post-purge oracle
+    (purge_deletes rewrites segments and recomputes stats, so the engine
+    matches a fresh build over the surviving corpus)."""
+    src = f"(SELECT doc_id, text FROM documents WHERE {doc_where})"
+    tok = (
+        f"SELECT doc_id, lower(t.term) AS term FROM {src} docs_f, "
+        "unnest(string_split(text, ' ')) AS t(term) WHERE t.term <> ''"
+    )
+    tf = f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({tok}) GROUP BY doc_id, term"
+    dl = f"SELECT doc_id, count(*)::BIGINT AS dl FROM ({tok}) GROUP BY doc_id"
+    dl_all = (
+        f"SELECT d.doc_id, coalesce(l.dl, 0)::BIGINT AS dl FROM {src} d "
+        f"LEFT JOIN ({dl}) l USING (doc_id)"
+    )
+    stats_ = f"SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM ({dl_all})"
+    df = f"SELECT term, count(*)::BIGINT AS df FROM ({tf}) GROUP BY term"
+    return f"""
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) ) AS score
+  FROM ({_query_values_sql()}) q
+  JOIN ({tf}) tf ON tf.term = q.term
+  JOIN ({df}) df ON df.term = q.term
+  JOIN ({dl_all}) dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN ({stats_}) s
+  GROUP BY q.query_id, tf.doc_id"""
+
+
 def _topk_raw_sql(scored_sql: str, k: int) -> str:
     """Subquery-internal top-k: raw (unrounded) scores, rank by exact
     (score desc, doc_id) — matches the engine's exact-score selection."""
@@ -261,6 +291,76 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     for qid, qtext in QUERY_SET:
         docs, scores = searcher.search_bm25(tokenize(qtext), k=BM25_K * 3)
         rows.append((qid, docs[:0] if docs.size == 0 else docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+# --- document deletes (index/deletes.py, the Lucene liveDocs model) -------
+
+_DELETE_MOD = 11  # deterministic delete set: doc_id % 11 == 0 (~9% of docs)
+_DEL_INDEX_CACHE: dict[tuple[str, bool], str] = {}
+
+
+def _deleted_index_dir(sf_dir: str, purged: bool) -> str:
+    """A hardlink COPY of the base index (the shared cached index must
+    never be mutated) with doc_id % _DELETE_MOD == 0 tombstoned; when
+    ``purged``, purge_deletes has physically rewritten the segments and
+    recomputed stats. Every step is idempotent, so a crashed prior run
+    is repaired by re-running."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..index.deletes import delete_docs, purge_deletes
+
+    key = (sf_dir, purged)
+    if key in _DEL_INDEX_CACHE:
+        return _DEL_INDEX_CACHE[key]
+    base = get_index_dir(sf_dir)
+    d = f"{base}-{'purged' if purged else 'del'}"
+    if not os.path.exists(d):
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base, tmp, copy_function=os.link)
+        os.rename(tmp, d)
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    delete_docs(d, ids[ids % _DELETE_MOD == 0])
+    if purged:
+        purge_deletes(d)
+    _DEL_INDEX_CACHE[key] = d
+    return d
+
+
+def q_bm25_topk_deleted(sf_dir: str) -> pa.Table:
+    """BM25 top-k AFTER deleting doc_id % 11 == 0 — tombstones only, no
+    purge (index/deletes.py): deleted docs are excluded from results but
+    collection stats stay STALE (df / N / avgdl still count them), the
+    Lucene docFreq-counts-deleted semantics the reference inherits. The
+    oracle therefore scores with FULL-corpus stats and filters deleted
+    docs from the candidate set only."""
+    searcher = IndexSearcher(_deleted_index_dir(sf_dir, purged=False))
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_bm25_topk_purged(sf_dir: str) -> pa.Table:
+    """BM25 top-k after delete + purge_deletes (forceMergeDeletes
+    analogue): dirty segments are rewritten without the tombstoned docs
+    and n_docs / avgdl / df RECOMPUTED, so scores are bit-identical to
+    an index built fresh over the surviving corpus — which is exactly
+    what the oracle computes (full BM25 chain over documents WHERE
+    doc_id % 11 <> 0)."""
+    searcher = IndexSearcher(_deleted_index_dir(sf_dir, purged=True))
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=BM25_K * 3)
+        rows.append((qid, docs, scores))
     out = _hits_table(rows)
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
@@ -2156,6 +2256,17 @@ def build_oracle_sql() -> dict[str, str]:
 SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::DOUBLE AS sum_tf
 FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["bm25_topk"] = _topk_sql(_bm25_scored_sql(), BM25_K)
+    # deletes, pre-purge (Lucene liveDocs semantics): FULL-corpus stats,
+    # deleted docs filtered from the candidate set only
+    sqls["bm25_topk_deleted"] = _topk_sql(
+        f"SELECT * FROM ({_bm25_scored_sql()}) WHERE doc_id % {_DELETE_MOD} <> 0",
+        BM25_K,
+    )
+    # deletes, post-purge: the whole stats chain recomputed over the
+    # surviving corpus (purge == fresh build over the survivors)
+    sqls["bm25_topk_purged"] = _topk_sql(
+        _bm25_scored_sql_filtered(f"doc_id % {_DELETE_MOD} <> 0"), BM25_K
+    )
     # same oracle: the two-segment incremental build and the
     # shard-actor-pool serving path must both be rank-identical to the
     # single-segment single-process result
@@ -3330,6 +3441,8 @@ def build_queries() -> dict:
         "knn_cosine_sq8": q_knn_cosine_sq8,
         "rerank_rescore": q_rerank_rescore,
         "query_enrich_sparse": q_query_enrich_sparse,
+        "bm25_topk_deleted": q_bm25_topk_deleted,
+        "bm25_topk_purged": q_bm25_topk_purged,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,
@@ -3348,12 +3461,13 @@ def build_queries() -> dict:
         "dedup_exact": q_dedup_exact,
         "simhash_pairs": q_simhash_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        # --- tail: remaining variants of window-covered families ---
+        # (ivf_ann / seismic_ann / embed_neardup / ngram_jaccard_pairs /
+        # knn_cosine displaced from the window by the five new block-2
+        # entries; all five have driver CORRECTNESS rows in BOTH r02 and
+        # r03)
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "knn_cosine": q_knn_cosine,
-        # --- tail: remaining variants of window-covered families ---
-        # (ivf_ann / seismic_ann / embed_neardup displaced from the
-        # window by the three new block-2 entries; all three have driver
-        # CORRECTNESS rows in BOTH r02 and r03)
         "ivf_ann": q_ivf_ann,
         "seismic_ann": q_seismic_ann,
         "embed_neardup": q_embed_neardup,

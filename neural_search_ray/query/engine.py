@@ -161,12 +161,22 @@ class IndexSearcher:
         term_cache_items: int = 100_000,
         cache_limit_bytes: int | None = None,
     ):
+        from ..index.deletes import load_tombstones
+
         manifest = IndexManifest.load(index_dir)
         if manifest is None:
             raise FileNotFoundError(f"no index manifest in {index_dir}")
         self.manifest = manifest
         self.index_dir = index_dir
         self._dv = None  # lazy doc-values reader (index/docvalues.py)
+        # Tombstoned docs (index/deletes.py — the Lucene liveDocs model):
+        # excluded from every result, but collection stats (n_docs, avgdl,
+        # df, idf, UBs) stay STALE until purge_deletes rewrites the
+        # segments — exactly Lucene's docFreq-counts-deleted semantics.
+        # Snapshot at init: like an IndexReader, this searcher's view is
+        # frozen; deletes issued later need a new searcher.
+        self._deleted = load_tombstones(index_dir)
+        self.n_deleted = int(self._deleted.size)
         self.n_docs = manifest.n_docs
         self.avgdl = manifest.avgdl
         self.bm25 = BM25Config(**manifest.bm25)
@@ -364,6 +374,15 @@ class IndexSearcher:
             order = np.argsort(docs, kind="stable")
             docs = docs[order]
             tfs = tfs[order]
+        if self._deleted.size and docs.size:
+            # liveDocs filter at decode time (cached, so the cost is paid
+            # once per term): deleted docs vanish from every query path —
+            # candidate union, dense scatter, block-max, sparse dot —
+            # while stored df / max_tf stay stale (valid upper bounds).
+            pos_t = np.searchsorted(self._deleted, docs)
+            pos_tc = np.minimum(pos_t, self._deleted.size - 1)
+            live = self._deleted[pos_tc] != docs
+            docs, tfs = docs[live], tfs[live]
         if self.manifest.weight_quantization == "u8":
             # quantized tier: stored "tf" is the FeatureField-encoded
             # frequency — decode back to the float32 weight grid
