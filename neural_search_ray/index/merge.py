@@ -179,12 +179,21 @@ def merge_segments(
     *,
     delete_sources: bool = True,
     source_ids: list[str] | None = None,
+    apply_deletes: bool = True,
 ) -> IndexManifest:
     """Merge complete segments of the index into one. Returns the
     updated manifest (unchanged if there are fewer than 2 sources).
 
     ``source_ids`` restricts the merge to that subset (the tiered-policy
-    hook, see compact_tiered); default = every complete segment."""
+    hook, see compact_tiered); default = every complete segment.
+
+    ``apply_deletes`` (default True, the Lucene behavior): tombstoned
+    docs (index/deletes.py) are DROPPED while the merge rewrites — the
+    merged segment's n_docs / sum_dl / df are recomputed over survivors,
+    while unmerged segments keep stale stats until their own merge or a
+    purge_deletes pass. Tombstones are NOT cleared here (other segments
+    may still hold the docs); querying already-purged ids through the
+    tombstone filter is a no-op."""
     manifest = IndexManifest.load(index_dir)
     if manifest is None:
         raise FileNotFoundError(f"no index manifest in {index_dir}")
@@ -212,17 +221,28 @@ def merge_segments(
     block_size = manifest.block_size
     source_ids = sorted(sid for sid, _ in sources)
 
+    # Lucene drops deleted docs as a merge rewrites: broadcast the
+    # tombstone set once (None when empty — the common case costs nothing)
+    tombs_ref = None
+    if apply_deletes:
+        from .deletes import load_tombstones
+
+        tombs = load_tombstones(index_dir)
+        if tombs.size:
+            tombs_ref = ray.put(tombs)
+
     items = [
         {"doc_shard": s, "term_bucket": b, "paths": paths}
         for (s, b), paths in sorted(groups.items())
     ]
 
     def merge_group(batch: dict) -> pa.Table:
+        drop = ray.get(tombs_ref) if tombs_ref is not None else None
         return _group_rows_table(
             [
                 _rewrite_group(
                     index_dir, merged_id, int(shard), int(bucket), paths,
-                    decode, grouped_encode, block_size,
+                    decode, grouped_encode, block_size, drop_sorted=drop,
                 )
                 for shard, bucket, paths in zip(
                     batch["doc_shard"], batch["term_bucket"], batch["paths"]

@@ -208,6 +208,34 @@ class TestPurge:
             docs, _ = s.search_bm25(tokenize(q), k=100)
             assert not {0, 1, 2, 3} & set(docs.tolist())
 
+    def test_merge_applies_deletes(self, tmp_path, sf_dir, ray_session):
+        """Lucene behavior: a segment merge drops tombstoned docs while
+        rewriting, so the merged segment's stats are recomputed over
+        survivors — equal to a fresh build over the surviving corpus.
+        Tombstones are kept (merge can't know other segments are clean)."""
+        from neural_search_ray.index.merge import merge_segments
+
+        index_dir = str(tmp_path / "idx")
+        fresh_dir = str(tmp_path / "fresh")
+        n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        half = pads.field("doc_id") < n // 2
+        build_index(_docs_ds(sf_dir, half), index_dir, CFG, segment_id="seg-000")
+        build_index(_docs_ds(sf_dir, ~half), index_dir, CFG, segment_id="seg-001")
+        dropped = [0, 1, n - 1]  # docs in both source segments
+        delete_docs(index_dir, dropped)
+        merge_segments(index_dir, "merged-000")
+        m = IndexManifest.load(index_dir)
+        assert set(m.segments) == {"merged-000"}
+        assert m.n_docs == n - len(dropped)
+        assert load_tombstones(index_dir).tolist() == sorted(dropped)
+        keep = pads.field("doc_id").isin(
+            [i for i in range(n) if i not in dropped]
+        )
+        build_index(_docs_ds(sf_dir, keep), fresh_dir, CFG)
+        sm, sf_ = IndexSearcher(index_dir), IndexSearcher(fresh_dir)
+        assert sm.avgdl == sf_.avgdl
+        assert _results(sm) == _results(sf_)
+
     def test_tombstones_survive_incomplete_segments(
         self, tmp_path, sf_dir, ray_session, monkeypatch
     ):
