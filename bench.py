@@ -195,6 +195,9 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
         # compaction + end-to-end dedup tracked per r03 verdict
         "bm25_topk_merged",
         "dedup_apply",
+        # delete path: hardlink index copy + tombstone write + purge
+        # rewrite of the dirty segment + full query set (new in r4)
+        "bm25_topk_purged",
     ):
         t0 = time.perf_counter()
         res = suite.build_queries()[name](sf_dir)

@@ -72,14 +72,16 @@ def train_sq8_scales(
 
 class SQ8TopKStage:
     """Per-block integer-dot top-k against the broadcast quantized
-    queries. Codes are widened to int64 for the accumulate (dim * 127^2
-    overflows int32 past ~133k dims; int64 is exact for any realistic
-    dim)."""
+    queries. The dot is computed as a float64 BLAS matmul over the int8
+    codes — EXACT, because every partial sum is an integer bounded by
+    dim * 127^2 < 2^53 for any dim below ~5e8 (numpy integer matmul has
+    no BLAS kernel and measured ~2x slower end-to-end); the result is
+    cast back to the exact int64 score."""
 
     def __init__(self, q_codes: np.ndarray, query_ids: np.ndarray,
                  scales: np.ndarray, k: int = 10,
                  id_col: str = "vec_id", emb_col: str = "embedding"):
-        self.q = np.ascontiguousarray(q_codes, dtype=np.int64)
+        self.q = np.ascontiguousarray(q_codes, dtype=np.float64)
         self.query_ids = np.asarray(query_ids, dtype=np.int64)
         self.scales = np.asarray(scales, dtype=np.float64)
         self.k = k
@@ -99,7 +101,9 @@ class SQ8TopKStage:
             col = col.combine_chunks()
         flat = col.flatten().to_numpy(zero_copy_only=False)
         codes = quantize_sq8(flat.reshape(len(ids), -1), self.scales)
-        sims = self.q @ codes.astype(np.int64).T  # (nq, nb) exact int64
+        # float64 BLAS matmul over integer-valued operands: exact (see
+        # class docstring), then cast to the true int64 score
+        sims = (self.q @ codes.astype(np.float64).T).astype(np.int64)
         out_q, out_id, out_s = [], [], []
         kk = min(self.k, ids.size)
         for qi in range(sims.shape[0]):
