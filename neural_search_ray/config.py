@@ -76,6 +76,13 @@ class IndexConfig:
     # results are codec-invariant (rank-identity tested); the manifest
     # records the choice for readers.
     posting_codec: str = "varint"
+    # index within-doc token positions per posting (the Lucene .prx
+    # positions stream text fields carry by default, which backs
+    # PhraseQuery / match_phrase). Off by default: positions roughly
+    # double posting bytes and the sparse tier never uses them.
+    # Incompatible with weight_quantization="u8" (a quantized "tf" is a
+    # FeatureField-encoded weight, not a position count).
+    index_positions: bool = False
     bm25: BM25Config = field(default_factory=BM25Config)
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
 

@@ -80,6 +80,11 @@ _PARTIAL_SCHEMA = pa.schema(
         ("tfs", pa.list_(pa.int32())),
     ]
 )
+# positional build: one extra token-level payload — within-doc positions,
+# posting-contiguous (posting i's slice has length tfs[i])
+_PARTIAL_SCHEMA_POS = _PARTIAL_SCHEMA.append(
+    pa.field("pos", pa.list_(pa.int32()))
+)
 
 
 def make_tokenize_partial_postings(
@@ -89,6 +94,8 @@ def make_tokenize_partial_postings(
     num_shards = config.num_shards
     num_buckets = config.num_salts * config.num_shards  # term buckets per shard
     analyzer_cfg = config.analyzer
+    index_positions = config.index_positions
+    schema = _PARTIAL_SCHEMA_POS if index_positions else _PARTIAL_SCHEMA
 
     def _packed_rows(
         run_terms: pa.Array,      # one term per run, in run order
@@ -99,10 +106,12 @@ def make_tokenize_partial_postings(
         total_postings: int,
         p_doc: np.ndarray,
         p_tf: np.ndarray,
+        pos_flat: np.ndarray | None = None,   # token-space positions per run
+        run_pos_start: np.ndarray | None = None,
     ) -> pa.Table:
         """Pack consecutive runs sharing (shard, bucket) into one row.
         PRECONDITION: runs are sorted by (shard, bucket) and postings are
-        laid out run-contiguously."""
+        laid out run-contiguously (positions token-contiguously)."""
         nruns = run_df.size
         gb = np.flatnonzero(
             (np.diff(run_shard) != 0) | (np.diff(run_bucket) != 0)
@@ -115,23 +124,36 @@ def make_tokenize_partial_postings(
             np.concatenate((run_post_start[g_starts], [total_postings])),
             type=pa.int64(),
         )
-        return pa.table(
-            {
-                "doc_shard": pa.array(run_shard[g_starts].astype(np.int32)),
-                "term_bucket": pa.array(run_bucket[g_starts].astype(np.int32)),
-                "terms": pa.ListArray.from_arrays(run_offsets, run_terms),
-                "dfs": pa.ListArray.from_arrays(
-                    run_offsets, pa.array(run_df.astype(np.int32), type=pa.int32())
-                ),
-                "doc_ids": pa.ListArray.from_arrays(
-                    post_offsets, pa.array(p_doc, type=pa.int64())
-                ),
-                "tfs": pa.ListArray.from_arrays(
-                    post_offsets, pa.array(p_tf.astype(np.int32), type=pa.int32())
-                ),
-            },
-            schema=_PARTIAL_SCHEMA,
-        )
+        cols = {
+            "doc_shard": pa.array(run_shard[g_starts].astype(np.int32)),
+            "term_bucket": pa.array(run_bucket[g_starts].astype(np.int32)),
+            "terms": pa.ListArray.from_arrays(run_offsets, run_terms),
+            "dfs": pa.ListArray.from_arrays(
+                run_offsets, pa.array(run_df.astype(np.int32), type=pa.int32())
+            ),
+            "doc_ids": pa.ListArray.from_arrays(
+                post_offsets, pa.array(p_doc, type=pa.int64())
+            ),
+            "tfs": pa.ListArray.from_arrays(
+                post_offsets, pa.array(p_tf.astype(np.int32), type=pa.int32())
+            ),
+        }
+        if index_positions:
+            if pos_flat is None:  # doc-length sentinel rows: empty lists
+                pos_offsets = pa.array(
+                    np.zeros(g_starts.size + 1, dtype=np.int64)
+                )
+                pos_vals = pa.array(np.empty(0, np.int32), type=pa.int32())
+            else:
+                pos_offsets = pa.array(
+                    np.concatenate(
+                        (run_pos_start[g_starts], [pos_flat.size])
+                    ),
+                    type=pa.int64(),
+                )
+                pos_vals = pa.array(pos_flat.astype(np.int32), type=pa.int32())
+            cols["pos"] = pa.ListArray.from_arrays(pos_offsets, pos_vals)
+        return pa.table(cols, schema=schema)
 
     def fn(batch: pa.Table) -> pa.Table:
         from ..runtime import ensure_worker_tuned
@@ -158,7 +180,26 @@ def make_tokenize_partial_postings(
             uniques = denc.dictionary
             tok_doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
             pair = codes * n_docs + tok_doc_idx
-            upair, tf = np.unique(pair, return_counts=True)
+            pos_flat = None
+            if index_positions:
+                # keep the token→posting mapping: stable sort groups
+                # tokens by (term, doc) while preserving within-doc
+                # position order (tokens arrive in document order)
+                tok_pos = (
+                    np.arange(pair.size, dtype=np.int64)
+                    - np.repeat(offs[:-1], lens)
+                )
+                tok_order = np.argsort(pair, kind="stable")
+                sp = pair[tok_order]
+                pbnd = np.flatnonzero(np.diff(sp) != 0)
+                post_tok_start = np.concatenate(([0], pbnd + 1))
+                tf = np.diff(
+                    np.concatenate((post_tok_start, [sp.size]))
+                ).astype(np.int64)
+                upair = sp[post_tok_start]
+                pos_flat = tok_pos[tok_order]
+            else:
+                upair, tf = np.unique(pair, return_counts=True)
             p_code = upair // n_docs
             p_doc = doc_ids[upair % n_docs]
             p_shard = (p_doc % num_shards).astype(np.int32)
@@ -171,6 +212,11 @@ def make_tokenize_partial_postings(
             # lay postings out grouped by (shard, bucket) so one packed
             # row per group slices the flat arrays with offsets only
             order = np.lexsort((p_doc, p_code, p_bucket, p_shard))
+            run_pos_start = None
+            if index_positions:
+                from .codec import posting_gather
+
+                pos_flat = pos_flat[posting_gather(post_tok_start, tf, order)]
             p_code, p_shard, p_bucket, p_doc, tf = (
                 p_code[order], p_shard[order], p_bucket[order],
                 p_doc[order], tf[order],
@@ -180,6 +226,9 @@ def make_tokenize_partial_postings(
             )
             run_starts = np.concatenate(([0], change + 1))
             run_ends = np.concatenate((change + 1, [p_code.size]))
+            if index_positions:
+                excl = np.cumsum(tf) - tf
+                run_pos_start = excl[run_starts]
             g_codes = p_code[run_starts]
             parts.append(
                 _packed_rows(
@@ -191,6 +240,8 @@ def make_tokenize_partial_postings(
                     p_code.size,
                     p_doc,
                     tf,
+                    pos_flat,
+                    run_pos_start,
                 )
             )
 
@@ -233,6 +284,7 @@ def make_write_group(index_dir: str, segment_id: str, config: IndexConfig):
     block_size = config.block_size
     n_postings = config.n_postings
     quantize_u8 = config.weight_quantization == "u8"
+    index_positions = config.index_positions
     grouped_encode = grouped_encoder_for(config.posting_codec)
 
     def fn(group: pa.Table) -> pa.Table:
@@ -286,6 +338,16 @@ def make_write_group(index_dir: str, segment_id: str, config: IndexConfig):
         g_code = code_per_posting[order]
         g_doc = flat_docs[order]
         g_tf = flat_tfs[order]
+        g_pos = None
+        if index_positions:
+            from .codec import posting_gather, positions_delta
+
+            flat_pos = (
+                group["pos"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            tok_start = np.cumsum(flat_tfs) - flat_tfs
+            g_pos = flat_pos[posting_gather(tok_start, flat_tfs, order)]
         # static index pruning (reference: keep n_postings highest-weight
         # postings per term, PostingsProcessingUtils.java:38-56 via
         # ClusteredPostingTermsWriter.java:136-142). Vectorized: rank
@@ -301,6 +363,11 @@ def make_write_group(index_dir: str, segment_id: str, config: IndexConfig):
             )
             kept = sel[rank < n_postings]
             kept.sort()  # restore (code, doc) order: original was lexsorted
+            if index_positions:
+                from .codec import posting_gather
+
+                g_tok = np.cumsum(g_tf) - g_tf
+                g_pos = g_pos[posting_gather(g_tok, g_tf, kept)]
             g_code, g_doc, g_tf = g_code[kept], g_doc[kept], g_tf[kept]
 
         if quantize_u8 and g_tf.size:
@@ -352,15 +419,25 @@ def make_write_group(index_dir: str, segment_id: str, config: IndexConfig):
         )
 
         out_terms = uniq[g_code[starts]] if g_code.size else []
-        table = pa.table(
-            {
-                "term": pa.array(list(out_terms), type=pa.string()),
-                "df": pa.array(dfs, type=pa.int64()),
-                "docs": pa.array(doc_bufs, type=pa.binary()),
-                "tfs": pa.array(tf_bufs, type=pa.binary()),
-                "block_max_tf": bm_col,
-            }
-        )
+        cols = {
+            "term": pa.array(list(out_terms), type=pa.string()),
+            "df": pa.array(dfs, type=pa.int64()),
+            "docs": pa.array(doc_bufs, type=pa.binary()),
+            "tfs": pa.array(tf_bufs, type=pa.binary()),
+            "block_max_tf": bm_col,
+        }
+        if index_positions:
+            from .codec import positions_delta
+
+            tok_bounds = np.concatenate(
+                (np.cumsum(g_tf) - g_tf, [int(g_tf.sum())])
+            ).astype(np.int64)
+            pdeltas = positions_delta(g_pos, tok_bounds[:-1])
+            cols["pos"] = pa.array(
+                grouped_encode(pdeltas, tok_bounds[starts], tok_bounds[ends]),
+                type=pa.binary(),
+            )
+        table = pa.table(cols)
         path = f"segments/{segment_id}/post_s{shard:04d}_b{bucket:05d}.parquet"
         pq.write_table(table, os.path.join(index_dir, path))
         return pa.table(
@@ -376,6 +453,25 @@ def make_write_group(index_dir: str, segment_id: str, config: IndexConfig):
         )
 
     return fn
+
+
+def index_config_from_manifest(manifest: IndexManifest) -> IndexConfig:
+    """Reconstruct the IndexConfig an existing index was built with, so
+    later segments (incremental ingest, upsert) use identical layout and
+    analysis. n_postings is a per-flush choice, not an index property —
+    callers that prune must set it explicitly."""
+    from ..config import AnalyzerConfig, BM25Config
+
+    return IndexConfig(
+        num_shards=manifest.num_doc_shards,
+        num_salts=max(manifest.num_term_buckets // manifest.num_doc_shards, 1),
+        block_size=manifest.block_size,
+        weight_quantization=manifest.weight_quantization,
+        posting_codec=manifest.posting_codec,
+        index_positions=manifest.index_positions,
+        bm25=BM25Config(**manifest.bm25),
+        analyzer=AnalyzerConfig(**manifest.analyzer),
+    )
 
 
 def build_index(
@@ -398,6 +494,12 @@ def build_index(
     task and is retried; the segment is marked complete only after every
     group file landed).
     """
+    if config.index_positions and config.weight_quantization == "u8":
+        raise ValueError(
+            "index_positions is incompatible with weight_quantization='u8': "
+            "a quantized 'tf' is a FeatureField-encoded weight, not a "
+            "position count, so positional payloads could not be decoded"
+        )
     os.makedirs(index_dir, exist_ok=True)
     num_buckets = config.num_salts * config.num_shards
     manifest = IndexManifest.load(index_dir) or IndexManifest(
@@ -408,7 +510,15 @@ def build_index(
         bm25=asdict(config.bm25),
         weight_quantization=config.weight_quantization,
         posting_codec=config.posting_codec,
+        index_positions=config.index_positions,
     )
+    if manifest.index_positions != config.index_positions:
+        raise ValueError(
+            f"index at {index_dir} was built with index_positions="
+            f"{manifest.index_positions}; cannot add segments with "
+            f"index_positions={config.index_positions} (readers decode "
+            f"per-manifest)"
+        )
     if manifest.posting_codec != config.posting_codec:
         raise ValueError(
             f"index at {index_dir} was built with posting_codec="

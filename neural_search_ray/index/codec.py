@@ -249,6 +249,58 @@ def for_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return out[:n].astype(np.int64)
 
 
+# ---- positional payloads ---------------------------------------------------
+# A positional posting list stores, per posting (term, doc), its within-doc
+# token positions (the Lucene .prx / FieldsConsumer positions stream that
+# backs PhraseQuery — the reference inherits it from Lucene text fields).
+# Layout: ONE buffer per term row = the per-posting position DELTAS
+# (first position absolute, then successive gaps), concatenated in posting
+# order and codec-encoded like any other stream; the posting's tf is its
+# position count, so decode needs no extra offsets. Helpers below are the
+# shared vectorized kernels for build (index/build.py), merge
+# (index/merge.py) and query decode (query/engine.py).
+
+
+def posting_gather(
+    posting_starts: np.ndarray, tf: np.ndarray, order: np.ndarray
+) -> np.ndarray:
+    """Token-level gather index that reorders a posting-contiguous flat
+    array (positions) when postings are permuted/selected by ``order``.
+
+    ``posting_starts[i]``/``tf[i]`` describe posting i's slice of the flat
+    array; ``order`` is any int index array (permutation or subset)."""
+    new_tf = tf[order]
+    total = int(new_tf.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    new_starts = np.cumsum(new_tf) - new_tf
+    return (
+        np.repeat(posting_starts[order] - new_starts, new_tf)
+        + np.arange(total, dtype=np.int64)
+    )
+
+
+def positions_delta(flat_pos: np.ndarray, posting_starts: np.ndarray) -> np.ndarray:
+    """Per-posting delta encode: first position absolute, then gaps."""
+    deltas = np.empty_like(flat_pos)
+    if flat_pos.size:
+        deltas[0] = flat_pos[0]
+        np.subtract(flat_pos[1:], flat_pos[:-1], out=deltas[1:])
+        deltas[posting_starts] = flat_pos[posting_starts]
+    return deltas
+
+
+def positions_undelta(
+    deltas: np.ndarray, posting_starts: np.ndarray, tf: np.ndarray
+) -> np.ndarray:
+    """Inverse of positions_delta (segmented cumsum, vectorized)."""
+    if deltas.size == 0:
+        return deltas.astype(np.int64, copy=False)
+    c = np.cumsum(deltas)
+    base = c[posting_starts] - deltas[posting_starts]
+    return c - np.repeat(base, tf)
+
+
 def decoder_for(codec: str):
     """Posting-buffer decoder for a manifest's posting_codec."""
     if codec == "for":

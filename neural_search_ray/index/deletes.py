@@ -102,6 +102,71 @@ def clear_tombstones(index_dir: str) -> None:
             os.remove(os.path.join(d, f))
 
 
+def upsert_docs(
+    index_dir: str,
+    ds: "ray.data.Dataset",
+    *,
+    segment_id: str,
+    doc_ids=None,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> IndexManifest:
+    """Update-or-insert documents — the Lucene
+    ``IndexWriter.updateDocument`` model (atomic delete-by-id + add to a
+    NEW segment) restated over this index layout.
+
+    Our tombstones are global by doc_id, not per-segment liveDocs, so the
+    delete must be physically PURGED before the new copies land —
+    otherwise the tombstone would hide the re-added ids too. Sequence
+    (every step idempotent, so a crashed run is repaired by re-running):
+
+      1. ``delete_docs(ids)`` — tombstone the ids being replaced
+         (ids that were never indexed are no-ops, so upsert doubles as
+         plain insert);
+      2. ``purge_deletes`` — rewrite only the dirty segments, recompute
+         stats, clear the tombstones;
+      3. ``build_index`` of the new docs as ``segment_id``, with the
+         index's own recorded config (layout/analysis identical).
+
+    After the purge the stats chain is recomputed, so a search over the
+    upserted index is bit-identical to an index built fresh over the
+    updated corpus (oracled: bm25_topk_upsert).
+
+    ``doc_ids``: the ids being upserted; pass them when known to avoid
+    the extra Dataset pass that otherwise collects them (bounded by the
+    same tombstone-fits-in-memory discipline as delete_docs)."""
+    manifest = IndexManifest.load(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no index manifest in {index_dir}")
+    if (
+        segment_id in manifest.segments
+        and manifest.segments[segment_id]["complete"]
+    ):
+        return manifest  # resume no-op: this upsert already landed
+    from .build import build_index, index_config_from_manifest
+
+    if doc_ids is None:
+        parts = [
+            b[id_column].to_numpy(zero_copy_only=False)
+            for b in ds.select_columns([id_column]).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+        doc_ids = (
+            np.concatenate(parts) if parts else np.empty(0, np.int64)
+        )
+    delete_docs(index_dir, doc_ids)
+    purge_deletes(index_dir)
+    return build_index(
+        ds,
+        index_dir,
+        index_config_from_manifest(manifest),
+        segment_id=segment_id,
+        id_column=id_column,
+        text_column=text_column,
+    )
+
+
 def _purged_seg_id(sid: str) -> str:
     """seg-000 -> seg-000.p1 -> seg-000.p2 ... (purge generation)."""
     base, dot, gen = sid.rpartition(".p")

@@ -65,6 +65,11 @@ class IndexManifest:
     bm25: dict
     weight_quantization: str = "none"  # "none" | "u8" (quantized sparse tier)
     posting_codec: str = "varint"      # "varint" | "for" (index/codec.py)
+    # True when posting files carry the optional "pos" positions column
+    # (codec.py positional payloads). Additive + optional: a reader that
+    # ignores the field still scores BM25 identically (tf is unchanged),
+    # so this is NOT a format_version bump.
+    index_positions: bool = False
     format_version: int = FORMAT_VERSION_CURRENT
     segments: dict[str, Any] = field(default_factory=dict)  # id → SegmentManifest dict
 
@@ -119,6 +124,7 @@ class IndexManifest:
             bm25=d["bm25"],
             weight_quantization=d.get("weight_quantization", "none"),
             posting_codec=d.get("posting_codec", "varint"),
+            index_positions=d.get("index_positions", False),
             format_version=version,
             segments=d["segments"],
         )

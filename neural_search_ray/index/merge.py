@@ -93,27 +93,53 @@ def _rewrite_group(
     dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
     docs_bufs = t["docs"].to_pylist()
     tfs_bufs = t["tfs"].to_pylist()
+    # positional segments (index/codec.py positional payloads): decode the
+    # per-posting positions alongside, permute them posting-granularly
+    # through drop + re-sort, re-encode in the output
+    has_pos = "pos" in t.column_names
+    pos_bufs = t["pos"].to_pylist() if has_pos else None
     # decode every source row (C-speed per buffer), lay out flat
     import pandas as pd
+
+    from .codec import posting_gather, positions_delta, positions_undelta
 
     codes_row, uniq = pd.factorize(terms)
     total = int(dfs.sum())
     flat_doc = np.empty(total, dtype=np.int64)
     flat_tf = np.empty(total, dtype=np.int64)
     flat_code = np.repeat(codes_row.astype(np.int64), dfs)
+    pos_parts: list[np.ndarray] = []
     pos = 0
-    for df_i, db, tb in zip(dfs, docs_bufs, tfs_bufs):
+    for i, (df_i, db, tb) in enumerate(zip(dfs, docs_bufs, tfs_bufs)):
         n = int(df_i)
         deltas = decode(db, n)
         flat_doc[pos : pos + n] = np.cumsum(deltas)
-        flat_tf[pos : pos + n] = decode(tb, n)
+        row_tf = decode(tb, n)
+        flat_tf[pos : pos + n] = row_tf
+        if has_pos:
+            pdel = decode(pos_bufs[i], int(row_tf.sum()))
+            pos_parts.append(
+                positions_undelta(pdel, np.cumsum(row_tf) - row_tf, row_tf)
+            )
         pos += n
+    flat_pos = (
+        np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
+    ) if has_pos else None
     if drop is not None and flat_doc.size:
         live = _live_mask(flat_doc, drop)
+        if has_pos:
+            tok_start = np.cumsum(flat_tf) - flat_tf
+            flat_pos = flat_pos[
+                posting_gather(tok_start, flat_tf, np.flatnonzero(live))
+            ]
         flat_doc, flat_tf, flat_code = flat_doc[live], flat_tf[live], flat_code[live]
 
     order = np.lexsort((flat_doc, flat_code))
     g_code, g_doc, g_tf = flat_code[order], flat_doc[order], flat_tf[order]
+    g_pos = None
+    if has_pos:
+        tok_start = np.cumsum(flat_tf) - flat_tf
+        g_pos = flat_pos[posting_gather(tok_start, flat_tf, order)]
     change = np.flatnonzero(np.diff(g_code) != 0)
     starts = np.concatenate(([0], change + 1)) if g_code.size else np.empty(0, np.int64)
     ends = (
@@ -144,15 +170,23 @@ def _rewrite_group(
         pa.array(bm_offsets), pa.array(bm_flat, type=pa.int32())
     )
     out_terms = uniq[g_code[starts]] if g_code.size else []
-    table = pa.table(
-        {
-            "term": pa.array(list(out_terms), type=pa.string()),
-            "df": pa.array(mdfs, type=pa.int64()),
-            "docs": pa.array(doc_out, type=pa.binary()),
-            "tfs": pa.array(tf_out, type=pa.binary()),
-            "block_max_tf": bm_col,
-        }
-    )
+    cols = {
+        "term": pa.array(list(out_terms), type=pa.string()),
+        "df": pa.array(mdfs, type=pa.int64()),
+        "docs": pa.array(doc_out, type=pa.binary()),
+        "tfs": pa.array(tf_out, type=pa.binary()),
+        "block_max_tf": bm_col,
+    }
+    if has_pos:
+        tok_bounds = np.concatenate(
+            (np.cumsum(g_tf) - g_tf, [int(g_tf.sum())])
+        ).astype(np.int64)
+        pdeltas = positions_delta(g_pos, tok_bounds[:-1])
+        cols["pos"] = pa.array(
+            grouped_encode(pdeltas, tok_bounds[starts], tok_bounds[ends]),
+            type=pa.binary(),
+        )
+    table = pa.table(cols)
     path = f"segments/{out_seg_id}/post_s{shard:04d}_b{bucket:05d}.parquet"
     pq.write_table(table, os.path.join(index_dir, path))
     return (shard, bucket, path, len(table), int(mdfs.sum()), 0, 0)

@@ -186,7 +186,16 @@ def _bm25_scored_sql_filtered(doc_where: str) -> str:
     recomputed over ``documents WHERE doc_where`` — the post-purge oracle
     (purge_deletes rewrites segments and recomputes stats, so the engine
     matches a fresh build over the surviving corpus)."""
-    src = f"(SELECT doc_id, text FROM documents WHERE {doc_where})"
+    return _bm25_scored_sql_src(
+        f"(SELECT doc_id, text FROM documents WHERE {doc_where})"
+    )
+
+
+def _bm25_scored_sql_src(src: str) -> str:
+    """BM25 scored set with the ENTIRE stats chain computed over an
+    arbitrary ``(SELECT doc_id, text ...)`` corpus subquery — shared by
+    the post-purge oracle (filtered corpus) and the upsert oracle
+    (updated corpus)."""
     tok = (
         f"SELECT doc_id, lower(t.term) AS term FROM {src} docs_f, "
         "unnest(string_split(text, ' ')) AS t(term) WHERE t.term <> ''"
@@ -230,6 +239,61 @@ SELECT query_id, rank, doc_id, score FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(score, 6) DESC, doc_id) AS rank
   FROM ({scored_sql})
+) WHERE rank <= {k}"""
+
+
+def _phrase_scored_sql() -> str:
+    """Phrase-BM25 scored set mirroring engine search_phrase (Lucene
+    PhraseQuery slop=0 under BM25Similarity): per-doc phrase tf counted
+    by sliding the token list (1-based list indexing; overlapping
+    matches count), idf = SUM of the per-term idfs, same dl norm."""
+    branches = []
+    idf_rows = []
+    for qid, qtext in PHRASE_QUERY_SET:
+        toks = tokenize(qtext)
+        n = len(toks)
+        cond = " AND ".join(
+            f"toks[i + {j}] = '{t}'" for j, t in enumerate(toks)
+        )
+        branches.append(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"len(list_filter(range(1, len(toks) - {n} + 2), "
+            f"i -> {cond}))::BIGINT AS tf FROM w"
+        )
+        for t in toks:  # one idf addend per term OCCURRENCE (Lucene)
+            idf_rows.append(f"({qid}, '{t}')")
+    ptf = " UNION ALL ".join(branches)
+    idf_sql = f"""
+    SELECT q.query_id, sum(ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))) AS idf_sum
+    FROM (VALUES {", ".join(idf_rows)}) q(query_id, term)
+    JOIN ({SQL_DF}) df ON df.term = q.term
+    CROSS JOIN ({SQL_STATS}) s
+    GROUP BY q.query_id"""
+    return f"""
+  WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents)
+  SELECT p.query_id::BIGINT AS query_id, p.doc_id,
+         i.idf_sum * p.tf / (p.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) AS score
+  FROM ({ptf}) p
+  JOIN ({idf_sql}) i ON i.query_id = p.query_id
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = p.doc_id
+  CROSS JOIN ({SQL_STATS}) s
+  WHERE p.tf > 0"""
+
+
+def _multiterm_const_sql(values: list[tuple[int, str]], like_expr: str, k: int) -> str:
+    """Constant-score multi-term oracle (Lucene CONSTANT_SCORE rewrite of
+    PrefixQuery / WildcardQuery): docs containing ANY term matching the
+    pattern score 1.0; rank = doc_id asc."""
+    rows = ", ".join(f"({qid}, '{pat}')" for qid, pat in values)
+    return f"""
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, 1.0::DOUBLE AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY doc_id) AS rank
+  FROM (SELECT DISTINCT q.query_id::BIGINT AS query_id, t.doc_id
+        FROM (VALUES {rows}) q(query_id, pat)
+        JOIN ({SQL_TOK}) t ON t.term LIKE {like_expr})
 ) WHERE rank <= {k}"""
 
 
@@ -363,6 +427,155 @@ def q_bm25_topk_purged(sf_dir: str) -> pa.Table:
         rows.append((qid, docs, scores))
     out = _hits_table(rows)
     return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+# --- upsert (delete + purge + add-segment, index/deletes.py) --------------
+
+_UPSERT_MOD = 13  # deterministic upsert set: doc_id % 13 == 0 (~8% of docs)
+_UPSERT_PREFIX = "data query refresh "  # prepended to updated docs' text
+_UPSERT_INDEX_CACHE: dict[str, str] = {}
+
+
+def _upsert_index_dir(sf_dir: str) -> str:
+    """A hardlink copy of the base index with doc_id % _UPSERT_MOD == 0
+    re-ingested with '_UPSERT_PREFIX + text' via upsert_docs (delete →
+    purge → new segment). Idempotent: upsert_docs resumes by segment id."""
+    import shutil
+
+    from ..index.deletes import upsert_docs
+
+    if sf_dir in _UPSERT_INDEX_CACHE:
+        return _UPSERT_INDEX_CACHE[sf_dir]
+    base = get_index_dir(sf_dir)
+    d = f"{base}-upsert"
+    if not os.path.exists(d):
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base, tmp, copy_function=os.link)
+        os.rename(tmp, d)
+
+    def _updated(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(ids % _UPSERT_MOD == 0))
+        text = pc.binary_join_element_wise(
+            pa.array([_UPSERT_PREFIX] * len(sel)), sel["text"], ""
+        )
+        return pa.table({"doc_id": sel["doc_id"], "text": text})
+
+    updated = _docs_ds(sf_dir).map_batches(_updated, batch_format="pyarrow")
+    upsert_docs(d, updated, segment_id="seg-upsert")
+    _UPSERT_INDEX_CACHE[sf_dir] = d
+    return d
+
+
+def q_bm25_topk_upsert(sf_dir: str) -> pa.Table:
+    """BM25 top-k after UPSERTING doc_id % 13 == 0 with updated text
+    (upsert_docs = the Lucene updateDocument model: delete-by-id, purge,
+    re-add in a NEW segment — index/deletes.py). The purge recomputes
+    the stats chain and the new segment lands with exact stats, so the
+    result is bit-identical to an index built fresh over the updated
+    corpus — which is what the oracle computes."""
+    searcher = IndexSearcher(_upsert_index_dir(sf_dir))
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+# --- positional queries (phrase) and term-dictionary expansion -------------
+
+# exact-adjacency phrases over the documents corpus: bigrams with healthy
+# doc frequency plus trigrams with rare/singleton matches (both regimes)
+PHRASE_QUERY_SET: list[tuple[int, str]] = [
+    (0, "data query"),
+    (1, "merge sort"),
+    (2, "table scan"),
+    (3, "batch stream"),
+    (4, "fast join"),
+    (5, "group agg"),
+    (6, "table scan filter"),
+    (7, "slow group agg"),
+]
+
+PREFIX_QUERY_SET: list[tuple[int, str]] = [
+    (0, "qu"),
+    (1, "sp"),
+    (2, "c"),
+    (3, "dup"),
+]
+
+# engine patterns (Lucene WildcardQuery syntax) with their SQL LIKE forms
+WILDCARD_QUERY_SET: list[tuple[int, str, str]] = [
+    (0, "s*m", "s%m"),
+    (1, "*ow", "%ow"),
+    (2, "b?g", "b_g"),
+    (3, "v*", "v%"),
+]
+
+_POS_INDEX_CACHE: dict[str, str] = {}
+
+
+def get_pos_searcher(sf_dir: str) -> IndexSearcher:
+    """Searcher over a POSITIONAL index of the documents table
+    (IndexConfig(index_positions=True) — the Lucene .prx stream that
+    backs PhraseQuery). Built/cached separately from the base index."""
+    if sf_dir not in _POS_INDEX_CACHE:
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        key = hashlib.md5(
+            f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
+        ).hexdigest()[:12]
+        index_dir = f"/tmp/nsr_posindex_{key}"
+        build_index(
+            _docs_ds(sf_dir),
+            index_dir,
+            IndexConfig(num_shards=4, num_salts=2, index_positions=True),
+            resume=True,
+        )
+        _POS_INDEX_CACHE[sf_dir] = index_dir
+    idx = _POS_INDEX_CACHE[sf_dir]
+    if idx not in _SEARCHER_CACHE:
+        _SEARCHER_CACHE[idx] = IndexSearcher(idx)
+    return _SEARCHER_CACHE[idx]
+
+
+def q_phrase_topk(sf_dir: str) -> pa.Table:
+    """match_phrase top-k (query/engine.py search_phrase): exact
+    adjacency from positional postings, BM25 scoring with idf summed
+    over the phrase terms — Lucene PhraseQuery slop=0 semantics."""
+    searcher = get_pos_searcher(sf_dir)
+    rows = []
+    for qid, qtext in PHRASE_QUERY_SET:
+        docs, scores = searcher.search_phrase(tokenize(qtext), k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_prefix_topk(sf_dir: str) -> pa.Table:
+    """Prefix query (engine search_prefix): term-dictionary range
+    expansion + constant-score union, Lucene PrefixQuery semantics."""
+    searcher = get_searcher(sf_dir)
+    return _hits_table(
+        [
+            (qid, *searcher.search_prefix(p, k=BM25_K))
+            for qid, p in PREFIX_QUERY_SET
+        ]
+    )
+
+
+def q_wildcard_topk(sf_dir: str) -> pa.Table:
+    """Wildcard query (engine search_wildcard): fixed-prefix-narrowed
+    dictionary scan + constant-score union, Lucene WildcardQuery
+    semantics."""
+    searcher = get_searcher(sf_dir)
+    return _hits_table(
+        [
+            (qid, *searcher.search_wildcard(pat, k=BM25_K))
+            for qid, pat, _ in WILDCARD_QUERY_SET
+        ]
+    )
 
 
 def q_agentic_bm25(sf_dir: str) -> pa.Table:
@@ -2275,6 +2488,25 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["bm25_topk_purged"] = _topk_sql(
         _bm25_scored_sql_filtered(f"doc_id % {_DELETE_MOD} <> 0"), BM25_K
     )
+    # upsert (delete → purge → re-add): stats chain over the UPDATED corpus
+    sqls["bm25_topk_upsert"] = _topk_sql(
+        _bm25_scored_sql_src(
+            f"(SELECT doc_id, CASE WHEN doc_id % {_UPSERT_MOD} = 0 "
+            f"THEN '{_UPSERT_PREFIX}' || text ELSE text END AS text "
+            f"FROM documents)"
+        ),
+        BM25_K,
+    )
+    # positional phrase query + term-dictionary expansion queries
+    sqls["phrase_topk"] = _topk_sql(_phrase_scored_sql(), BM25_K)
+    sqls["prefix_topk"] = _multiterm_const_sql(
+        [(qid, p + "%") for qid, p in PREFIX_QUERY_SET], "q.pat", BM25_K
+    )
+    sqls["wildcard_topk"] = _multiterm_const_sql(
+        [(qid, sql_pat) for qid, _, sql_pat in WILDCARD_QUERY_SET],
+        "q.pat",
+        BM25_K,
+    )
     # same oracle: the two-segment incremental build and the
     # shard-actor-pool serving path must both be rank-identical to the
     # single-segment single-process result
@@ -3451,6 +3683,11 @@ def build_queries() -> dict:
         "query_enrich_sparse": q_query_enrich_sparse,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_purged": q_bm25_topk_purged,
+        # --- block 2b: new this session (positions / dictionary / upsert) ---
+        "phrase_topk": q_phrase_topk,
+        "prefix_topk": q_prefix_topk,
+        "wildcard_topk": q_wildcard_topk,
+        "bm25_topk_upsert": q_bm25_topk_upsert,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,
@@ -3464,16 +3701,18 @@ def build_queries() -> dict:
         "chunk_fixed_token": q_chunk_fixed_token,
         "prune_alpha_mass": q_prune_alpha_mass,
         "quality_stats": q_quality_stats,
-        "langid": q_langid,
-        "fingerprint_winnow_roll": q_fingerprint_winnow_roll,
         "dedup_exact": q_dedup_exact,
-        "simhash_pairs": q_simhash_pairs,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         # --- tail: remaining variants of window-covered families ---
         # (ivf_ann / seismic_ann / embed_neardup / ngram_jaccard_pairs /
-        # knn_cosine displaced from the window by the five new block-2
-        # entries; all five have driver CORRECTNESS rows in BOTH r02 and
-        # r03)
+        # knn_cosine displaced from the window by the five r4-session-2
+        # block-2 entries; langid / fingerprint_winnow_roll /
+        # simhash_pairs / minhash_lsh_pairs displaced by session 3's
+        # block 2b. Every displaced entry has a driver CORRECTNESS row
+        # in BOTH r02 and r03.)
+        "langid": q_langid,
+        "fingerprint_winnow_roll": q_fingerprint_winnow_roll,
+        "simhash_pairs": q_simhash_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "knn_cosine": q_knn_cosine,
         "ivf_ann": q_ivf_ann,

@@ -213,13 +213,15 @@ class IndexSearcher:
         # posting buffers stay zero-copy memoryview slices of the Arrow
         # data buffer (to_pylist boxed every buffer into Python bytes).
         self._gid: dict[str, int] = {}
+        self.has_positions = bool(getattr(manifest, "index_positions", False))
         n_rows = 0
         if post_paths:
             import pyarrow.dataset as pads
 
-            tbl = pads.dataset(post_paths).to_table(
-                columns=["term", "df", "docs", "tfs", "block_max_tf"]
-            )
+            cols = ["term", "df", "docs", "tfs", "block_max_tf"]
+            if self.has_positions:
+                cols.append("pos")
+            tbl = pads.dataset(post_paths).to_table(columns=cols)
             n_rows = tbl.num_rows
         if n_rows:
             self._p_df = tbl["df"].to_numpy()  # int64 on disk
@@ -236,6 +238,8 @@ class IndexSearcher:
             # combined shard column > 2 GiB can't overflow)
             self._docs_off, self._docs_data = _binary_views(tbl.column("docs"))
             self._tfs_off, self._tfs_data = _binary_views(tbl.column("tfs"))
+            if self.has_positions:
+                self._pos_off, self._pos_data = _binary_views(tbl.column("pos"))
             # group rows by term with Arrow C++ string sort (an object-dtype
             # np.argsort is 10x slower); row order within a term group is
             # irrelevant — multi-segment postings re-sort by docID at decode
@@ -252,9 +256,12 @@ class IndexSearcher:
             self._gend = ends
             self._gdf = np.add.reduceat(self._p_df[order], starts)
             self._gmax = np.maximum.reduceat(row_max[order], starts)
-            self._gid = dict(
-                zip(st.take(pa.array(starts)).to_pylist(), range(starts.size))
-            )
+            group_terms = st.take(pa.array(starts)).to_pylist()
+            self._gid = dict(zip(group_terms, range(starts.size)))
+            # lexicographically sorted unique terms (Arrow sorts by UTF-8
+            # bytes == code-point order), group id g == sorted rank g —
+            # the term dictionary for prefix/wildcard expansion
+            self._gterms = np.array(group_terms, dtype=object)
         else:
             self._p_df = np.empty(0, np.int64)
             self._docs_off = np.zeros(1, np.int64)
@@ -266,6 +273,10 @@ class IndexSearcher:
             self._gend = np.empty(0, np.int64)
             self._gdf = np.empty(0, np.int64)
             self._gmax = np.empty(0, np.int64)
+            self._gterms = np.empty(0, dtype=object)
+        if self.has_positions and not hasattr(self, "_pos_off"):
+            self._pos_off = np.zeros(1, np.int64)
+            self._pos_data = memoryview(b"")
         dl_docs: list[np.ndarray] = []
         dl_vals: list[np.ndarray] = []
         if dl_paths:
@@ -403,6 +414,72 @@ class IndexSearcher:
         v = self.postings_full(term)
         return v[0], v[1]
 
+    def postings_positions(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(docs, tfs int64, pos_flat, tok_start) — docID-sorted postings
+        with per-posting within-doc token positions (posting i's positions
+        are ``pos_flat[tok_start[i] : tok_start[i] + tfs[i]]``, strictly
+        increasing). Requires IndexConfig(index_positions=True); cached in
+        the RAM-accounted postings LRU under a tuple key (term strings and
+        tuples can't collide)."""
+        if not self.has_positions:
+            raise ValueError(
+                "index was built without positions "
+                "(IndexConfig.index_positions=True)"
+            )
+        key = ("pos", term)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        from ..index.codec import posting_gather, positions_undelta
+
+        g = self._gid.get(term)
+        empty = (
+            np.empty(0, np.int64), np.empty(0, np.int64),
+            np.empty(0, np.int64), np.empty(0, np.int64),
+        )
+        if g is None:
+            return empty
+        stats.incr("postings_decoded")
+        rows = self._row_order[self._gstart[g] : self._gend[g]]
+        ds_, fs, ps = [], [], []
+        for r in rows:
+            r = int(r)
+            df = int(self._p_df[r])
+            ds_.append(
+                np.cumsum(
+                    self._decode(
+                        self._docs_data[self._docs_off[r] : self._docs_off[r + 1]], df
+                    )
+                )
+            )
+            tfs_r = self._decode(
+                self._tfs_data[self._tfs_off[r] : self._tfs_off[r + 1]], df
+            )
+            fs.append(tfs_r)
+            pdel = self._decode(
+                self._pos_data[self._pos_off[r] : self._pos_off[r + 1]],
+                int(tfs_r.sum()),
+            )
+            ps.append(positions_undelta(pdel, np.cumsum(tfs_r) - tfs_r, tfs_r))
+        docs = np.concatenate(ds_)
+        tfs = np.concatenate(fs)
+        posf = np.concatenate(ps)
+        if len(rows) > 1:
+            order = np.argsort(docs, kind="stable")
+            posf = posf[posting_gather(np.cumsum(tfs) - tfs, tfs, order)]
+            docs, tfs = docs[order], tfs[order]
+        if self._deleted.size and docs.size:
+            pos_t = np.searchsorted(self._deleted, docs)
+            pos_tc = np.minimum(pos_t, self._deleted.size - 1)
+            kept = np.flatnonzero(self._deleted[pos_tc] != docs)
+            posf = posf[posting_gather(np.cumsum(tfs) - tfs, tfs, kept)]
+            docs, tfs = docs[kept], tfs[kept]
+        v = (docs, tfs, posf, np.cumsum(tfs) - tfs)
+        self._cache.put(key, v)
+        return v
+
     def warm_terms(self, terms: list[str]) -> int:
         """Explicit cache warmup — the reference's warmup API
         (NeuralSparseIndexShard.warmUp, sparse/NeuralSparseIndexShard.java:82-104)
@@ -516,6 +593,115 @@ class IndexSearcher:
         cand = np.unique(np.concatenate(nonempty)) if len(nonempty) > 1 else nonempty[0]
         scores = self._score_candidates(cand, terms, idfs, query_weights)
         return topk_desc(cand, scores, k)
+
+    def search_phrase(
+        self,
+        terms: list[str],
+        k: int = 10,
+        *,
+        global_dfs: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact-adjacency phrase top-k — Lucene PhraseQuery (slop=0, the
+        match_phrase default) under BM25Similarity, which the reference's
+        hybrid query inherits for lexical sub-queries on text fields
+        (SURVEY.md §2.9; neural-search wraps arbitrary Lucene queries):
+
+        - a doc matches when the terms occur at consecutive positions;
+          tf := the number of phrase occurrences (overlapping matches
+          count, as in Lucene's ExactPhraseMatcher);
+        - idf := SUM of the per-term idfs, one addend per query-term
+          OCCURRENCE (BM25Similarity.idfExplain over the termStats
+          array), so a repeated term contributes twice;
+        - the same dl norm as term queries: score =
+          idf_sum * tf / (tf + k1*(1-b+b*dl/avgdl)).
+
+        Vectorized adjacency: term i's (doc, position-i) pairs become
+        int64 keys doc*shift + (pos-i); the phrase-start set is the k-way
+        sorted-unique intersection, one np.intersect1d per term.
+
+        ``global_dfs``: per-term (in the given order) global document
+        frequencies for shard-subset actors, as in search_bm25."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not terms:
+            return empty
+        posts = [self.postings_positions(t) for t in terms]
+        if any(p[0].size == 0 for p in posts):
+            return empty
+        if global_dfs is None:
+            dfs = np.asarray([self.local_df(t) for t in terms], dtype=np.float64)
+        else:
+            dfs = np.asarray(global_dfs, dtype=np.float64)
+        idf_sum = float(bm25_idf(np.maximum(dfs, 1e-9), self.n_docs).sum())
+        # shift > max adjusted position keeps (doc, pos) keys collision-free;
+        # docs.max()*shift stays far inside int64 for any real corpus
+        max_pos = max(int(p[2].max()) if p[2].size else 0 for p in posts)
+        shift = np.int64(max_pos + 2)
+        cur = None
+        for i, (docs, tfs, posf, _tok) in enumerate(posts):
+            keys = np.repeat(docs, tfs) * shift + (posf - i)
+            if i:
+                keys = keys[posf >= i]
+            cur = (
+                keys if cur is None
+                else np.intersect1d(cur, keys, assume_unique=True)
+            )
+            if cur.size == 0:
+                return empty
+        docs_u, freq = np.unique(cur // shift, return_counts=True)
+        dl = self.doc_length(docs_u)
+        k1, b = self.bm25.k1, self.bm25.b
+        f = freq.astype(np.float64)
+        scores = idf_sum * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
+        return topk_desc(docs_u, scores, k)
+
+    # ---- multi-term (term-dictionary expansion) queries -------------------
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """Terms of this searcher's dictionary starting with ``prefix``
+        (binary search over the sorted term array — never a full scan)."""
+        lo = np.searchsorted(self._gterms, prefix)
+        hi = np.searchsorted(self._gterms, prefix + chr(0x10FFFF))
+        return [str(t) for t in self._gterms[lo:hi]]
+
+    def _constant_score_union(
+        self, terms: list[str], k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Union the terms' postings, score 1.0, tiebreak doc_id asc —
+        Lucene's CONSTANT_SCORE multi-term rewrite (MultiTermQuery
+        .CONSTANT_SCORE_REWRITE, the PrefixQuery/WildcardQuery default)."""
+        arrs = [self.postings(t)[0] for t in terms]
+        arrs = [a for a in arrs if a.size]
+        if not arrs:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs = np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+        docs = docs[:k]
+        return docs, np.ones(docs.size, dtype=np.float64)
+
+    def search_prefix(
+        self, prefix: str, k: int = 10, *, max_expansions: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Constant-score prefix query (Lucene PrefixQuery semantics).
+        ``max_expansions`` mirrors the rewrite guard: raise rather than
+        silently union an unbounded term range."""
+        terms = self.expand_prefix(prefix)
+        if max_expansions is not None and len(terms) > max_expansions:
+            raise ValueError(
+                f"prefix {prefix!r} expands to {len(terms)} terms "
+                f"(> max_expansions={max_expansions})"
+            )
+        return self._constant_score_union(terms, k)
+
+    def search_wildcard(self, pattern: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Constant-score wildcard query (Lucene WildcardQuery: ``*`` any
+        run, ``?`` one char). The dictionary scan is narrowed to the
+        pattern's fixed-prefix range before the per-term regex match."""
+        import fnmatch
+        import re
+
+        fixed = re.split(r"[*?\[]", pattern, maxsplit=1)[0]
+        rx = re.compile(fnmatch.translate(pattern))
+        return self._constant_score_union(
+            [t for t in self.expand_prefix(fixed) if rx.match(t)], k
+        )
 
     # coverage fraction above which a term's tf-norms are cached DENSE
     # (one n-float vector): contiguous SIMD add beats the gather/scatter

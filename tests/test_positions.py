@@ -1,0 +1,427 @@
+"""Positional postings (IndexConfig.index_positions), phrase queries
+(engine search_phrase — Lucene PhraseQuery slop=0 under BM25Similarity),
+term-dictionary expansion (search_prefix / search_wildcard — Lucene
+MultiTermQuery CONSTANT_SCORE rewrite), and upsert_docs (Lucene
+IndexWriter.updateDocument: delete-by-id + purge + new segment)."""
+
+import os
+import re
+import shutil
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from neural_search_ray.analysis.analyzer import tokenize
+from neural_search_ray.config import IndexConfig
+from neural_search_ray.index.build import build_index, index_config_from_manifest
+from neural_search_ray.index.codec import (
+    posting_gather,
+    positions_delta,
+    positions_undelta,
+)
+from neural_search_ray.index.deletes import delete_docs, upsert_docs
+from neural_search_ray.index.manifest import IndexManifest
+from neural_search_ray.index.merge import merge_segments
+from neural_search_ray.query.engine import IndexSearcher
+
+POS_CFG = IndexConfig(num_shards=4, num_salts=2, index_positions=True)
+PHRASES = ["data query", "merge sort", "table scan filter", "the the"]
+
+
+def _docs_ds(sf_dir):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _corpus(sf_dir) -> dict[int, list[str]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return {
+        int(d): tokenize(x)
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+
+
+def _ref_positions(corpus, term):
+    """Reference (doc -> positions) map via plain Python scan."""
+    out = {}
+    for d, toks in corpus.items():
+        ps = [i for i, t in enumerate(toks) if t == term]
+        if ps:
+            out[d] = ps
+    return out
+
+
+def _ref_phrase_tf(toks: list[str], phrase: list[str]) -> int:
+    n = len(phrase)
+    return sum(
+        1 for i in range(len(toks) - n + 1) if toks[i : i + n] == phrase
+    )
+
+
+@pytest.fixture(scope="module")
+def pos_index(tmp_path_factory, sf_dir, ray_session):
+    index_dir = str(tmp_path_factory.mktemp("pos_idx"))
+    build_index(_docs_ds(sf_dir), index_dir, POS_CFG)
+    return index_dir
+
+
+@pytest.fixture(scope="module")
+def corpus(sf_dir):
+    return _corpus(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# codec kernels
+
+
+class TestPositionKernels:
+    def test_delta_roundtrip(self):
+        rng = np.random.default_rng(7)
+        tf = rng.integers(1, 9, size=50)
+        starts = np.cumsum(tf) - tf
+        pos = np.concatenate(
+            [np.sort(rng.choice(200, size=n, replace=False)) for n in tf]
+        ).astype(np.int64)
+        d = positions_delta(pos, starts)
+        # first position of each posting is absolute
+        assert np.array_equal(d[starts], pos[starts])
+        back = positions_undelta(d, starts, tf)
+        assert np.array_equal(back, pos)
+
+    def test_delta_empty(self):
+        e = np.empty(0, np.int64)
+        assert positions_delta(e, e).size == 0
+        assert positions_undelta(e, e, e).size == 0
+
+    def test_posting_gather_permutation(self):
+        tf = np.array([2, 1, 3], dtype=np.int64)
+        starts = np.cumsum(tf) - tf
+        flat = np.array([10, 11, 20, 30, 31, 32], dtype=np.int64)
+        order = np.array([2, 0, 1])
+        g = posting_gather(starts, tf, order)
+        assert np.array_equal(flat[g], [30, 31, 32, 10, 11, 20])
+
+    def test_posting_gather_subset(self):
+        tf = np.array([2, 1, 3], dtype=np.int64)
+        starts = np.cumsum(tf) - tf
+        flat = np.array([10, 11, 20, 30, 31, 32], dtype=np.int64)
+        g = posting_gather(starts, tf, np.array([0, 2]))
+        assert np.array_equal(flat[g], [10, 11, 30, 31, 32])
+        assert posting_gather(starts, tf, np.empty(0, np.int64)).size == 0
+
+
+# ---------------------------------------------------------------------------
+# positional build + decode
+
+
+class TestPositionalIndex:
+    def test_positions_match_reference(self, pos_index, corpus):
+        s = IndexSearcher(pos_index)
+        assert s.has_positions
+        for term in ["data", "query", "the", "scan"]:
+            ref = _ref_positions(corpus, term)
+            docs, tfs, posf, tok = s.postings_positions(term)
+            assert docs.size == len(ref)
+            for i, d in enumerate(docs.tolist()):
+                got = posf[tok[i] : tok[i] + tfs[i]].tolist()
+                assert got == ref[d], (term, d)
+
+    def test_tf_unchanged_vs_nonpositional(self, pos_index, sf_dir, tmp_path):
+        base = str(tmp_path / "plain")
+        build_index(
+            _docs_ds(sf_dir), base, IndexConfig(num_shards=4, num_salts=2)
+        )
+        sp = IndexSearcher(pos_index)
+        sb = IndexSearcher(base)
+        for term in ["data", "query", "sort"]:
+            dp, fp = sp.postings(term)
+            db, fb = sb.postings(term)
+            assert np.array_equal(dp, db) and np.array_equal(fp, fb)
+        # BM25 is codec/positions-invariant
+        d1, s1 = sp.search_bm25(["data", "query"], k=15)
+        d2, s2 = sb.search_bm25(["data", "query"], k=15)
+        assert np.array_equal(d1, d2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-12)
+
+    def test_positions_require_flag(self, sf_dir, tmp_path):
+        base = str(tmp_path / "plain2")
+        build_index(
+            _docs_ds(sf_dir), base, IndexConfig(num_shards=2, num_salts=1)
+        )
+        s = IndexSearcher(base)
+        with pytest.raises(ValueError, match="without positions"):
+            s.postings_positions("data")
+
+    def test_u8_quantization_incompatible(self, sf_dir, tmp_path):
+        with pytest.raises(ValueError, match="incompatible"):
+            build_index(
+                _docs_ds(sf_dir),
+                str(tmp_path / "x"),
+                IndexConfig(index_positions=True, weight_quantization="u8"),
+            )
+
+    def test_mixed_manifest_rejected(self, pos_index, sf_dir):
+        with pytest.raises(ValueError, match="index_positions"):
+            build_index(
+                _docs_ds(sf_dir),
+                pos_index,
+                IndexConfig(num_shards=4, num_salts=2, index_positions=False),
+                segment_id="seg-mixed",
+            )
+
+
+# ---------------------------------------------------------------------------
+# phrase search
+
+
+class TestPhraseSearch:
+    def _ref_topk(self, corpus, s, phrase, k):
+        ph = tokenize(phrase)
+        from neural_search_ray.query.bm25 import bm25_idf
+
+        dfs = np.array(
+            [max(s.local_df(t), 1e-9) for t in ph], dtype=np.float64
+        )
+        idf_sum = float(bm25_idf(dfs, s.n_docs).sum())
+        hits = []
+        for d, toks in corpus.items():
+            tf = _ref_phrase_tf(toks, ph)
+            if tf:
+                dl = float(len(toks))
+                k1, b = s.bm25.k1, s.bm25.b
+                hits.append(
+                    (
+                        -idf_sum * tf / (tf + k1 * (1 - b + b * dl / s.avgdl)),
+                        d,
+                    )
+                )
+        hits.sort()
+        return [d for _, d in hits[:k]], [-sc for sc, _ in hits[:k]]
+
+    def test_phrase_matches_bruteforce(self, pos_index, corpus):
+        s = IndexSearcher(pos_index)
+        for phrase in PHRASES:
+            docs, scores = s.search_phrase(tokenize(phrase), k=12)
+            rdocs, rscores = self._ref_topk(corpus, s, phrase, 12)
+            assert docs.tolist() == rdocs, phrase
+            np.testing.assert_allclose(scores, rscores, rtol=1e-10)
+
+    def test_overlapping_occurrences_count(self, tmp_path, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": ["a a a a b", "a a b c d", "b c d e f"],
+                }
+            )
+        )
+        idx = str(tmp_path / "ovl")
+        build_index(ds, idx, IndexConfig(num_shards=2, num_salts=1, index_positions=True))
+        s = IndexSearcher(idx)
+        docs, tfs, posf, tok = s.postings_positions("a")
+        # doc 0 phrase "a a": positions 0,1,2 start a match (overlap counts)
+        d, sc = s.search_phrase(["a", "a"], k=10)
+        assert set(d.tolist()) == {0, 1}
+        tf = {int(dd): None for dd in d}
+        # recompute tfs from scores' monotonicity: doc 0 (tf=3, dl=5)
+        # must outrank doc 1 (tf=1, dl=5)
+        assert d.tolist()[0] == 0
+
+    def test_phrase_empty_and_missing(self, pos_index):
+        s = IndexSearcher(pos_index)
+        d, sc = s.search_phrase([], k=5)
+        assert d.size == 0
+        d, sc = s.search_phrase(["zzzznotaterm", "data"], k=5)
+        assert d.size == 0
+
+    def test_phrase_excludes_deleted(self, sf_dir, tmp_path, corpus):
+        idx = str(tmp_path / "posdel")
+        build_index(_docs_ds(sf_dir), idx, POS_CFG)
+        s0 = IndexSearcher(idx)
+        docs0, _ = s0.search_phrase(["data", "query"], k=5)
+        assert docs0.size > 0
+        victim = int(docs0[0])
+        delete_docs(idx, [victim])
+        s1 = IndexSearcher(idx)
+        docs1, _ = s1.search_phrase(["data", "query"], k=5)
+        assert victim not in docs1.tolist()
+
+
+# ---------------------------------------------------------------------------
+# merge preserves positions
+
+
+class TestMergePositions:
+    def test_merged_phrase_identical(self, sf_dir, tmp_path, ray_session):
+        two = str(tmp_path / "two")
+
+        def _half(r):
+            def fn(batch: pa.Table) -> pa.Table:
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(ids % 2 == r))
+
+            return fn
+
+        build_index(
+            _docs_ds(sf_dir).map_batches(_half(0), batch_format="pyarrow"),
+            two, POS_CFG, segment_id="seg-a",
+        )
+        build_index(
+            _docs_ds(sf_dir).map_batches(_half(1), batch_format="pyarrow"),
+            two, POS_CFG, segment_id="seg-b",
+        )
+        pre = IndexSearcher(two)
+        want = {
+            p: pre.search_phrase(tokenize(p), k=10) for p in PHRASES[:3]
+        }
+        merge_segments(two, "seg-m", source_ids=["seg-a", "seg-b"])
+        post = IndexSearcher(two)
+        assert set(IndexManifest.load(two).segments) == {"seg-m"}
+        for p, (wd, ws) in want.items():
+            gd, gs = post.search_phrase(tokenize(p), k=10)
+            assert gd.tolist() == wd.tolist()
+            np.testing.assert_allclose(gs, ws, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# prefix / wildcard
+
+
+class TestDictionaryExpansion:
+    def test_prefix_expansion_matches_scan(self, pos_index):
+        s = IndexSearcher(pos_index)
+        allterms = [str(t) for t in s._gterms]
+        for p in ["qu", "da", "z", ""]:
+            want = [t for t in allterms if t.startswith(p)]
+            assert s.expand_prefix(p) == want
+
+    def test_prefix_constant_score(self, pos_index, corpus):
+        s = IndexSearcher(pos_index)
+        docs, scores = s.search_prefix("qu", k=15)
+        want = sorted(
+            d
+            for d, toks in corpus.items()
+            if any(t.startswith("qu") for t in toks)
+        )[:15]
+        assert docs.tolist() == want
+        assert np.all(scores == 1.0)
+
+    def test_prefix_max_expansions(self, pos_index):
+        s = IndexSearcher(pos_index)
+        with pytest.raises(ValueError, match="max_expansions"):
+            s.search_prefix("", k=5, max_expansions=3)
+
+    def test_wildcard_matches_regex_scan(self, pos_index, corpus):
+        s = IndexSearcher(pos_index)
+        for pat in ["s*m", "*ow", "b?g", "da??"]:
+            import fnmatch
+
+            rx = re.compile(fnmatch.translate(pat))
+            want = sorted(
+                d
+                for d, toks in corpus.items()
+                if any(rx.match(t) for t in toks)
+            )[:10]
+            docs, scores = s.search_wildcard(pat, k=10)
+            assert docs.tolist() == want, pat
+            assert np.all(scores == 1.0)
+
+    def test_wildcard_no_match(self, pos_index):
+        s = IndexSearcher(pos_index)
+        d, sc = s.search_wildcard("zzzz*qqq", k=5)
+        assert d.size == 0
+
+
+# ---------------------------------------------------------------------------
+# upsert
+
+
+class TestUpsert:
+    def test_upsert_matches_fresh_build(self, sf_dir, tmp_path, ray_session):
+        idx = str(tmp_path / "ups")
+        cfg = IndexConfig(num_shards=4, num_salts=2)
+        build_index(_docs_ds(sf_dir), idx, cfg)
+
+        def _upd(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            sel = batch.filter(pa.array(ids % 11 == 0))
+            import pyarrow.compute as pc
+
+            text = pc.binary_join_element_wise(
+                pa.array(["fresh update "] * len(sel)), sel["text"], ""
+            )
+            return pa.table({"doc_id": sel["doc_id"], "text": text})
+
+        updated = _docs_ds(sf_dir).map_batches(_upd, batch_format="pyarrow")
+        upsert_docs(idx, updated, segment_id="seg-up")
+
+        fresh = str(tmp_path / "fresh")
+
+        def _whole(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            pre = pa.array(
+                np.where(ids % 11 == 0, "fresh update ", "").tolist()
+            )
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "text": pc.binary_join_element_wise(pre, batch["text"], ""),
+                }
+            )
+
+        build_index(
+            _docs_ds(sf_dir).map_batches(_whole, batch_format="pyarrow"),
+            fresh,
+            cfg,
+        )
+        su, sf_ = IndexSearcher(idx), IndexSearcher(fresh)
+        assert su.n_docs == sf_.n_docs
+        for q in ["fresh update", "data query", "merge sort window"]:
+            du, scu = su.search_bm25(tokenize(q), k=20)
+            df_, scf = sf_.search_bm25(tokenize(q), k=20)
+            assert du.tolist() == df_.tolist(), q
+            np.testing.assert_allclose(scu, scf, rtol=1e-12)
+
+    def test_upsert_resume_noop(self, sf_dir, tmp_path, ray_session):
+        idx = str(tmp_path / "ups2")
+        build_index(_docs_ds(sf_dir), idx, IndexConfig(num_shards=2, num_salts=1))
+        small = ray.data.from_arrow(
+            pa.table({"doc_id": [3, 7], "text": ["alpha beta", "beta gamma"]})
+        )
+        m1 = upsert_docs(idx, small, segment_id="seg-u")
+        # second call with same segment_id: resume no-op, manifest unchanged
+        m2 = upsert_docs(idx, small, segment_id="seg-u")
+        assert set(m1.segments) == set(m2.segments)
+        s = IndexSearcher(idx)
+        d, _ = s.search_bm25(["alpha"], k=5)
+        assert 3 in d.tolist()
+
+    def test_upsert_config_roundtrip(self, sf_dir, tmp_path, ray_session):
+        idx = str(tmp_path / "ups3")
+        cfg = IndexConfig(
+            num_shards=4, num_salts=2, posting_codec="for",
+            index_positions=True,
+        )
+        build_index(_docs_ds(sf_dir), idx, cfg)
+        m = IndexManifest.load(idx)
+        rc = index_config_from_manifest(m)
+        assert rc.num_shards == cfg.num_shards
+        assert rc.num_salts == cfg.num_salts
+        assert rc.posting_codec == "for"
+        assert rc.index_positions is True
+        assert rc.bm25.k1 == cfg.bm25.k1
+        assert rc.analyzer == cfg.analyzer
+
+    def test_upsert_missing_index(self, tmp_path):
+        ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
+        with pytest.raises(FileNotFoundError):
+            upsert_docs(str(tmp_path / "nope"), ds, segment_id="s")
