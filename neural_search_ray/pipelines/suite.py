@@ -297,6 +297,148 @@ SELECT query_id, rank, doc_id, score FROM (
 ) WHERE rank <= {k}"""
 
 
+def _const_cond_sql(rows: str, cols: str, cond: str, k: int) -> str:
+    """Generalized constant-score multi-term oracle: docs containing ANY
+    token satisfying ``cond`` (a predicate over query row ``q`` and token
+    row ``t``) score 1.0, rank = doc_id asc — the CONSTANT_SCORE rewrite
+    shared by the fuzzy (levenshtein) and regexp oracles."""
+    return f"""
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, 1.0::DOUBLE AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY doc_id) AS rank
+  FROM (SELECT DISTINCT q.query_id::BIGINT AS query_id, t.doc_id
+        FROM (VALUES {rows}) q({cols})
+        JOIN ({SQL_TOK}) t ON {cond})
+) WHERE rank <= {k}"""
+
+
+def _bool_scored_sql() -> str:
+    """Boolean-query scored set mirroring engine search_bool (Lucene
+    BooleanQuery under BM25Similarity): candidates satisfy
+    must/filter (all), should (>= minimum_should_match) and must_not
+    (none); score = sum of matching SCORING clauses (must + should, one
+    contribution per clause occurrence — the weight column carries the
+    multiplicity); filter-only docs score 0.0."""
+    from collections import Counter
+
+    branches = []
+    for qid, must, should, must_not, filt, msm in BOOL_QUERY_SET:
+        required = sorted(set(must) | set(filt))
+        msm_eff = msm if msm is not None else (0 if required else 1)
+        if not required:
+            msm_eff = max(msm_eff, 1)
+        cand = None
+        if required:
+            in_r = ", ".join(f"'{t}'" for t in required)
+            cand = (
+                f"SELECT doc_id FROM ({SQL_TF}) WHERE term IN ({in_r}) "
+                f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(required)}"
+            )
+        if should and msm_eff > 0:
+            in_s = ", ".join(f"'{t}'" for t in sorted(set(should)))
+            scand = (
+                f"SELECT doc_id FROM ({SQL_TF}) WHERE term IN ({in_s}) "
+                f"GROUP BY doc_id HAVING count(DISTINCT term) >= {msm_eff}"
+            )
+            cand = (
+                scand
+                if cand is None
+                else f"SELECT doc_id FROM ({cand}) INTERSECT "
+                f"SELECT doc_id FROM ({scand})"
+            )
+        if must_not:
+            in_n = ", ".join(f"'{t}'" for t in sorted(set(must_not)))
+            cand = (
+                f"SELECT doc_id FROM ({cand}) WHERE doc_id NOT IN "
+                f"(SELECT doc_id FROM ({SQL_TF}) WHERE term IN ({in_n}))"
+            )
+        mult = Counter(must) + Counter(should)
+        if mult:
+            w_rows = ", ".join(
+                f"('{t}', {w})" for t, w in sorted(mult.items())
+            )
+            score = f"""SELECT tf.doc_id,
+        sum(w.w * ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+            * tf.tf / (tf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl))) AS score
+      FROM (VALUES {w_rows}) w(term, w)
+      JOIN ({SQL_TF}) tf ON tf.term = w.term
+      JOIN ({SQL_DF}) df ON df.term = w.term
+      JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN ({SQL_STATS}) s
+      GROUP BY tf.doc_id"""
+            branches.append(
+                f"SELECT {qid}::BIGINT AS query_id, c.doc_id, "
+                f"coalesce(s2.score, 0.0)::DOUBLE AS score FROM ({cand}) c "
+                f"LEFT JOIN ({score}) s2 ON s2.doc_id = c.doc_id"
+            )
+        else:
+            branches.append(
+                f"SELECT {qid}::BIGINT AS query_id, doc_id, "
+                f"0.0::DOUBLE AS score FROM ({cand})"
+            )
+    return " UNION ALL ".join(branches)
+
+
+def _phrase_prefix_scored_sql() -> str:
+    """match_phrase_prefix scored set mirroring engine
+    search_phrase_prefix (Lucene MultiPhraseQuery with the last position
+    expanded to the FIRST max_expansions=50 dictionary terms, in term
+    order, sharing the prefix): tf counts sliding-window matches where
+    the last slot matches ANY expansion; idf sums over the whole
+    enumerated term array (fixed terms per occurrence + each expansion
+    once)."""
+    branches = []
+    idf_parts = []
+    for qid, qtext in PHRASE_PREFIX_QUERY_SET:
+        toks = tokenize(qtext)
+        fixed, prefix = toks[:-1], toks[-1]
+        n = len(toks)
+        exp_sub = (
+            f"(SELECT list(term ORDER BY term) AS lst FROM "
+            f"(SELECT term FROM ({SQL_DF}) WHERE starts_with(term, '{prefix}') "
+            f"ORDER BY term LIMIT {_PHRASE_PREFIX_MAX_EXP}))"
+        )
+        conds = [
+            f"toks[i + {j}] = '{t}'" for j, t in enumerate(fixed)
+        ] + [f"list_contains(e.lst, toks[i + {n - 1}])"]
+        branches.append(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"len(list_filter(range(1, len(toks) - {n} + 2), "
+            f"i -> {' AND '.join(conds)}))::BIGINT AS tf "
+            f"FROM w CROSS JOIN {exp_sub} e"
+        )
+        term_rows = (
+            " UNION ALL ".join(
+                f"SELECT {qid} AS query_id, '{t}' AS term" for t in fixed
+            )
+            or f"SELECT {qid} AS query_id, NULL::VARCHAR AS term WHERE FALSE"
+        )
+        idf_parts.append(
+            f"{term_rows} UNION ALL "
+            f"SELECT {qid} AS query_id, term FROM "
+            f"(SELECT term FROM ({SQL_DF}) WHERE starts_with(term, '{prefix}') "
+            f"ORDER BY term LIMIT {_PHRASE_PREFIX_MAX_EXP})"
+        )
+    ptf = " UNION ALL ".join(branches)
+    idf_sql = f"""
+    SELECT q.query_id, sum(ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))) AS idf_sum
+    FROM ({" UNION ALL ".join(f"({p})" for p in idf_parts)}) q
+    JOIN ({SQL_DF}) df ON df.term = q.term
+    CROSS JOIN ({SQL_STATS}) s
+    GROUP BY q.query_id"""
+    return f"""
+  WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents)
+  SELECT p.query_id::BIGINT AS query_id, p.doc_id,
+         i.idf_sum * p.tf / (p.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) AS score
+  FROM ({ptf}) p
+  JOIN ({idf_sql}) i ON i.query_id = p.query_id
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = p.doc_id
+  CROSS JOIN ({SQL_STATS}) s
+  WHERE p.tf > 0"""
+
+
 # ---------------------------------------------------------------------------
 # operator implementations (Ray side)
 
@@ -514,6 +656,54 @@ WILDCARD_QUERY_SET: list[tuple[int, str, str]] = [
     (3, "v*", "v%"),
 ]
 
+# (query_id, term, max_edits, prefix_length) — typo'd corpus words; mixes
+# single/multi-expansion, edit distances 1 and 2, and prefix narrowing
+FUZZY_QUERY_SET: list[tuple[int, str, int, int]] = [
+    (0, "quer", 1, 0),
+    (1, "tabel", 2, 0),
+    (2, "grop", 1, 1),
+    (3, "dat", 1, 0),
+    (4, "sort", 2, 0),
+    (5, "stram", 1, 2),
+]
+
+# patterns valid in BOTH Python re (engine) and RE2 (DuckDB
+# regexp_full_match): no lookaround / backrefs
+REGEXP_QUERY_SET: list[tuple[int, str]] = [
+    (0, "s(can|ort)"),
+    (1, "[bf]ast"),
+    (2, "qu.*"),
+    (3, "gr[ao]up"),
+    (4, ".a.a"),
+    (5, "colum?n"),
+]
+
+# (query_id, must, should, must_not, filter_terms, minimum_should_match)
+BOOL_QUERY_SET: list[
+    tuple[int, list[str], list[str], list[str], list[str], int | None]
+] = [
+    (0, ["data"], ["query", "fast"], ["slow"], [], None),
+    (1, [], ["merge", "sort", "join"], [], [], 2),
+    (2, ["table", "scan"], [], [], [], None),
+    (3, ["data"], ["data", "query"], [], [], None),  # cross-clause dup: x2
+    (4, [], ["group"], ["agg"], [], None),
+    (5, [], ["join"], [], ["fast"], 0),  # filter + optional should
+]
+
+_PHRASE_PREFIX_MAX_EXP = 50  # Lucene/ES max_expansions default
+
+# fixed terms + a last-token prefix; (6)/(7) expand to MULTIPLE terms
+PHRASE_PREFIX_QUERY_SET: list[tuple[int, str]] = [
+    (0, "data qu"),
+    (1, "merge so"),
+    (2, "table sc"),
+    (3, "fast jo"),
+    (4, "slow group ag"),
+    (5, "batch st"),
+    (6, "the f"),
+    (7, "a b"),
+]
+
 _POS_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -576,6 +766,75 @@ def q_wildcard_topk(sf_dir: str) -> pa.Table:
             for qid, pat, _ in WILDCARD_QUERY_SET
         ]
     )
+
+
+def q_fuzzy_topk(sf_dir: str) -> pa.Table:
+    """Fuzzy query (engine search_fuzzy): Levenshtein term-dictionary
+    expansion (vectorized banded DP) + constant-score union — Lucene
+    FuzzyQuery enumeration under the CONSTANT_SCORE rewrite. Oracle:
+    DuckDB levenshtein()."""
+    searcher = get_searcher(sf_dir)
+    return _hits_table(
+        [
+            (
+                qid,
+                *searcher.search_fuzzy(
+                    t, k=BM25_K, max_edits=e, prefix_length=pl
+                ),
+            )
+            for qid, t, e, pl in FUZZY_QUERY_SET
+        ]
+    )
+
+
+def q_regexp_topk(sf_dir: str) -> pa.Table:
+    """Regexp query (engine search_regexp): leading-literal-narrowed
+    dictionary scan + full-match + constant-score union — Lucene
+    RegexpQuery semantics."""
+    searcher = get_searcher(sf_dir)
+    return _hits_table(
+        [
+            (qid, *searcher.search_regexp(pat, k=BM25_K))
+            for qid, pat in REGEXP_QUERY_SET
+        ]
+    )
+
+
+def q_bool_topk(sf_dir: str) -> pa.Table:
+    """Boolean query (engine search_bool): must/filter conjunction,
+    should with minimum_should_match, must_not exclusion, score = sum of
+    matching scoring clauses — Lucene BooleanQuery under BM25."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, must, should, must_not, filt, msm in BOOL_QUERY_SET:
+        docs, scores = searcher.search_bool(
+            must,
+            should,
+            must_not,
+            k=BM25_K * 3,
+            filter_terms=filt,
+            minimum_should_match=msm,
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_phrase_prefix_topk(sf_dir: str) -> pa.Table:
+    """match_phrase_prefix (engine search_phrase_prefix): fixed terms +
+    last-position prefix expansion (first 50 dictionary terms), BM25
+    over the phrase tf with idf summed over the enumerated term array —
+    Lucene MultiPhraseQuery / ES match_phrase_prefix semantics."""
+    searcher = get_pos_searcher(sf_dir)
+    rows = []
+    for qid, qtext in PHRASE_PREFIX_QUERY_SET:
+        docs, scores = searcher.search_phrase_prefix(
+            tokenize(qtext), k=BM25_K * 3,
+            max_expansions=_PHRASE_PREFIX_MAX_EXP,
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
 def q_agentic_bm25(sf_dir: str) -> pa.Table:
@@ -2507,6 +2766,33 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
         "q.pat",
         BM25_K,
     )
+    # fuzzy: Levenshtein expansion (plain metric — DuckDB levenshtein()
+    # is exact vs the engine's banded DP), prefix-length narrowing
+    sqls["fuzzy_topk"] = _const_cond_sql(
+        ", ".join(
+            f"({qid}, '{t}', {e}, {pl})" for qid, t, e, pl in FUZZY_QUERY_SET
+        ),
+        "query_id, qterm, e, plen",
+        "levenshtein(t.term, q.qterm) <= q.e AND "
+        "substr(t.term, 1, q.plen) = substr(q.qterm, 1, q.plen)",
+        BM25_K,
+    )
+    # regexp: RE2 full-match (pattern set restricted to the re/RE2
+    # common subset)
+    sqls["regexp_topk"] = _const_cond_sql(
+        ", ".join(f"({qid}, '{pat}')" for qid, pat in REGEXP_QUERY_SET),
+        "query_id, pat",
+        "regexp_full_match(t.term, q.pat)",
+        BM25_K,
+    )
+    # boolean query: must/filter conjunction + minimum_should_match +
+    # must_not, score = sum of matching scoring clauses
+    sqls["bool_topk"] = _topk_sql(_bool_scored_sql(), BM25_K)
+    # match_phrase_prefix: last position expanded to the first 50
+    # dictionary terms in term order
+    sqls["phrase_prefix_topk"] = _topk_sql(
+        _phrase_prefix_scored_sql(), BM25_K
+    )
     # same oracle: the two-segment incremental build and the
     # shard-actor-pool serving path must both be rank-identical to the
     # single-segment single-process result
@@ -3688,6 +3974,12 @@ def build_queries() -> dict:
         "prefix_topk": q_prefix_topk,
         "wildcard_topk": q_wildcard_topk,
         "bm25_topk_upsert": q_bm25_topk_upsert,
+        # --- block 2c: session-4 additions (bool / fuzzy / regexp /
+        # phrase-prefix) ---
+        "bool_topk": q_bool_topk,
+        "fuzzy_topk": q_fuzzy_topk,
+        "regexp_topk": q_regexp_topk,
+        "phrase_prefix_topk": q_phrase_prefix_topk,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,

@@ -703,6 +703,275 @@ class IndexSearcher:
             [t for t in self.expand_prefix(fixed) if rx.match(t)], k
         )
 
+    def search_regexp(self, pattern: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Constant-score regexp query (Lucene RegexpQuery under the
+        CONSTANT_SCORE rewrite): dictionary terms FULLY matching the
+        pattern, narrowed to the pattern's leading-literal prefix range
+        before the per-term match (the FST-intersection analogue)."""
+        import re
+
+        m = re.match(r"[^.?*+(){}\[\]|\\^$]*", pattern)
+        fixed = m.group(0) if m else ""
+        rx = re.compile(pattern)
+        return self._constant_score_union(
+            [t for t in self.expand_prefix(fixed) if rx.fullmatch(t)], k
+        )
+
+    def expand_fuzzy(
+        self, term: str, max_edits: int = 2, prefix_length: int = 0
+    ) -> list[str]:
+        """Dictionary terms within Levenshtein distance ``max_edits`` of
+        ``term`` that share its first ``prefix_length`` characters — the
+        Lucene FuzzyQuery term enumeration (LevenshteinAutomata walked
+        over the FST), restated as a prefix-range + length prefilter +
+        one BANDED DP vectorized across all candidate terms (numpy
+        unicode arrays are UTF-32, so the codepoint matrix is a zero-copy
+        view; the DP inner loops are len(term) x maxlen ~ few hundred
+        O(V) vector ops, never a per-term Python loop).
+
+        Plain Levenshtein (no transpositions): Lucene's default counts a
+        transposition as ONE edit (damerau); we use the classic metric so
+        the DuckDB ``levenshtein()`` oracle is exact. Documented
+        deviation: a transposed pair costs 2 here vs 1 in Lucene."""
+        if max_edits < 0:
+            raise ValueError("max_edits must be >= 0")
+        if prefix_length > 0:
+            cands = self.expand_prefix(term[:prefix_length])
+        else:
+            cands = [str(t) for t in self._gterms]
+        qlen = len(term)
+        cands = [t for t in cands if abs(len(t) - qlen) <= max_edits]
+        if not cands or qlen == 0:
+            return [t for t in cands if len(t) <= max_edits]
+        maxlen = max(len(t) for t in cands)
+        n = len(cands)
+        tm = (
+            np.array(cands, dtype=f"U{maxlen}")
+            .view(np.uint32)
+            .reshape(n, maxlen)
+            .astype(np.int64)
+        )  # 0 = padding (no real codepoint)
+        lens = np.count_nonzero(tm, axis=1)
+        q = (
+            np.array([term], dtype=f"U{qlen}")
+            .view(np.uint32)
+            .astype(np.int64)
+        )
+        prev = np.broadcast_to(
+            np.arange(maxlen + 1, dtype=np.int64), (n, maxlen + 1)
+        ).copy()
+        cur = np.empty_like(prev)
+        for i in range(1, qlen + 1):
+            cur[:, 0] = i
+            for j in range(1, maxlen + 1):
+                cost = (tm[:, j - 1] != q[i - 1]).astype(np.int64)
+                np.minimum(prev[:, j] + 1, prev[:, j - 1] + cost, out=cur[:, j])
+                np.minimum(cur[:, j], cur[:, j - 1] + 1, out=cur[:, j])
+            prev, cur = cur, prev
+        dist = prev[np.arange(n), lens]
+        return [cands[i] for i in np.flatnonzero(dist <= max_edits)]
+
+    def search_fuzzy(
+        self,
+        term: str,
+        k: int = 10,
+        *,
+        max_edits: int = 2,
+        prefix_length: int = 0,
+        max_expansions: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Constant-score fuzzy query: union of the expand_fuzzy terms'
+        postings (Lucene FuzzyQuery enumeration; constant-score rewrite
+        like search_prefix rather than Lucene's blended-freq default, so
+        scores are oracle-exact). ``max_expansions`` raises rather than
+        silently truncating."""
+        terms = self.expand_fuzzy(term, max_edits, prefix_length)
+        if max_expansions is not None and len(terms) > max_expansions:
+            raise ValueError(
+                f"fuzzy {term!r} expands to {len(terms)} terms "
+                f"(> max_expansions={max_expansions})"
+            )
+        return self._constant_score_union(terms, k)
+
+    def search_bool(
+        self,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        k: int = 10,
+        *,
+        filter_terms: list[str] | None = None,
+        minimum_should_match: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Boolean term query — Lucene BooleanQuery under BM25Similarity:
+
+        - ``must``: every term required; contributes to the score;
+        - ``filter_terms``: required, NOT scored (FILTER occur);
+        - ``should``: optional; each matching clause adds its BM25 score;
+          ``minimum_should_match`` required matches (Lucene default: 0
+          when must/filter clauses exist, else 1);
+        - ``must_not``: excludes docs; never scored.
+
+        Score = sum of matching scoring-clause BM25 scores; a term listed
+        in both must and should contributes once per clause (Lucene
+        scores each clause independently). Docs matched only by
+        filter/must_not-survival score 0.0 and tiebreak doc_id asc.
+        A query with no must/filter/should clause is rejected (pure
+        negation is unbounded, as in Lucene)."""
+        must = list(must or [])
+        should = list(should or [])
+        must_not = list(must_not or [])
+        filter_terms = list(filter_terms or [])
+        required = sorted(set(must) | set(filter_terms))
+        if not required and not should:
+            raise ValueError(
+                "bool query needs at least one must/filter/should clause"
+            )
+        msm = minimum_should_match
+        if msm is None:
+            msm = 0 if required else 1
+        if not required:
+            msm = max(msm, 1)  # should-only: at least one must match
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+
+        cand: np.ndarray | None = None
+        for t in required:
+            docs = self.postings(t)[0]
+            if docs.size == 0:
+                return empty
+            cand = (
+                docs
+                if cand is None
+                else np.intersect1d(cand, docs, assume_unique=True)
+            )
+            if cand.size == 0:
+                return empty
+        should_set = sorted(set(should))
+        if should_set and msm > 0:
+            if cand is None:
+                parts = [
+                    d for d in (self.postings(t)[0] for t in should_set)
+                    if d.size
+                ]
+                if not parts:
+                    return empty
+                u, c = np.unique(np.concatenate(parts), return_counts=True)
+                cand = u[c >= msm]
+            else:
+                cnt = np.zeros(cand.size, dtype=np.int64)
+                for t in should_set:
+                    docs = self.postings(t)[0]
+                    if docs.size == 0:
+                        continue
+                    pos = np.searchsorted(docs, cand)
+                    pos_c = np.minimum(pos, docs.size - 1)
+                    cnt += docs[pos_c] == cand
+                cand = cand[cnt >= msm]
+            if cand.size == 0:
+                return empty
+        for t in sorted(set(must_not)):
+            docs = self.postings(t)[0]
+            if docs.size == 0 or cand.size == 0:
+                continue
+            pos = np.searchsorted(docs, cand)
+            pos_c = np.minimum(pos, docs.size - 1)
+            cand = cand[docs[pos_c] != cand]
+        if cand.size == 0:
+            return empty
+        # scoring multiset: must + should, one contribution per clause
+        # occurrence (weights carry the multiplicity)
+        from collections import Counter
+
+        mult = Counter(must) + Counter(should)
+        sterms = sorted(mult)
+        if sterms:
+            weights = np.asarray([mult[t] for t in sterms], dtype=np.float64)
+            dfs = np.asarray(
+                [self.local_df(t) for t in sterms], dtype=np.float64
+            )
+            idfs = np.where(
+                dfs > 0, bm25_idf(np.maximum(dfs, 1e-9), self.n_docs), 0.0
+            )
+            scores = self._score_candidates(cand, sterms, idfs, weights)
+        else:  # filter-only query: constant 0.0, doc_id-ordered
+            scores = np.zeros(cand.size, dtype=np.float64)
+        return topk_desc(cand, scores, k)
+
+    def search_phrase_prefix(
+        self,
+        terms: list[str],
+        k: int = 10,
+        *,
+        max_expansions: int = 50,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """match_phrase_prefix — Lucene MultiPhraseQuery with the LAST
+        position expanded to the first ``max_expansions`` dictionary
+        terms (in term order) sharing the prefix, the ES/OpenSearch
+        match_phrase_prefix semantics:
+
+        - tf := phrase occurrences where positions 0..n-2 match the fixed
+          terms exactly and position n-1 matches ANY expansion;
+        - idf := sum over the whole enumerated term array (each fixed
+          term once per occurrence + each expansion term once), the
+          MultiPhraseWeight/allTermStats behavior;
+        - same dl norm as search_phrase. Requires a positional index."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not terms:
+            return empty
+        fixed, prefix = terms[:-1], terms[-1]
+        expansions = self.expand_prefix(prefix)[:max_expansions]
+        if not expansions:
+            return empty
+        n = len(terms)
+        posts = [self.postings_positions(t) for t in fixed]
+        if any(p[0].size == 0 for p in posts):
+            return empty
+        eposts = [self.postings_positions(t) for t in expansions]
+        dfs = np.asarray(
+            [self.local_df(t) for t in fixed + expansions], dtype=np.float64
+        )
+        idf_sum = float(bm25_idf(np.maximum(dfs, 1e-9), self.n_docs).sum())
+        max_pos = max(
+            [int(p[2].max()) if p[2].size else 0 for p in posts + eposts]
+        )
+        shift = np.int64(max_pos + 2)
+        cur = None
+        for i, (docs, tfs, posf, _tok) in enumerate(posts):
+            keys = np.repeat(docs, tfs) * shift + (posf - i)
+            if i:
+                keys = keys[posf >= i]
+            cur = (
+                keys
+                if cur is None
+                else np.intersect1d(cur, keys, assume_unique=True)
+            )
+            if cur.size == 0:
+                return empty
+        # virtual last slot: DEDUPED union of the expansions' (doc, pos)
+        # keys (two expansions at one position are a single match slot)
+        lparts = []
+        for docs, tfs, posf, _tok in eposts:
+            if docs.size == 0:
+                continue
+            keys = np.repeat(docs, tfs) * shift + (posf - (n - 1))
+            lparts.append(keys[posf >= n - 1] if n > 1 else keys)
+        if not lparts:
+            return empty
+        last = np.unique(np.concatenate(lparts))
+        cur = (
+            last
+            if cur is None
+            else np.intersect1d(cur, last, assume_unique=True)
+        )
+        if cur.size == 0:
+            return empty
+        docs_u, freq = np.unique(cur // shift, return_counts=True)
+        dl = self.doc_length(docs_u)
+        k1, b = self.bm25.k1, self.bm25.b
+        f = freq.astype(np.float64)
+        scores = idf_sum * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
+        return topk_desc(docs_u, scores, k)
+
     # coverage fraction above which a term's tf-norms are cached DENSE
     # (one n-float vector): contiguous SIMD add beats the gather/scatter
     # by ~4x, and stopword-grade terms (df/n ≈ 0.95-1.0) dominate the

@@ -1,0 +1,266 @@
+"""Boolean / fuzzy / regexp / match_phrase_prefix query operators
+(query/engine.py search_bool, expand_fuzzy/search_fuzzy, search_regexp,
+search_phrase_prefix) — Lucene BooleanQuery / FuzzyQuery / RegexpQuery /
+MultiPhraseQuery semantics restated over this engine."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from neural_search_ray.analysis.analyzer import tokenize
+from neural_search_ray.config import IndexConfig
+from neural_search_ray.index.build import build_index
+from neural_search_ray.query.bm25 import bm25_idf
+from neural_search_ray.query.engine import IndexSearcher
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@pytest.fixture(scope="module")
+def searcher(tmp_path_factory, sf_dir, ray_session):
+    d = str(tmp_path_factory.mktemp("qops_idx"))
+    build_index(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        d,
+        IndexConfig(num_shards=4, num_salts=2, index_positions=True),
+    )
+    return IndexSearcher(d)
+
+
+@pytest.fixture(scope="module")
+def corpus(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return {
+        int(d): tokenize(x)
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+
+
+class TestFuzzy:
+    def test_expansion_matches_bruteforce(self, searcher):
+        vocab = [str(t) for t in searcher._gterms]
+        for q, e, pl in [("quer", 1, 0), ("tabel", 2, 0), ("grop", 1, 1),
+                         ("sort", 2, 0), ("xyzzy", 2, 0), ("a", 1, 0)]:
+            want = [
+                t for t in vocab
+                if _lev(t, q) <= e and t[:pl] == q[:pl]
+            ]
+            assert searcher.expand_fuzzy(q, e, pl) == want, (q, e, pl)
+
+    def test_distance_zero_is_exact(self, searcher):
+        assert searcher.expand_fuzzy("data", 0) == ["data"]
+
+    def test_constant_score_union(self, searcher, corpus):
+        docs, scores = searcher.search_fuzzy("dat", k=10, max_edits=1)
+        terms = set(searcher.expand_fuzzy("dat", 1))
+        want = sorted(
+            d for d, toks in corpus.items() if terms & set(toks)
+        )[:10]
+        assert docs.tolist() == want
+        assert np.all(scores == 1.0)
+
+    def test_max_expansions_guard(self, searcher):
+        with pytest.raises(ValueError, match="max_expansions"):
+            searcher.search_fuzzy("data", max_edits=2, max_expansions=0)
+
+    def test_negative_edits_rejected(self, searcher):
+        with pytest.raises(ValueError):
+            searcher.expand_fuzzy("data", -1)
+
+
+class TestRegexp:
+    def test_fullmatch_vs_scan(self, searcher, corpus):
+        import re
+
+        for pat in ["s(can|ort)", "[bf]ast", "qu.*", ".a.a", "colum?n"]:
+            rx = re.compile(pat)
+            terms = {
+                t for t in (str(x) for x in searcher._gterms)
+                if rx.fullmatch(t)
+            }
+            want = sorted(
+                d for d, toks in corpus.items() if terms & set(toks)
+            )[:10]
+            docs, scores = searcher.search_regexp(pat, k=10)
+            assert docs.tolist() == want, pat
+            assert np.all(scores == 1.0)
+
+    def test_anchored_not_substring(self, searcher):
+        # "can" alone must NOT match "scan" (full match, Lucene Regexp)
+        assert "scan" not in [
+            str(searcher._gterms[i])
+            for i in range(len(searcher._gterms))
+            if str(searcher._gterms[i]) == "can"
+        ]
+        docs, _ = searcher.search_regexp("can", k=10)
+        # only docs containing the literal term "can" (none in corpus)
+        ids = searcher.postings("can")[0]
+        assert docs.tolist() == ids[:10].tolist()
+
+
+class TestBool:
+    def _ref(self, searcher, corpus, must, should, must_not, filt, msm):
+        required = sorted(set(must) | set(filt))
+        msm_eff = msm if msm is not None else (0 if required else 1)
+        if not required:
+            msm_eff = max(msm_eff, 1)
+        from collections import Counter
+
+        mult = Counter(must) + Counter(should)
+        hits = []
+        for d, toks in corpus.items():
+            ts = set(toks)
+            if any(t not in ts for t in required):
+                continue
+            if msm_eff and sum(t in ts for t in sorted(set(should))) < msm_eff:
+                continue
+            if any(t in ts for t in must_not):
+                continue
+            score = 0.0
+            dl = float(len(toks))
+            k1, b = searcher.bm25.k1, searcher.bm25.b
+            for t, w in mult.items():
+                tf = toks.count(t)
+                if tf == 0:
+                    continue
+                idf = float(
+                    bm25_idf(
+                        np.array([max(searcher.local_df(t), 1e-9)]),
+                        searcher.n_docs,
+                    )[0]
+                )
+                score += w * idf * tf / (
+                    tf + k1 * (1 - b + b * dl / searcher.avgdl)
+                )
+            hits.append((-score, d))
+        hits.sort()
+        return [d for _, d in hits], [-s for s, _ in hits]
+
+    @pytest.mark.parametrize(
+        "must,should,must_not,filt,msm",
+        [
+            (["data"], ["query", "fast"], ["slow"], [], None),
+            ([], ["merge", "sort", "join"], [], [], 2),
+            (["table", "scan"], [], [], [], None),
+            (["data"], ["data", "query"], [], [], None),
+            ([], ["group"], ["agg"], [], None),
+            ([], ["join"], [], ["fast"], 0),
+            ([], ["join", "merge"], ["slow"], ["fast"], 1),
+        ],
+    )
+    def test_matches_bruteforce(
+        self, searcher, corpus, must, should, must_not, filt, msm
+    ):
+        docs, scores = searcher.search_bool(
+            must, should, must_not, k=25,
+            filter_terms=filt, minimum_should_match=msm,
+        )
+        rd, rs = self._ref(searcher, corpus, must, should, must_not, filt, msm)
+        assert docs.tolist() == rd[:25]
+        np.testing.assert_allclose(scores, rs[: docs.size], rtol=1e-10)
+
+    def test_pure_negation_rejected(self, searcher):
+        with pytest.raises(ValueError, match="clause"):
+            searcher.search_bool(must_not=["data"])
+
+    def test_filter_only_scores_zero(self, searcher, corpus):
+        docs, scores = searcher.search_bool(filter_terms=["fast"], k=8)
+        want = sorted(d for d, toks in corpus.items() if "fast" in toks)[:8]
+        assert docs.tolist() == want
+        assert np.all(scores == 0.0)
+
+    def test_duplicate_clause_doubles_score(self, searcher):
+        d1, s1 = searcher.search_bool(should=["data"], k=5)
+        d2, s2 = searcher.search_bool(should=["data", "data"], k=5)
+        assert d1.tolist() == d2.tolist()
+        np.testing.assert_allclose(2 * s1, s2, rtol=1e-12)
+
+    def test_unknown_must_term_empty(self, searcher):
+        docs, _ = searcher.search_bool(must=["zzznothere"], should=["data"])
+        assert docs.size == 0
+
+
+class TestPhrasePrefix:
+    def test_matches_bruteforce(self, searcher, corpus):
+        for qtext in ["data qu", "merge so", "the f", "a b"]:
+            toks = tokenize(qtext)
+            fixed, prefix = toks[:-1], toks[-1]
+            exp = searcher.expand_prefix(prefix)[:50]
+            n = len(toks)
+            dfs = [max(searcher.local_df(t), 1e-9) for t in fixed + exp]
+            idf_sum = float(
+                bm25_idf(np.array(dfs, dtype=np.float64), searcher.n_docs).sum()
+            )
+            hits = []
+            k1, b = searcher.bm25.k1, searcher.bm25.b
+            for d, dt in corpus.items():
+                tf = sum(
+                    1
+                    for i in range(len(dt) - n + 1)
+                    if dt[i : i + n - 1] == fixed and dt[i + n - 1] in exp
+                )
+                if tf:
+                    dl = float(len(dt))
+                    hits.append(
+                        (
+                            -idf_sum * tf
+                            / (tf + k1 * (1 - b + b * dl / searcher.avgdl)),
+                            d,
+                        )
+                    )
+            hits.sort()
+            docs, scores = searcher.search_phrase_prefix(toks, k=12)
+            assert docs.tolist() == [d for _, d in hits[:12]], qtext
+            np.testing.assert_allclose(
+                scores, [-s for s, _ in hits[:12]], rtol=1e-10
+            )
+
+    def test_max_expansions_cap_is_term_ordered(self, tmp_path, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": ["x ba", "x bc", "x bb"],
+                }
+            )
+        )
+        idx = str(tmp_path / "cap")
+        build_index(
+            ds, idx,
+            IndexConfig(num_shards=2, num_salts=1, index_positions=True),
+        )
+        s = IndexSearcher(idx)
+        # expansions of "b" in term order: ba, bb, bc; cap 2 keeps ba, bb
+        docs, _ = s.search_phrase_prefix(["x", "b"], k=10, max_expansions=2)
+        assert set(docs.tolist()) == {0, 2}
+
+    def test_empty_cases(self, searcher):
+        d, _ = searcher.search_phrase_prefix([], k=5)
+        assert d.size == 0
+        d, _ = searcher.search_phrase_prefix(["zzznope", "qu"], k=5)
+        assert d.size == 0
+        d, _ = searcher.search_phrase_prefix(["data", "zzznope"], k=5)
+        assert d.size == 0
+
+    def test_single_prefix_term(self, searcher, corpus):
+        # one-token phrase_prefix: tf = occurrences of ANY expansion
+        docs, scores = searcher.search_phrase_prefix(["qu"], k=10)
+        exp = set(searcher.expand_prefix("qu")[:50])
+        want = {d for d, toks in corpus.items() if exp & set(toks)}
+        assert set(docs.tolist()) <= want and docs.size == min(10, len(want))
