@@ -837,6 +837,51 @@ def q_phrase_prefix_topk(sf_dir: str) -> pa.Table:
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
+def q_phrase_topk_distributed(sf_dir: str) -> pa.Table:
+    """match_phrase through the shard-actor-pool serving path
+    (query/distributed.py): per-shard positional matching, coordinator
+    global-df phase, top-k merge — same oracle as phrase_topk
+    (rank-identity through the gate)."""
+    from ..query.distributed import DistributedSearcher
+
+    get_pos_searcher(sf_dir)  # ensure the positional index exists
+    dsearch = DistributedSearcher(_POS_INDEX_CACHE[sf_dir], num_actors=2)
+    try:
+        rows = []
+        for qid, qtext in PHRASE_QUERY_SET:
+            docs, scores = dsearch.search_phrase(tokenize(qtext), k=BM25_K * 3)
+            rows.append((qid, docs, scores))
+    finally:
+        dsearch.shutdown()
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_bool_topk_distributed(sf_dir: str) -> pa.Table:
+    """BooleanQuery through the shard-actor-pool path: shard-local
+    clause membership, coordinator global dfs over the scoring terms —
+    same oracle as bool_topk."""
+    from ..query.distributed import DistributedSearcher
+
+    dsearch = DistributedSearcher(get_index_dir(sf_dir), num_actors=2)
+    try:
+        rows = []
+        for qid, must, should, must_not, filt, msm in BOOL_QUERY_SET:
+            docs, scores = dsearch.search_bool(
+                must,
+                should,
+                must_not,
+                k=BM25_K * 3,
+                filter_terms=filt,
+                minimum_should_match=msm,
+            )
+            rows.append((qid, docs, scores))
+    finally:
+        dsearch.shutdown()
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
 def q_agentic_bm25(sf_dir: str) -> pa.Table:
     """Agentic query path under the SAME oracle as bm25_topk: a
     deterministic stand-in planner (the LLM adapter seam,
@@ -2793,6 +2838,11 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["phrase_prefix_topk"] = _topk_sql(
         _phrase_prefix_scored_sql(), BM25_K
     )
+    # same oracles through the shard-actor-pool serving path: the
+    # distributed phrase/bool results must be rank-identical to the
+    # single-process searcher (coordinator global-df phase)
+    sqls["phrase_topk_distributed"] = sqls["phrase_topk"]
+    sqls["bool_topk_distributed"] = sqls["bool_topk"]
     # same oracle: the two-segment incremental build and the
     # shard-actor-pool serving path must both be rank-identical to the
     # single-segment single-process result
@@ -3980,6 +4030,8 @@ def build_queries() -> dict:
         "fuzzy_topk": q_fuzzy_topk,
         "regexp_topk": q_regexp_topk,
         "phrase_prefix_topk": q_phrase_prefix_topk,
+        "phrase_topk_distributed": q_phrase_topk_distributed,
+        "bool_topk_distributed": q_bool_topk_distributed,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,

@@ -46,6 +46,68 @@ class ShardSearchActor:
     def warm(self, terms: list[str]) -> int:
         return self.searcher.warm_terms(terms)
 
+    def search_phrase(
+        self, terms: list[str], k: int, global_dfs: list[float]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.searcher.search_phrase(
+            terms, k, global_dfs=np.asarray(global_dfs, dtype=np.float64)
+        )
+
+    def search_bool(
+        self,
+        must: list[str],
+        should: list[str],
+        must_not: list[str],
+        filter_terms: list[str],
+        k: int,
+        msm: int | None,
+        global_dfs: list[float],
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.searcher.search_bool(
+            must,
+            should,
+            must_not,
+            k,
+            filter_terms=filter_terms,
+            minimum_should_match=msm,
+            global_dfs=np.asarray(global_dfs, dtype=np.float64),
+        )
+
+    def search_phrase_prefix(
+        self,
+        terms: list[str],
+        k: int,
+        expansions: list[str],
+        global_dfs: list[float],
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.searcher.search_phrase_prefix(
+            terms,
+            k,
+            expansions=expansions,
+            global_dfs=np.asarray(global_dfs, dtype=np.float64),
+        )
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        return self.searcher.expand_prefix(prefix)
+
+    def search_multiterm(self, kind: str, arg, k: int) -> np.ndarray:
+        """Constant-score multi-term queries (prefix / wildcard / fuzzy /
+        regexp): doc-membership is decided by terms IN the doc, so each
+        shard's LOCAL dictionary expansion is exact for its own docs —
+        no coordinator expansion phase needed. Returns doc ids only
+        (score is constant 1.0)."""
+        fn = {
+            "prefix": self.searcher.search_prefix,
+            "wildcard": self.searcher.search_wildcard,
+            "regexp": self.searcher.search_regexp,
+        }
+        if kind == "fuzzy":
+            term, max_edits, prefix_length = arg
+            return self.searcher.search_fuzzy(
+                term, k, max_edits=max_edits, prefix_length=prefix_length
+            )[0]
+        return fn[kind](arg, k)[0]
+
 
 class DistributedSearcher:
     """Driver-side handle: builds the actor pool over disjoint shard
@@ -100,6 +162,118 @@ class DistributedSearcher:
         docs = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
         return topk_desc(docs, scores, k)
+
+    def _resolve_gdfs(self, terms: list[str]) -> None:
+        """One df fan-out round for terms not already cached."""
+        missing = sorted({t for t in terms if t not in self._gdf})
+        if missing:
+            local = ray.get([a.local_dfs.remote(missing) for a in self.actors])
+            sums = np.asarray(local, dtype=np.float64).sum(axis=0)
+            self._gdf.update(zip(missing, sums.tolist()))
+
+    def search_phrase(self, terms: list[str], k: int = 10):
+        """Distributed match_phrase: phrase matching is per-doc, so each
+        shard matches locally; only idf needs the coordinator's global
+        df phase (dfs passed in GIVEN term order — search_phrase sums
+        one idf addend per occurrence)."""
+        self._resolve_gdfs(terms)
+        gdfs = [self._gdf[t] for t in terms]
+        parts = ray.get(
+            [a.search_phrase.remote(terms, k, gdfs) for a in self.actors]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
+
+    def search_bool(
+        self,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        k: int = 10,
+        *,
+        filter_terms: list[str] | None = None,
+        minimum_should_match: int | None = None,
+    ):
+        """Distributed BooleanQuery: clause membership is per-doc (shard-
+        local); global dfs align to the engine's sorted-distinct scoring
+        terms (must + should)."""
+        must = list(must or [])
+        should = list(should or [])
+        sterms = sorted(set(must) | set(should))
+        self._resolve_gdfs(sterms)
+        gdfs = [self._gdf[t] for t in sterms]
+        parts = ray.get(
+            [
+                a.search_bool.remote(
+                    must,
+                    should,
+                    list(must_not or []),
+                    list(filter_terms or []),
+                    k,
+                    minimum_should_match,
+                    gdfs,
+                )
+                for a in self.actors
+            ]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
+
+    def search_phrase_prefix(
+        self, terms: list[str], k: int = 10, *, max_expansions: int = 50
+    ):
+        """Distributed match_phrase_prefix. The coordinator resolves ONE
+        GLOBAL expansion list (union of per-shard dictionary ranges,
+        term order, capped) so every shard scores the same enumerated
+        term array — rank-identical to a single searcher, avoiding the
+        per-shard-expansion inconsistency ES documents for this query."""
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        prefix = terms[-1]
+        locals_ = ray.get(
+            [a.expand_prefix.remote(prefix) for a in self.actors]
+        )
+        expansions = sorted({t for ts in locals_ for t in ts})[:max_expansions]
+        if not expansions:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        enum = list(terms[:-1]) + expansions
+        self._resolve_gdfs(enum)
+        gdfs = [self._gdf[t] for t in enum]
+        parts = ray.get(
+            [
+                a.search_phrase_prefix.remote(terms, k, expansions, gdfs)
+                for a in self.actors
+            ]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
+
+    def _search_multiterm(self, kind: str, arg, k: int):
+        parts = ray.get(
+            [a.search_multiterm.remote(kind, arg, k) for a in self.actors]
+        )
+        docs = np.sort(np.concatenate(parts))[:k]
+        return docs, np.ones(docs.size, dtype=np.float64)
+
+    def search_prefix(self, prefix: str, k: int = 10):
+        return self._search_multiterm("prefix", prefix, k)
+
+    def search_wildcard(self, pattern: str, k: int = 10):
+        return self._search_multiterm("wildcard", pattern, k)
+
+    def search_regexp(self, pattern: str, k: int = 10):
+        return self._search_multiterm("regexp", pattern, k)
+
+    def search_fuzzy(
+        self, term: str, k: int = 10, *, max_edits: int = 2,
+        prefix_length: int = 0,
+    ):
+        return self._search_multiterm(
+            "fuzzy", (term, max_edits, prefix_length), k
+        )
 
     def shutdown(self) -> None:
         for a in self.actors:

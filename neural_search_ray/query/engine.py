@@ -802,6 +802,7 @@ class IndexSearcher:
         *,
         filter_terms: list[str] | None = None,
         minimum_should_match: int | None = None,
+        global_dfs: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Boolean term query — Lucene BooleanQuery under BM25Similarity:
 
@@ -886,9 +887,14 @@ class IndexSearcher:
         sterms = sorted(mult)
         if sterms:
             weights = np.asarray([mult[t] for t in sterms], dtype=np.float64)
-            dfs = np.asarray(
-                [self.local_df(t) for t in sterms], dtype=np.float64
-            )
+            # global_dfs: per-(sorted-distinct-scoring-term) GLOBAL doc
+            # frequencies for shard-subset actors, as in search_bm25
+            if global_dfs is None:
+                dfs = np.asarray(
+                    [self.local_df(t) for t in sterms], dtype=np.float64
+                )
+            else:
+                dfs = np.asarray(global_dfs, dtype=np.float64)
             idfs = np.where(
                 dfs > 0, bm25_idf(np.maximum(dfs, 1e-9), self.n_docs), 0.0
             )
@@ -903,6 +909,8 @@ class IndexSearcher:
         k: int = 10,
         *,
         max_expansions: int = 50,
+        expansions: list[str] | None = None,
+        global_dfs: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """match_phrase_prefix — Lucene MultiPhraseQuery with the LAST
         position expanded to the first ``max_expansions`` dictionary
@@ -914,12 +922,19 @@ class IndexSearcher:
         - idf := sum over the whole enumerated term array (each fixed
           term once per occurrence + each expansion term once), the
           MultiPhraseWeight/allTermStats behavior;
-        - same dl norm as search_phrase. Requires a positional index."""
+        - same dl norm as search_phrase. Requires a positional index.
+
+        ``expansions``: a coordinator-resolved expansion list overriding
+        the local dictionary walk (shard-subset actors must all score
+        the SAME capped term array — per-shard expansion is the known
+        ES match_phrase_prefix inconsistency we avoid); ``global_dfs``:
+        global doc frequencies aligned to fixed + expansions order."""
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if not terms:
             return empty
         fixed, prefix = terms[:-1], terms[-1]
-        expansions = self.expand_prefix(prefix)[:max_expansions]
+        if expansions is None:
+            expansions = self.expand_prefix(prefix)[:max_expansions]
         if not expansions:
             return empty
         n = len(terms)
@@ -927,9 +942,13 @@ class IndexSearcher:
         if any(p[0].size == 0 for p in posts):
             return empty
         eposts = [self.postings_positions(t) for t in expansions]
-        dfs = np.asarray(
-            [self.local_df(t) for t in fixed + expansions], dtype=np.float64
-        )
+        if global_dfs is None:
+            dfs = np.asarray(
+                [self.local_df(t) for t in fixed + expansions],
+                dtype=np.float64,
+            )
+        else:
+            dfs = np.asarray(global_dfs, dtype=np.float64)
         idf_sum = float(bm25_idf(np.maximum(dfs, 1e-9), self.n_docs).sum())
         max_pos = max(
             [int(p[2].max()) if p[2].size else 0 for p in posts + eposts]

@@ -264,3 +264,64 @@ class TestPhrasePrefix:
         exp = set(searcher.expand_prefix("qu")[:50])
         want = {d for d, toks in corpus.items() if exp & set(toks)}
         assert set(docs.tolist()) <= want and docs.size == min(10, len(want))
+
+
+class TestDistributedQueryOps:
+    """The shard-actor-pool path must be rank-identical (docs AND
+    scores) to the single-process searcher for every new query type —
+    global stats resolved by the coordinator, matching shard-local."""
+
+    @pytest.fixture(scope="class")
+    def dsearch(self, searcher, ray_session):
+        from neural_search_ray.query.distributed import DistributedSearcher
+
+        d = DistributedSearcher(searcher.index_dir, num_actors=2)
+        yield d
+        d.shutdown()
+
+    def test_phrase_identical(self, searcher, dsearch):
+        for q in ["data query", "merge sort", "table scan filter"]:
+            sd, ss = searcher.search_phrase(tokenize(q), k=12)
+            dd, ds_ = dsearch.search_phrase(tokenize(q), k=12)
+            assert dd.tolist() == sd.tolist(), q
+            np.testing.assert_allclose(ds_, ss, rtol=1e-12)
+
+    def test_bool_identical(self, searcher, dsearch):
+        cases = [
+            (["data"], ["query", "fast"], ["slow"], [], None),
+            ([], ["merge", "sort", "join"], [], [], 2),
+            ([], ["join"], [], ["fast"], 0),
+        ]
+        for must, should, mn, filt, msm in cases:
+            sd, ss = searcher.search_bool(
+                must, should, mn, k=15,
+                filter_terms=filt, minimum_should_match=msm,
+            )
+            dd, ds_ = dsearch.search_bool(
+                must, should, mn, k=15,
+                filter_terms=filt, minimum_should_match=msm,
+            )
+            assert dd.tolist() == sd.tolist()
+            np.testing.assert_allclose(ds_, ss, rtol=1e-12)
+
+    def test_phrase_prefix_identical(self, searcher, dsearch):
+        for q in ["data qu", "the f", "a b"]:
+            sd, ss = searcher.search_phrase_prefix(tokenize(q), k=12)
+            dd, ds_ = dsearch.search_phrase_prefix(tokenize(q), k=12)
+            assert dd.tolist() == sd.tolist(), q
+            np.testing.assert_allclose(ds_, ss, rtol=1e-12)
+
+    def test_multiterm_identical(self, searcher, dsearch):
+        pairs = [
+            (searcher.search_prefix, dsearch.search_prefix, ("qu",)),
+            (searcher.search_wildcard, dsearch.search_wildcard, ("s*m",)),
+            (searcher.search_regexp, dsearch.search_regexp, ("gr[ao]up",)),
+        ]
+        for sf_, df_, args in pairs:
+            sd, _ = sf_(*args, k=12)
+            dd, dsc = df_(*args, k=12)
+            assert dd.tolist() == sd.tolist(), args
+            assert np.all(dsc == 1.0)
+        sd, _ = searcher.search_fuzzy("quer", k=12, max_edits=1)
+        dd, _ = dsearch.search_fuzzy("quer", k=12, max_edits=1)
+        assert dd.tolist() == sd.tolist()
