@@ -198,6 +198,12 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
         # delete path: hardlink index copy + tombstone write + purge
         # rewrite of the dirty segment + full query set (new in r4)
         "bm25_topk_purged",
+        # positional tier (new in r4 session 3/4): phrase_topk includes
+        # the positional documents-index build on a cold /tmp (cached
+        # across runs by corpus fingerprint, like the base index);
+        # bool_topk runs the 6-clause-shape BooleanQuery set
+        "phrase_topk",
+        "bool_topk",
     ):
         t0 = time.perf_counter()
         res = suite.build_queries()[name](sf_dir)
