@@ -282,6 +282,64 @@ def _phrase_scored_sql() -> str:
   WHERE p.tf > 0"""
 
 
+def _span_scored_sql() -> str:
+    """In-order span-near scored set mirroring engine search_span_near
+    for 2-term spans: tf = start positions i (term0) with term1 at some
+    j in (i, i+1+slop]; idf summed per term occurrence; same dl norm as
+    the phrase oracle. Weight 1 per span (documented deviation from
+    Lucene sloppyFreq, pinned here)."""
+    branches = []
+    idf_rows = []
+    for qid, t0, t1, slop in SPAN_QUERY_SET:
+        inner = (
+            f"len(list_filter(range(i + 1, least(i + {slop + 2}, len(toks) + 1)), "
+            f"j -> toks[j] = '{t1}')) > 0"
+        )
+        branches.append(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"len(list_filter(range(1, len(toks) + 1), "
+            f"i -> toks[i] = '{t0}' AND {inner}))::BIGINT AS tf FROM w"
+        )
+        idf_rows += [f"({qid}, '{t0}')", f"({qid}, '{t1}')"]
+    ptf = " UNION ALL ".join(branches)
+    idf_sql = f"""
+    SELECT q.query_id, sum(ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))) AS idf_sum
+    FROM (VALUES {", ".join(idf_rows)}) q(query_id, term)
+    JOIN ({SQL_DF}) df ON df.term = q.term
+    CROSS JOIN ({SQL_STATS}) s
+    GROUP BY q.query_id"""
+    return f"""
+  WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents)
+  SELECT p.query_id::BIGINT AS query_id, p.doc_id,
+         i.idf_sum * p.tf / (p.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) AS score
+  FROM ({ptf}) p
+  JOIN ({idf_sql}) i ON i.query_id = p.query_id
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = p.doc_id
+  CROSS JOIN ({SQL_STATS}) s
+  WHERE p.tf > 0"""
+
+
+def _facet_lang_sql(size: int) -> str:
+    """Terms-agg oracle: doc count per documents.lang over the boolean-OR
+    match set of each QUERY_SET query; top `size` buckets by
+    (count desc, lang asc)."""
+    return f"""
+SELECT query_id, lang, doc_count FROM (
+  SELECT query_id, lang, doc_count,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY doc_count DESC, lang) AS rnk
+  FROM (
+    SELECT q.query_id::BIGINT AS query_id, d.lang,
+           count(DISTINCT t.doc_id)::BIGINT AS doc_count
+    FROM ({_query_values_sql()}) q
+    JOIN ({SQL_TOK}) t ON t.term = q.term
+    JOIN documents d ON d.doc_id = t.doc_id
+    GROUP BY q.query_id, d.lang)
+) WHERE rnk <= {size}"""
+
+
 def _multiterm_const_sql(values: list[tuple[int, str]], like_expr: str, k: int) -> str:
     """Constant-score multi-term oracle (Lucene CONSTANT_SCORE rewrite of
     PrefixQuery / WildcardQuery): docs containing ANY term matching the
@@ -690,6 +748,17 @@ BOOL_QUERY_SET: list[
     (5, [], ["join"], [], ["fast"], 0),  # filter + optional should
 ]
 
+# (query_id, term0, term1, slop) — in-order span-near pairs; slop=0
+# degenerates to exact phrase (cross-checked in tests)
+SPAN_QUERY_SET: list[tuple[int, str, str, int]] = [
+    (0, "data", "query", 1),
+    (1, "merge", "sort", 2),
+    (2, "table", "scan", 0),
+    (3, "slow", "agg", 3),
+    (4, "the", "join", 2),
+    (5, "group", "agg", 1),
+]
+
 _PHRASE_PREFIX_MAX_EXP = 50  # Lucene/ES max_expansions default
 
 # fixed terms + a last-token prefix; (6)/(7) expand to MULTIPLE terms
@@ -835,6 +904,90 @@ def q_phrase_prefix_topk(sf_dir: str) -> pa.Table:
         rows.append((qid, docs, scores))
     out = _hits_table(rows)
     return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_span_near_topk(sf_dir: str) -> pa.Table:
+    """In-order span-near (engine search_span_near — Lucene
+    SpanNearQuery(inOrder=true) matching semantics, weight-1 spans):
+    sloppy window matching from positional postings, BM25 over span
+    tf."""
+    searcher = get_pos_searcher(sf_dir)
+    rows = []
+    for qid, t0, t1, slop in SPAN_QUERY_SET:
+        docs, scores = searcher.search_span_near(
+            [t0, t1], k=BM25_K * 3, slop=slop
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+_FACET_SIZE = 10
+
+
+def q_facet_lang(sf_dir: str) -> pa.Table:
+    """Terms aggregation (engine facet_terms — OpenSearch terms agg):
+    doc count per documents.lang over each query's boolean-OR match
+    set, top buckets by (count desc, value asc). Shard-exact counts
+    (partial maps bounded by field cardinality, no shard_size
+    approximation)."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, ls, cs = [], [], []
+    for qid, qtext in QUERY_SET:
+        values, counts = searcher.facet_terms(
+            tokenize(qtext), "lang", size=_FACET_SIZE
+        )
+        qs += [qid] * len(values)
+        ls += [str(v) for v in values]
+        cs += counts.tolist()
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "lang": pa.array(ls, type=pa.string()),
+            "doc_count": pa.array(cs, type=pa.int64()),
+        }
+    )
+
+
+_TERMVEC_MOD = 97  # deterministic _termvectors sample: doc_id % 97 == 0
+
+
+def q_term_vectors(sf_dir: str) -> pa.Table:
+    """_termvectors API analogue: per-doc term -> tf for a deterministic
+    doc sample, served from the FORWARD index (shard-local CSR
+    transpose — one row slice per doc, never an inverted scan)."""
+    from ..index.forward import ShardForward
+
+    index_dir = get_index_dir(sf_dir)
+    _ensure_forward(index_dir)
+    searcher = get_searcher(sf_dir)
+    ids_out, term_out, tf_out = [], [], []
+    for shard in range(searcher.manifest.num_doc_shards):
+        fwd = ShardForward(index_dir, shard)
+        sel = np.flatnonzero(fwd.doc_ids % _TERMVEC_MOD == 0)
+        if sel.size == 0:
+            continue
+        pos, lens, _ = fwd.row_slices(sel)
+        ids_out.append(np.repeat(fwd.doc_ids[sel].astype(np.int64), lens))
+        terms_arr = np.asarray(fwd.terms, dtype=object)
+        term_out.append(terms_arr[fwd.flat_tids[pos]])
+        tf_out.append(fwd.flat_w[pos].astype(np.int64))
+    if not ids_out:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(ids_out)),
+            "term": pa.array(list(np.concatenate(term_out)), type=pa.string()),
+            "tf": pa.array(np.concatenate(tf_out)),
+        }
+    )
 
 
 def q_phrase_topk_distributed(sf_dir: str) -> pa.Table:
@@ -2843,6 +2996,15 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     # single-process searcher (coordinator global-df phase)
     sqls["phrase_topk_distributed"] = sqls["phrase_topk"]
     sqls["bool_topk_distributed"] = sqls["bool_topk"]
+    # in-order span-near over positional postings
+    sqls["span_near_topk"] = _topk_sql(_span_scored_sql(), BM25_K)
+    # terms aggregation over the boolean-OR match set, bucketed by lang
+    sqls["facet_lang"] = _facet_lang_sql(_FACET_SIZE)
+    # _termvectors sample: per-doc term -> tf from the forward index
+    sqls["term_vectors"] = (
+        f"SELECT doc_id, term, tf FROM ({SQL_TF}) "
+        f"WHERE doc_id % {_TERMVEC_MOD} = 0"
+    )
     # same oracle: the two-segment incremental build and the
     # shard-actor-pool serving path must both be rank-identical to the
     # single-segment single-process result
@@ -4032,6 +4194,9 @@ def build_queries() -> dict:
         "phrase_prefix_topk": q_phrase_prefix_topk,
         "phrase_topk_distributed": q_phrase_topk_distributed,
         "bool_topk_distributed": q_bool_topk_distributed,
+        "span_near_topk": q_span_near_topk,
+        "facet_lang": q_facet_lang,
+        "term_vectors": q_term_vectors,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,

@@ -991,6 +991,106 @@ class IndexSearcher:
         scores = idf_sum * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
         return topk_desc(docs_u, scores, k)
 
+    def facet_terms(
+        self, terms: list[str], field: str, size: int = 10
+    ) -> tuple[list, np.ndarray]:
+        """Terms aggregation over the match set of a boolean-OR term
+        query (the OpenSearch terms agg / Lucene facet counting the
+        reference inherits for its hybrid result pages): doc count per
+        ``field`` value, top ``size`` buckets by (count desc, value asc).
+
+        Shard-local by construction — the match set and the doc-values
+        sidecar are both shard-resident; a shard-subset actor returns
+        its full partial map (bounded by field cardinality, NOT doc
+        count) and the coordinator sums, so the distributed counts are
+        EXACT — no shard_size approximation needed."""
+        import pyarrow.compute as pc
+
+        arrs = [self.postings(t)[0] for t in sorted(set(terms))]
+        arrs = [a for a in arrs if a.size]
+        if not arrs:
+            return [], np.empty(0, np.int64)
+        docs = (
+            np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+        )
+        vc = pc.value_counts(self.field_values(docs, field))
+        values = vc.field("values").to_pylist()
+        counts = (
+            vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        order = np.lexsort((np.asarray(values, dtype=object), -counts))
+        sel = order[:size] if size is not None else order
+        return [values[i] for i in sel], counts[sel]
+
+    def search_span_near(
+        self,
+        terms: list[str],
+        k: int = 10,
+        *,
+        slop: int = 0,
+        global_dfs: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """In-order span-near query (Lucene SpanNearQuery(inOrder=true) /
+        sloppy PhraseQuery matching): a doc matches where positions
+        p_0 < p_1 < ... < p_{n-1} of the terms (strictly increasing, in
+        order) fit a window of width <= n + slop; slop=0 degenerates to
+        exact phrase adjacency.
+
+        tf := number of match START positions with a valid minimal
+        completion (greedy earliest-next per step — minimal end for a
+        given start, so "exists valid chain" is exact); scored like
+        search_phrase (idf summed per term occurrence, same dl norm)
+        with weight 1 per span — a documented deviation from Lucene's
+        1/(1+matchLength) sloppyFreq, pinned by the SQL oracle.
+
+        Vectorized: (doc, pos) int64 keys; each step advances every
+        candidate chain with ONE searchsorted against the next term's
+        key array. Requires a positional index."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not terms:
+            return empty
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        n = len(terms)
+        posts = [self.postings_positions(t) for t in terms]
+        if any(p[0].size == 0 for p in posts):
+            return empty
+        if global_dfs is None:
+            dfs = np.asarray(
+                [self.local_df(t) for t in terms], dtype=np.float64
+            )
+        else:
+            dfs = np.asarray(global_dfs, dtype=np.float64)
+        idf_sum = float(bm25_idf(np.maximum(dfs, 1e-9), self.n_docs).sum())
+        max_pos = max(int(p[2].max()) if p[2].size else 0 for p in posts)
+        # window arithmetic stays inside one doc's key range
+        shift = np.int64(max_pos + n + slop + 2)
+        keys = [
+            np.repeat(p[0], p[1]) * shift + p[2] for p in posts
+        ]  # each sorted: docs asc, positions asc within doc
+        start = keys[0]
+        cur = start
+        for i in range(1, n):
+            # greedy: earliest occurrence of term i strictly after cur
+            pos = np.searchsorted(keys[i], cur, side="right")
+            ok = pos < keys[i].size
+            nxt = keys[i][np.minimum(pos, keys[i].size - 1)]
+            # must stay in the same doc
+            ok &= (nxt // shift) == (cur // shift)
+            start, cur = start[ok], nxt[ok]
+            if start.size == 0:
+                return empty
+        width_ok = (cur - start) <= (n - 1 + slop)
+        start = start[width_ok]
+        if start.size == 0:
+            return empty
+        docs_u, freq = np.unique(start // shift, return_counts=True)
+        dl = self.doc_length(docs_u)
+        k1, b = self.bm25.k1, self.bm25.b
+        f = freq.astype(np.float64)
+        scores = idf_sum * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
+        return topk_desc(docs_u, scores, k)
+
     # coverage fraction above which a term's tf-norms are cached DENSE
     # (one n-float vector): contiguous SIMD add beats the gather/scatter
     # by ~4x, and stopword-grade terms (df/n ≈ 0.95-1.0) dominate the

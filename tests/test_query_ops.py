@@ -266,6 +266,136 @@ class TestPhrasePrefix:
         assert set(docs.tolist()) <= want and docs.size == min(10, len(want))
 
 
+class TestSpanNear:
+    def _ref(self, corpus, searcher, terms, slop):
+        """Greedy-minimal in-order chain reference in plain Python."""
+        n = len(terms)
+        dfs = [max(searcher.local_df(t), 1e-9) for t in terms]
+        idf_sum = float(
+            bm25_idf(np.array(dfs, dtype=np.float64), searcher.n_docs).sum()
+        )
+        hits = []
+        k1, b = searcher.bm25.k1, searcher.bm25.b
+        for d, toks in corpus.items():
+            tf = 0
+            for i, t in enumerate(toks):
+                if t != terms[0]:
+                    continue
+                cur = i
+                ok = True
+                for j in range(1, n):
+                    nxt = next(
+                        (p for p in range(cur + 1, len(toks))
+                         if toks[p] == terms[j]),
+                        None,
+                    )
+                    if nxt is None:
+                        ok = False
+                        break
+                    cur = nxt
+                if ok and cur - i <= n - 1 + slop:
+                    tf += 1
+            if tf:
+                dl = float(len(toks))
+                hits.append(
+                    (
+                        -idf_sum * tf
+                        / (tf + k1 * (1 - b + b * dl / searcher.avgdl)),
+                        d,
+                    )
+                )
+        hits.sort()
+        return [d for _, d in hits], [-s for s, _ in hits]
+
+    @pytest.mark.parametrize(
+        "terms,slop",
+        [
+            (["data", "query"], 0),
+            (["data", "query"], 1),
+            (["merge", "sort"], 2),
+            (["the", "join"], 3),
+            (["table", "scan", "filter"], 1),
+            (["slow", "group", "agg"], 2),
+        ],
+    )
+    def test_matches_bruteforce(self, searcher, corpus, terms, slop):
+        docs, scores = searcher.search_span_near(terms, k=15, slop=slop)
+        rd, rs = self._ref(corpus, searcher, terms, slop)
+        assert docs.tolist() == rd[:15], (terms, slop)
+        np.testing.assert_allclose(scores, rs[: docs.size], rtol=1e-10)
+
+    def test_slop_zero_equals_phrase(self, searcher):
+        for q in ["data query", "table scan filter"]:
+            toks = tokenize(q)
+            sd, ss = searcher.search_span_near(toks, k=15, slop=0)
+            pd_, ps = searcher.search_phrase(toks, k=15)
+            assert sd.tolist() == pd_.tolist()
+            np.testing.assert_allclose(ss, ps, rtol=1e-12)
+
+    def test_negative_slop_rejected(self, searcher):
+        with pytest.raises(ValueError):
+            searcher.search_span_near(["data", "query"], slop=-1)
+
+    def test_empty_cases(self, searcher):
+        d, _ = searcher.search_span_near([], k=5)
+        assert d.size == 0
+        d, _ = searcher.search_span_near(["zzznope", "data"], k=5, slop=3)
+        assert d.size == 0
+
+
+class TestFacetTerms:
+    @pytest.fixture(scope="class")
+    def dv_searcher(self, searcher, sf_dir, ray_session):
+        from neural_search_ray.index.docvalues import build_doc_values
+
+        import ray as _ray
+
+        docs = _ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
+        )
+        build_doc_values(
+            docs, searcher.index_dir,
+            num_shards=searcher.manifest.num_doc_shards,
+        )
+        return searcher
+
+    def test_counts_match_bruteforce(self, dv_searcher, corpus, sf_dir):
+        import pyarrow.parquet as pq
+        from collections import Counter
+
+        langs = dict(
+            zip(
+                pq.read_table(
+                    f"{sf_dir}/documents.parquet", columns=["doc_id"]
+                )["doc_id"].to_pylist(),
+                pq.read_table(
+                    f"{sf_dir}/documents.parquet", columns=["lang"]
+                )["lang"].to_pylist(),
+            )
+        )
+        for q in ["data query", "merge sort window", "vector search"]:
+            terms = set(tokenize(q))
+            match = {
+                d for d, toks in corpus.items() if terms & set(toks)
+            }
+            want = Counter(langs[d] for d in match)
+            values, counts = dv_searcher.facet_terms(tokenize(q), "lang")
+            got = dict(zip(values, counts.tolist()))
+            assert got == dict(want), q
+            # ordering: count desc, value asc
+            pairs = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+            assert values == [v for v, _ in pairs]
+
+    def test_size_cap(self, dv_searcher):
+        values, counts = dv_searcher.facet_terms(["data"], "lang", size=1)
+        assert len(values) == 1 == counts.size
+
+    def test_no_match_empty(self, dv_searcher):
+        values, counts = dv_searcher.facet_terms(["zzznope"], "lang")
+        assert values == [] and counts.size == 0
+
+
 class TestDistributedQueryOps:
     """The shard-actor-pool path must be rank-identical (docs AND
     scores) to the single-process searcher for every new query type —
