@@ -340,6 +340,34 @@ SELECT query_id, lang, doc_count FROM (
 ) WHERE rnk <= {size}"""
 
 
+def _mlt_scored_sql() -> str:
+    """More-Like-This scored set mirroring q_more_like_this: per source
+    doc (doc_id % _MLT_MOD == 0), select the top _MLT_MAX_TERMS doc
+    terms by (round(tf·idf, 6) desc, term asc), then the standard BM25
+    sum over those terms with the source doc excluded."""
+    idf = "ln(1.0 + (st.n_docs - df.df + 0.5)/(df.df + 0.5))"
+    sel = f"""
+    SELECT src_id, term FROM (
+      SELECT s.doc_id AS src_id, tf.term,
+             row_number() OVER (PARTITION BY s.doc_id
+                ORDER BY round(tf.tf * {idf}, 6) DESC, tf.term) AS rnk
+      FROM (SELECT doc_id FROM documents WHERE doc_id % {_MLT_MOD} = 0) s
+      JOIN ({SQL_TF}) tf ON tf.doc_id = s.doc_id
+      JOIN ({SQL_DF}) df ON df.term = tf.term
+      CROSS JOIN ({SQL_STATS}) st
+    ) WHERE rnk <= {_MLT_MAX_TERMS}"""
+    return f"""
+  SELECT q.src_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) ) AS score
+  FROM ({sel}) q
+  JOIN ({SQL_TF}) tf ON tf.term = q.term AND tf.doc_id <> q.src_id
+  JOIN ({SQL_DF}) df ON df.term = q.term
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN ({SQL_STATS}) s
+  GROUP BY q.src_id, tf.doc_id"""
+
+
 def _multiterm_const_sql(values: list[tuple[int, str]], like_expr: str, k: int) -> str:
     """Constant-score multi-term oracle (Lucene CONSTANT_SCORE rewrite of
     PrefixQuery / WildcardQuery): docs containing ANY term matching the
@@ -988,6 +1016,60 @@ def q_term_vectors(sf_dir: str) -> pa.Table:
             "tf": pa.array(np.concatenate(tf_out)),
         }
     )
+
+
+_MLT_MOD = 53        # deterministic source-doc sample: doc_id % 53 == 0
+_MLT_MAX_TERMS = 10  # max_query_terms (Lucene MLT default is 25)
+
+
+def q_more_like_this(sf_dir: str) -> pa.Table:
+    """More-Like-This query (Lucene MoreLikeThis / ES more_like_this):
+    for each source doc, select the top max_query_terms terms of the doc
+    by tf·idf — served from the FORWARD-index CSR row (one binary-search
+    slice per doc, the stored-term-vector path), ranked by
+    (round(tf·idf, 6) desc, term asc) — then run the boolean-should BM25
+    query over them, excluding the source doc (ES include=false
+    default). Deviation pinned by the oracle: term selection uses the
+    BM25 idf (ln(1+(N-df+.5)/(df+.5))) rather than Lucene MLT's classic
+    tf-idf, so selection and scoring share one stats chain."""
+    import pyarrow.parquet as pq
+
+    from ..index.forward import ShardForward
+    from ..query.bm25 import bm25_idf
+
+    index_dir = get_index_dir(sf_dir)
+    _ensure_forward(index_dir)
+    searcher = get_searcher(sf_dir)
+    n_shards = searcher.manifest.num_doc_shards
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    srcs = sorted(int(d) for d in ids if d % _MLT_MOD == 0)
+    fwd_cache: dict[int, ShardForward] = {}
+    rows = []
+    for src in srcs:
+        shard = src % n_shards
+        fwd = fwd_cache.setdefault(shard, ShardForward(index_dir, shard))
+        i = int(np.searchsorted(fwd.doc_ids, src))
+        lo, hi = int(fwd.offsets[i]), int(fwd.offsets[i + 1])
+        terms = [fwd.terms[t] for t in fwd.flat_tids[lo:hi]]
+        tfs = fwd.flat_w[lo:hi]
+        if not terms:
+            rows.append((src, np.empty(0, np.int64), np.empty(0, np.float64)))
+            continue
+        dfs = np.asarray(
+            [searcher.local_df(t) for t in terms], dtype=np.float64
+        )
+        key = round_half_up(
+            tfs * bm25_idf(np.maximum(dfs, 1e-9), searcher.n_docs), 6
+        )
+        order = np.lexsort((np.asarray(terms, dtype=object), -key))
+        sel = [terms[j] for j in order[:_MLT_MAX_TERMS]]
+        docs, scores = searcher.search_bm25(sel, k=BM25_K * 3 + 1)
+        m = docs != src
+        rows.append((src, docs[m], scores[m]))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
 def q_phrase_topk_distributed(sf_dir: str) -> pa.Table:
@@ -3005,6 +3087,9 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
         f"SELECT doc_id, term, tf FROM ({SQL_TF}) "
         f"WHERE doc_id % {_TERMVEC_MOD} = 0"
     )
+    # more_like_this: tf-idf term selection from the forward index,
+    # boolean-should BM25 with the source doc excluded
+    sqls["more_like_this"] = _topk_sql(_mlt_scored_sql(), BM25_K)
     # same oracle: the two-segment incremental build and the
     # shard-actor-pool serving path must both be rank-identical to the
     # single-segment single-process result
@@ -4197,6 +4282,7 @@ def build_queries() -> dict:
         "span_near_topk": q_span_near_topk,
         "facet_lang": q_facet_lang,
         "term_vectors": q_term_vectors,
+        "more_like_this": q_more_like_this,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,

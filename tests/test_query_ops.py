@@ -396,6 +396,25 @@ class TestFacetTerms:
         assert values == [] and counts.size == 0
 
 
+class TestMoreLikeThis:
+    def test_excludes_source_and_is_deterministic(self, sf_dir, ray_session):
+        from neural_search_ray.pipelines.suite import (
+            _MLT_MOD,
+            q_more_like_this,
+        )
+
+        t1 = q_more_like_this(sf_dir)
+        t2 = q_more_like_this(sf_dir)
+        assert t1.equals(t2)
+        assert t1.num_rows > 0
+        qids = np.asarray(t1["query_id"].to_pylist())
+        docs = np.asarray(t1["doc_id"].to_pylist())
+        # ES include=false: a source doc never appears in its own hits
+        assert not np.any(qids == docs)
+        # every source is a sampled doc
+        assert np.all(qids % _MLT_MOD == 0)
+
+
 class TestDistributedQueryOps:
     """The shard-actor-pool path must be rank-identical (docs AND
     scores) to the single-process searcher for every new query type —
