@@ -104,6 +104,12 @@ class IndexManifest:
             return None
         with open(path) as f:
             d = json.load(f)
+        return cls.from_dict(d, source=repr(index_dir))
+
+    @classmethod
+    def from_dict(cls, d: dict, source: str = "<dict>") -> "IndexManifest":
+        """Parse a serialized manifest (disk file, snapshot record) with
+        the same BWC gate as load()."""
         # BWC gate: a manifest without the field is version 1 (round-1/2
         # layout, physically identical — read as-is). Anything outside
         # [START, CURRENT] is refused with a clear error rather than being
@@ -111,7 +117,7 @@ class IndexManifest:
         version = d.get("format_version", 1)
         if not (FORMAT_VERSION_START <= version <= FORMAT_VERSION_CURRENT):
             raise IndexFormatError(
-                f"index at {index_dir!r} has format_version={version}; this "
+                f"index at {source} has format_version={version}; this "
                 f"reader supports [{FORMAT_VERSION_START}, "
                 f"{FORMAT_VERSION_CURRENT}]. Rebuild the index or upgrade "
                 f"the library."

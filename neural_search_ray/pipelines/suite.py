@@ -1018,6 +1018,36 @@ def q_term_vectors(sf_dir: str) -> pa.Table:
     )
 
 
+_SNAP_CACHE: dict[str, str] = {}
+
+
+def q_bm25_topk_snapshot(sf_dir: str) -> pa.Table:
+    """BM25 through a snapshot -> restore round trip
+    (index/snapshot.py — the OpenSearch snapshot-repository model:
+    segments pooled once, snapshot = frozen manifest + tombstones):
+    the restored index must be rank-identical to the source, so this
+    runs under the SAME oracle as bm25_topk."""
+    from ..index.snapshot import restore_index, snapshot_index
+
+    if sf_dir not in _SNAP_CACHE:
+        base = get_index_dir(sf_dir)
+        repo, restored = base + "-snaprepo", base + "-restored"
+        snapshot_index(base, repo, "s1")
+        if not os.path.exists(os.path.join(restored, "manifest.json")):
+            restore_index(repo, "s1", restored)
+        _SNAP_CACHE[sf_dir] = restored
+    idx = _SNAP_CACHE[sf_dir]
+    if idx not in _SEARCHER_CACHE:
+        _SEARCHER_CACHE[idx] = IndexSearcher(idx)
+    searcher = _SEARCHER_CACHE[idx]
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
 _MLT_MOD = 53        # deterministic source-doc sample: doc_id % 53 == 0
 _MLT_MAX_TERMS = 10  # max_query_terms (Lucene MLT default is 25)
 
@@ -3090,6 +3120,8 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     # more_like_this: tf-idf term selection from the forward index,
     # boolean-should BM25 with the source doc excluded
     sqls["more_like_this"] = _topk_sql(_mlt_scored_sql(), BM25_K)
+    # snapshot -> restore round trip: rank-identical to the source index
+    sqls["bm25_topk_snapshot"] = sqls["bm25_topk"]
     # same oracle: the two-segment incremental build and the
     # shard-actor-pool serving path must both be rank-identical to the
     # single-segment single-process result
@@ -4283,6 +4315,7 @@ def build_queries() -> dict:
         "facet_lang": q_facet_lang,
         "term_vectors": q_term_vectors,
         "more_like_this": q_more_like_this,
+        "bm25_topk_snapshot": q_bm25_topk_snapshot,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,

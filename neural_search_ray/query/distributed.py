@@ -90,6 +90,14 @@ class ShardSearchActor:
     def expand_prefix(self, prefix: str) -> list[str]:
         return self.searcher.expand_prefix(prefix)
 
+    def facet_terms(self, terms: list[str], field: str) -> tuple[list, list]:
+        """FULL partial bucket map for this actor's shards (size=None) —
+        bounded by field cardinality, not doc count, so shipping it to
+        the coordinator is O(|values|) and the merged counts are EXACT
+        (no shard_size approximation)."""
+        values, counts = self.searcher.facet_terms(terms, field, size=None)
+        return values, counts.tolist()
+
     def search_multiterm(self, kind: str, arg, k: int) -> np.ndarray:
         """Constant-score multi-term queries (prefix / wildcard / fuzzy /
         regexp): doc-membership is decided by terms IN the doc, so each
@@ -250,6 +258,26 @@ class DistributedSearcher:
         docs = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
         return topk_desc(docs, scores, k)
+
+    def facet_terms(self, terms: list[str], field: str, size: int = 10):
+        """Distributed terms aggregation: shard-local partial maps
+        (match set and doc-values are shard-resident), coordinator sums
+        by value, then the global (count desc, value asc) top-size cut —
+        exact because partials are complete per shard."""
+        parts = ray.get(
+            [a.facet_terms.remote(terms, field) for a in self.actors]
+        )
+        acc: dict = {}
+        for values, counts in parts:
+            for v, c in zip(values, counts):
+                acc[v] = acc.get(v, 0) + c
+        if not acc:
+            return [], np.empty(0, np.int64)
+        values = list(acc)
+        counts = np.asarray([acc[v] for v in values], dtype=np.int64)
+        order = np.lexsort((np.asarray(values, dtype=object), -counts))
+        sel = order[:size] if size is not None else order
+        return [values[i] for i in sel], counts[sel]
 
     def _search_multiterm(self, kind: str, arg, k: int):
         parts = ray.get(

@@ -460,6 +460,24 @@ class TestDistributedQueryOps:
             assert dd.tolist() == sd.tolist(), q
             np.testing.assert_allclose(ds_, ss, rtol=1e-12)
 
+    def test_facet_identical(self, searcher, dsearch, sf_dir):
+        import ray as _ray
+        from neural_search_ray.index.docvalues import build_doc_values
+
+        build_doc_values(
+            _ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "lang", "n_chars"],
+            ),
+            searcher.index_dir,
+            num_shards=searcher.manifest.num_doc_shards,
+        )
+        for q in ["data query", "vector search", "zzznope"]:
+            sv, sc = searcher.facet_terms(tokenize(q), "lang")
+            dv, dc = dsearch.facet_terms(tokenize(q), "lang")
+            assert dv == sv, q
+            assert dc.tolist() == sc.tolist()
+
     def test_multiterm_identical(self, searcher, dsearch):
         pairs = [
             (searcher.search_prefix, dsearch.search_prefix, ("qu",)),
