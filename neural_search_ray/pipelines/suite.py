@@ -340,6 +340,103 @@ SELECT query_id, lang, doc_count FROM (
 ) WHERE rnk <= {size}"""
 
 
+def _qs_scored_sql() -> str:
+    """simple_query_string scored set mirroring engine
+    search_query_string: each query parsed with THE SAME parser
+    (query/querystring.py), then evaluated as the boolean combination
+    of term (BM25, per-occurrence multiplicity), phrase (phrase-BM25)
+    and prefix (constant 1.0) clauses over the token-list CTE."""
+    from collections import Counter
+
+    from ..query.querystring import parse_query_string
+
+    def tf_expr(toks: tuple) -> str:
+        n = len(toks)
+        conds = " AND ".join(
+            f"toks[i + {j}] = '{t}'" for j, t in enumerate(toks)
+        )
+        return (
+            f"len(list_filter(range(1, len(toks) - {n} + 2), i -> {conds}))"
+        )
+
+    def clause_cond(c) -> str:
+        if c.kind == "term":
+            return f"list_contains(toks, '{c.payload[0]}')"
+        if c.kind == "phrase":
+            return f"{tf_expr(c.payload)} > 0"
+        return (
+            f"len(list_filter(toks, x -> starts_with(x, "
+            f"'{c.payload[0]}'))) > 0"
+        )
+
+    def phrase_idf(toks: tuple) -> str:
+        vals = ", ".join(f"('{t}')" for t in toks)
+        return (
+            f"(SELECT sum(ln(1.0 + (st2.n_docs - df2.df + 0.5)/(df2.df + 0.5))) "
+            f"FROM (VALUES {vals}) p(term) JOIN ({SQL_DF}) df2 "
+            f"ON df2.term = p.term CROSS JOIN ({SQL_STATS}) st2)"
+        )
+
+    branches = []
+    for qid, qs in QS_QUERY_SET:
+        clauses = parse_query_string(qs)
+        must = [c for c in clauses if c.occur == "must"]
+        should = [c for c in clauses if c.occur == "should"]
+        nots = [c for c in clauses if c.occur == "must_not"]
+        if not must and not should:
+            continue  # only-negative: matches nothing (engine ditto)
+        conds = [clause_cond(c) for c in must]
+        conds += [f"NOT ({clause_cond(c)})" for c in nots]
+        if not must:
+            conds.append(
+                "(" + " OR ".join(clause_cond(c) for c in should) + ")"
+            )
+        scoring = must + should
+        mult = Counter(c.payload[0] for c in scoring if c.kind == "term")
+        score_parts = ["coalesce(ts.score, 0.0)"]
+        for c in scoring:
+            if c.kind == "phrase":
+                e = tf_expr(c.payload)
+                score_parts.append(
+                    f"CASE WHEN {e} > 0 THEN {phrase_idf(c.payload)} * {e} "
+                    f"/ ({e} + {K1}*(1.0 - {B} + {B}*dl.dl/st.avgdl)) "
+                    f"ELSE 0.0 END"
+                )
+            elif c.kind == "prefix":
+                score_parts.append(
+                    f"CASE WHEN {clause_cond(c)} THEN 1.0 ELSE 0.0 END"
+                )
+        if mult:
+            w_rows = ", ".join(
+                f"('{t}', {w})" for t, w in sorted(mult.items())
+            )
+            ts = f"""SELECT tf.doc_id,
+        sum(wt.w * ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+            * tf.tf / (tf.tf + {K1}*(1.0 - {B} + {B}*dl2.dl/s.avgdl))) AS score
+      FROM (VALUES {w_rows}) wt(term, w)
+      JOIN ({SQL_TF}) tf ON tf.term = wt.term
+      JOIN ({SQL_DF}) df ON df.term = wt.term
+      JOIN ({SQL_DL_ALL}) dl2 ON dl2.doc_id = tf.doc_id
+      CROSS JOIN ({SQL_STATS}) s
+      GROUP BY tf.doc_id"""
+        else:
+            ts = "SELECT NULL::BIGINT AS doc_id, NULL::DOUBLE AS score WHERE FALSE"
+        branches.append(
+            f"""SELECT {qid}::BIGINT AS query_id, w.doc_id,
+         ({" + ".join(score_parts)}) AS score
+  FROM w
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = w.doc_id
+  CROSS JOIN ({SQL_STATS}) st
+  LEFT JOIN ({ts}) ts ON ts.doc_id = w.doc_id
+  WHERE {" AND ".join(conds)}"""
+        )
+    return f"""
+  WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents)
+  {" UNION ALL ".join(f"({b})" for b in branches)}"""
+
+
 def _mlt_scored_sql() -> str:
     """More-Like-This scored set mirroring q_more_like_this: per source
     doc (doc_id % _MLT_MOD == 0), select the top _MLT_MAX_TERMS doc
@@ -776,6 +873,18 @@ BOOL_QUERY_SET: list[
     (5, [], ["join"], [], ["fast"], 0),  # filter + optional should
 ]
 
+# simple_query_string inputs exercising every clause kind and occur flag
+QS_QUERY_SET: list[tuple[int, str]] = [
+    (0, "data query -slow"),
+    (1, "+merge +sort join"),
+    (2, '"table scan" filter'),
+    (3, '+"data query" -batch'),
+    (4, "qu* fast"),
+    (5, "+table sc*"),
+    (6, "-data"),  # only-negative: matches nothing
+    (7, 'the "group agg"'),
+]
+
 # (query_id, term0, term1, slop) — in-order span-near pairs; slop=0
 # degenerates to exact phrase (cross-checked in tests)
 SPAN_QUERY_SET: list[tuple[int, str, str, int]] = [
@@ -1016,6 +1125,20 @@ def q_term_vectors(sf_dir: str) -> pa.Table:
             "tf": pa.array(np.concatenate(tf_out)),
         }
     )
+
+
+def q_query_string_topk(sf_dir: str) -> pa.Table:
+    """simple_query_string (query/querystring.py grammar + engine
+    search_query_string): term/phrase/prefix clauses with +/- occur
+    flags, OR default, never-throwing parse; runs over the positional
+    index (phrase clauses)."""
+    searcher = get_pos_searcher(sf_dir)
+    rows = []
+    for qid, qs in QS_QUERY_SET:
+        docs, scores = searcher.search_query_string(qs, k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
 _SNAP_CACHE: dict[str, str] = {}
@@ -3122,6 +3245,9 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["more_like_this"] = _topk_sql(_mlt_scored_sql(), BM25_K)
     # snapshot -> restore round trip: rank-identical to the source index
     sqls["bm25_topk_snapshot"] = sqls["bm25_topk"]
+    # simple_query_string: parsed with the engine's own parser, scored
+    # as the boolean combination of term/phrase/prefix clauses
+    sqls["query_string_topk"] = _topk_sql(_qs_scored_sql(), BM25_K)
     # same oracle: the two-segment incremental build and the
     # shard-actor-pool serving path must both be rank-identical to the
     # single-segment single-process result
@@ -4316,6 +4442,7 @@ def build_queries() -> dict:
         "term_vectors": q_term_vectors,
         "more_like_this": q_more_like_this,
         "bm25_topk_snapshot": q_bm25_topk_snapshot,
+        "query_string_topk": q_query_string_topk,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,

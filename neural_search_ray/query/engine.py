@@ -1091,6 +1091,113 @@ class IndexSearcher:
         scores = idf_sum * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
         return topk_desc(docs_u, scores, k)
 
+    def search_query_string(
+        self, qs: str, k: int = 10
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """simple_query_string search (query/querystring.py grammar —
+        the Lucene SimpleQueryParser subset): parse, then evaluate as a
+        boolean combination of term / phrase / prefix clauses.
+
+        - must clauses all required, must_not excluded; with no must
+          clause at least one should clause must match (OR default);
+        - score = sum of matching SCORING clauses: BM25 for term
+          clauses (per-occurrence multiplicity), phrase-BM25 for phrase
+          clauses, constant 1.0 for prefix clauses (CONSTANT_SCORE
+          rewrite inside a bool, boost 1);
+        - only-negative or empty queries match nothing (the parser
+          never raises on user input). Phrase clauses need a positional
+          index."""
+        from collections import Counter
+
+        from .querystring import parse_query_string
+
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        clauses = parse_query_string(qs)
+
+        def _clause_docs(c) -> np.ndarray:
+            if c.kind == "term":
+                return self.postings(c.payload[0])[0]
+            if c.kind == "phrase":
+                return self._qs_phrase(c.payload)[0]
+            terms = self.expand_prefix(c.payload[0])
+            arrs = [self.postings(t)[0] for t in terms]
+            arrs = [a for a in arrs if a.size]
+            if not arrs:
+                return np.empty(0, np.int64)
+            return np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+
+        must = [c for c in clauses if c.occur == "must"]
+        should = [c for c in clauses if c.occur == "should"]
+        nots = [c for c in clauses if c.occur == "must_not"]
+        if not must and not should:
+            return empty
+        cand: np.ndarray | None = None
+        for c in must:
+            docs = _clause_docs(c)
+            cand = (
+                docs
+                if cand is None
+                else np.intersect1d(cand, docs, assume_unique=True)
+            )
+            if cand.size == 0:
+                return empty
+        if cand is None:  # should-only: at least one clause must match
+            parts = [d for d in (_clause_docs(c) for c in should) if d.size]
+            if not parts:
+                return empty
+            cand = (
+                np.unique(np.concatenate(parts))
+                if len(parts) > 1
+                else parts[0]
+            )
+        for c in nots:
+            docs = _clause_docs(c)
+            if docs.size == 0 or cand.size == 0:
+                break
+            pos = np.searchsorted(docs, cand)
+            pos_c = np.minimum(pos, docs.size - 1)
+            cand = cand[docs[pos_c] != cand]
+        if cand.size == 0:
+            return empty
+        scoring = must + should
+        mult = Counter(
+            c.payload[0] for c in scoring if c.kind == "term"
+        )
+        sterms = sorted(mult)
+        if sterms:
+            weights = np.asarray([mult[t] for t in sterms], dtype=np.float64)
+            dfs = np.asarray(
+                [self.local_df(t) for t in sterms], dtype=np.float64
+            )
+            idfs = np.where(
+                dfs > 0, bm25_idf(np.maximum(dfs, 1e-9), self.n_docs), 0.0
+            )
+            scores = self._score_candidates(cand, sterms, idfs, weights)
+        else:
+            scores = np.zeros(cand.size, dtype=np.float64)
+        for c in scoring:
+            if c.kind == "phrase":
+                pd_, ps = self._qs_phrase(c.payload)
+            elif c.kind == "prefix":
+                pd_ = _clause_docs(c)
+                ps = np.ones(pd_.size, dtype=np.float64)
+            else:
+                continue
+            if pd_.size == 0:
+                continue
+            pos = np.searchsorted(pd_, cand)
+            pos_c = np.minimum(pos, pd_.size - 1)
+            m = pd_[pos_c] == cand
+            scores[m] += ps[pos_c[m]]
+        return topk_desc(cand, scores, k)
+
+    def _qs_phrase(self, toks) -> tuple[np.ndarray, np.ndarray]:
+        """FULL phrase result (every matching doc), docID-sorted, cached
+        per phrase for the duration of one query evaluation path."""
+        docs, scores = self.search_phrase(list(toks), k=max(self.n_docs, 1))
+        order = np.argsort(docs)
+        return docs[order], scores[order]
+
     # coverage fraction above which a term's tf-norms are cached DENSE
     # (one n-float vector): contiguous SIMD add beats the gather/scatter
     # by ~4x, and stopword-grade terms (df/n ≈ 0.95-1.0) dominate the

@@ -396,6 +396,141 @@ class TestFacetTerms:
         assert values == [] and counts.size == 0
 
 
+class TestQueryStringParser:
+    def test_clause_shapes(self):
+        from neural_search_ray.query.querystring import parse_query_string
+
+        cs = parse_query_string('+data -slow "merge sort" qu* fast')
+        assert [(c.occur, c.kind, c.payload) for c in cs] == [
+            ("must", "term", ("data",)),
+            ("must_not", "term", ("slow",)),
+            ("should", "phrase", ("merge", "sort")),
+            ("should", "prefix", ("qu",)),
+            ("should", "term", ("fast",)),
+        ]
+
+    def test_never_raises(self):
+        from neural_search_ray.query.querystring import parse_query_string
+
+        # dangling quote closes at EOS; bare +/-/* are dropped
+        cs = parse_query_string('-"data query +  * - WEIRD*case')
+        kinds = [(c.occur, c.kind) for c in cs]
+        assert ("must_not", "phrase") in kinds
+        assert parse_query_string("") == []
+        assert parse_query_string("   ") == []
+        # mid-token * is literal text, analyzed as a term
+        cs = parse_query_string("a*b")
+        assert all(c.kind == "term" for c in cs)
+
+    def test_occur_binds_to_adjacent_token_only(self):
+        from neural_search_ray.query.querystring import parse_query_string
+
+        cs = parse_query_string("+new york")
+        assert [(c.occur, c.payload[0]) for c in cs] == [
+            ("must", "new"), ("should", "york"),
+        ]
+
+
+class TestQueryString:
+    def _ref(self, searcher, corpus, qs):
+        """Brute-force clause evaluation in plain Python."""
+        from neural_search_ray.query.querystring import parse_query_string
+
+        clauses = parse_query_string(qs)
+        must = [c for c in clauses if c.occur == "must"]
+        should = [c for c in clauses if c.occur == "should"]
+        nots = [c for c in clauses if c.occur == "must_not"]
+        if not must and not should:
+            return [], []
+        vocab = [str(t) for t in searcher._gterms]
+
+        def matches(c, toks):
+            if c.kind == "term":
+                return c.payload[0] in toks
+            if c.kind == "phrase":
+                n = len(c.payload)
+                return any(
+                    tuple(toks[i : i + n]) == c.payload
+                    for i in range(len(toks) - n + 1)
+                )
+            return any(t.startswith(c.payload[0]) for t in toks)
+
+        def phrase_score(c, toks, dl):
+            n = len(c.payload)
+            tf = sum(
+                1
+                for i in range(len(toks) - n + 1)
+                if tuple(toks[i : i + n]) == c.payload
+            )
+            if tf == 0:
+                return 0.0
+            dfs = np.array(
+                [max(searcher.local_df(t), 1e-9) for t in c.payload]
+            )
+            idf = float(bm25_idf(dfs, searcher.n_docs).sum())
+            k1, b = searcher.bm25.k1, searcher.bm25.b
+            return idf * tf / (tf + k1 * (1 - b + b * dl / searcher.avgdl))
+
+        hits = []
+        for d, toks in corpus.items():
+            if any(not matches(c, toks) for c in must):
+                continue
+            if any(matches(c, toks) for c in nots):
+                continue
+            if not must and not any(matches(c, toks) for c in should):
+                continue
+            dl = float(len(toks))
+            score = 0.0
+            k1, b = searcher.bm25.k1, searcher.bm25.b
+            for c in must + should:
+                if c.kind == "term":
+                    tf = toks.count(c.payload[0])
+                    if tf:
+                        idf = float(
+                            bm25_idf(
+                                np.array(
+                                    [max(searcher.local_df(c.payload[0]), 1e-9)]
+                                ),
+                                searcher.n_docs,
+                            )[0]
+                        )
+                        score += idf * tf / (
+                            tf + k1 * (1 - b + b * dl / searcher.avgdl)
+                        )
+                elif c.kind == "phrase":
+                    score += phrase_score(c, toks, dl)
+                else:
+                    score += 1.0 if matches(c, toks) else 0.0
+            hits.append((-score, d))
+        hits.sort()
+        return [d for _, d in hits], [-s for s, _ in hits]
+
+    @pytest.mark.parametrize(
+        "qs",
+        [
+            "data query -slow",
+            "+merge +sort join",
+            '"table scan" filter',
+            '+"data query" -batch',
+            "qu* fast",
+            "+table sc*",
+            'the "group agg"',
+            "data data",  # duplicate should term: multiplicity 2
+        ],
+    )
+    def test_matches_bruteforce(self, searcher, corpus, qs):
+        docs, scores = searcher.search_query_string(qs, k=20)
+        rd, rs = self._ref(searcher, corpus, qs)
+        assert docs.tolist() == rd[:20], qs
+        np.testing.assert_allclose(scores, rs[: docs.size], rtol=1e-10)
+
+    def test_only_negative_matches_nothing(self, searcher):
+        d, _ = searcher.search_query_string("-data", k=5)
+        assert d.size == 0
+        d, _ = searcher.search_query_string("", k=5)
+        assert d.size == 0
+
+
 class TestMoreLikeThis:
     def test_excludes_source_and_is_deterministic(self, sf_dir, ray_session):
         from neural_search_ray.pipelines.suite import (
