@@ -1127,6 +1127,73 @@ def q_term_vectors(sf_dir: str) -> pa.Table:
     )
 
 
+_HIST_INTERVAL = 50  # histogram agg bucket width over documents.n_chars
+_RANGE_QUERY_SET: list[tuple[int, int, int]] = [
+    (0, 100, 200),
+    (1, 0, 120),
+    (2, 180, 10**9),
+]
+
+
+def q_agg_stats(sf_dir: str) -> pa.Table:
+    """Stats aggregation (engine agg_stats — OpenSearch stats agg):
+    count/min/max/sum/avg of documents.n_chars over each query's
+    boolean-OR match set; avg = exact-int sum / count so the SQL oracle
+    matches bitwise."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        s = searcher.agg_stats(tokenize(qtext), "n_chars")
+        rows.append((qid, s["count"], s["min"], s["max"], s["sum"], s["avg"]))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "cnt": pa.array([r[1] for r in rows], type=pa.int64()),
+            "min_v": pa.array([r[2] for r in rows], type=pa.int64()),
+            "max_v": pa.array([r[3] for r in rows], type=pa.int64()),
+            "sum_v": pa.array([r[4] for r in rows], type=pa.int64()),
+            "avg_v": pa.array([r[5] for r in rows], type=pa.float64()),
+        }
+    )
+
+
+def q_agg_histogram(sf_dir: str) -> pa.Table:
+    """Histogram aggregation (engine agg_histogram): fixed-interval
+    n_chars buckets over each query's match set."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, bs, cs = [], [], []
+    for qid, qtext in QUERY_SET:
+        u, c = searcher.agg_histogram(
+            tokenize(qtext), "n_chars", _HIST_INTERVAL
+        )
+        qs += [qid] * u.size
+        bs += u.tolist()
+        cs += c.tolist()
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "bucket": pa.array(bs, type=pa.int64()),
+            "doc_count": pa.array(cs, type=pa.int64()),
+        }
+    )
+
+
+def q_range_filter(sf_dir: str) -> pa.Table:
+    """Numeric range query (engine search_range — point/range query
+    under CONSTANT_SCORE): lo <= n_chars < hi via two cached doc-values
+    predicate scans."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    return _hits_table(
+        [
+            (qid, *searcher.search_range("n_chars", lo, hi, k=BM25_K))
+            for qid, lo, hi in _RANGE_QUERY_SET
+        ]
+    )
+
+
 def q_query_string_topk(sf_dir: str) -> pa.Table:
     """simple_query_string (query/querystring.py grammar + engine
     search_query_string): term/phrase/prefix clauses with +/- occur
@@ -3248,6 +3315,35 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     # simple_query_string: parsed with the engine's own parser, scored
     # as the boolean combination of term/phrase/prefix clauses
     sqls["query_string_topk"] = _topk_sql(_qs_scored_sql(), BM25_K)
+    # aggregations over the boolean-OR match set (stats / histogram)
+    _match_docs = f"""
+    SELECT DISTINCT q.query_id::BIGINT AS query_id, t.doc_id
+    FROM ({_query_values_sql()}) q
+    JOIN ({SQL_TOK}) t ON t.term = q.term"""
+    sqls["agg_stats"] = f"""
+SELECT m.query_id, count(*)::BIGINT AS cnt,
+       min(d.n_chars)::BIGINT AS min_v, max(d.n_chars)::BIGINT AS max_v,
+       sum(d.n_chars)::BIGINT AS sum_v,
+       (sum(d.n_chars)::BIGINT / count(*)::DOUBLE) AS avg_v
+FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.query_id"""
+    sqls["agg_histogram"] = f"""
+SELECT m.query_id,
+       ((d.n_chars // {_HIST_INTERVAL}) * {_HIST_INTERVAL})::BIGINT AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.query_id, bucket"""
+    # numeric range query: lo <= n_chars < hi, constant score
+    _range_rows = ", ".join(
+        f"({qid}, {lo}, {hi})" for qid, lo, hi in _RANGE_QUERY_SET
+    )
+    sqls["range_filter"] = f"""
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT q.query_id::BIGINT AS query_id, d.doc_id, 1.0::DOUBLE AS score,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY d.doc_id) AS rank
+  FROM (VALUES {_range_rows}) q(query_id, lo, hi)
+  JOIN documents d ON d.n_chars >= q.lo AND d.n_chars < q.hi
+) WHERE rank <= {BM25_K}"""
     # same oracle: the two-segment incremental build and the
     # shard-actor-pool serving path must both be rank-identical to the
     # single-segment single-process result
@@ -4443,6 +4539,9 @@ def build_queries() -> dict:
         "more_like_this": q_more_like_this,
         "bm25_topk_snapshot": q_bm25_topk_snapshot,
         "query_string_topk": q_query_string_topk,
+        "agg_stats": q_agg_stats,
+        "agg_histogram": q_agg_histogram,
+        "range_filter": q_range_filter,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,

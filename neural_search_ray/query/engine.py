@@ -1022,6 +1022,73 @@ class IndexSearcher:
         sel = order[:size] if size is not None else order
         return [values[i] for i in sel], counts[sel]
 
+    def agg_stats(self, terms: list[str], field: str) -> dict:
+        """Stats aggregation (OpenSearch stats agg) over the boolean-OR
+        match set: count / min / max / sum / avg of a numeric doc-values
+        field. Sum and extrema are exact int64; avg is the exact-int sum
+        divided once (so a SQL oracle computing sum/count matches
+        bitwise). Shard-local partials (count, min, max, sum) combine
+        associatively at a coordinator — the standard distributive-agg
+        merge."""
+        arrs = [self.postings(t)[0] for t in sorted(set(terms))]
+        arrs = [a for a in arrs if a.size]
+        if not arrs:
+            return {"count": 0, "min": None, "max": None, "sum": 0, "avg": None}
+        docs = (
+            np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+        )
+        vals = (
+            self.field_values(docs, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        total = int(vals.sum())
+        return {
+            "count": int(vals.size),
+            "min": int(vals.min()),
+            "max": int(vals.max()),
+            "sum": total,
+            "avg": total / vals.size,
+        }
+
+    def agg_histogram(
+        self, terms: list[str], field: str, interval: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Histogram aggregation (OpenSearch histogram agg) over the
+        boolean-OR match set: fixed-interval buckets
+        (floor(value/interval)*interval), (bucket asc, count) — exact,
+        shard partials merge by bucket-key sum."""
+        if interval <= 0:
+            raise ValueError("interval must be positive")
+        arrs = [self.postings(t)[0] for t in sorted(set(terms))]
+        arrs = [a for a in arrs if a.size]
+        if not arrs:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        docs = (
+            np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+        )
+        vals = (
+            self.field_values(docs, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        buckets = (vals // interval) * interval
+        u, c = np.unique(buckets, return_counts=True)
+        return u, c.astype(np.int64)
+
+    def search_range(
+        self, field: str, lo, hi, k: int = 10
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Numeric range query over doc-values (Lucene point/range query
+        under the CONSTANT_SCORE rewrite): docs with lo <= field < hi,
+        score 1.0, doc_id asc — evaluated as two cached doc-values
+        predicate scans intersected shard-locally."""
+        dv = self.doc_values()
+        ge = dv.accepted(field, ">=", lo)
+        lt = dv.accepted(field, "<", hi)
+        docs = np.intersect1d(ge, lt, assume_unique=True)[:k]
+        return docs, np.ones(docs.size, dtype=np.float64)
+
     def search_span_near(
         self,
         terms: list[str],

@@ -396,6 +396,80 @@ class TestFacetTerms:
         assert values == [] and counts.size == 0
 
 
+class TestAggregations:
+    @pytest.fixture(scope="class")
+    def nchars(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        return dict(
+            zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist())
+        )
+
+    def test_stats_matches_bruteforce(self, dv2_searcher, corpus, nchars):
+        for q in ["data query", "vector search"]:
+            terms = set(tokenize(q))
+            vals = [
+                nchars[d]
+                for d, toks in corpus.items()
+                if terms & set(toks)
+            ]
+            s = dv2_searcher.agg_stats(tokenize(q), "n_chars")
+            assert s["count"] == len(vals)
+            assert s["min"] == min(vals) and s["max"] == max(vals)
+            assert s["sum"] == sum(vals)
+            assert s["avg"] == sum(vals) / len(vals)
+
+    def test_stats_empty(self, dv2_searcher):
+        s = dv2_searcher.agg_stats(["zzznope"], "n_chars")
+        assert s == {
+            "count": 0, "min": None, "max": None, "sum": 0, "avg": None,
+        }
+
+    def test_histogram_matches_bruteforce(self, dv2_searcher, corpus, nchars):
+        from collections import Counter
+
+        terms = {"data"}
+        want = Counter(
+            (nchars[d] // 50) * 50
+            for d, toks in corpus.items()
+            if terms & set(toks)
+        )
+        u, c = dv2_searcher.agg_histogram(["data"], "n_chars", 50)
+        assert dict(zip(u.tolist(), c.tolist())) == dict(want)
+        assert np.all(np.diff(u) > 0)  # buckets ascending
+
+    def test_histogram_bad_interval(self, dv2_searcher):
+        with pytest.raises(ValueError):
+            dv2_searcher.agg_histogram(["data"], "n_chars", 0)
+
+    def test_range_matches_bruteforce(self, dv2_searcher, nchars):
+        docs, scores = dv2_searcher.search_range("n_chars", 100, 200, k=12)
+        want = sorted(d for d, v in nchars.items() if 100 <= v < 200)[:12]
+        assert docs.tolist() == want
+        assert np.all(scores == 1.0)
+        d, _ = dv2_searcher.search_range("n_chars", 10**8, 10**9, k=5)
+        assert d.size == 0
+
+    @pytest.fixture(scope="class")
+    def dv2_searcher(self, searcher, sf_dir, ray_session):
+        import ray as _ray
+
+        from neural_search_ray.index.docvalues import build_doc_values
+
+        build_doc_values(
+            _ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "lang", "n_chars"],
+            ),
+            searcher.index_dir,
+            num_shards=searcher.manifest.num_doc_shards,
+        )
+        return searcher
+
+
 class TestQueryStringParser:
     def test_clause_shapes(self):
         from neural_search_ray.query.querystring import parse_query_string
