@@ -1194,6 +1194,61 @@ def q_range_filter(sf_dir: str) -> pa.Table:
     )
 
 
+def q_events_date_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """date_histogram aggregation over the events stream (the
+    OpenSearch date_histogram agg restated Ray-Data-first): per-batch
+    Arrow-C++ combiner (floor ts to the hour, group, count + sum)
+    then a SMALL groupby-sum over (event_type, bucket) — the
+    partial+final pattern; buckets carried as int64 epoch-micros so
+    the exchange never shuffles timestamp objects."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bucket = pc.floor_temporal(batch["ts"], unit="hour").cast(
+            pa.int64()
+        )  # epoch micros (timestamp[us] storage)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "bucket_us": bucket,
+                "value": batch["value"],
+            }
+        )
+        g = pa.TableGroupBy(t, ["event_type", "bucket_us"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return g.rename_columns(
+            ["event_type", "bucket_us", "sum_value", "cnt"]
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["ts", "event_type", "value"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket_us"])
+        .aggregate(
+            Sum("sum_value", alias_name="sum_value"),
+            Sum("cnt", alias_name="cnt"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "bucket_us": batch["bucket_us"].cast(pa.int64()),
+                "cnt": batch["cnt"].cast(pa.int64()),
+                "sum_value": pa.array(
+                    round_half_up(batch["sum_value"].to_numpy(), 2)
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_query_string_topk(sf_dir: str) -> pa.Table:
     """simple_query_string (query/querystring.py grammar + engine
     search_query_string): term/phrase/prefix clauses with +/- occur
@@ -3333,6 +3388,11 @@ SELECT m.query_id,
        count(*)::BIGINT AS doc_count
 FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY m.query_id, bucket"""
+    # date_histogram over events: hour buckets as epoch-micros
+    sqls["events_date_histogram"] = """
+SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
+       count(*)::BIGINT AS cnt, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, bucket_us"""
     # numeric range query: lo <= n_chars < hi, constant score
     _range_rows = ", ".join(
         f"({qid}, {lo}, {hi})" for qid, lo, hi in _RANGE_QUERY_SET
@@ -4542,6 +4602,7 @@ def build_queries() -> dict:
         "agg_stats": q_agg_stats,
         "agg_histogram": q_agg_histogram,
         "range_filter": q_range_filter,
+        "events_date_histogram": q_events_date_histogram,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,
