@@ -321,6 +321,46 @@ def _span_scored_sql() -> str:
   WHERE p.tf > 0"""
 
 
+def _span_unordered_scored_sql() -> str:
+    """Unordered 2-term span oracle mirroring engine
+    search_span_near(in_order=False): tf = distinct positions i of
+    EITHER term whose partner occurs in (i, i+slop+1] (min-position
+    window convention)."""
+    branches = []
+    idf_rows = []
+    for qid, t0, t1, slop in SPAN_UNORDERED_QUERY_SET:
+        def near(a, b):
+            return (
+                f"(toks[i] = '{a}' AND len(list_filter("
+                f"range(i + 1, least(i + {slop + 2}, len(toks) + 1)), "
+                f"j -> toks[j] = '{b}')) > 0)"
+            )
+        branches.append(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"len(list_filter(range(1, len(toks) + 1), "
+            f"i -> {near(t0, t1)} OR {near(t1, t0)}))::BIGINT AS tf FROM w"
+        )
+        idf_rows += [f"({qid}, '{t0}')", f"({qid}, '{t1}')"]
+    ptf = " UNION ALL ".join(branches)
+    idf_sql = f"""
+    SELECT q.query_id, sum(ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))) AS idf_sum
+    FROM (VALUES {", ".join(idf_rows)}) q(query_id, term)
+    JOIN ({SQL_DF}) df ON df.term = q.term
+    CROSS JOIN ({SQL_STATS}) s
+    GROUP BY q.query_id"""
+    return f"""
+  WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents)
+  SELECT p.query_id::BIGINT AS query_id, p.doc_id,
+         i.idf_sum * p.tf / (p.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) AS score
+  FROM ({ptf}) p
+  JOIN ({idf_sql}) i ON i.query_id = p.query_id
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = p.doc_id
+  CROSS JOIN ({SQL_STATS}) s
+  WHERE p.tf > 0"""
+
+
 def _facet_lang_sql(size: int) -> str:
     """Terms-agg oracle: doc count per documents.lang over the boolean-OR
     match set of each QUERY_SET query; top `size` buckets by
@@ -896,6 +936,15 @@ SPAN_QUERY_SET: list[tuple[int, str, str, int]] = [
     (5, "group", "agg", 1),
 ]
 
+# unordered pairs (term order deliberately REVERSED vs typical text
+# adjacency so the unordered matcher, not in-order luck, does the work)
+SPAN_UNORDERED_QUERY_SET: list[tuple[int, str, str, int]] = [
+    (0, "query", "data", 1),
+    (1, "sort", "merge", 2),
+    (2, "scan", "table", 0),
+    (3, "join", "the", 3),
+]
+
 _PHRASE_PREFIX_MAX_EXP = 50  # Lucene/ES max_expansions default
 
 # fixed terms + a last-token prefix; (6)/(7) expand to MULTIPLE terms
@@ -1053,6 +1102,21 @@ def q_span_near_topk(sf_dir: str) -> pa.Table:
     for qid, t0, t1, slop in SPAN_QUERY_SET:
         docs, scores = searcher.search_span_near(
             [t0, t1], k=BM25_K * 3, slop=slop
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_span_unordered_topk(sf_dir: str) -> pa.Table:
+    """Unordered 2-term span-near (engine search_span_near with
+    in_order=False — SpanNearQuery(inOrder=false) matching): symmetric
+    min-position windows from positional postings."""
+    searcher = get_pos_searcher(sf_dir)
+    rows = []
+    for qid, t0, t1, slop in SPAN_UNORDERED_QUERY_SET:
+        docs, scores = searcher.search_span_near(
+            [t0, t1], k=BM25_K * 3, slop=slop, in_order=False
         )
         rows.append((qid, docs, scores))
     out = _hits_table(rows)
@@ -3355,6 +3419,10 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["bool_topk_distributed"] = sqls["bool_topk"]
     # in-order span-near over positional postings
     sqls["span_near_topk"] = _topk_sql(_span_scored_sql(), BM25_K)
+    # unordered 2-term span (min-position window convention)
+    sqls["span_unordered_topk"] = _topk_sql(
+        _span_unordered_scored_sql(), BM25_K
+    )
     # terms aggregation over the boolean-OR match set, bucketed by lang
     sqls["facet_lang"] = _facet_lang_sql(_FACET_SIZE)
     # _termvectors sample: per-doc term -> tf from the forward index
@@ -4594,6 +4662,7 @@ def build_queries() -> dict:
         "phrase_topk_distributed": q_phrase_topk_distributed,
         "bool_topk_distributed": q_bool_topk_distributed,
         "span_near_topk": q_span_near_topk,
+        "span_unordered_topk": q_span_unordered_topk,
         "facet_lang": q_facet_lang,
         "term_vectors": q_term_vectors,
         "more_like_this": q_more_like_this,

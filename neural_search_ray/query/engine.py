@@ -1095,6 +1095,7 @@ class IndexSearcher:
         k: int = 10,
         *,
         slop: int = 0,
+        in_order: bool = True,
         global_dfs: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """In-order span-near query (Lucene SpanNearQuery(inOrder=true) /
@@ -1112,12 +1113,27 @@ class IndexSearcher:
 
         Vectorized: (doc, pos) int64 keys; each step advances every
         candidate chain with ONE searchsorted against the next term's
-        key array. Requires a positional index."""
+        key array. Requires a positional index.
+
+        ``in_order=False`` (SpanNearQuery(inOrder=false)) supports
+        EXACTLY two terms: a window start is any position of either
+        term whose partner occurs within the next ``slop + 1``
+        positions; tf = distinct window starts (the symmetric
+        min-position convention, pinned by the oracle). The general
+        n-term unordered matcher (Lucene's priority-queue algorithm)
+        is intentionally not restated — compose 2-term spans instead."""
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if not terms:
             return empty
         if slop < 0:
             raise ValueError("slop must be >= 0")
+        if not in_order:
+            if len(terms) != 2:
+                raise ValueError(
+                    "in_order=False supports exactly 2 terms; compose "
+                    "2-term spans for wider unordered windows"
+                )
+            return self._span_unordered_pair(terms, k, slop, global_dfs)
         n = len(terms)
         posts = [self.postings_positions(t) for t in terms]
         if any(p[0].size == 0 for p in posts):
@@ -1264,6 +1280,50 @@ class IndexSearcher:
         docs, scores = self.search_phrase(list(toks), k=max(self.n_docs, 1))
         order = np.argsort(docs)
         return docs[order], scores[order]
+
+    def _span_unordered_pair(
+        self,
+        terms: list[str],
+        k: int,
+        slop: int,
+        global_dfs: np.ndarray | None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """2-term unordered span: tf = distinct positions p of EITHER
+        term whose partner occurs in (p, p + slop + 1] — each unordered
+        window counted once at its min position."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        posts = [self.postings_positions(t) for t in terms]
+        if any(p[0].size == 0 for p in posts):
+            return empty
+        if global_dfs is None:
+            dfs = np.asarray(
+                [self.local_df(t) for t in terms], dtype=np.float64
+            )
+        else:
+            dfs = np.asarray(global_dfs, dtype=np.float64)
+        idf_sum = float(bm25_idf(np.maximum(dfs, 1e-9), self.n_docs).sum())
+        max_pos = max(int(p[2].max()) if p[2].size else 0 for p in posts)
+        shift = np.int64(max_pos + slop + 3)
+        keys = [np.repeat(p[0], p[1]) * shift + p[2] for p in posts]
+
+        def _starts(anchor: np.ndarray, other: np.ndarray) -> np.ndarray:
+            # anchor positions whose partner lies in (key, key + slop + 1]
+            # — same doc guaranteed because shift > max_pos + slop + 2
+            lo = np.searchsorted(other, anchor, side="right")
+            hi = np.searchsorted(other, anchor + slop + 1, side="right")
+            return anchor[hi > lo]
+
+        starts = np.union1d(_starts(keys[0], keys[1]), _starts(keys[1], keys[0]))
+        if terms[0] == terms[1]:  # degenerate same-term pair
+            starts = _starts(keys[0], keys[0])
+        if starts.size == 0:
+            return empty
+        docs_u, freq = np.unique(starts // shift, return_counts=True)
+        dl = self.doc_length(docs_u)
+        k1, b = self.bm25.k1, self.bm25.b
+        f = freq.astype(np.float64)
+        scores = idf_sum * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
+        return topk_desc(docs_u, scores, k)
 
     # coverage fraction above which a term's tf-norms are cached DENSE
     # (one n-float vector): contiguous SIMD add beats the gather/scatter

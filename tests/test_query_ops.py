@@ -336,6 +336,70 @@ class TestSpanNear:
         with pytest.raises(ValueError):
             searcher.search_span_near(["data", "query"], slop=-1)
 
+    def _ref_unordered(self, corpus, searcher, t0, t1, slop):
+        dfs = np.array(
+            [max(searcher.local_df(t), 1e-9) for t in (t0, t1)]
+        )
+        idf_sum = float(bm25_idf(dfs, searcher.n_docs).sum())
+        hits = []
+        k1, b = searcher.bm25.k1, searcher.bm25.b
+        for d, toks in corpus.items():
+            tf = 0
+            for i, t in enumerate(toks):
+                if t == t0:
+                    other = t1
+                elif t == t1:
+                    other = t0
+                else:
+                    continue
+                if other in toks[i + 1 : i + slop + 2]:
+                    tf += 1
+            if tf:
+                dl = float(len(toks))
+                hits.append(
+                    (
+                        -idf_sum * tf
+                        / (tf + k1 * (1 - b + b * dl / searcher.avgdl)),
+                        d,
+                    )
+                )
+        hits.sort()
+        return [d for _, d in hits], [-s for s, _ in hits]
+
+    @pytest.mark.parametrize(
+        "t0,t1,slop",
+        [
+            ("query", "data", 1),
+            ("sort", "merge", 2),
+            ("scan", "table", 0),
+            ("join", "the", 3),
+        ],
+    )
+    def test_unordered_matches_bruteforce(
+        self, searcher, corpus, t0, t1, slop
+    ):
+        docs, scores = searcher.search_span_near(
+            [t0, t1], k=15, slop=slop, in_order=False
+        )
+        rd, rs = self._ref_unordered(corpus, searcher, t0, t1, slop)
+        assert docs.tolist() == rd[:15], (t0, t1, slop)
+        np.testing.assert_allclose(scores, rs[: docs.size], rtol=1e-10)
+
+    def test_unordered_superset_of_ordered(self, searcher):
+        od, _ = searcher.search_span_near(
+            ["data", "query"], k=10**6, slop=2
+        )
+        ud, _ = searcher.search_span_near(
+            ["data", "query"], k=10**6, slop=2, in_order=False
+        )
+        assert set(od.tolist()) <= set(ud.tolist())
+
+    def test_unordered_requires_two_terms(self, searcher):
+        with pytest.raises(ValueError, match="exactly 2"):
+            searcher.search_span_near(
+                ["a", "b", "c"], slop=1, in_order=False
+            )
+
     def test_empty_cases(self, searcher):
         d, _ = searcher.search_span_near([], k=5)
         assert d.size == 0
