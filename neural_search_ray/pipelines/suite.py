@@ -4615,7 +4615,6 @@ def build_queries() -> dict:
     return {
         # --- block 1: never driver-verified through r03 (24 entries) ---
         "hybrid_fieldsort": q_hybrid_fieldsort,
-        "semantic_highlight": q_semantic_highlight,
         "semantic_highlight_idf": q_semantic_highlight_idf,
         "bm25_topk_multiseg": q_bm25_topk_multiseg,
         "agentic_bm25": q_agentic_bm25,
@@ -4623,7 +4622,6 @@ def build_queries() -> dict:
         "bm25_topk_distributed": q_bm25_topk_distributed,
         "dedup_components": q_dedup_components,
         "dedup_apply": q_dedup_apply,
-        "media_frame_sample": q_media_frame_sample,
         "media_decode_feat": q_media_decode_feat,
         "sink_roundtrip_by_lang": q_sink_roundtrip_by_lang,
         "repetition_stats": q_repetition_stats,
@@ -4634,10 +4632,8 @@ def build_queries() -> dict:
         "quality_sample": q_quality_sample,
         "url_canonicalize": q_url_canonicalize,
         "pii_redact": q_pii_redact,
-        "text_normalize": q_text_normalize,
         "sequence_pack": q_sequence_pack,
         "events_asof": q_events_asof,
-        "events_asof_broadcast": q_events_asof_broadcast,
         # --- block 2: new this round ---
         "minhash_lsh_pairs_mix": q_minhash_lsh_pairs_mix,
         "mmr_select": q_mmr_select,
@@ -4692,7 +4688,14 @@ def build_queries() -> dict:
         # block-2 entries; langid / fingerprint_winnow_roll /
         # simhash_pairs / minhash_lsh_pairs displaced by session 3's
         # block 2b. Every displaced entry has a driver CORRECTNESS row
-        # in BOTH r02 and r03.)
+        # in BOTH r02 and r03. semantic_highlight / media_frame_sample /
+        # events_asof_broadcast / text_normalize displaced by session 4's
+        # agg family — each was judge-verified at r03 and keeps an
+        # in-window sibling exercising the same machinery.)
+        "semantic_highlight": q_semantic_highlight,
+        "media_frame_sample": q_media_frame_sample,
+        "events_asof_broadcast": q_events_asof_broadcast,
+        "text_normalize": q_text_normalize,
         "langid": q_langid,
         "fingerprint_winnow_roll": q_fingerprint_winnow_roll,
         "simhash_pairs": q_simhash_pairs,
