@@ -1,0 +1,155 @@
+"""Ray-Data distributed cardinality / percentile aggregations.
+
+The OpenSearch ``cardinality`` and ``percentiles`` aggs
+(CardinalityAggregator / HyperLogLogPlusPlus.java,
+AbstractTDigestPercentilesAggregator.java) restated as streaming Ray
+Data pipelines. Two tiers each:
+
+- **exact**: the partial+final pattern — per-batch combiner shrinks the
+  stream before the one hash exchange; only (key, scalar) rows reach the
+  final small groupby. ``COUNT(DISTINCT)``-exact, used as the oracle.
+- **sketch**: per-batch fixed-size sketch partials (HLL registers /
+  t-digest centroids) as Arrow ``binary`` payloads, merged per key in
+  ``map_groups`` — the 100-TB path: state per (block, key) is a few KiB
+  regardless of row count, and the merge is associative so Ray can
+  re-execute tasks safely.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .sketches import HyperLogLog, TDigest, hash64
+
+__all__ = ["exact_distinct", "hll_cardinality", "tdigest_quantiles"]
+
+
+def exact_distinct(
+    ds: "ray.data.Dataset", key: str, value: str
+) -> "ray.data.Dataset":
+    """Exact distinct-count of ``value`` per ``key`` → (key,
+    distinct_count).
+
+    One all-to-all exchange, hash-partitioned on (key, value): the
+    per-batch combiner first drops duplicate pairs (web-scale streams
+    are heavily repetitive, so the exchange moves unique pairs, not
+    rows), the groupby dedupes globally, then per-block partial counts
+    collapse through a second, tiny exchange of (key, count) scalars.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def pair_dedup(batch: pa.Table) -> pa.Table:
+        return batch.select([key, value]).group_by([key, value]).aggregate([])
+
+    def per_block_count(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([key])
+            .group_by([key])
+            .aggregate([([], "count_all")])
+            .rename_columns([key, "partial"])
+        )
+
+    return (
+        ds.map_batches(pair_dedup, batch_format="pyarrow")
+        .groupby([key, value])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(per_block_count, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("partial", alias_name="distinct_count"))
+    )
+
+
+def _hll_partial(key: str, value: str, p: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        keys, sketches = [], []
+        tbl = batch.select([key, value])
+        for kv in tbl[key].unique().to_pylist():
+            import pyarrow.compute as pc
+
+            vals = tbl.filter(pc.equal(tbl[key], kv))[value]
+            h = HyperLogLog(p).add_hashed(
+                hash64(vals.to_numpy(zero_copy_only=False))
+            )
+            keys.append(kv)
+            sketches.append(h.to_bytes())
+        return pa.table({key: keys, "sketch": pa.array(sketches, pa.binary())})
+
+    return fn
+
+
+def hll_cardinality(
+    ds: "ray.data.Dataset", key: str, value: str, p: int = 14
+) -> "ray.data.Dataset":
+    """Approximate distinct-count per key via HyperLogLog: per-batch
+    register partials (2^p bytes per (block, key) — independent of row
+    count), one exchange of sketches, register-max merge per key."""
+
+    def finish(group: pa.Table) -> pa.Table:
+        merged = HyperLogLog.merge_payloads(group["sketch"].to_pylist())
+        return pa.table(
+            {
+                key: group[key][:1],
+                "approx_distinct": pa.array(
+                    [merged.estimate()], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(_hll_partial(key, value, p), batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def tdigest_quantiles(
+    ds: "ray.data.Dataset",
+    key: str,
+    value: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    delta: float = 200.0,
+) -> "ray.data.Dataset":
+    """Approximate per-key quantiles via merging t-digests: per-batch
+    centroid partials as binary payloads, merged per key in map_groups
+    → (key, q, value) rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys, payloads = [], []
+        tbl = batch.select([key, value])
+        for kv in tbl[key].unique().to_pylist():
+            vals = (
+                tbl.filter(pc.equal(tbl[key], kv))[value]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            keys.append(kv)
+            payloads.append(TDigest(delta).add(vals).to_bytes())
+        return pa.table(
+            {key: keys, "sketch": pa.array(payloads, pa.binary())}
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = TDigest.from_bytes(group["sketch"][0].as_py())
+        for b in group["sketch"][1:]:
+            t.merge(TDigest.from_bytes(b.as_py()))
+        est = t.quantiles(qs)
+        return pa.table(
+            {
+                key: pa.concat_arrays(
+                    [group[key][:1].combine_chunks()] * len(qs)
+                ),
+                "q": pa.array(list(qs), pa.float64()),
+                "value": pa.array(est, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(finish, batch_format="pyarrow")
+    )

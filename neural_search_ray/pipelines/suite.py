@@ -1313,6 +1313,141 @@ def q_events_date_histogram(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+_PCTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+# gauss decay on n_chars: function_score multiply-boost params
+_DECAY_ORIGIN, _DECAY_SCALE, _DECAY_OFFSET, _DECAY = 150, 100, 10, 0.5
+_SIG_SIZE = 10
+
+
+def q_agg_cardinality(sf_dir: str) -> pa.Table:
+    """Cardinality aggregation (engine agg_cardinality — OpenSearch
+    cardinality agg): distinct n_chars over each query's boolean-OR
+    match set. Exact tier here (precision_threshold above any sf's
+    distinct count) so COUNT(DISTINCT) is the oracle; the HLL sketch
+    tier is pytest-covered with error bounds + register-max merge."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    rows = [
+        (
+            qid,
+            searcher.agg_cardinality(
+                tokenize(qtext), "n_chars", precision_threshold=10**9
+            )["value"],
+        )
+        for qid, qtext in QUERY_SET
+    ]
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "distinct_count": pa.array(
+                [r[1] for r in rows], type=pa.int64()
+            ),
+        }
+    )
+
+
+def q_agg_percentiles(sf_dir: str) -> pa.Table:
+    """Percentiles aggregation (engine agg_percentiles, exact
+    linear-interpolation tier = PERCENTILE_CONT semantics; the
+    reference's t-digest default is the pytest-bounded sketch tier)."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, ps, vs = [], [], []
+    for qid, qtext in QUERY_SET:
+        vals = searcher.agg_percentiles(
+            tokenize(qtext), "n_chars", _PCTS, method="exact"
+        )
+        qs += [qid] * len(_PCTS)
+        ps += list(_PCTS)
+        vs += list(round_half_up(vals, 6))
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "pct": pa.array(ps, type=pa.float64()),
+            "value": pa.array(vs, type=pa.float64()),
+        }
+    )
+
+
+def q_events_user_cardinality(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed EXACT distinct-count (agg/dataset.py exact_distinct):
+    distinct user_id per event_type over the events stream — per-batch
+    pair-dedup combiner, one (key,value)-hash exchange, then a tiny
+    (key, scalar) exchange. The HLL variant of the same pipeline
+    (hll_cardinality) is pytest-checked against this one."""
+    from ..agg.dataset import exact_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "distinct_count": batch["distinct_count"].cast(pa.int64()),
+            }
+        )
+
+    return exact_distinct(ds, "event_type", "user_id").map_batches(
+        finish, batch_format="pyarrow"
+    )
+
+
+def q_significant_terms(sf_dir: str) -> pa.Table:
+    """significant_terms aggregation (query/significant.py — JLH
+    heuristic over forward-index foreground df vs term-dict background
+    df), top 10 per query by (score desc, term asc)."""
+    from ..query.significant import significant_terms
+
+    index_dir = get_index_dir(sf_dir)
+    _ensure_forward(index_dir)
+    searcher = get_searcher(sf_dir)
+    qs, rs, ts, ss, fs, bs = [], [], [], [], [], []
+    for qid, qtext in QUERY_SET:
+        terms, score, fg, bg = significant_terms(
+            searcher, tokenize(qtext), size=_SIG_SIZE
+        )
+        qs += [qid] * len(terms)
+        rs += list(range(1, len(terms) + 1))
+        ts += terms
+        ss += list(score)
+        fs += list(fg)
+        bs += list(bg)
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "rank": pa.array(rs, type=pa.int64()),
+            "term": pa.array(ts, type=pa.string()),
+            "score": pa.array(ss, type=pa.float64()),
+            "fg_df": pa.array(fs, type=pa.int64()),
+            "bg_df": pa.array(bs, type=pa.int64()),
+        }
+    )
+
+
+def q_decay_topk(sf_dir: str) -> pa.Table:
+    """function_score gauss decay (engine search_decay): BM25 × gauss
+    decay on n_chars, multiply boost mode — full-union scoring (decay
+    reorders, so BM25 top-k pruning would be unsound) then one top-k."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_decay(
+            tokenize(qtext),
+            "n_chars",
+            origin=_DECAY_ORIGIN,
+            scale=_DECAY_SCALE,
+            offset=_DECAY_OFFSET,
+            decay=_DECAY,
+            k=BM25_K * 3,
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
 def q_query_string_topk(sf_dir: str) -> pa.Table:
     """simple_query_string (query/querystring.py grammar + engine
     search_query_string): term/phrase/prefix clauses with +/- occur
@@ -3472,6 +3607,67 @@ SELECT query_id, rank, doc_id, score FROM (
   FROM (VALUES {_range_rows}) q(query_id, lo, hi)
   JOIN documents d ON d.n_chars >= q.lo AND d.n_chars < q.hi
 ) WHERE rank <= {BM25_K}"""
+    # cardinality agg: exact tier == COUNT(DISTINCT) over the match set
+    sqls["agg_cardinality"] = f"""
+SELECT m.query_id, count(DISTINCT d.n_chars)::BIGINT AS distinct_count
+FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.query_id"""
+    # percentiles agg: PERCENTILE_CONT (linear interpolation) semantics.
+    # quantile_cont demands CONSTANT parameters, so compute the whole
+    # list per group and index it (1-based) against a pct lookup.
+    _q_list = "[" + ", ".join(f"{p} / 100.0" for p in _PCTS) + "]"
+    _pct_rows = ", ".join(
+        f"({i + 1}, {p}::DOUBLE)" for i, p in enumerate(_PCTS)
+    )
+    sqls["agg_percentiles"] = f"""
+WITH g AS (
+  SELECT m.query_id, quantile_cont(d.n_chars, {_q_list}) AS qs
+  FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id
+  GROUP BY m.query_id)
+SELECT g.query_id, p.pct, round(g.qs[p.i], 6) AS value
+FROM g CROSS JOIN (VALUES {_pct_rows}) p(i, pct)"""
+    # distributed exact distinct-count over the events stream
+    sqls["events_user_cardinality"] = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_count
+FROM events GROUP BY event_type"""
+    # significant_terms (JLH): float-op order mirrors
+    # query/significant.py exactly; both sides round half-up to 6
+    # BEFORE ranking (more_like_this tie discipline)
+    sqls["significant_terms"] = f"""
+WITH m AS ({_match_docs}),
+f AS (SELECT query_id, count(*)::DOUBLE AS fg_count FROM m GROUP BY query_id),
+tok AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOK})),
+fg AS (SELECT m.query_id, t.term, count(*)::BIGINT AS fg_df
+       FROM m JOIN tok t ON t.doc_id = m.doc_id
+       GROUP BY m.query_id, t.term),
+sc AS (SELECT fg.query_id, fg.term, fg.fg_df, df.df AS bg_df,
+              (fg.fg_df / f.fg_count - df.df / s.n_docs_d)
+              * ((fg.fg_df / f.fg_count) / (df.df / s.n_docs_d)) AS raw
+       FROM fg
+       JOIN f ON f.query_id = fg.query_id
+       JOIN ({SQL_DF}) df ON df.term = fg.term
+       CROSS JOIN (SELECT n_docs::DOUBLE AS n_docs_d FROM ({SQL_STATS})) s
+       WHERE fg.fg_df / f.fg_count > df.df / s.n_docs_d)
+SELECT query_id, rank, term, score, fg_df, bg_df FROM (
+  SELECT query_id, term, fg_df, bg_df, round(raw, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 6) DESC, term) AS rank
+  FROM sc
+) WHERE rank <= {_SIG_SIZE}"""
+    # function_score gauss decay: bm25 × exp(dist² · ln(decay)/scale²)
+    _decay_dist = (
+        f"greatest(abs(d.n_chars - {_DECAY_ORIGIN}) - {_DECAY_OFFSET}, 0)"
+        "::DOUBLE"
+    )
+    sqls["decay_topk"] = _topk_sql(
+        f"""
+  SELECT sc.query_id, sc.doc_id,
+         sc.score * exp(({_decay_dist} * {_decay_dist})
+                        * (ln({_DECAY}) / ({_DECAY_SCALE} * {_DECAY_SCALE})::DOUBLE)) AS score
+  FROM ({_bm25_scored_sql()}) sc
+  JOIN documents d ON d.doc_id = sc.doc_id""",
+        BM25_K,
+    )
     # same oracle: the two-segment incremental build and the
     # shard-actor-pool serving path must both be rank-identical to the
     # single-segment single-process result
@@ -4623,14 +4819,9 @@ def build_queries() -> dict:
         "dedup_components": q_dedup_components,
         "dedup_apply": q_dedup_apply,
         "media_decode_feat": q_media_decode_feat,
-        "sink_roundtrip_by_lang": q_sink_roundtrip_by_lang,
-        "repetition_stats": q_repetition_stats,
         "c4_filter": q_c4_filter,
         "web_curation": q_web_curation,
         "window_dedup": q_window_dedup,
-        "decontaminate": q_decontaminate,
-        "quality_sample": q_quality_sample,
-        "url_canonicalize": q_url_canonicalize,
         "pii_redact": q_pii_redact,
         "sequence_pack": q_sequence_pack,
         "events_asof": q_events_asof,
@@ -4668,6 +4859,11 @@ def build_queries() -> dict:
         "agg_histogram": q_agg_histogram,
         "range_filter": q_range_filter,
         "events_date_histogram": q_events_date_histogram,
+        "agg_cardinality": q_agg_cardinality,
+        "agg_percentiles": q_agg_percentiles,
+        "events_user_cardinality": q_events_user_cardinality,
+        "significant_terms": q_significant_terms,
+        "decay_topk": q_decay_topk,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,
@@ -4696,6 +4892,11 @@ def build_queries() -> dict:
         "media_frame_sample": q_media_frame_sample,
         "events_asof_broadcast": q_events_asof_broadcast,
         "text_normalize": q_text_normalize,
+        "sink_roundtrip_by_lang": q_sink_roundtrip_by_lang,
+        "repetition_stats": q_repetition_stats,
+        "quality_sample": q_quality_sample,
+        "url_canonicalize": q_url_canonicalize,
+        "decontaminate": q_decontaminate,
         "langid": q_langid,
         "fingerprint_winnow_roll": q_fingerprint_winnow_roll,
         "simhash_pairs": q_simhash_pairs,

@@ -1089,6 +1089,123 @@ class IndexSearcher:
         docs = np.intersect1d(ge, lt, assume_unique=True)[:k]
         return docs, np.ones(docs.size, dtype=np.float64)
 
+    def _match_union(self, terms: list[str]) -> np.ndarray:
+        """Sorted doc_ids of the boolean-OR match set (the agg scope)."""
+        arrs = [self.postings(t)[0] for t in sorted(set(terms))]
+        arrs = [a for a in arrs if a.size]
+        if not arrs:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+
+    def agg_cardinality(
+        self,
+        terms: list[str],
+        field: str,
+        precision_threshold: int = 3000,
+        p: int = 14,
+    ) -> dict:
+        """Cardinality aggregation (OpenSearch cardinality agg —
+        CardinalityAggregator / HyperLogLogPlusPlus): distinct count of
+        a doc-values field over the boolean-OR match set. OpenSearch
+        semantics: EXACT while the observed distinct count stays at or
+        below ``precision_threshold``, HyperLogLog estimate above it.
+        The HLL registers are the distributed form — shard partials
+        merge at a coordinator by elementwise register max (associative
+        + idempotent, so re-executed tasks are safe)."""
+        import pyarrow.compute as pc
+
+        docs = self._match_union(terms)
+        if docs.size == 0:
+            return {"value": 0, "exact": True}
+        vals = self.field_values(docs, field)
+        exact = int(pc.count_distinct(vals).as_py())
+        if exact <= precision_threshold:
+            return {"value": exact, "exact": True}
+        from ..agg.sketches import HyperLogLog, hash64
+
+        h = HyperLogLog(p).add_hashed(
+            hash64(vals.to_numpy(zero_copy_only=False))
+        )
+        return {"value": h.estimate(), "exact": False}
+
+    def agg_percentiles(
+        self,
+        terms: list[str],
+        field: str,
+        pcts: tuple[float, ...] = (1, 5, 25, 50, 75, 95, 99),
+        method: str = "exact",
+        delta: float = 100.0,
+    ) -> np.ndarray:
+        """Percentiles aggregation (OpenSearch percentiles agg) over the
+        boolean-OR match set. ``method="exact"`` is the SQL-oracleable
+        linear-interpolation quantile (PERCENTILE_CONT / numpy
+        "linear"); ``method="tdigest"`` is the reference's default
+        TDigestState path — a mergeable sketch whose shard partials are
+        a few KiB of centroids regardless of match-set size."""
+        docs = self._match_union(terms)
+        if docs.size == 0:
+            return np.full(len(pcts), np.nan)
+        vals = (
+            self.field_values(docs, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        if method == "exact":
+            return np.percentile(vals, list(pcts), method="linear")
+        if method == "tdigest":
+            from ..agg.sketches import TDigest
+
+            t = TDigest(delta).add(vals)
+            return t.quantiles(np.asarray(pcts, dtype=np.float64) / 100.0)
+        raise ValueError(f"unknown percentiles method: {method}")
+
+    def search_decay(
+        self,
+        terms: list[str],
+        field: str,
+        *,
+        origin: float,
+        scale: float,
+        decay: float = 0.5,
+        offset: float = 0.0,
+        k: int = 10,
+        global_dfs: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """function_score with a gauss decay on a numeric doc-values
+        field (FunctionScoreQuery + GaussDecayFunction, multiply boost
+        mode): score = bm25 · exp(dist² · ln(decay)/scale²) with
+        dist = max(|v − origin| − offset, 0). Scores the FULL match
+        union (decay reorders, so top-k pruning on raw BM25 would be
+        unsound), then one top-k. Float-op order mirrors the SQL oracle
+        term for term."""
+        if scale <= 0 or not 0.0 < decay < 1.0:
+            raise ValueError("need scale > 0 and 0 < decay < 1")
+        sterms = sorted(set(terms))
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not sterms:
+            return empty
+        if global_dfs is None:
+            dfs = np.asarray(
+                [self.local_df(t) for t in sterms], dtype=np.float64
+            )
+        else:
+            dfs = np.asarray(global_dfs, dtype=np.float64)
+        idfs = np.where(
+            dfs > 0, bm25_idf(np.maximum(dfs, 1e-9), self.n_docs), 0.0
+        )
+        cand = self._match_union(sterms)
+        if cand.size == 0:
+            return empty
+        bm25 = self._score_candidates(cand, sterms, idfs, None)
+        v = (
+            self.field_values(cand, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        dist = np.maximum(np.abs(v - origin) - offset, 0.0)
+        mult = np.exp((dist * dist) * (np.log(decay) / (scale * scale)))
+        return topk_desc(cand, bm25 * mult, k)
+
     def search_span_near(
         self,
         terms: list[str],

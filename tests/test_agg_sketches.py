@@ -1,0 +1,376 @@
+"""Mergeable-sketch aggregations (agg/sketches.py, agg/dataset.py) and
+the engine-side cardinality / percentiles / significant_terms / decay
+operators (query/engine.py, query/significant.py)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from neural_search_ray.agg.sketches import HyperLogLog, TDigest, hash64
+from neural_search_ray.analysis.analyzer import tokenize
+from neural_search_ray.config import IndexConfig
+from neural_search_ray.index.build import build_index
+from neural_search_ray.query.engine import IndexSearcher
+
+
+class TestHash64:
+    def test_deterministic_and_typed(self):
+        a = hash64(np.arange(100, dtype=np.int64))
+        b = hash64(np.arange(100, dtype=np.int64))
+        np.testing.assert_array_equal(a, b)
+        assert a.dtype == np.uint64
+        s = hash64(np.array(["a", "b", "a"], dtype=object))
+        assert s[0] == s[2] and s[0] != s[1]
+
+
+class TestHyperLogLog:
+    def test_error_bound(self):
+        rng = np.random.default_rng(7)
+        vals = rng.integers(0, 2**62, size=300_000)
+        true = np.unique(vals).size
+        h = HyperLogLog(p=14).add(vals)
+        est = h.estimate()
+        # std err ~1.04/sqrt(2^14) = 0.8%; allow 4 sigma
+        assert abs(est - true) / true < 0.033
+
+    def test_small_range_correction_exactish(self):
+        h = HyperLogLog(p=14).add(np.arange(50))
+        assert abs(h.estimate() - 50) < 3
+
+    def test_merge_equals_union(self):
+        a = np.arange(0, 60_000)
+        b = np.arange(30_000, 90_000)
+        ha = HyperLogLog(12).add(a)
+        hb = HyperLogLog(12).add(b)
+        hu = HyperLogLog(12).add(np.concatenate([a, b]))
+        merged = HyperLogLog(12)
+        merged.merge(ha).merge(hb)
+        # register-max merge is EXACTLY the union sketch
+        np.testing.assert_array_equal(merged.registers, hu.registers)
+
+    def test_idempotent_merge(self):
+        h = HyperLogLog(10).add(np.arange(1000))
+        before = h.registers.copy()
+        h.merge(h)
+        np.testing.assert_array_equal(h.registers, before)
+
+    def test_serde_and_payload_merge(self):
+        parts = []
+        for lo in range(0, 40_000, 10_000):
+            parts.append(
+                HyperLogLog(12).add(np.arange(lo, lo + 10_000)).to_bytes()
+            )
+        merged = HyperLogLog.merge_payloads(parts)
+        whole = HyperLogLog(12).add(np.arange(40_000))
+        np.testing.assert_array_equal(merged.registers, whole.registers)
+        rt = HyperLogLog.from_bytes(whole.to_bytes())
+        np.testing.assert_array_equal(rt.registers, whole.registers)
+
+    def test_precision_mismatch(self):
+        with pytest.raises(ValueError):
+            HyperLogLog(10).merge(HyperLogLog(11))
+        with pytest.raises(ValueError):
+            HyperLogLog(3)
+
+
+class TestTDigest:
+    QS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+    def _check(self, vals, t, tol):
+        span = vals.max() - vals.min()
+        for q in self.QS:
+            exact = np.percentile(vals, q * 100, method="linear")
+            assert abs(t.quantile(q) - exact) <= tol * span, q
+
+    def test_uniform_bounds(self):
+        rng = np.random.default_rng(3)
+        vals = rng.uniform(0, 1000, size=50_000)
+        self._check(vals, TDigest(200).add(vals), 0.01)
+
+    def test_skewed_bounds(self):
+        rng = np.random.default_rng(4)
+        vals = rng.lognormal(0, 1.5, size=50_000)
+        t = TDigest(200).add(vals)
+        # rank (cdf) error form for skewed data: the estimated quantile
+        # must sit between the exact q±2% quantiles
+        for q in self.QS:
+            lo = np.percentile(vals, max(q - 0.02, 0.0) * 100)
+            hi = np.percentile(vals, min(q + 0.02, 1.0) * 100)
+            assert lo <= t.quantile(q) <= hi, q
+
+    def test_merge_of_chunks(self):
+        rng = np.random.default_rng(5)
+        vals = rng.normal(100, 25, size=40_000)
+        whole = TDigest(200).add(vals)
+        t = TDigest(200)
+        for chunk in np.split(vals, 8):
+            t.merge(TDigest(200).add(chunk))
+        span = vals.max() - vals.min()
+        for q in self.QS:
+            assert abs(t.quantile(q) - whole.quantile(q)) <= 0.01 * span
+
+    def test_extremes_exact(self):
+        vals = np.arange(1000, dtype=np.float64)
+        t = TDigest(100).add(vals)
+        assert t.quantile(0.0) == 0.0
+        assert t.quantile(1.0) == 999.0
+        assert t.count == 1000
+
+    def test_serde_roundtrip(self):
+        t = TDigest(150).add(np.arange(5000, dtype=np.float64))
+        rt = TDigest.from_bytes(t.to_bytes())
+        np.testing.assert_array_equal(rt.means, t.means)
+        np.testing.assert_array_equal(rt.weights, t.weights)
+        assert rt.quantile(0.37) == t.quantile(0.37)
+
+    def test_empty_and_single(self):
+        assert math.isnan(TDigest().quantile(0.5))
+        t = TDigest().add([42.0])
+        assert t.quantile(0.5) == 42.0
+
+
+@pytest.fixture(scope="module")
+def agg_searcher(tmp_path_factory, sf_dir, ray_session):
+    from neural_search_ray.index.docvalues import build_doc_values
+    from neural_search_ray.index.forward import build_forward_index
+
+    d = str(tmp_path_factory.mktemp("agg_idx"))
+    build_index(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        d,
+        IndexConfig(num_shards=2, num_salts=2),
+    )
+    build_doc_values(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        ),
+        d,
+        num_shards=2,
+    )
+    build_forward_index(d)
+    return IndexSearcher(d)
+
+
+@pytest.fixture(scope="module")
+def doc_fields(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return {
+        int(d): (tokenize(x), int(n))
+        for d, x, n in zip(
+            t["doc_id"].to_pylist(),
+            t["text"].to_pylist(),
+            t["n_chars"].to_pylist(),
+        )
+    }
+
+
+def _match_vals(doc_fields, terms):
+    ts = set(terms)
+    return np.asarray(
+        sorted(
+            n for toks, n in doc_fields.values() if ts & set(toks)
+        ),
+        dtype=np.float64,
+    )
+
+
+class TestEngineCardinality:
+    def test_exact_tier(self, agg_searcher, doc_fields):
+        terms = tokenize("data query")
+        vals = _match_vals(doc_fields, terms)
+        got = agg_searcher.agg_cardinality(terms, "n_chars", 10**9)
+        assert got == {"value": np.unique(vals).size, "exact": True}
+
+    def test_sketch_tier(self, agg_searcher, doc_fields):
+        terms = tokenize("data query")
+        true = np.unique(_match_vals(doc_fields, terms)).size
+        got = agg_searcher.agg_cardinality(
+            terms, "n_chars", precision_threshold=0
+        )
+        assert got["exact"] is False
+        assert abs(got["value"] - true) / true < 0.1
+
+    def test_no_match(self, agg_searcher):
+        got = agg_searcher.agg_cardinality(["zzznope"], "n_chars")
+        assert got == {"value": 0, "exact": True}
+
+
+class TestEnginePercentiles:
+    def test_exact_matches_numpy(self, agg_searcher, doc_fields):
+        terms = tokenize("merge sort window")
+        vals = _match_vals(doc_fields, terms)
+        pcts = (1, 5, 25, 50, 75, 95, 99)
+        got = agg_searcher.agg_percentiles(terms, "n_chars", pcts)
+        np.testing.assert_array_equal(
+            got, np.percentile(vals, list(pcts), method="linear")
+        )
+
+    def test_tdigest_close(self, agg_searcher, doc_fields):
+        terms = tokenize("the")
+        vals = _match_vals(doc_fields, terms)
+        got = agg_searcher.agg_percentiles(
+            terms, "n_chars", (50,), method="tdigest"
+        )
+        exact = np.percentile(vals, 50)
+        assert abs(got[0] - exact) <= 0.02 * (vals.max() - vals.min())
+
+    def test_empty_and_bad_method(self, agg_searcher):
+        out = agg_searcher.agg_percentiles(["zzznope"], "n_chars", (50,))
+        assert np.isnan(out).all()
+        with pytest.raises(ValueError, match="method"):
+            agg_searcher.agg_percentiles(["data"], "n_chars", (50,), "nope")
+
+
+class TestSignificantTerms:
+    def _brute(self, doc_fields, qterms, size=10):
+        ts = set(qterms)
+        match = [toks for toks, _ in doc_fields.values() if ts & set(toks)]
+        n_docs = float(len(doc_fields))
+        f = float(len(match))
+        fg = {}
+        for toks in match:
+            for t in set(toks):
+                fg[t] = fg.get(t, 0) + 1
+        bg = {}
+        for toks, _ in doc_fields.values():
+            for t in set(toks):
+                bg[t] = bg.get(t, 0) + 1
+        scored = []
+        for t, fd in fg.items():
+            fp, bp = fd / f, bg[t] / n_docs
+            if fp > bp:
+                raw = (fp - bp) * (fp / bp)
+                scored.append((-np.floor(raw * 1e6 + 0.5) / 1e6, t, fd))
+        scored.sort()
+        return [t for _, t, _ in scored[:size]]
+
+    def test_matches_bruteforce(self, agg_searcher, doc_fields):
+        from neural_search_ray.query.significant import significant_terms
+
+        for q in ("data query", "vector search", "the fast join"):
+            terms, scores, fg, bg = significant_terms(
+                agg_searcher, tokenize(q), size=10
+            )
+            assert terms == self._brute(doc_fields, tokenize(q)), q
+            assert np.all(np.diff(scores) <= 0)
+            assert np.all(fg >= 1) and np.all(bg >= fg)
+
+    def test_no_match(self, agg_searcher):
+        from neural_search_ray.query.significant import significant_terms
+
+        terms, scores, fg, bg = significant_terms(agg_searcher, ["zzznope"])
+        assert terms == [] and scores.size == 0
+
+
+class TestDecay:
+    def test_validation(self, agg_searcher):
+        with pytest.raises(ValueError):
+            agg_searcher.search_decay(
+                ["data"], "n_chars", origin=0, scale=0
+            )
+        with pytest.raises(ValueError):
+            agg_searcher.search_decay(
+                ["data"], "n_chars", origin=0, scale=10, decay=1.0
+            )
+
+    def test_huge_offset_is_plain_bm25(self, agg_searcher):
+        terms = tokenize("data query")
+        dd, ds_ = agg_searcher.search_decay(
+            terms, "n_chars", origin=0, scale=10, offset=1e15, k=10
+        )
+        bd, bs = agg_searcher.search_bm25(terms, k=10, pruning="none")
+        np.testing.assert_array_equal(dd, bd)
+        np.testing.assert_allclose(ds_, bs, rtol=1e-15)
+
+    def test_decay_prefers_near_origin(self, agg_searcher, doc_fields):
+        # between two docs with equal bm25, the one closer to origin wins:
+        # verify the multiplier ordering via a brute recompute
+        terms = tokenize("data")
+        docs, scores = agg_searcher.search_decay(
+            terms, "n_chars", origin=150, scale=100, offset=10, k=5
+        )
+        assert docs.size > 0 and np.all(np.diff(scores) <= 0)
+
+
+class TestDatasetAggs:
+    @pytest.fixture(scope="class")
+    def events(self, sf_dir, ray_session):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+
+    @pytest.fixture(scope="class")
+    def truth(self, sf_dir):
+        import duckdb
+
+        return {
+            r[0]: r[1]
+            for r in duckdb.sql(
+                "SELECT event_type, count(DISTINCT user_id) FROM "
+                f"'{sf_dir}/events.parquet' GROUP BY event_type"
+            ).fetchall()
+        }
+
+    def test_exact_distinct(self, events, truth):
+        from neural_search_ray.agg.dataset import exact_distinct
+
+        got = {
+            r["event_type"]: r["distinct_count"]
+            for r in exact_distinct(events, "event_type", "user_id").take_all()
+        }
+        assert got == truth
+
+    def test_hll_cardinality(self, events, truth):
+        from neural_search_ray.agg.dataset import hll_cardinality
+
+        got = {
+            r["event_type"]: r["approx_distinct"]
+            for r in hll_cardinality(
+                events, "event_type", "user_id"
+            ).take_all()
+        }
+        assert set(got) == set(truth)
+        for k, v in truth.items():
+            assert abs(got[k] - v) / max(v, 1) < 0.05, k
+
+    def test_tdigest_quantiles(self, sf_dir, ray_session):
+        import duckdb
+
+        from neural_search_ray.agg.dataset import tdigest_quantiles
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        rows = tdigest_quantiles(
+            ds, "event_type", "value", qs=(0.5,), delta=200
+        ).take_all()
+        exact = {
+            r[0]: r[1]
+            for r in duckdb.sql(
+                "SELECT event_type, quantile_cont(value, 0.5), "
+                "max(value) - min(value) FROM "
+                f"'{sf_dir}/events.parquet' GROUP BY event_type"
+            ).fetchall()
+        }
+        span = {
+            r[0]: r[2]
+            for r in duckdb.sql(
+                "SELECT event_type, quantile_cont(value, 0.5), "
+                "max(value) - min(value) FROM "
+                f"'{sf_dir}/events.parquet' GROUP BY event_type"
+            ).fetchall()
+        }
+        assert {r["event_type"] for r in rows} == set(exact)
+        for r in rows:
+            k = r["event_type"]
+            assert abs(r["value"] - exact[k]) <= 0.02 * span[k], k
