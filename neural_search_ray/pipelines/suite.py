@@ -1448,6 +1448,70 @@ def q_decay_topk(sf_dir: str) -> pa.Table:
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
+def q_significant_terms_distributed(sf_dir: str) -> pa.Table:
+    """The shard-actor-pool significant_terms under the same oracle:
+    per-actor (term, fg_df) partials merged by sum, background dfs via
+    the coordinator df cache — exact across any sharding."""
+    from ..query.distributed import DistributedSearcher
+
+    index_dir = get_index_dir(sf_dir)
+    _ensure_forward(index_dir)
+    get_searcher(sf_dir)  # ensures the index exists
+    dsearch = DistributedSearcher(index_dir, num_actors=2)
+    try:
+        qs, rs, ts, ss, fs, bs = [], [], [], [], [], []
+        for qid, qtext in QUERY_SET:
+            terms, score, fg, bg = dsearch.significant_terms(
+                tokenize(qtext), size=_SIG_SIZE
+            )
+            qs += [qid] * len(terms)
+            rs += list(range(1, len(terms) + 1))
+            ts += terms
+            ss += list(score)
+            fs += list(fg)
+            bs += list(bg)
+    finally:
+        dsearch.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "rank": pa.array(rs, type=pa.int64()),
+            "term": pa.array(ts, type=pa.string()),
+            "score": pa.array(ss, type=pa.float64()),
+            "fg_df": pa.array(fs, type=pa.int64()),
+            "bg_df": pa.array(bs, type=pa.int64()),
+        }
+    )
+
+
+def q_decay_topk_distributed(sf_dir: str) -> pa.Table:
+    """The shard-actor-pool function_score decay path under the same
+    oracle: the gauss multiplier is a pure per-doc doc-values function,
+    so global-df idf + per-shard top-k merge stays exact."""
+    from ..query.distributed import DistributedSearcher
+
+    _ensure_docvalues(sf_dir)
+    index_dir = get_index_dir(sf_dir)
+    dsearch = DistributedSearcher(index_dir, num_actors=2)
+    try:
+        rows = []
+        for qid, qtext in QUERY_SET:
+            docs, scores = dsearch.search_decay(
+                tokenize(qtext),
+                "n_chars",
+                origin=_DECAY_ORIGIN,
+                scale=_DECAY_SCALE,
+                offset=_DECAY_OFFSET,
+                decay=_DECAY,
+                k=BM25_K * 3,
+            )
+            rows.append((qid, docs, scores))
+    finally:
+        dsearch.shutdown()
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
 def q_query_string_topk(sf_dir: str) -> pa.Table:
     """simple_query_string (query/querystring.py grammar + engine
     search_query_string): term/phrase/prefix clauses with +/- occur
@@ -3668,6 +3732,9 @@ SELECT query_id, rank, term, score, fg_df, bg_df FROM (
   JOIN documents d ON d.doc_id = sc.doc_id""",
         BM25_K,
     )
+    # shard-actor-pool agg/decay paths: exact vs the same oracles
+    sqls["significant_terms_distributed"] = sqls["significant_terms"]
+    sqls["decay_topk_distributed"] = sqls["decay_topk"]
     # same oracle: the two-segment incremental build and the
     # shard-actor-pool serving path must both be rank-identical to the
     # single-segment single-process result
@@ -4864,6 +4931,8 @@ def build_queries() -> dict:
         "events_user_cardinality": q_events_user_cardinality,
         "significant_terms": q_significant_terms,
         "decay_topk": q_decay_topk,
+        "significant_terms_distributed": q_significant_terms_distributed,
+        "decay_topk_distributed": q_decay_topk_distributed,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,

@@ -98,6 +98,71 @@ class ShardSearchActor:
         values, counts = self.searcher.facet_terms(terms, field, size=None)
         return values, counts.tolist()
 
+    def agg_cardinality_partial(
+        self, terms: list[str], field: str, precision_threshold: int, p: int
+    ) -> tuple[str, object]:
+        """The OpenSearch cardinality shard protocol: ship the exact
+        distinct-value set while it is small, upgrade to HLL registers
+        above the threshold — either way the payload is bounded."""
+        import pyarrow.compute as pc
+
+        docs = self.searcher._match_union(terms)
+        if docs.size == 0:
+            return ("exact", [])
+        uniq = pc.unique(self.searcher.field_values(docs, field))
+        if len(uniq) <= precision_threshold:
+            return ("exact", uniq.to_pylist())
+        from ..agg.sketches import HyperLogLog, hash64
+
+        h = HyperLogLog(p).add_hashed(
+            hash64(uniq.to_numpy(zero_copy_only=False))
+        )
+        return ("hll", h.to_bytes())
+
+    def agg_percentiles_partial(
+        self, terms: list[str], field: str, delta: float
+    ) -> bytes:
+        """t-digest centroid partial over this actor's match set (a few
+        KiB regardless of match size — TDigestState's transport form)."""
+        from ..agg.sketches import TDigest
+
+        docs = self.searcher._match_union(terms)
+        if docs.size == 0:
+            return b""
+        vals = (
+            self.searcher.field_values(docs, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        return TDigest(delta).add(vals).to_bytes()
+
+    def significant_partial(self, terms: list[str]) -> tuple[dict, int]:
+        from .significant import significant_partial
+
+        return significant_partial(self.searcher, terms)
+
+    def search_decay(
+        self,
+        terms: list[str],
+        field: str,
+        origin: float,
+        scale: float,
+        decay: float,
+        offset: float,
+        k: int,
+        global_dfs: list[float],
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.searcher.search_decay(
+            terms,
+            field,
+            origin=origin,
+            scale=scale,
+            decay=decay,
+            offset=offset,
+            k=k,
+            global_dfs=np.asarray(global_dfs, dtype=np.float64),
+        )
+
     def search_multiterm(self, kind: str, arg, k: int) -> np.ndarray:
         """Constant-score multi-term queries (prefix / wildcard / fuzzy /
         regexp): doc-membership is decided by terms IN the doc, so each
@@ -127,6 +192,7 @@ class DistributedSearcher:
         manifest = IndexManifest.load(index_dir)
         if manifest is None:
             raise FileNotFoundError(index_dir)
+        self.n_docs = manifest.n_docs
         shards = list(range(manifest.num_doc_shards))
         chunks = [shards[i::num_actors] for i in range(num_actors)]
         chunks = [c for c in chunks if c]
@@ -278,6 +344,125 @@ class DistributedSearcher:
         order = np.lexsort((np.asarray(values, dtype=object), -counts))
         sel = order[:size] if size is not None else order
         return [values[i] for i in sel], counts[sel]
+
+    def agg_cardinality(
+        self,
+        terms: list[str],
+        field: str,
+        precision_threshold: int = 3000,
+        p: int = 14,
+    ) -> dict:
+        """Distributed cardinality agg: shard partials are exact value
+        sets while small (merged by set union — still exact) and HLL
+        registers otherwise (merged by register max). The coordinator
+        only downgrades to an estimate when the UNION outgrows the
+        threshold or any shard upgraded — OpenSearch's semantics."""
+        parts = ray.get(
+            [
+                a.agg_cardinality_partial.remote(
+                    terms, field, precision_threshold, p
+                )
+                for a in self.actors
+            ]
+        )
+        exact_vals: set = set()
+        sketches: list[bytes] = []
+        for kind, payload in parts:
+            if kind == "exact":
+                exact_vals.update(payload)
+            else:
+                sketches.append(payload)
+        if not sketches and len(exact_vals) <= precision_threshold:
+            return {"value": len(exact_vals), "exact": True}
+        from ..agg.sketches import HyperLogLog, hash64
+
+        h = HyperLogLog(p)
+        if sketches:
+            h.merge(HyperLogLog.merge_payloads(sketches))
+        if exact_vals:
+            h.add_hashed(hash64(np.asarray(sorted(exact_vals))))
+        return {"value": h.estimate(), "exact": False}
+
+    def agg_percentiles(
+        self,
+        terms: list[str],
+        field: str,
+        pcts: tuple[float, ...] = (1, 5, 25, 50, 75, 95, 99),
+        delta: float = 100.0,
+    ) -> np.ndarray:
+        """Distributed percentiles agg (t-digest tier — the mergeable
+        form; the exact linear-interpolation tier needs co-located
+        values and stays single-searcher / Ray-Data sort territory)."""
+        from ..agg.sketches import TDigest
+
+        parts = [
+            b
+            for b in ray.get(
+                [
+                    a.agg_percentiles_partial.remote(terms, field, delta)
+                    for a in self.actors
+                ]
+            )
+            if b
+        ]
+        if not parts:
+            return np.full(len(pcts), np.nan)
+        t = TDigest.from_bytes(parts[0])
+        for b in parts[1:]:
+            t.merge(TDigest.from_bytes(b))
+        return t.quantiles(np.asarray(pcts, dtype=np.float64) / 100.0)
+
+    def significant_terms(
+        self, terms: list[str], size: int = 10, min_doc_count: int = 1
+    ):
+        """Distributed significant_terms: per-actor (term, fg_df) maps
+        merged by sum, background dfs resolved through the same
+        coordinator df cache as BM25 — EXACT across any sharding."""
+        from .significant import combine_significant
+
+        parts = ray.get(
+            [a.significant_partial.remote(terms) for a in self.actors]
+        )
+        vocab = sorted({t for m, _ in parts for t in m})
+        if not vocab:
+            return combine_significant(parts, lambda v: [], self.n_docs, size)
+        self._resolve_gdfs(vocab)
+        return combine_significant(
+            parts,
+            lambda v: [int(self._gdf[t]) for t in v],
+            self.n_docs,
+            size,
+            min_doc_count,
+        )
+
+    def search_decay(
+        self,
+        terms: list[str],
+        field: str,
+        *,
+        origin: float,
+        scale: float,
+        decay: float = 0.5,
+        offset: float = 0.0,
+        k: int = 10,
+    ):
+        """Distributed function_score decay: the multiplier is a pure
+        per-doc doc-values function, so shard top-k merge stays exact
+        once idf uses global dfs."""
+        sterms = sorted(set(terms))
+        self._resolve_gdfs(sterms)
+        gdfs = [self._gdf[t] for t in sterms]
+        parts = ray.get(
+            [
+                a.search_decay.remote(
+                    sterms, field, origin, scale, decay, offset, k, gdfs
+                )
+                for a in self.actors
+            ]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
 
     def _search_multiterm(self, kind: str, arg, k: int):
         parts = ray.get(

@@ -15,10 +15,11 @@ and only terms with fg_pct > bg_pct qualify (JLHScore.java's
 Ray-Data-native shape: foreground doc-frequencies come from the FORWARD
 index (one CSR row gather per match doc — the analogue of OpenSearch's
 significant_text re-analysis, but without re-tokenizing), background
-frequencies from the term dictionary's stored df. Shard partials are
-(term, fg_df) maps bounded by vocabulary, merged by sum at the
-coordinator — the same distributive merge as facet_terms, so a
-shard-subset actor pool serves this exactly.
+frequencies from the term dictionary's stored df. The distributed form
+is ``significant_partial`` (per shard-subset actor: a (term, fg_df) map
+bounded by vocabulary + the match count) merged by sum in
+``combine_significant`` at the coordinator — the same distributive
+merge as facet_terms, so the result is EXACT across any sharding.
 
 Float-tie discipline: scores are rounded half-up to 6 decimals BEFORE
 ranking on both the engine and SQL-oracle sides (same trick as
@@ -32,7 +33,7 @@ from collections import defaultdict
 
 import numpy as np
 
-__all__ = ["significant_terms"]
+__all__ = ["significant_terms", "significant_partial", "combine_significant"]
 
 
 def _round_half_up6(x: np.ndarray) -> np.ndarray:
@@ -41,32 +42,24 @@ def _round_half_up6(x: np.ndarray) -> np.ndarray:
     return np.where(x >= 0, np.floor(x * f + 0.5), np.ceil(x * f - 0.5)) / f
 
 
-def significant_terms(
-    searcher,
-    terms: list[str],
-    size: int = 10,
-    min_doc_count: int = 1,
-):
-    """Top ``size`` significant terms of the boolean-OR match set of
-    ``terms``, by (JLH score desc, term asc).
+_EMPTY = (
+    [],
+    np.empty(0, np.float64),
+    np.empty(0, np.int64),
+    np.empty(0, np.int64),
+)
 
-    Returns (terms list[str], scores, fg_df, bg_df) aligned arrays.
-    Requires the forward index (index/forward.py build_forward_index).
-    """
+
+def significant_partial(searcher, terms: list[str]) -> tuple[dict, int]:
+    """Shard-subset partial: ({term: fg_df}, match_count) over THIS
+    searcher's shards. Bounded by vocabulary, not doc count — safe to
+    ship to a coordinator."""
     from ..index.forward import ShardForward
 
     docs = searcher._match_union(terms)
-    empty = (
-        [],
-        np.empty(0, np.float64),
-        np.empty(0, np.int64),
-        np.empty(0, np.int64),
-    )
-    if docs.size == 0:
-        return empty
-    fg_count = float(docs.size)
-
     fg: dict[str, int] = defaultdict(int)
+    if docs.size == 0:
+        return {}, 0
     for shard in sorted(searcher.shards):
         fwd = ShardForward(searcher.index_dir, shard)
         sel = np.flatnonzero(np.isin(fwd.doc_ids, docs))
@@ -77,22 +70,41 @@ def significant_terms(
         tids, counts = np.unique(fwd.flat_tids[pos], return_counts=True)
         for tid, c in zip(tids.tolist(), counts.tolist()):
             fg[fwd.terms[tid]] += int(c)
+    return dict(fg), int(docs.size)
 
-    if not fg:
-        return empty
+
+def combine_significant(
+    partials: list[tuple[dict, int]],
+    bg_df_fn,
+    n_docs: int,
+    size: int = 10,
+    min_doc_count: int = 1,
+):
+    """Coordinator merge: sum fg maps and match counts across partials,
+    fetch background dfs for the union vocabulary via ``bg_df_fn(vocab)
+    -> int array`` (local df for a single searcher; Σ local df across
+    the actor pool for the distributed path), then JLH-score and cut.
+
+    Returns (terms list[str], scores, fg_df, bg_df) aligned arrays.
+    """
+    fg: dict[str, int] = defaultdict(int)
+    fg_count = 0
+    for m, c in partials:
+        fg_count += c
+        for t, d in m.items():
+            fg[t] += d
+    if not fg or fg_count == 0:
+        return _EMPTY
     vocab = sorted(fg)
     fg_df = np.asarray([fg[t] for t in vocab], dtype=np.int64)
-    bg_df = np.asarray(
-        [searcher.local_df(t) for t in vocab], dtype=np.int64
-    )
-    n_docs = float(searcher.n_docs)
-    fp = fg_df / fg_count
-    bp = bg_df / n_docs
+    bg_df = np.asarray(bg_df_fn(vocab), dtype=np.int64)
+    fp = fg_df / float(fg_count)
+    bp = bg_df / float(n_docs)
     # float-op order mirrors the SQL oracle exactly
     score = (fp - bp) * (fp / bp)
     keep = (fp > bp) & (fg_df >= min_doc_count)
     if not keep.any():
-        return empty
+        return _EMPTY
     vocab_arr = np.asarray(vocab, dtype=object)[keep]
     score = _round_half_up6(score[keep])
     fg_df, bg_df = fg_df[keep], bg_df[keep]
@@ -102,4 +114,22 @@ def significant_terms(
         score[order],
         fg_df[order],
         bg_df[order],
+    )
+
+
+def significant_terms(
+    searcher,
+    terms: list[str],
+    size: int = 10,
+    min_doc_count: int = 1,
+):
+    """Single-searcher significant_terms: top ``size`` terms of the
+    boolean-OR match set by (JLH score desc, term asc). Requires the
+    forward index (index/forward.py build_forward_index)."""
+    return combine_significant(
+        [significant_partial(searcher, terms)],
+        lambda vocab: [searcher.local_df(t) for t in vocab],
+        searcher.n_docs,
+        size,
+        min_doc_count,
     )

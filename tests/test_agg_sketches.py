@@ -302,6 +302,65 @@ class TestDecay:
         assert docs.size > 0 and np.all(np.diff(scores) <= 0)
 
 
+class TestDistributedAggs:
+    """Shard-actor-pool variants must equal the single-searcher results
+    (exact for cardinality-exact / significant / decay; register-exact
+    for the HLL tier because registers depend only on the value SET)."""
+
+    @pytest.fixture(scope="class")
+    def dist(self, agg_searcher, ray_session):
+        from neural_search_ray.query.distributed import DistributedSearcher
+
+        d = DistributedSearcher(agg_searcher.index_dir, num_actors=2)
+        yield d
+        d.shutdown()
+
+    def test_cardinality_exact(self, dist, agg_searcher):
+        terms = tokenize("data query")
+        want = agg_searcher.agg_cardinality(terms, "n_chars", 10**9)
+        assert dist.agg_cardinality(terms, "n_chars", 10**9) == want
+
+    def test_cardinality_sketch_matches_single(self, dist, agg_searcher):
+        terms = tokenize("data query")
+        got = dist.agg_cardinality(terms, "n_chars", precision_threshold=0)
+        want = agg_searcher.agg_cardinality(
+            terms, "n_chars", precision_threshold=0
+        )
+        assert got["exact"] is False
+        # identical registers → identical estimate, any sharding
+        assert got["value"] == want["value"]
+
+    def test_percentiles_tdigest_close(self, dist, agg_searcher, doc_fields):
+        terms = tokenize("the")
+        vals = _match_vals(doc_fields, terms)
+        got = dist.agg_percentiles(terms, "n_chars", (25, 50, 75))
+        exact = np.percentile(vals, [25, 50, 75])
+        span = vals.max() - vals.min()
+        assert np.all(np.abs(got - exact) <= 0.03 * span)
+
+    def test_significant_matches_single(self, dist, agg_searcher):
+        from neural_search_ray.query.significant import significant_terms
+
+        for q in ("data query", "vector search"):
+            want = significant_terms(agg_searcher, tokenize(q), size=10)
+            got = dist.significant_terms(tokenize(q), size=10)
+            assert got[0] == want[0], q
+            np.testing.assert_array_equal(got[1], want[1])
+            np.testing.assert_array_equal(got[2], want[2])
+            np.testing.assert_array_equal(got[3], want[3])
+
+    def test_decay_matches_single(self, dist, agg_searcher):
+        terms = tokenize("data query")
+        want = agg_searcher.search_decay(
+            terms, "n_chars", origin=150, scale=100, offset=10, k=10
+        )
+        got = dist.search_decay(
+            terms, "n_chars", origin=150, scale=100, offset=10, k=10
+        )
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-15)
+
+
 class TestDatasetAggs:
     @pytest.fixture(scope="class")
     def events(self, sf_dir, ray_session):
