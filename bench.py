@@ -204,6 +204,12 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
         # bool_topk runs the 6-clause-shape BooleanQuery set
         "phrase_topk",
         "bool_topk",
+        # agg family (new in r4 session 4): JLH significant_terms over
+        # the forward index, function_score gauss decay (full-union
+        # scoring), and the distributed exact distinct-count pipeline
+        "significant_terms",
+        "decay_topk",
+        "events_user_cardinality",
     ):
         t0 = time.perf_counter()
         res = suite.build_queries()[name](sf_dir)
