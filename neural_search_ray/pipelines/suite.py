@@ -168,12 +168,15 @@ def _query_values_sql() -> str:
     return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS q(query_id, term)"
 
 
-def _bm25_scored_sql() -> str:
+def _bm25_scored_sql(q_values: str | None = None) -> str:
+    """BM25 scored set over a (query_id, term) values subquery —
+    defaults to QUERY_SET's analyzer tokens; dis_max / boosting pass
+    their own (sub)query term sets."""
     return f"""
   SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
          sum( ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
               * tf.tf / (tf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) ) AS score
-  FROM ({_query_values_sql()}) q
+  FROM ({q_values or _query_values_sql()}) q
   JOIN ({SQL_TF}) tf ON tf.term = q.term
   JOIN ({SQL_DF}) df ON df.term = q.term
   JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = tf.doc_id
@@ -1446,6 +1449,123 @@ def q_decay_topk(sf_dir: str) -> pa.Table:
         rows.append((qid, docs, scores))
     out = _hits_table(rows)
     return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+# dis_max: (query_id, subqueries, tie_breaker). Float discipline: a
+# 3-subquery entry uses tie_breaker=0.0 (max is order-independent; a
+# 3-way float sum is not), 2-subquery entries may use any tie_breaker
+# (2-operand addition is commutative, so engine and SQL agree bitwise).
+DIS_MAX_QUERY_SET: list[tuple[int, list[list[str]], float]] = [
+    (0, [["data", "query"], ["vector", "search"]], 0.0),
+    (1, [["merge", "sort"], ["window"]], 0.3),
+    (2, [["the", "fast"], ["join", "table"]], 0.5),
+    (3, [["scan", "filter", "row"], ["batch", "stream"], ["group", "agg"]], 0.0),
+]
+
+# boosting: (query_id, positive text, negative text, negative_boost)
+BOOSTING_QUERY_SET: list[tuple[int, str, str, float]] = [
+    (0, "data query", "slow", 0.5),
+    (1, "vector search", "the", 0.3),
+    (2, "merge sort window", "filter scan", 0.4),
+    (3, "the fast join", "data", 0.2),
+]
+
+_TOP_HITS_K = 3
+
+# inputs chosen so several yield MULTIPLE candidates (exercising the
+# (distance asc, df desc, term asc) ranking, not just existence)
+SUGGEST_QUERY_SET: list[tuple[int, str]] = [
+    (0, "dat"),
+    (1, "tabel"),
+    (2, "ro"),
+    (3, "grup"),
+    (4, "sort"),
+]
+_SUGGEST_SIZE = 5
+
+
+def q_dis_max_topk(sf_dir: str) -> pa.Table:
+    """dis_max compound query (engine search_dis_max — Lucene
+    DisjunctionMaxQuery): best-subquery score + tie_breaker · rest,
+    each subquery a boolean-OR BM25 scored over its full union."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, subs, tb in DIS_MAX_QUERY_SET:
+        docs, scores = searcher.search_dis_max(
+            subs, k=BM25_K * 3, tie_breaker=tb
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_boosting_topk(sf_dir: str) -> pa.Table:
+    """boosting compound query (engine search_boosting): positive BM25,
+    negative-match docs demoted by multiplication (they STAY in the
+    result set, unlike must_not)."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, pos, neg, nb in BOOSTING_QUERY_SET:
+        docs, scores = searcher.search_boosting(
+            tokenize(pos), tokenize(neg), negative_boost=nb, k=BM25_K * 3
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_top_hits(sf_dir: str) -> pa.Table:
+    """terms-bucket + top_hits sub-aggregation (engine facet_top_hits):
+    per lang bucket of each query's match set, the top 3 docs by
+    (rounded BM25 desc, doc_id asc)."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, bs, rs, ds_, ss = [], [], [], [], []
+    for qid, qtext in QUERY_SET:
+        buckets, ranks, docs, scores = searcher.facet_top_hits(
+            tokenize(qtext), "lang", k_per_bucket=_TOP_HITS_K
+        )
+        qs += [qid] * len(buckets)
+        bs += buckets
+        rs += ranks.tolist()
+        ds_ += docs.tolist()
+        ss += scores.tolist()
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "bucket": pa.array(bs, type=pa.string()),
+            "rank": pa.array(rs, type=pa.int64()),
+            "doc_id": pa.array(ds_, type=pa.int64()),
+            "score": pa.array(ss, type=pa.float64()),
+        }
+    )
+
+
+def q_suggest_term(sf_dir: str) -> pa.Table:
+    """Term suggester (engine suggest_term — DirectSpellChecker
+    semantics): dictionary terms within 2 edits, ranked by (distance
+    asc, df desc, term asc); suggest_mode="always" here so every query
+    row is exercised (the "missing" gate is pytest-covered)."""
+    searcher = get_searcher(sf_dir)
+    qs, rs, ts, fs, ds_ = [], [], [], [], []
+    for qid, qterm in SUGGEST_QUERY_SET:
+        sugg = searcher.suggest_term(
+            qterm, size=_SUGGEST_SIZE, suggest_mode="always"
+        )
+        qs += [qid] * len(sugg)
+        rs += list(range(1, len(sugg) + 1))
+        ts += [s[0] for s in sugg]
+        fs += [s[1] for s in sugg]
+        ds_ += [s[2] for s in sugg]
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "rank": pa.array(rs, type=pa.int64()),
+            "term": pa.array(ts, type=pa.string()),
+            "freq": pa.array(fs, type=pa.int64()),
+            "dist": pa.array(ds_, type=pa.int64()),
+        }
+    )
 
 
 def q_significant_terms_distributed(sf_dir: str) -> pa.Table:
@@ -3735,6 +3855,81 @@ SELECT query_id, rank, term, score, fg_df, bg_df FROM (
     # shard-actor-pool agg/decay paths: exact vs the same oracles
     sqls["significant_terms_distributed"] = sqls["significant_terms"]
     sqls["decay_topk_distributed"] = sqls["decay_topk"]
+    # dis_max: subqueries keyed as query_id*10 + sub_idx in the scored
+    # set, re-grouped to query_id at combine (max + tb·(sum − max))
+    _dm_vals, _dm_tb = [], []
+    for qid, subs, tb in DIS_MAX_QUERY_SET:
+        _dm_tb.append(f"({qid}, {tb})")
+        for si, sub in enumerate(subs):
+            for t in sorted(set(sub)):
+                _dm_vals.append(f"({qid * 10 + si}, '{t}')")
+    _dm_values_sql = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(_dm_vals)
+        + ") AS q(query_id, term)"
+    )
+    sqls["dis_max_topk"] = _topk_sql(
+        f"""
+  SELECT (s.query_id // 10)::BIGINT AS query_id, s.doc_id,
+         max(s.score) + tb.tb * (sum(s.score) - max(s.score)) AS score
+  FROM ({_bm25_scored_sql(_dm_values_sql)}) s
+  JOIN (VALUES {", ".join(_dm_tb)}) tb(query_id, tb)
+    ON tb.query_id = s.query_id // 10
+  GROUP BY s.query_id // 10, s.doc_id, tb.tb""",
+        BM25_K,
+    )
+    # boosting: positive scored set, negative-match docs demoted
+    _bo_pos, _bo_neg, _bo_nb = [], [], []
+    for qid, pos, neg, nb in BOOSTING_QUERY_SET:
+        _bo_nb.append(f"({qid}, {nb})")
+        for t in sorted(set(tokenize(pos))):
+            _bo_pos.append(f"({qid}, '{t}')")
+        for t in sorted(set(tokenize(neg))):
+            _bo_neg.append(f"({qid}, '{t}')")
+    _bo_pos_sql = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(_bo_pos)
+        + ") AS q(query_id, term)"
+    )
+    sqls["boosting_topk"] = _topk_sql(
+        f"""
+  SELECT sc.query_id, sc.doc_id,
+         CASE WHEN nm.doc_id IS NOT NULL THEN sc.score * nb.nb
+              ELSE sc.score END AS score
+  FROM ({_bm25_scored_sql(_bo_pos_sql)}) sc
+  JOIN (VALUES {", ".join(_bo_nb)}) nb(query_id, nb)
+    ON nb.query_id = sc.query_id
+  LEFT JOIN (SELECT DISTINCT q.query_id, t.doc_id
+             FROM (VALUES {", ".join(_bo_neg)}) q(query_id, term)
+             JOIN ({SQL_TOK}) t ON t.term = q.term) nm
+    ON nm.query_id = sc.query_id AND nm.doc_id = sc.doc_id""",
+        BM25_K,
+    )
+    # terms bucket + top_hits: per (query, lang), top K by rounded score
+    sqls["top_hits"] = f"""
+SELECT query_id, bucket, rank, doc_id, score FROM (
+  SELECT sc.query_id, d.lang AS bucket, sc.doc_id,
+         round(sc.score, 6) AS score,
+         row_number() OVER (PARTITION BY sc.query_id, d.lang
+                            ORDER BY round(sc.score, 6) DESC, sc.doc_id)
+           AS rank
+  FROM ({_bm25_scored_sql()}) sc JOIN documents d ON d.doc_id = sc.doc_id
+) WHERE rank <= {_TOP_HITS_K}"""
+    # term suggester: dictionary terms within 2 edits, never the input
+    _sug_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, t in SUGGEST_QUERY_SET
+    )
+    sqls["suggest_term"] = f"""
+SELECT query_id, rank, term, freq, dist FROM (
+  SELECT q.query_id::BIGINT AS query_id, df.term, df.df AS freq,
+         levenshtein(q.qterm, df.term)::BIGINT AS dist,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY levenshtein(q.qterm, df.term),
+                                     df.df DESC, df.term) AS rank
+  FROM (VALUES {_sug_vals}) q(query_id, qterm)
+  JOIN ({SQL_DF}) df
+    ON levenshtein(q.qterm, df.term) <= 2 AND df.term <> q.qterm
+) WHERE rank <= {_SUGGEST_SIZE}"""
     # same oracle: the two-segment incremental build and the
     # shard-actor-pool serving path must both be rank-identical to the
     # single-segment single-process result
@@ -4933,6 +5128,10 @@ def build_queries() -> dict:
         "decay_topk": q_decay_topk,
         "significant_terms_distributed": q_significant_terms_distributed,
         "decay_topk_distributed": q_decay_topk_distributed,
+        "dis_max_topk": q_dis_max_topk,
+        "boosting_topk": q_boosting_topk,
+        "top_hits": q_top_hits,
+        "suggest_term": q_suggest_term,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,

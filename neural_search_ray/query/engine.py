@@ -1206,6 +1206,186 @@ class IndexSearcher:
         mult = np.exp((dist * dist) * (np.log(decay) / (scale * scale)))
         return topk_desc(cand, bm25 * mult, k)
 
+    def _bm25_union_scores(
+        self, terms: list[str], global_dfs: np.ndarray | None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(union docs, exact BM25 scores) over the full boolean-OR
+        match set — the building block for score-combining wrappers
+        (dis_max / boosting / bucketed top_hits) where top-k pruning on
+        the raw subquery would be unsound."""
+        sterms = sorted(set(terms))
+        if not sterms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        if global_dfs is None:
+            dfs = np.asarray(
+                [self.local_df(t) for t in sterms], dtype=np.float64
+            )
+        else:
+            dfs = np.asarray(global_dfs, dtype=np.float64)
+        idfs = np.where(
+            dfs > 0, bm25_idf(np.maximum(dfs, 1e-9), self.n_docs), 0.0
+        )
+        cand = self._match_union(sterms)
+        if cand.size == 0:
+            return cand, np.empty(0, np.float64)
+        return cand, self._score_candidates(cand, sterms, idfs, None)
+
+    def search_dis_max(
+        self,
+        subqueries: list[list[str]],
+        k: int = 10,
+        *,
+        tie_breaker: float = 0.0,
+        global_dfs: list | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene DisjunctionMaxQuery: per-doc score = best subquery
+        score + tie_breaker · (sum of the others). Each subquery is a
+        boolean-OR BM25 query scored over its full match union (the max
+        is taken per doc, so subquery top-k pruning would be unsound).
+
+        ``global_dfs``: optional list (one array per subquery, aligned
+        with sorted-unique subquery terms) for shard-subset actors.
+
+        Float discipline: with >2 subqueries use tie_breaker=0.0 if an
+        external system must reproduce scores bitwise — max is
+        order-independent, a 3-way float sum is not."""
+        if not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError("tie_breaker must be in [0, 1]")
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        parts = [
+            self._bm25_union_scores(
+                sub, None if global_dfs is None else global_dfs[i]
+            )
+            for i, sub in enumerate(subqueries)
+        ]
+        parts = [p for p in parts if p[0].size]
+        if not parts:
+            return empty
+        union = (
+            np.unique(np.concatenate([p[0] for p in parts]))
+            if len(parts) > 1
+            else parts[0][0]
+        )
+        mat = np.zeros((len(parts), union.size), dtype=np.float64)
+        for i, (docs, scores) in enumerate(parts):
+            mat[i, np.searchsorted(union, docs)] = scores
+        mx = mat.max(axis=0)
+        total = mat.sum(axis=0)
+        return topk_desc(union, mx + tie_breaker * (total - mx), k)
+
+    def search_boosting(
+        self,
+        positive: list[str],
+        negative: list[str],
+        *,
+        negative_boost: float = 0.5,
+        k: int = 10,
+        global_dfs: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Boosting query (Lucene BoostingQuery / the OpenSearch
+        ``boosting`` compound): positive BM25 scores, demoted by
+        ``negative_boost`` multiplication for docs that also match the
+        negative query — unlike must_not, demoted docs stay in the
+        result set."""
+        if not 0.0 <= negative_boost <= 1.0:
+            raise ValueError("negative_boost must be in [0, 1]")
+        cand, scores = self._bm25_union_scores(positive, global_dfs)
+        if cand.size == 0:
+            return cand, scores
+        neg = self._match_union(negative)
+        if neg.size:
+            pos_t = np.searchsorted(neg, cand)
+            pos_c = np.minimum(pos_t, neg.size - 1)
+            is_neg = neg[pos_c] == cand
+            scores = np.where(is_neg, scores * negative_boost, scores)
+        return topk_desc(cand, scores, k)
+
+    def facet_top_hits(
+        self,
+        terms: list[str],
+        field: str,
+        k_per_bucket: int = 3,
+        global_dfs: np.ndarray | None = None,
+    ):
+        """top_hits sub-aggregation under a terms bucket (the OpenSearch
+        terms agg + top_hits pattern): per doc-values bucket, the top
+        ``k_per_bucket`` match-set docs by (rounded BM25 desc, doc_id
+        asc). Scores are rounded half-up to 6 BEFORE ranking (cross-
+        engine tie discipline). Returns (bucket values, ranks, docs,
+        scores) flat aligned arrays, buckets in ascending value order."""
+        cand, scores = self._bm25_union_scores(terms, global_dfs)
+        if cand.size == 0:
+            return [], np.empty(0, np.int64), cand, scores
+        f = 1e6
+        scores = np.floor(scores * f + 0.5) / f  # scores are >= 0
+        vals = np.asarray(
+            self.field_values(cand, field).to_pylist(), dtype=object
+        )
+        out_v, out_r, out_d, out_s = [], [], [], []
+        for bucket in sorted(set(vals.tolist())):
+            m = vals == bucket
+            d, s = cand[m], scores[m]
+            order = np.lexsort((d, -s))[:k_per_bucket]
+            out_v += [bucket] * order.size
+            out_r += list(range(1, order.size + 1))
+            out_d.append(d[order])
+            out_s.append(s[order])
+        return (
+            out_v,
+            np.asarray(out_r, dtype=np.int64),
+            np.concatenate(out_d),
+            np.concatenate(out_s),
+        )
+
+    def suggest_term(
+        self,
+        term: str,
+        size: int = 5,
+        *,
+        max_edits: int = 2,
+        prefix_length: int = 0,
+        suggest_mode: str = "missing",
+    ) -> list[tuple[str, int, int]]:
+        """Term suggester (the OpenSearch ``suggest`` term suggester /
+        Lucene DirectSpellChecker): dictionary terms within
+        ``max_edits`` plain Levenshtein of the input, ranked by
+        (distance asc, df desc, term asc); the input term itself is
+        never suggested. ``suggest_mode="missing"`` (the default there
+        and here) suppresses suggestions when the term exists in the
+        dictionary; "always" always suggests. Returns
+        [(term, freq, distance)]."""
+        if suggest_mode not in ("missing", "always"):
+            raise ValueError("suggest_mode must be 'missing' or 'always'")
+        if suggest_mode == "missing" and self.local_df(term) > 0:
+            return []
+        cands = [
+            t
+            for t in self.expand_fuzzy(term, max_edits, prefix_length)
+            if t != term
+        ]
+        if not cands:
+            return []
+
+        def lev(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(
+                            prev[j] + 1,
+                            cur[j - 1] + 1,
+                            prev[j - 1] + (ca != cb),
+                        )
+                    )
+                prev = cur
+            return prev[-1]
+
+        scored = sorted(
+            (lev(term, t), -self.local_df(t), t) for t in cands
+        )[:size]
+        return [(t, -negdf, d) for d, negdf, t in scored]
+
     def search_span_near(
         self,
         terms: list[str],

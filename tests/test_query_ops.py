@@ -765,3 +765,161 @@ class TestDistributedQueryOps:
         sd, _ = searcher.search_fuzzy("quer", k=12, max_edits=1)
         dd, _ = dsearch.search_fuzzy("quer", k=12, max_edits=1)
         assert dd.tolist() == sd.tolist()
+
+
+class TestDisMax:
+    def _brute(self, searcher, subs, tb, k=10):
+        parts = [
+            searcher.search_bm25(sub, k=10**6, pruning="none")
+            for sub in subs
+        ]
+        acc = {}
+        for docs, scores in parts:
+            for d, s in zip(docs.tolist(), scores.tolist()):
+                acc.setdefault(d, []).append(s)
+        scored = []
+        for d, ss in acc.items():
+            mx = max(ss)
+            scored.append((-(mx + tb * (sum(ss) - mx)), d))
+        scored.sort()
+        return [d for _, d in scored[:k]], [-s for s, _ in scored[:k]]
+
+    @pytest.mark.parametrize(
+        "subs,tb",
+        [
+            ([["data", "query"], ["vector", "search"]], 0.0),
+            ([["merge", "sort"], ["window"]], 0.3),
+            ([["the"], ["join", "table"]], 0.5),
+        ],
+    )
+    def test_matches_bruteforce(self, searcher, subs, tb):
+        docs, scores = searcher.search_dis_max(subs, k=10, tie_breaker=tb)
+        rd, rs = self._brute(searcher, subs, tb)
+        assert docs.tolist() == rd
+        np.testing.assert_allclose(scores, rs, rtol=1e-12)
+
+    def test_tb_one_disjoint_equals_bool_or(self, searcher):
+        dd, ds = searcher.search_dis_max(
+            [["data", "query"], ["join"]], k=10, tie_breaker=1.0
+        )
+        bd, bs = searcher.search_bm25(
+            ["data", "query", "join"], k=10, pruning="none"
+        )
+        assert dd.tolist() == bd.tolist()
+        np.testing.assert_allclose(ds, bs, rtol=1e-12)
+
+    def test_validation_and_empty(self, searcher):
+        with pytest.raises(ValueError):
+            searcher.search_dis_max([["a"]], tie_breaker=1.5)
+        d, _ = searcher.search_dis_max([["zzznope"], []], k=5)
+        assert d.size == 0
+
+
+class TestBoosting:
+    def test_demotes_but_keeps(self, searcher):
+        pd_, ps = searcher.search_bm25(
+            ["data", "query"], k=10**6, pruning="none"
+        )
+        docs, scores = searcher.search_boosting(
+            ["data", "query"], ["slow"], negative_boost=0.5, k=10**6
+        )
+        assert set(docs.tolist()) == set(pd_.tolist())  # nothing removed
+        base = dict(zip(pd_.tolist(), ps.tolist()))
+        neg = set(searcher.postings("slow")[0].tolist())
+        for d, s in zip(docs.tolist(), scores.tolist()):
+            want = base[d] * 0.5 if d in neg else base[d]
+            assert s == want, d
+
+    def test_boost_one_is_identity(self, searcher):
+        bd, bs = searcher.search_bm25(["merge", "sort"], k=10, pruning="none")
+        dd, ds = searcher.search_boosting(
+            ["merge", "sort"], ["the"], negative_boost=1.0, k=10
+        )
+        np.testing.assert_array_equal(dd, bd)
+        np.testing.assert_array_equal(ds, bs)
+
+    def test_unknown_negative_and_validation(self, searcher):
+        bd, _ = searcher.search_bm25(["data"], k=10, pruning="none")
+        dd, _ = searcher.search_boosting(["data"], ["zzznope"], k=10)
+        np.testing.assert_array_equal(dd, bd)
+        with pytest.raises(ValueError):
+            searcher.search_boosting(["data"], ["slow"], negative_boost=2.0)
+
+
+class TestTopHits:
+    @pytest.fixture(scope="class")
+    def dv_searcher(self, searcher, sf_dir, ray_session):
+        from neural_search_ray.index.docvalues import build_doc_values
+
+        build_doc_values(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+            ),
+            searcher.index_dir,
+            num_shards=searcher.manifest.num_doc_shards,
+        )
+        return searcher
+
+    def test_matches_bruteforce(self, dv_searcher, sf_dir):
+        import pyarrow.parquet as pq
+
+        langs = dict(
+            zip(
+                pq.read_table(
+                    f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+                )["doc_id"].to_pylist(),
+                pq.read_table(
+                    f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+                )["lang"].to_pylist(),
+            )
+        )
+        terms = ["data", "query"]
+        cd, cs = dv_searcher.search_bm25(terms, k=10**6, pruning="none")
+        cs = np.floor(cs * 1e6 + 0.5) / 1e6
+        want = {}
+        for lang in sorted(set(langs.values())):
+            sel = [i for i, d in enumerate(cd.tolist()) if langs[d] == lang]
+            if not sel:
+                continue
+            d = cd[sel]
+            s = cs[sel]
+            o = np.lexsort((d, -s))[:3]
+            want[lang] = (d[o].tolist(), s[o].tolist())
+        bv, br, bd, bs = dv_searcher.facet_top_hits(terms, "lang", 3)
+        got = {}
+        for v, r, d, s in zip(bv, br.tolist(), bd.tolist(), bs.tolist()):
+            got.setdefault(v, ([], []))
+            got[v][0].append(d)
+            got[v][1].append(s)
+        assert {k: v[0] for k, v in got.items()} == {
+            k: v[0] for k, v in want.items()
+        }
+        for k in want:
+            np.testing.assert_allclose(got[k][1], want[k][1], rtol=0)
+
+    def test_no_match(self, dv_searcher):
+        bv, br, bd, bs = dv_searcher.facet_top_hits(["zzznope"], "lang")
+        assert bv == [] and bd.size == 0
+
+
+class TestSuggestTerm:
+    def test_missing_mode_gates_known_terms(self, searcher):
+        assert searcher.suggest_term("data") == []
+        assert searcher.suggest_term("dta") != []
+
+    def test_ranking_matches_bruteforce(self, searcher):
+        vocab = [str(t) for t in searcher._gterms]
+        for q in ("dat", "tabel", "ro", "grup"):
+            want = sorted(
+                (_lev(q, t), -searcher.local_df(t), t)
+                for t in vocab
+                if t != q and _lev(q, t) <= 2
+            )[:5]
+            got = searcher.suggest_term(q, size=5, suggest_mode="always")
+            assert got == [(t, -nd, d) for d, nd, t in want], q
+
+    def test_never_suggests_self_and_validates(self, searcher):
+        got = searcher.suggest_term("sort", suggest_mode="always")
+        assert all(t != "sort" for t, _, _ in got)
+        with pytest.raises(ValueError, match="suggest_mode"):
+            searcher.suggest_term("x", suggest_mode="nope")
