@@ -1568,6 +1568,62 @@ def q_suggest_term(sf_dir: str) -> pa.Table:
     )
 
 
+_RF_PIVOT, _RF_BOOST = 200, 2.0
+
+
+def q_rank_feature_topk(sf_dir: str) -> pa.Table:
+    """rank_feature saturation clause (engine search_rank_feature):
+    BM25 + boost · v/(v + pivot) over n_chars doc-values — the static
+    per-doc signal pattern (pagerank/url_length) at web scale."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_rank_feature(
+            tokenize(qtext),
+            "n_chars",
+            pivot=float(_RF_PIVOT),
+            boost=_RF_BOOST,
+            k=BM25_K * 3,
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_agg_extended_stats(sf_dir: str) -> pa.Table:
+    """extended_stats aggregation (engine agg_extended_stats):
+    population variance via OpenSearch's sum_sq/n − avg² shortcut;
+    variance/std rounded half-up to 6 on both sides."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        s = searcher.agg_extended_stats(tokenize(qtext), "n_chars")
+        rows.append(
+            (
+                qid, s["count"], s["min"], s["max"], s["sum"], s["avg"],
+                s["sum_of_squares"],
+                float(round_half_up(s["variance"], 6)),
+                float(round_half_up(s["std_deviation"], 6)),
+            )
+        )
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "query_id": pa.array(cols[0], type=pa.int64()),
+            "cnt": pa.array(cols[1], type=pa.int64()),
+            "min_v": pa.array(cols[2], type=pa.int64()),
+            "max_v": pa.array(cols[3], type=pa.int64()),
+            "sum_v": pa.array(cols[4], type=pa.int64()),
+            "avg_v": pa.array(cols[5], type=pa.float64()),
+            "sum_sq": pa.array(cols[6], type=pa.int64()),
+            "variance": pa.array(cols[7], type=pa.float64()),
+            "std_dev": pa.array(cols[8], type=pa.float64()),
+        }
+    )
+
+
 def q_significant_terms_distributed(sf_dir: str) -> pa.Table:
     """The shard-actor-pool significant_terms under the same oracle:
     per-actor (term, fg_df) partials merged by sum, background dfs via
@@ -3915,6 +3971,35 @@ SELECT query_id, bucket, rank, doc_id, score FROM (
            AS rank
   FROM ({_bm25_scored_sql()}) sc JOIN documents d ON d.doc_id = sc.doc_id
 ) WHERE rank <= {_TOP_HITS_K}"""
+    # rank_feature saturation: BM25 + boost·v/(v+pivot) over doc-values
+    sqls["rank_feature_topk"] = _topk_sql(
+        f"""
+  SELECT sc.query_id, sc.doc_id,
+         sc.score + {_RF_BOOST} * (d.n_chars::DOUBLE
+                                   / (d.n_chars::DOUBLE + {_RF_PIVOT}))
+           AS score
+  FROM ({_bm25_scored_sql()}) sc
+  JOIN documents d ON d.doc_id = sc.doc_id""",
+        BM25_K,
+    )
+    # extended_stats: OpenSearch's population var = sum_sq/n − avg²
+    sqls["agg_extended_stats"] = f"""
+WITH a AS (
+  SELECT m.query_id, count(*)::BIGINT AS cnt,
+         min(d.n_chars)::BIGINT AS min_v, max(d.n_chars)::BIGINT AS max_v,
+         sum(d.n_chars)::BIGINT AS sum_v,
+         sum(d.n_chars * d.n_chars)::BIGINT AS sum_sq
+  FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id
+  GROUP BY m.query_id)
+SELECT query_id, cnt, min_v, max_v, sum_v,
+       (sum_v / cnt::DOUBLE) AS avg_v, sum_sq,
+       round((sum_sq / cnt::DOUBLE)
+             - (sum_v / cnt::DOUBLE) * (sum_v / cnt::DOUBLE), 6)
+         AS variance,
+       round(sqrt((sum_sq / cnt::DOUBLE)
+                  - (sum_v / cnt::DOUBLE) * (sum_v / cnt::DOUBLE)), 6)
+         AS std_dev
+FROM a"""
     # term suggester: dictionary terms within 2 edits, never the input
     _sug_vals = ", ".join(
         f"({qid}, '{t}')" for qid, t in SUGGEST_QUERY_SET
@@ -5132,6 +5217,8 @@ def build_queries() -> dict:
         "boosting_topk": q_boosting_topk,
         "top_hits": q_top_hits,
         "suggest_term": q_suggest_term,
+        "rank_feature_topk": q_rank_feature_topk,
+        "agg_extended_stats": q_agg_extended_stats,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,

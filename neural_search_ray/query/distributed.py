@@ -163,6 +163,70 @@ class ShardSearchActor:
             global_dfs=np.asarray(global_dfs, dtype=np.float64),
         )
 
+    def search_dis_max(
+        self, subqueries: list[list[str]], k: int, tie_breaker: float,
+        global_dfs: list[list[float]],
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.searcher.search_dis_max(
+            subqueries,
+            k,
+            tie_breaker=tie_breaker,
+            global_dfs=[np.asarray(g, dtype=np.float64) for g in global_dfs],
+        )
+
+    def search_boosting(
+        self, positive: list[str], negative: list[str],
+        negative_boost: float, k: int, global_dfs: list[float],
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.searcher.search_boosting(
+            positive,
+            negative,
+            negative_boost=negative_boost,
+            k=k,
+            global_dfs=np.asarray(global_dfs, dtype=np.float64),
+        )
+
+    def search_rank_feature(
+        self, terms: list[str], field: str, kwargs: dict, k: int,
+        global_dfs: list[float],
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.searcher.search_rank_feature(
+            terms,
+            field,
+            k=k,
+            global_dfs=np.asarray(global_dfs, dtype=np.float64),
+            **kwargs,
+        )
+
+    def facet_top_hits_partial(
+        self, terms: list[str], field: str, k_per_bucket: int,
+        global_dfs: list[float],
+    ):
+        """Per-bucket shard top-k (exact for this shard's docs; the
+        coordinator merges per bucket and re-cuts — same merge shape as
+        per-shard query top-k, applied bucket-wise)."""
+        v, r, d, s = self.searcher.facet_top_hits(
+            terms,
+            field,
+            k_per_bucket,
+            global_dfs=np.asarray(global_dfs, dtype=np.float64),
+        )
+        return v, d.tolist(), s.tolist()
+
+    def expand_suggest(
+        self, term: str, max_edits: int, prefix_length: int
+    ) -> list[str]:
+        """Local-dictionary fuzzy expansion for the suggest coordinator
+        (a term can live on only some shards; the union is the global
+        dictionary)."""
+        return [
+            t
+            for t in self.searcher.expand_fuzzy(
+                term, max_edits, prefix_length
+            )
+            if t != term
+        ]
+
     def search_multiterm(self, kind: str, arg, k: int) -> np.ndarray:
         """Constant-score multi-term queries (prefix / wildcard / fuzzy /
         regexp): doc-membership is decided by terms IN the doc, so each
@@ -463,6 +527,150 @@ class DistributedSearcher:
         docs = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
         return topk_desc(docs, scores, k)
+
+    def search_dis_max(
+        self,
+        subqueries: list[list[str]],
+        k: int = 10,
+        *,
+        tie_breaker: float = 0.0,
+    ):
+        """Distributed dis_max: per-subquery global dfs resolved once,
+        per-shard full combine (max + tb·rest is per-doc, doc lives on
+        ONE shard), exact top-k merge."""
+        subs = [sorted(set(s)) for s in subqueries]
+        self._resolve_gdfs([t for s in subs for t in s])
+        gdfs = [[self._gdf[t] for t in s] for s in subs]
+        parts = ray.get(
+            [
+                a.search_dis_max.remote(subs, k, tie_breaker, gdfs)
+                for a in self.actors
+            ]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
+
+    def search_boosting(
+        self,
+        positive: list[str],
+        negative: list[str],
+        *,
+        negative_boost: float = 0.5,
+        k: int = 10,
+    ):
+        """Distributed boosting: negative membership is shard-local (a
+        doc's negative postings live on its own shard), so only the
+        positive idf needs the coordinator phase."""
+        pos = sorted(set(positive))
+        self._resolve_gdfs(pos)
+        gdfs = [self._gdf[t] for t in pos]
+        parts = ray.get(
+            [
+                a.search_boosting.remote(
+                    pos, negative, negative_boost, k, gdfs
+                )
+                for a in self.actors
+            ]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
+
+    def search_rank_feature(
+        self, terms: list[str], field: str, *, k: int = 10, **kwargs
+    ):
+        """Distributed rank_feature: the feature is per-doc doc-values,
+        shard-local by construction."""
+        sterms = sorted(set(terms))
+        self._resolve_gdfs(sterms)
+        gdfs = [self._gdf[t] for t in sterms]
+        parts = ray.get(
+            [
+                a.search_rank_feature.remote(sterms, field, kwargs, k, gdfs)
+                for a in self.actors
+            ]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
+
+    def facet_top_hits(
+        self, terms: list[str], field: str, k_per_bucket: int = 3
+    ):
+        """Distributed terms-bucket top_hits: per-shard per-bucket top-k
+        partials merged bucket-wise at the coordinator, then re-cut —
+        exact because each shard's partial is complete for its docs."""
+        sterms = sorted(set(terms))
+        self._resolve_gdfs(sterms)
+        gdfs = [self._gdf[t] for t in sterms]
+        parts = ray.get(
+            [
+                a.facet_top_hits_partial.remote(
+                    sterms, field, k_per_bucket, gdfs
+                )
+                for a in self.actors
+            ]
+        )
+        acc: dict = {}
+        for values, docs, scores in parts:
+            for v, d, s in zip(values, docs, scores):
+                acc.setdefault(v, ([], []))
+                acc[v][0].append(d)
+                acc[v][1].append(s)
+        out_v, out_r, out_d, out_s = [], [], [], []
+        for bucket in sorted(acc):
+            d = np.asarray(acc[bucket][0], dtype=np.int64)
+            s = np.asarray(acc[bucket][1], dtype=np.float64)
+            order = np.lexsort((d, -s))[:k_per_bucket]
+            out_v += [bucket] * order.size
+            out_r += list(range(1, order.size + 1))
+            out_d.append(d[order])
+            out_s.append(s[order])
+        if not out_v:
+            return [], np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
+        return (
+            out_v,
+            np.asarray(out_r, dtype=np.int64),
+            np.concatenate(out_d),
+            np.concatenate(out_s),
+        )
+
+    def suggest_term(
+        self,
+        term: str,
+        size: int = 5,
+        *,
+        max_edits: int = 2,
+        prefix_length: int = 0,
+        suggest_mode: str = "missing",
+    ) -> list[tuple[str, int, int]]:
+        """Distributed term suggester: candidates are the UNION of
+        shard-dictionary expansions (a term can live on only some
+        shards), frequencies are global dfs via the coordinator cache,
+        ranking identical to the single searcher."""
+        from .engine import levenshtein
+
+        if suggest_mode not in ("missing", "always"):
+            raise ValueError("suggest_mode must be 'missing' or 'always'")
+        if suggest_mode == "missing":
+            self._resolve_gdfs([term])
+            if self._gdf[term] > 0:
+                return []
+        cand_sets = ray.get(
+            [
+                a.expand_suggest.remote(term, max_edits, prefix_length)
+                for a in self.actors
+            ]
+        )
+        cands = sorted({t for cs in cand_sets for t in cs})
+        if not cands:
+            return []
+        self._resolve_gdfs(cands)
+        scored = sorted(
+            (levenshtein(term, t), -int(self._gdf[t]), t) for t in cands
+        )[:size]
+        return [(t, -negdf, d) for d, negdf, t in scored]
 
     def _search_multiterm(self, kind: str, arg, k: int):
         parts = ray.get(

@@ -75,6 +75,20 @@ def topk_desc(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     return doc_ids[sel], scores[sel]
 
 
+def levenshtein(a: str, b: str) -> int:
+    """Plain (unweighted) edit distance — the suggest/fuzzy ranking
+    metric; DuckDB's levenshtein() is oracle-exact against it."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
 class _LruTerms:
     """Bounded decoded-postings cache (term → tuple of ndarrays).
 
@@ -1051,6 +1065,42 @@ class IndexSearcher:
             "avg": total / vals.size,
         }
 
+    def agg_extended_stats(self, terms: list[str], field: str) -> dict:
+        """extended_stats aggregation (OpenSearch extended_stats agg):
+        agg_stats plus sum_of_squares / variance / std_deviation, with
+        OpenSearch's population-variance formula
+        ``var = sum_sq/n − avg²`` (ExtendedStatsAggregator.java's
+        textbook shortcut, NOT Welford) so the SQL oracle reproduces it
+        term for term. Shard partials (count, min, max, sum, sum_sq)
+        merge associatively — same distributive shape as agg_stats."""
+        docs = self._match_union(terms)
+        if docs.size == 0:
+            return {
+                "count": 0, "min": None, "max": None, "sum": 0,
+                "avg": None, "sum_of_squares": 0, "variance": None,
+                "std_deviation": None,
+            }
+        vals = (
+            self.field_values(docs, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        total = int(vals.sum())
+        sum_sq = int((vals * vals).sum())
+        n = vals.size
+        avg = total / n
+        var = sum_sq / n - avg * avg
+        return {
+            "count": int(n),
+            "min": int(vals.min()),
+            "max": int(vals.max()),
+            "sum": total,
+            "avg": avg,
+            "sum_of_squares": sum_sq,
+            "variance": var,
+            "std_deviation": float(np.sqrt(var)),
+        }
+
     def agg_histogram(
         self, terms: list[str], field: str, interval: int
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -1205,6 +1255,58 @@ class IndexSearcher:
         dist = np.maximum(np.abs(v - origin) - offset, 0.0)
         mult = np.exp((dist * dist) * (np.log(decay) / (scale * scale)))
         return topk_desc(cand, bm25 * mult, k)
+
+    def search_rank_feature(
+        self,
+        terms: list[str],
+        field: str,
+        *,
+        pivot: float | None = None,
+        function: str = "saturation",
+        boost: float = 1.0,
+        scaling_factor: float = 1.0,
+        exponent: float = 1.0,
+        k: int = 10,
+        global_dfs: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """rank_feature scoring clause (the OpenSearch rank_feature
+        query inside a bool should, RankFeatureQuery): adds a static
+        per-doc feature contribution to the BM25 score of every doc in
+        the text match union —
+
+        - ``saturation``: boost · v/(v + pivot)
+        - ``log``:        boost · ln(scaling_factor + v)
+        - ``sigmoid``:    boost · v^exp/(v^exp + pivot^exp)
+
+        Pinned semantics: the feature clause only BOOSTS docs already
+        matching a text clause (it never selects on its own) — the
+        recommended bool{must: match, should: rank_feature} pattern.
+        Feature values come from doc-values; float-op order mirrors the
+        SQL oracle for saturation/log (sigmoid's pow is pytest-only)."""
+        cand, scores = self._bm25_union_scores(terms, global_dfs)
+        if cand.size == 0:
+            return cand, scores
+        v = (
+            self.field_values(cand, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        if function == "saturation":
+            if pivot is None or pivot <= 0:
+                raise ValueError("saturation needs pivot > 0")
+            feat = v / (v + pivot)
+        elif function == "log":
+            if scaling_factor + v.min() <= 0:
+                raise ValueError("log needs scaling_factor + v > 0")
+            feat = np.log(scaling_factor + v)
+        elif function == "sigmoid":
+            if pivot is None or pivot <= 0 or exponent <= 0:
+                raise ValueError("sigmoid needs pivot > 0 and exponent > 0")
+            ve = np.power(v, exponent)
+            feat = ve / (ve + pivot**exponent)
+        else:
+            raise ValueError(f"unknown rank_feature function: {function}")
+        return topk_desc(cand, scores + boost * feat, k)
 
     def _bm25_union_scores(
         self, terms: list[str], global_dfs: np.ndarray | None
@@ -1365,24 +1467,8 @@ class IndexSearcher:
         ]
         if not cands:
             return []
-
-        def lev(a: str, b: str) -> int:
-            prev = list(range(len(b) + 1))
-            for i, ca in enumerate(a, 1):
-                cur = [i]
-                for j, cb in enumerate(b, 1):
-                    cur.append(
-                        min(
-                            prev[j] + 1,
-                            cur[j - 1] + 1,
-                            prev[j - 1] + (ca != cb),
-                        )
-                    )
-                prev = cur
-            return prev[-1]
-
         scored = sorted(
-            (lev(term, t), -self.local_df(t), t) for t in cands
+            (levenshtein(term, t), -self.local_df(t), t) for t in cands
         )[:size]
         return [(t, -negdf, d) for d, negdf, t in scored]
 

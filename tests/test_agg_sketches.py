@@ -231,6 +231,73 @@ class TestEnginePercentiles:
             agg_searcher.agg_percentiles(["data"], "n_chars", (50,), "nope")
 
 
+class TestExtendedStats:
+    def test_matches_bruteforce(self, agg_searcher, doc_fields):
+        terms = tokenize("data query")
+        vals = _match_vals(doc_fields, terms)
+        got = agg_searcher.agg_extended_stats(terms, "n_chars")
+        assert got["count"] == vals.size
+        assert got["sum"] == int(vals.sum())
+        assert got["sum_of_squares"] == int((vals * vals).sum())
+        avg = got["sum"] / got["count"]
+        assert got["avg"] == avg
+        want_var = got["sum_of_squares"] / got["count"] - avg * avg
+        assert got["variance"] == want_var
+        assert got["std_deviation"] == np.sqrt(want_var)
+        # sanity vs numpy population variance (same quantity, other route)
+        np.testing.assert_allclose(got["variance"], vals.var(), rtol=1e-6)
+
+    def test_no_match(self, agg_searcher):
+        got = agg_searcher.agg_extended_stats(["zzznope"], "n_chars")
+        assert got["count"] == 0 and got["variance"] is None
+
+
+class TestRankFeature:
+    def test_saturation_matches_bruteforce(self, agg_searcher, doc_fields):
+        terms = tokenize("data query")
+        bd, bs = agg_searcher.search_bm25(terms, k=10**6, pruning="none")
+        nmap = {d: n for d, (_, n) in doc_fields.items()}
+        want = {
+            d: s + 2.0 * (nmap[d] / (nmap[d] + 200.0))
+            for d, s in zip(bd.tolist(), bs.tolist())
+        }
+        docs, scores = agg_searcher.search_rank_feature(
+            terms, "n_chars", pivot=200.0, boost=2.0, k=10**6
+        )
+        assert set(docs.tolist()) == set(bd.tolist())
+        for d, s in zip(docs.tolist(), scores.tolist()):
+            assert s == want[d], d
+
+    def test_log_and_sigmoid(self, agg_searcher):
+        terms = tokenize("merge sort")
+        ld, ls = agg_searcher.search_rank_feature(
+            terms, "n_chars", function="log", scaling_factor=1.0, k=10
+        )
+        sd, ss = agg_searcher.search_rank_feature(
+            terms, "n_chars", function="sigmoid", pivot=200.0,
+            exponent=2.0, k=10,
+        )
+        assert ld.size == 10 and sd.size == 10
+        # sigmoid contribution is bounded by boost
+        bd, bs = agg_searcher.search_bm25(terms, k=10**6, pruning="none")
+        base = dict(zip(bd.tolist(), bs.tolist()))
+        for d, s in zip(sd.tolist(), ss.tolist()):
+            assert 0.0 <= s - base[d] <= 1.0
+
+    def test_validation(self, agg_searcher):
+        with pytest.raises(ValueError):
+            agg_searcher.search_rank_feature(["data"], "n_chars")
+        with pytest.raises(ValueError, match="unknown"):
+            agg_searcher.search_rank_feature(
+                ["data"], "n_chars", pivot=1.0, function="nope"
+            )
+        with pytest.raises(ValueError):
+            agg_searcher.search_rank_feature(
+                ["data"], "n_chars", function="sigmoid", pivot=1.0,
+                exponent=0.0,
+            )
+
+
 class TestSignificantTerms:
     def _brute(self, doc_fields, qterms, size=10):
         ts = set(qterms)

@@ -923,3 +923,80 @@ class TestSuggestTerm:
         assert all(t != "sort" for t, _, _ in got)
         with pytest.raises(ValueError, match="suggest_mode"):
             searcher.suggest_term("x", suggest_mode="nope")
+
+
+class TestDistributedCompound:
+    """Distributed dis_max / boosting / rank_feature / top_hits /
+    suggest must be identical to the single searcher (docs AND scores;
+    same global-stats coordinator discipline as BM25)."""
+
+    @pytest.fixture(scope="class")
+    def dv2_searcher(self, searcher, sf_dir, ray_session):
+        from neural_search_ray.index.docvalues import build_doc_values
+
+        build_doc_values(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "lang", "n_chars"],
+            ),
+            searcher.index_dir,
+            num_shards=searcher.manifest.num_doc_shards,
+        )
+        return searcher
+
+    @pytest.fixture(scope="class")
+    def dsearch2(self, dv2_searcher, ray_session):
+        from neural_search_ray.query.distributed import DistributedSearcher
+
+        d = DistributedSearcher(dv2_searcher.index_dir, num_actors=2)
+        yield d
+        d.shutdown()
+
+    def test_dis_max_identical(self, dv2_searcher, dsearch2):
+        for subs, tb in [
+            ([["data", "query"], ["vector", "search"]], 0.0),
+            ([["merge", "sort"], ["window"]], 0.3),
+        ]:
+            sd, ss = dv2_searcher.search_dis_max(subs, k=12, tie_breaker=tb)
+            dd, ds_ = dsearch2.search_dis_max(subs, k=12, tie_breaker=tb)
+            assert dd.tolist() == sd.tolist(), subs
+            np.testing.assert_allclose(ds_, ss, rtol=1e-14)
+
+    def test_boosting_identical(self, dv2_searcher, dsearch2):
+        sd, ss = dv2_searcher.search_boosting(
+            ["data", "query"], ["slow"], negative_boost=0.4, k=12
+        )
+        dd, ds_ = dsearch2.search_boosting(
+            ["data", "query"], ["slow"], negative_boost=0.4, k=12
+        )
+        assert dd.tolist() == sd.tolist()
+        np.testing.assert_allclose(ds_, ss, rtol=1e-14)
+
+    def test_rank_feature_identical(self, dv2_searcher, dsearch2):
+        sd, ss = dv2_searcher.search_rank_feature(
+            ["data", "query"], "n_chars", pivot=200.0, boost=2.0, k=12
+        )
+        dd, ds_ = dsearch2.search_rank_feature(
+            ["data", "query"], "n_chars", pivot=200.0, boost=2.0, k=12
+        )
+        assert dd.tolist() == sd.tolist()
+        np.testing.assert_allclose(ds_, ss, rtol=1e-14)
+
+    def test_top_hits_identical(self, dv2_searcher, dsearch2):
+        sv, sr, sdd, sss = dv2_searcher.facet_top_hits(
+            ["data", "query"], "lang", 3
+        )
+        dv, dr, ddd, dss = dsearch2.facet_top_hits(
+            ["data", "query"], "lang", 3
+        )
+        assert dv == sv
+        np.testing.assert_array_equal(dr, sr)
+        np.testing.assert_array_equal(ddd, sdd)
+        np.testing.assert_array_equal(dss, sss)
+
+    def test_suggest_identical(self, dv2_searcher, dsearch2):
+        for q in ("dat", "tabel", "ro", "grup", "sort"):
+            assert dsearch2.suggest_term(
+                q, suggest_mode="always"
+            ) == dv2_searcher.suggest_term(q, suggest_mode="always"), q
+        assert dsearch2.suggest_term("data") == []
