@@ -1624,6 +1624,54 @@ def q_agg_extended_stats(sf_dir: str) -> pa.Table:
     )
 
 
+_PR_VALUES = (120, 150, 200, 400)
+
+
+def q_agg_percentile_ranks(sf_dir: str) -> pa.Table:
+    """percentile_ranks aggregation (engine agg_percentile_ranks, exact
+    empirical-CDF tier; the t-digest inverse is pytest-bounded)."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, vs, rs = [], [], []
+    for qid, qtext in QUERY_SET:
+        pr = searcher.agg_percentile_ranks(
+            tokenize(qtext), "n_chars", _PR_VALUES
+        )
+        qs += [qid] * len(_PR_VALUES)
+        vs += list(_PR_VALUES)
+        rs += list(round_half_up(pr, 6))
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "value": pa.array(vs, type=pa.int64()),
+            "pct_rank": pa.array(rs, type=pa.float64()),
+        }
+    )
+
+
+def q_lm_nll(sf_dir: str) -> "ray.data.Dataset":
+    """Unigram-LM perplexity proxy (textstats/lm.py — the CCNet
+    quality-filter shape): fit pass (per-batch term-count combiner →
+    vocab-bounded groupby → broadcast via ray.put), then a map_batches
+    scoring pass; nll = mean token −ln(cf/total), rounded half-up 6."""
+    from ..textstats.lm import lm_nll_dataset
+
+    out = lm_nll_dataset(_docs_ds(sf_dir))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+                "nll": pa.array(
+                    round_half_up(batch["nll"].to_numpy(), 6)
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_significant_terms_distributed(sf_dir: str) -> pa.Table:
     """The shard-actor-pool significant_terms under the same oracle:
     per-actor (term, fg_df) partials merged by sum, background dfs via
@@ -4000,6 +4048,28 @@ SELECT query_id, cnt, min_v, max_v, sum_v,
                   - (sum_v / cnt::DOUBLE) * (sum_v / cnt::DOUBLE)), 6)
          AS std_dev
 FROM a"""
+    # percentile_ranks: empirical CDF per requested value
+    _pr_rows = ", ".join(f"({v})" for v in _PR_VALUES)
+    sqls["agg_percentile_ranks"] = f"""
+SELECT m.query_id, v.val::BIGINT AS value,
+       round(100.0 * sum(CASE WHEN d.n_chars <= v.val THEN 1 ELSE 0 END)
+             / count(*), 6) AS pct_rank
+FROM ({_match_docs}) m
+JOIN documents d ON d.doc_id = m.doc_id
+CROSS JOIN (VALUES {_pr_rows}) v(val)
+GROUP BY m.query_id, v.val"""
+    # unigram-LM mean token negative log-likelihood per doc
+    sqls["lm_nll"] = f"""
+WITH s AS (SELECT sum(dl)::DOUBLE AS total FROM ({SQL_DL_ALL})),
+lp AS (SELECT df.term, ln(df.cf / s.total) AS lnp
+       FROM ({SQL_DF}) df CROSS JOIN s),
+sc AS (SELECT tf.doc_id, sum(tf.tf * lp.lnp) AS acc,
+              sum(tf.tf)::BIGINT AS ntok
+       FROM ({SQL_TF}) tf JOIN lp ON lp.term = tf.term
+       GROUP BY tf.doc_id)
+SELECT d.doc_id, coalesce(sc.ntok, 0)::BIGINT AS n_tokens,
+       round(coalesce(-sc.acc / sc.ntok, 0.0), 6) AS nll
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"""
     # term suggester: dictionary terms within 2 edits, never the input
     _sug_vals = ", ".join(
         f"({qid}, '{t}')" for qid, t in SUGGEST_QUERY_SET
@@ -5219,6 +5289,8 @@ def build_queries() -> dict:
         "suggest_term": q_suggest_term,
         "rank_feature_topk": q_rank_feature_topk,
         "agg_extended_stats": q_agg_extended_stats,
+        "agg_percentile_ranks": q_agg_percentile_ranks,
+        "lm_nll": q_lm_nll,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,

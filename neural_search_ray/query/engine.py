@@ -1209,6 +1209,50 @@ class IndexSearcher:
             return t.quantiles(np.asarray(pcts, dtype=np.float64) / 100.0)
         raise ValueError(f"unknown percentiles method: {method}")
 
+    def agg_percentile_ranks(
+        self,
+        terms: list[str],
+        field: str,
+        values: tuple[float, ...],
+        method: str = "exact",
+        delta: float = 100.0,
+    ) -> np.ndarray:
+        """percentile_ranks aggregation (inverse percentiles): for each
+        given value, the percentage of match-set field values ≤ it.
+        Exact tier = the empirical CDF (100·|v ≤ x|/n, SQL-oracleable);
+        ``method="tdigest"`` interpolates through the sketch's centroids
+        like the reference's TDigestState.cdf path."""
+        docs = self._match_union(terms)
+        if docs.size == 0:
+            return np.full(len(values), np.nan)
+        vals = (
+            self.field_values(docs, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        if method == "exact":
+            sv = np.sort(vals)
+            c = np.searchsorted(sv, np.asarray(values, np.float64), "right")
+            return 100.0 * c / sv.size
+        if method == "tdigest":
+            from ..agg.sketches import TDigest
+
+            t = TDigest(delta).add(vals)
+            # invert quantile() by bisection over q — exact enough for
+            # the sketch tier (the digest itself is the approximation)
+            out = []
+            for x in values:
+                lo, hi = 0.0, 1.0
+                for _ in range(40):
+                    mid = (lo + hi) / 2.0
+                    if t.quantile(mid) <= x:
+                        lo = mid
+                    else:
+                        hi = mid
+                out.append(100.0 * lo)
+            return np.asarray(out)
+        raise ValueError(f"unknown percentile_ranks method: {method}")
+
     def search_decay(
         self,
         terms: list[str],

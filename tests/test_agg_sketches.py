@@ -298,6 +298,96 @@ class TestRankFeature:
             )
 
 
+class TestPercentileRanks:
+    def test_exact_matches_bruteforce(self, agg_searcher, doc_fields):
+        terms = tokenize("data query")
+        vals = _match_vals(doc_fields, terms)
+        for x in (120, 150, 200, 400):
+            got = agg_searcher.agg_percentile_ranks(
+                terms, "n_chars", (x,)
+            )[0]
+            want = 100.0 * int((vals <= x).sum()) / vals.size
+            assert got == want, x
+
+    def test_tdigest_inverse_close(self, agg_searcher, doc_fields):
+        terms = tokenize("the")
+        vals = _match_vals(doc_fields, terms)
+        xs = (150.0, 300.0, 500.0)
+        got = agg_searcher.agg_percentile_ranks(
+            terms, "n_chars", xs, method="tdigest"
+        )
+        exact = [100.0 * (vals <= x).sum() / vals.size for x in xs]
+        assert np.all(np.diff(got) >= 0)  # CDF is monotone
+        np.testing.assert_allclose(got, exact, atol=4.0)
+
+    def test_empty_and_bad_method(self, agg_searcher):
+        out = agg_searcher.agg_percentile_ranks(["zzznope"], "n_chars", (1,))
+        assert np.isnan(out).all()
+        with pytest.raises(ValueError, match="method"):
+            agg_searcher.agg_percentile_ranks(
+                ["data"], "n_chars", (1,), method="nope"
+            )
+
+
+class TestUnigramLM:
+    @pytest.fixture(scope="class")
+    def fitted(self, sf_dir, ray_session):
+        from neural_search_ray.textstats.lm import fit_unigram_lm
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return fit_unigram_lm(ds)
+
+    def test_fit_matches_bruteforce(self, fitted, doc_fields):
+        vocab, lnp, total = fitted
+        from collections import Counter
+
+        cf = Counter()
+        for toks, _ in doc_fields.values():
+            cf.update(toks)
+        assert total == sum(cf.values())
+        assert set(vocab) == set(cf)
+        for t, i in vocab.items():
+            assert lnp[i] == np.log(cf[t] / total), t
+
+    def test_scores_match_bruteforce(self, fitted, sf_dir, ray_session):
+        from neural_search_ray.textstats.lm import lm_nll_dataset
+
+        vocab, lnp, _ = fitted
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        rows = {r["doc_id"]: r for r in lm_nll_dataset(ds).take_all()}
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        from neural_search_ray.analysis.analyzer import tokenize as tok
+
+        for d, x in list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))[:50]:
+            toks = tok(x)
+            from collections import Counter
+
+            c = Counter(toks)
+            want = -sum(
+                n * lnp[vocab[w]] for w, n in sorted(c.items())
+            ) / len(toks)
+            assert rows[d]["n_tokens"] == len(toks)
+            assert rows[d]["nll"] == want, d
+
+    def test_oov_raises_without_smoothing(self, fitted):
+        from neural_search_ray.textstats.lm import nll_score_stage
+
+        vocab, lnp, _ = fitted
+        batch = pa.table({"text": ["zzznotinvocab word"]})
+        with pytest.raises(KeyError):
+            nll_score_stage(vocab, lnp)(batch)
+        out = nll_score_stage(vocab, lnp, smooth_unseen=True)(batch)
+        assert out["nll"][0].as_py() > 0
+
+
 class TestSignificantTerms:
     def _brute(self, doc_fields, qterms, size=10):
         ts = set(qterms)
