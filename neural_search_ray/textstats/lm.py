@@ -11,44 +11,52 @@ per-batch scoring signature is identical).
 
 Ray-Data-native two-pass shape (the only shape that scales):
 
-1. **Fit**: one streaming pass — per-batch (term, count) combiners, one
-   groupby-sum bounded by vocabulary, collected to a (term → ln p)
-   table ONCE and broadcast via ``ray.put`` (read by every scoring
-   task, never re-shipped per batch).
+1. **Fit**: one streaming pass — per-batch Arrow value_counts combiners
+   (vocabulary-bounded payloads), one groupby-sum, collected to a
+   (term → ln p) table ONCE and broadcast via ``ray.put`` (read by
+   every scoring task, never re-shipped per batch).
 2. **Score**: ``map_batches`` — per doc,
    ``nll = −Σ_t tf_t · ln(cf_t / total_tokens) / dl`` (mean token
    negative log-likelihood; perplexity = exp(nll), monotone in it).
-   Unseen terms can't occur when scoring the fitting corpus; a held-out
-   scorer applies add-one smoothing over the fitted vocab.
+   Fully vectorized: Arrow-C++ tokenization (analysis/analyzer.py
+   analyze_column fast path), a C hash-index token→id lookup, and
+   per-(doc, term) segmented reduction — no per-row Python loop.
+   Unseen terms can't occur when scoring the fitting corpus; a
+   held-out scorer applies a min-prob floor over the fitted vocab.
+
+Deterministic accumulation: per doc, unique terms reduce in
+term-ascending order (the vocab is term-sorted) via numpy's pairwise
+reduction — identical across runs/workers; the round-6 output absorbs
+the ≤1-ulp difference vs a sequential sum (same per-(doc, term)
+grouping as the SQL oracle).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
-from ..analysis.analyzer import tokenize
+from ..analysis.analyzer import analyze_column
 
 __all__ = ["fit_unigram_lm", "nll_score_stage", "lm_nll_dataset"]
 
 
 def fit_unigram_lm(ds: "ray.data.Dataset", text_col: str = "text"):
-    """One streaming pass → (vocab dict term→index, ln-prob array,
-    total_tokens). The groupby payload is (term, count) — bounded by
-    vocabulary, not corpus size."""
+    """One streaming pass → (term-sorted vocab dict term→index, aligned
+    ln-prob array, total_tokens). The groupby payload is (term, count)
+    — bounded by vocabulary, not corpus size."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        terms: dict[str, int] = {}
-        for txt in batch[text_col].to_pylist():
-            for t in tokenize(txt):
-                terms[t] = terms.get(t, 0) + 1
+        lists = analyze_column(batch[text_col].combine_chunks())
+        vc = pc.value_counts(lists.flatten())
         return pa.table(
             {
-                "term": pa.array(list(terms.keys()), pa.string()),
-                "cf": pa.array(list(terms.values()), pa.int64()),
+                "term": vc.field("values"),
+                "cf": vc.field("counts").cast(pa.int64()),
             }
         )
 
@@ -58,6 +66,7 @@ def fit_unigram_lm(ds: "ray.data.Dataset", text_col: str = "text"):
         .aggregate(Sum("cf", alias_name="cf"))
         .take_all()
     )
+    rows.sort(key=lambda r: r["term"])
     vocab = {r["term"]: i for i, r in enumerate(rows)}
     cf = np.asarray([r["cf"] for r in rows], dtype=np.float64)
     total = float(cf.sum())
@@ -67,50 +76,63 @@ def fit_unigram_lm(ds: "ray.data.Dataset", text_col: str = "text"):
 def nll_score_stage(vocab_ref, lnp_ref, *, smooth_unseen: bool = False):
     """Per-batch scorer: adds ``nll`` (mean token −ln p) and ``n_tokens``
     columns. ``vocab_ref``/``lnp_ref`` are ``ray.put`` handles (or plain
-    objects for local use) — broadcast once, shared by every task.
+    objects for local use) — broadcast once, shared by every task."""
+    import pandas as pd
 
-    Deterministic accumulation: per doc, unique terms in SORTED order,
-    Σ tf·ln p — the same grouping the SQL oracle's per-(doc, term) sum
-    uses."""
+    state: dict = {}
 
     def fn(batch: pa.Table) -> pa.Table:
-        vocab = (
-            ray.get(vocab_ref)
-            if isinstance(vocab_ref, ray.ObjectRef)
-            else vocab_ref
-        )
-        lnp = (
-            ray.get(lnp_ref)
-            if isinstance(lnp_ref, ray.ObjectRef)
-            else lnp_ref
-        )
-        # add-one floor for held-out corpora (never hit when scoring
-        # the fitting corpus itself)
-        floor = float(lnp.min() - np.log(2.0)) if smooth_unseen else None
-        nlls, ntoks = [], []
-        for txt in batch["text"].to_pylist():
-            toks = tokenize(txt)
-            if not toks:
-                nlls.append(0.0)
-                ntoks.append(0)
-                continue
-            counts: dict[str, int] = {}
-            for t in toks:
-                counts[t] = counts.get(t, 0) + 1
-            acc = 0.0
-            for t in sorted(counts):
-                i = vocab.get(t)
-                if i is None:
-                    if floor is None:
-                        raise KeyError(f"OOV term {t!r} without smoothing")
-                    acc += counts[t] * floor
-                else:
-                    acc += counts[t] * float(lnp[i])
-            nlls.append(-acc / len(toks))
-            ntoks.append(len(toks))
+        if "idx" not in state:
+            vocab = (
+                ray.get(vocab_ref)
+                if isinstance(vocab_ref, ray.ObjectRef)
+                else vocab_ref
+            )
+            lnp = np.asarray(
+                ray.get(lnp_ref)
+                if isinstance(lnp_ref, ray.ObjectRef)
+                else lnp_ref,
+                dtype=np.float64,
+            )
+            state["idx"] = pd.Index(list(vocab))
+            # OOV bucket at position V: a min-prob floor (held-out path)
+            state["lnp"] = np.concatenate(
+                [lnp, [float(lnp.min() - np.log(2.0))]]
+            )
+        index: "pd.Index" = state["idx"]
+        lnp_ext = state["lnp"]
+        v = index.size
+
+        lists = analyze_column(batch["text"].combine_chunks())
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        ntok = np.diff(off)
+        n = len(batch)
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        nll = np.zeros(n, dtype=np.float64)
+        if flat.size:
+            vid = index.get_indexer(flat)
+            if not smooth_unseen and (vid < 0).any():
+                bad = flat[vid < 0][0]
+                raise KeyError(f"OOV term {bad!r} without smoothing")
+            vid = np.where(vid < 0, v, vid).astype(np.int64)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), ntok)
+            # per-(doc, term) tf via unique on a composite key; keys are
+            # sorted, so reduceat accumulates term-ascending within doc —
+            # matching the documented deterministic order
+            key = doc_idx * np.int64(v + 1) + vid
+            uk, counts = np.unique(key, return_counts=True)
+            contrib = counts.astype(np.float64) * lnp_ext[uk % (v + 1)]
+            doc_of = uk // (v + 1)
+            bounds = np.flatnonzero(
+                np.r_[True, doc_of[1:] != doc_of[:-1]]
+            )
+            sums = np.add.reduceat(contrib, bounds)
+            present = doc_of[bounds]
+            nll[present] = -sums / ntok[present]
         return batch.append_column(
-            "n_tokens", pa.array(ntoks, pa.int64())
-        ).append_column("nll", pa.array(nlls, pa.float64()))
+            "n_tokens", pa.array(ntok, pa.int64())
+        ).append_column("nll", pa.array(nll, pa.float64()))
 
     return fn
 

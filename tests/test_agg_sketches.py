@@ -375,7 +375,8 @@ class TestUnigramLM:
                 n * lnp[vocab[w]] for w, n in sorted(c.items())
             ) / len(toks)
             assert rows[d]["n_tokens"] == len(toks)
-            assert rows[d]["nll"] == want, d
+            # reduceat is pairwise, python sum sequential: 1-ulp apart
+            np.testing.assert_allclose(rows[d]["nll"], want, rtol=1e-12)
 
     def test_oov_raises_without_smoothing(self, fitted):
         from neural_search_ray.textstats.lm import nll_score_stage
