@@ -1625,6 +1625,43 @@ def q_agg_extended_stats(sf_dir: str) -> pa.Table:
 
 
 _PR_VALUES = (120, 150, 200, 400)
+_COMP_INTERVAL = 100
+_COMP_PAGE = 5
+
+
+def q_agg_composite(sf_dir: str) -> pa.Table:
+    """Composite aggregation (engine agg_composite): (lang terms,
+    n_chars histogram) buckets, key-ordered, TWO pages of 5 via the
+    strict after-key — the streaming bucket-export surface."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    sources = [("terms", "lang"), ("histogram", "n_chars", _COMP_INTERVAL)]
+    qs, pgs, ls, bks, cs = [], [], [], [], []
+    for qid, qtext in QUERY_SET:
+        toks = tokenize(qtext)
+        k1, c1 = searcher.agg_composite(toks, sources, size=_COMP_PAGE)
+        pages = [(1, k1, c1)]
+        if len(k1) == _COMP_PAGE:
+            k2, c2 = searcher.agg_composite(
+                toks, sources, size=_COMP_PAGE, after=k1[-1]
+            )
+            pages.append((2, k2, c2))
+        for pg, ks, cnts in pages:
+            for (lang, bucket), c in zip(ks, cnts.tolist()):
+                qs.append(qid)
+                pgs.append(pg)
+                ls.append(lang)
+                bks.append(bucket)
+                cs.append(c)
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "page": pa.array(pgs, type=pa.int64()),
+            "lang": pa.array(ls, type=pa.string()),
+            "bucket": pa.array(bks, type=pa.int64()),
+            "doc_count": pa.array(cs, type=pa.int64()),
+        }
+    )
 
 
 def q_agg_percentile_ranks(sf_dir: str) -> pa.Table:
@@ -4048,6 +4085,23 @@ SELECT query_id, cnt, min_v, max_v, sum_v,
                   - (sum_v / cnt::DOUBLE) * (sum_v / cnt::DOUBLE)), 6)
          AS std_dev
 FROM a"""
+    # composite agg: key-ordered (lang, n_chars-bucket) counts, two
+    # 5-bucket pages via the strict after-key == row_number windows
+    sqls["agg_composite"] = f"""
+SELECT query_id, ((rn + {_COMP_PAGE - 1}) // {_COMP_PAGE})::BIGINT AS page,
+       lang, bucket, doc_count
+FROM (
+  SELECT query_id, lang, bucket, doc_count,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY lang, bucket) AS rn
+  FROM (
+    SELECT m.query_id, d.lang,
+           ((d.n_chars // {_COMP_INTERVAL}) * {_COMP_INTERVAL})::BIGINT
+             AS bucket,
+           count(*)::BIGINT AS doc_count
+    FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id
+    GROUP BY m.query_id, d.lang, bucket)
+) WHERE rn <= {2 * _COMP_PAGE}"""
     # percentile_ranks: empirical CDF per requested value
     _pr_rows = ", ".join(f"({v})" for v in _PR_VALUES)
     sqls["agg_percentile_ranks"] = f"""
@@ -5290,6 +5344,7 @@ def build_queries() -> dict:
         "rank_feature_topk": q_rank_feature_topk,
         "agg_extended_stats": q_agg_extended_stats,
         "agg_percentile_ranks": q_agg_percentile_ranks,
+        "agg_composite": q_agg_composite,
         "lm_nll": q_lm_nll,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,

@@ -1126,6 +1126,62 @@ class IndexSearcher:
         u, c = np.unique(buckets, return_counts=True)
         return u, c.astype(np.int64)
 
+    def agg_composite(
+        self,
+        terms: list[str],
+        sources: list[tuple],
+        size: int = 10,
+        after: tuple | None = None,
+    ):
+        """Composite aggregation (OpenSearch composite agg — the
+        scalable bucket-export agg): doc-count buckets over a tuple of
+        doc-values sources, KEY-ORDERED ascending and paged with a
+        strict ``after``-key — so a coordinator can stream the full
+        bucket space page by page without holding it.
+
+        ``sources``: list of ("terms", field) or
+        ("histogram", field, interval). Returns (list of key tuples,
+        counts int64). Bucket state is bounded by bucket cardinality,
+        and per-shard partial maps merge by key — the facet_terms
+        distributive shape."""
+        import pyarrow.compute as pc
+
+        docs = self._match_union(terms)
+        if docs.size == 0:
+            return [], np.empty(0, np.int64)
+        cols = {}
+        for i, src in enumerate(sources):
+            kind, field = src[0], src[1]
+            vals = self.field_values(docs, field)
+            if kind == "terms":
+                cols[f"k{i}"] = vals
+            elif kind == "histogram":
+                interval = int(src[2])
+                if interval <= 0:
+                    raise ValueError("interval must be positive")
+                v = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+                cols[f"k{i}"] = pa.array((v // interval) * interval)
+            else:
+                raise ValueError(f"unknown composite source: {kind}")
+        g = (
+            pa.table(cols)
+            .group_by(list(cols))
+            .aggregate([([], "count_all")])
+        )
+        keys = list(
+            zip(*(g[c].to_pylist() for c in cols))
+        )
+        counts = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = sorted(range(len(keys)), key=lambda i: keys[i])
+        keys = [keys[i] for i in order]
+        counts = counts[order]
+        if after is not None:
+            start = 0
+            while start < len(keys) and keys[start] <= tuple(after):
+                start += 1
+            keys, counts = keys[start:], counts[start:]
+        return keys[:size], counts[:size]
+
     def search_range(
         self, field: str, lo, hi, k: int = 10
     ) -> tuple[np.ndarray, np.ndarray]:

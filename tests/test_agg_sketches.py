@@ -148,7 +148,8 @@ def agg_searcher(tmp_path_factory, sf_dir, ray_session):
     )
     build_doc_values(
         ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
         ),
         d,
         num_shards=2,
@@ -296,6 +297,73 @@ class TestRankFeature:
                 ["data"], "n_chars", function="sigmoid", pivot=1.0,
                 exponent=0.0,
             )
+
+
+class TestCompositeAgg:
+    SOURCES = [("terms", "lang"), ("histogram", "n_chars", 100)]
+
+    @pytest.fixture(scope="class")
+    def lang_searcher(self, agg_searcher):
+        return agg_searcher  # module fixture builds lang + n_chars
+
+    def _brute(self, sf_dir, doc_fields, qterms):
+        import pyarrow.parquet as pq
+        from collections import Counter
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
+        )
+        meta = {
+            int(d): (lg, (n // 100) * 100)
+            for d, lg, n in zip(
+                t["doc_id"].to_pylist(),
+                t["lang"].to_pylist(),
+                t["n_chars"].to_pylist(),
+            )
+        }
+        ts = set(qterms)
+        c = Counter(
+            meta[d]
+            for d, (toks, _) in doc_fields.items()
+            if ts & set(toks)
+        )
+        return sorted(c.items())
+
+    def test_pages_cover_bruteforce(self, lang_searcher, doc_fields, sf_dir):
+        qterms = tokenize("data query")
+        want = self._brute(sf_dir, doc_fields, qterms)
+        got, after = [], None
+        while True:
+            keys, counts = lang_searcher.agg_composite(
+                qterms, self.SOURCES, size=4, after=after
+            )
+            if not keys:
+                break
+            got += list(zip(keys, counts.tolist()))
+            after = keys[-1]
+        assert got == want
+
+    def test_after_is_strict(self, lang_searcher):
+        qterms = tokenize("data")
+        k1, _ = lang_searcher.agg_composite(qterms, self.SOURCES, size=3)
+        k2, _ = lang_searcher.agg_composite(
+            qterms, self.SOURCES, size=3, after=k1[-1]
+        )
+        assert not (set(k1) & set(k2))
+        assert all(k > k1[-1] for k in k2)
+
+    def test_validation_and_empty(self, lang_searcher):
+        with pytest.raises(ValueError, match="interval"):
+            lang_searcher.agg_composite(
+                ["data"], [("histogram", "n_chars", 0)]
+            )
+        with pytest.raises(ValueError, match="source"):
+            lang_searcher.agg_composite(["data"], [("nope", "lang")])
+        keys, counts = lang_searcher.agg_composite(
+            ["zzznope"], self.SOURCES
+        )
+        assert keys == [] and counts.size == 0
 
 
 class TestPercentileRanks:
