@@ -210,6 +210,9 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
         "significant_terms",
         "decay_topk",
         "events_user_cardinality",
+        # unigram-LM perplexity proxy: fit pass (vocab-bounded groupby,
+        # broadcast via ray.put) + vectorized scoring pass
+        "lm_nll",
     ):
         t0 = time.perf_counter()
         res = suite.build_queries()[name](sf_dir)
