@@ -1624,6 +1624,54 @@ def q_agg_extended_stats(sf_dir: str) -> pa.Table:
     )
 
 
+# synonym groups: 2 groups per query so the cross-group float sum is
+# order-exact (2-operand addition commutes); within-group tf sums are
+# integer-valued and exact at any order. "quick" is deliberately OOV
+# (df = max over PRESENT synonyms, SynonymQuery's blend).
+SYNONYM_QUERY_SET: list[tuple[int, list[list[str]]]] = [
+    (0, [["data", "stream"], ["query"]]),
+    (1, [["merge", "join"], ["sort"]]),
+    (2, [["fast", "quick"], ["scan", "table"]]),
+    (3, [["the"], ["row", "line"]]),
+]
+
+_RARE_MAX_DF = 380
+_RARE_SIZE = 10
+
+
+def q_synonym_topk(sf_dir: str) -> pa.Table:
+    """Synonym-group query (engine search_synonym — Lucene SynonymQuery
+    as compiled from a synonym_graph filter): per group, tf = Σ over
+    synonyms, df = max over synonyms; groups combine as BM25
+    should-clauses."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, groups in SYNONYM_QUERY_SET:
+        docs, scores = searcher.search_synonym(groups, k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_rare_terms(sf_dir: str) -> pa.Table:
+    """rare_terms aggregation (engine agg_rare_terms): long-tail
+    dictionary terms with df ≤ max_doc_count, (df asc, term asc) —
+    one vectorized vocabulary scan, no postings decode."""
+    searcher = get_searcher(sf_dir)
+    terms, dfs = searcher.agg_rare_terms(
+        max_doc_count=_RARE_MAX_DF, size=_RARE_SIZE
+    )
+    return pa.table(
+        {
+            "rank": pa.array(
+                range(1, len(terms) + 1), type=pa.int64()
+            ),
+            "term": pa.array(terms, type=pa.string()),
+            "df": pa.array(dfs, type=pa.int64()),
+        }
+    )
+
+
 _PR_VALUES = (120, 150, 200, 400)
 _COMP_INTERVAL = 100
 _COMP_PAGE = 5
@@ -4085,6 +4133,39 @@ SELECT query_id, cnt, min_v, max_v, sum_v,
                   - (sum_v / cnt::DOUBLE) * (sum_v / cnt::DOUBLE)), 6)
          AS std_dev
 FROM a"""
+    # SynonymQuery: per group tf = Σ over synonyms, df = max; groups
+    # keyed qid*10+gid, combined as a 2-operand (order-exact) sum
+    _syn_vals = []
+    for qid, groups in SYNONYM_QUERY_SET:
+        for gi, group in enumerate(groups):
+            for t in sorted(set(group)):
+                _syn_vals.append(f"({qid * 10 + gi}, '{t}')")
+    sqls["synonym_topk"] = _topk_sql(
+        f"""
+  SELECT (g.qg // 10)::BIGINT AS query_id, g.doc_id,
+         sum( ln(1.0 + (s.n_docs - gd.df + 0.5)/(gd.df + 0.5))
+              * g.tf / (g.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) )
+           AS score
+  FROM (SELECT q.qg, tf.doc_id, sum(tf.tf) AS tf
+        FROM (VALUES {", ".join(_syn_vals)}) q(qg, term)
+        JOIN ({SQL_TF}) tf ON tf.term = q.term
+        GROUP BY q.qg, tf.doc_id) g
+  JOIN (SELECT q.qg, max(df.df) AS df
+        FROM (VALUES {", ".join(_syn_vals)}) q(qg, term)
+        JOIN ({SQL_DF}) df ON df.term = q.term
+        GROUP BY q.qg) gd ON gd.qg = g.qg
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = g.doc_id
+  CROSS JOIN ({SQL_STATS}) s
+  GROUP BY g.qg // 10, g.doc_id""",
+        BM25_K,
+    )
+    # rare_terms: long-tail dictionary scan
+    sqls["rare_terms"] = f"""
+SELECT rank, term, df FROM (
+  SELECT term, df,
+         row_number() OVER (ORDER BY df, term) AS rank
+  FROM ({SQL_DF}) WHERE df <= {_RARE_MAX_DF}
+) WHERE rank <= {_RARE_SIZE}"""
     # composite agg: key-ordered (lang, n_chars-bucket) counts, two
     # 5-bucket pages via the strict after-key == row_number windows
     sqls["agg_composite"] = f"""
@@ -5345,6 +5426,8 @@ def build_queries() -> dict:
         "agg_extended_stats": q_agg_extended_stats,
         "agg_percentile_ranks": q_agg_percentile_ranks,
         "agg_composite": q_agg_composite,
+        "synonym_topk": q_synonym_topk,
+        "rare_terms": q_rare_terms,
         "lm_nll": q_lm_nll,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,

@@ -1432,6 +1432,85 @@ class IndexSearcher:
             return cand, np.empty(0, np.float64)
         return cand, self._score_candidates(cand, sterms, idfs, None)
 
+    def search_synonym(
+        self,
+        groups: list[list[str]],
+        k: int = 10,
+        *,
+        global_dfs: list | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene SynonymQuery semantics (what a synonym_graph filter
+        compiles a term to): each group of synonyms scores as ONE
+        pseudo-term — per-doc tf = Σ tf over the group's terms, df =
+        max df over the group (SynonymQuery's blended docFreq) — then
+        groups combine like independent BM25 should-clauses.
+
+        ``global_dfs``: optional list (one array per group, aligned to
+        the group's sorted-unique terms) for shard-subset actors."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        parts = []
+        for gi, group in enumerate(groups):
+            gterms = sorted(set(group))
+            if not gterms:
+                continue
+            if global_dfs is None:
+                dfs = np.asarray(
+                    [self.local_df(t) for t in gterms], dtype=np.float64
+                )
+            else:
+                dfs = np.asarray(global_dfs[gi], dtype=np.float64)
+            df_max = float(dfs.max())
+            if df_max <= 0:
+                continue
+            posts = [self.postings(t) for t in gterms]
+            posts = [p for p in posts if p[0].size]
+            if not posts:
+                continue
+            if len(posts) == 1:
+                docs, tfs = posts[0]
+            else:
+                alldocs = np.concatenate([p[0] for p in posts])
+                alltfs = np.concatenate([p[1] for p in posts])
+                docs, inv = np.unique(alldocs, return_inverse=True)
+                tfs = np.zeros(docs.size, dtype=np.float64)
+                np.add.at(tfs, inv, alltfs)
+            idf = float(bm25_idf(np.asarray([df_max]), self.n_docs)[0])
+            dl = self.doc_length(docs)
+            k1, b = self.bm25.k1, self.bm25.b
+            scores = idf * tfs / (
+                tfs + k1 * (1.0 - b + b * dl / self.avgdl)
+            )
+            parts.append((docs, scores))
+        if not parts:
+            return empty
+        union = (
+            np.unique(np.concatenate([p[0] for p in parts]))
+            if len(parts) > 1
+            else parts[0][0]
+        )
+        total = np.zeros(union.size, dtype=np.float64)
+        for docs, scores in parts:
+            total[np.searchsorted(union, docs)] += scores
+        return topk_desc(union, total, k)
+
+    def agg_rare_terms(
+        self, max_doc_count: int = 1, size: int = 10
+    ) -> tuple[list[str], np.ndarray]:
+        """rare_terms aggregation (the long-tail inverse of the terms
+        agg): dictionary terms with df ≤ ``max_doc_count``, ordered
+        (df asc, term asc), top ``size``. Evaluated against the term
+        dictionary's stored dfs — one vectorized vocabulary scan, no
+        postings decode; shard partials merge by df sum then re-cut."""
+        if max_doc_count < 1:
+            raise ValueError("max_doc_count must be >= 1")
+        sel = np.flatnonzero(self._gdf <= max_doc_count)
+        if sel.size == 0:
+            return [], np.empty(0, np.int64)
+        terms = np.asarray(self._gterms, dtype=object)[sel]
+        dfs = self._gdf[sel].astype(np.int64)
+        order = np.lexsort((terms, dfs))[:size]
+        return terms[order].tolist(), dfs[order]
+
     def search_dis_max(
         self,
         subqueries: list[list[str]],

@@ -1000,3 +1000,69 @@ class TestDistributedCompound:
                 q, suggest_mode="always"
             ) == dv2_searcher.suggest_term(q, suggest_mode="always"), q
         assert dsearch2.suggest_term("data") == []
+
+
+class TestSynonymQuery:
+    def _brute(self, searcher, corpus, groups, k=10):
+        k1, b = searcher.bm25.k1, searcher.bm25.b
+        acc = {}
+        for group in groups:
+            gterms = sorted(set(group))
+            df_max = max(searcher.local_df(t) for t in gterms)
+            if df_max <= 0:
+                continue
+            idf = float(bm25_idf(np.array([float(df_max)]), searcher.n_docs)[0])
+            for d, toks in corpus.items():
+                tf = sum(toks.count(t) for t in gterms)
+                if tf:
+                    dl = float(len(toks))
+                    s = idf * tf / (tf + k1 * (1 - b + b * dl / searcher.avgdl))
+                    acc[d] = acc.get(d, 0.0) + s
+        hits = sorted((-s, d) for d, s in acc.items())[:k]
+        return [d for _, d in hits], [-s for s, _ in hits]
+
+    @pytest.mark.parametrize(
+        "groups",
+        [
+            [["data", "stream"], ["query"]],
+            [["fast", "quick"], ["scan", "table"]],
+            [["the"], ["row", "line"]],
+        ],
+    )
+    def test_matches_bruteforce(self, searcher, corpus, groups):
+        docs, scores = searcher.search_synonym(groups, k=10)
+        rd, rs = self._brute(searcher, corpus, groups)
+        assert docs.tolist() == rd, groups
+        np.testing.assert_allclose(scores, rs, rtol=1e-12)
+
+    def test_single_term_group_is_plain_bm25(self, searcher):
+        sd, ss = searcher.search_synonym([["data"]], k=10)
+        bd, bs = searcher.search_bm25(["data"], k=10, pruning="none")
+        np.testing.assert_array_equal(sd, bd)
+        np.testing.assert_allclose(ss, bs, rtol=1e-15)
+
+    def test_oov_group_skipped(self, searcher):
+        sd, ss = searcher.search_synonym(
+            [["zzznope", "qqqmissing"], ["data"]], k=10
+        )
+        bd, _ = searcher.search_bm25(["data"], k=10, pruning="none")
+        np.testing.assert_array_equal(sd, bd)
+        d, _ = searcher.search_synonym([["zzznope"]], k=5)
+        assert d.size == 0
+
+
+class TestRareTerms:
+    def test_matches_bruteforce(self, searcher, corpus):
+        from collections import Counter
+
+        df = Counter()
+        for toks in corpus.values():
+            df.update(set(toks))
+        for cap in (1, 300, 10**6):
+            want = sorted((c, t) for t, c in df.items() if c <= cap)[:10]
+            terms, dfs = searcher.agg_rare_terms(max_doc_count=cap, size=10)
+            assert list(zip(dfs.tolist(), terms)) == want, cap
+
+    def test_validation(self, searcher):
+        with pytest.raises(ValueError):
+            searcher.agg_rare_terms(max_doc_count=0)
