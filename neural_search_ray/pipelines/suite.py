@@ -1672,6 +1672,60 @@ def q_rare_terms(sf_dir: str) -> pa.Table:
     )
 
 
+# named filter buckets over the match set (filters agg)
+_FILTERS_SET: dict[str, tuple] = {
+    "short": ("n_chars", "<", 150),
+    "long": ("n_chars", ">=", 300),
+    "en": ("lang", "==", "en"),
+}
+
+
+def q_agg_mad(sf_dir: str) -> pa.Table:
+    """median_absolute_deviation aggregation (engine agg_mad, exact
+    interpolated-median tier; the t-digest tier is pytest-bounded)."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    rows = [
+        (
+            qid,
+            float(
+                round_half_up(
+                    searcher.agg_mad(tokenize(qtext), "n_chars"), 6
+                )
+            ),
+        )
+        for qid, qtext in QUERY_SET
+    ]
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "mad": pa.array([r[1] for r in rows], type=pa.float64()),
+        }
+    )
+
+
+def q_agg_filters(sf_dir: str) -> pa.Table:
+    """filters aggregation (engine agg_filters): named predicate
+    buckets counted over each query's match set via cached doc-values
+    scans."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, ns, cs = [], [], []
+    for qid, qtext in QUERY_SET:
+        got = searcher.agg_filters(tokenize(qtext), _FILTERS_SET)
+        for name in sorted(_FILTERS_SET):
+            qs.append(qid)
+            ns.append(name)
+            cs.append(got[name])
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "bucket": pa.array(ns, type=pa.string()),
+            "doc_count": pa.array(cs, type=pa.int64()),
+        }
+    )
+
+
 _PR_VALUES = (120, 150, 200, 400)
 _COMP_INTERVAL = 100
 _COMP_PAGE = 5
@@ -4133,6 +4187,33 @@ SELECT query_id, cnt, min_v, max_v, sum_v,
                   - (sum_v / cnt::DOUBLE) * (sum_v / cnt::DOUBLE)), 6)
          AS std_dev
 FROM a"""
+    # median_absolute_deviation: median(|v − median(v)|), both medians
+    # interpolated (PERCENTILE_CONT)
+    sqls["agg_mad"] = f"""
+WITH med AS (
+  SELECT m.query_id, quantile_cont(d.n_chars, 0.5) AS med
+  FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id
+  GROUP BY m.query_id)
+SELECT m.query_id,
+       round(quantile_cont(abs(d.n_chars - med.med), 0.5), 6) AS mad
+FROM ({_match_docs}) m
+JOIN documents d ON d.doc_id = m.doc_id
+JOIN med ON med.query_id = m.query_id
+GROUP BY m.query_id"""
+    # filters agg: named predicate buckets over the match set
+    _f_sql_op = {"<": "<", "<=": "<=", ">": ">", ">=": ">=", "==": "="}
+    _f_branches = []
+    for name in sorted(_FILTERS_SET):
+        col, op, val = _FILTERS_SET[name]
+        lit = f"'{val}'" if isinstance(val, str) else str(val)
+        _f_branches.append(
+            f"SELECT m.query_id, '{name}' AS bucket, "
+            f"sum(CASE WHEN d.{col} {_f_sql_op[op]} {lit} THEN 1 ELSE 0 END)"
+            f"::BIGINT AS doc_count "
+            f"FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id "
+            f"GROUP BY m.query_id"
+        )
+    sqls["agg_filters"] = " UNION ALL ".join(_f_branches)
     # SynonymQuery: per group tf = Σ over synonyms, df = max; groups
     # keyed qid*10+gid, combined as a 2-operand (order-exact) sum
     _syn_vals = []
@@ -5428,6 +5509,8 @@ def build_queries() -> dict:
         "agg_composite": q_agg_composite,
         "synonym_topk": q_synonym_topk,
         "rare_terms": q_rare_terms,
+        "agg_mad": q_agg_mad,
+        "agg_filters": q_agg_filters,
         "lm_nll": q_lm_nll,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,

@@ -1265,6 +1265,61 @@ class IndexSearcher:
             return t.quantiles(np.asarray(pcts, dtype=np.float64) / 100.0)
         raise ValueError(f"unknown percentiles method: {method}")
 
+    def agg_mad(
+        self,
+        terms: list[str],
+        field: str,
+        method: str = "exact",
+        delta: float = 100.0,
+    ) -> float:
+        """median_absolute_deviation aggregation: median(|v − median(v)|).
+        Exact tier = interpolated medians (PERCENTILE_CONT twice,
+        SQL-oracleable); ``method="tdigest"`` approximates both medians
+        through the sketch like the reference's
+        MedianAbsoluteDeviationAggregator."""
+        docs = self._match_union(terms)
+        if docs.size == 0:
+            return float("nan")
+        vals = (
+            self.field_values(docs, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        if method == "exact":
+            med = np.percentile(vals, 50, method="linear")
+            return float(
+                np.percentile(np.abs(vals - med), 50, method="linear")
+            )
+        if method == "tdigest":
+            from ..agg.sketches import TDigest
+
+            med = TDigest(delta).add(vals).quantile(0.5)
+            return float(
+                TDigest(delta).add(np.abs(vals - med)).quantile(0.5)
+            )
+        raise ValueError(f"unknown mad method: {method}")
+
+    def agg_filters(
+        self,
+        terms: list[str],
+        filters: dict[str, tuple],
+    ) -> dict[str, int]:
+        """filters aggregation (named-bucket counts): for each named
+        (column, op, value) predicate, the number of match-set docs
+        accepted — evaluated against the cached doc-values predicate
+        scans, one sorted intersection per bucket."""
+        docs = self._match_union(terms)
+        out: dict[str, int] = {}
+        for name, (column, op, value) in filters.items():
+            if docs.size == 0:
+                out[name] = 0
+                continue
+            acc = self.accepted_ids(column, op, value)
+            out[name] = int(
+                np.intersect1d(docs, acc, assume_unique=True).size
+            )
+        return out
+
     def agg_percentile_ranks(
         self,
         terms: list[str],

@@ -659,3 +659,62 @@ class TestDatasetAggs:
         for r in rows:
             k = r["event_type"]
             assert abs(r["value"] - exact[k]) <= 0.02 * span[k], k
+
+
+class TestMadAndFilters:
+    def test_mad_matches_bruteforce(self, agg_searcher, doc_fields):
+        terms = tokenize("data query")
+        vals = _match_vals(doc_fields, terms)
+        med = np.percentile(vals, 50)
+        want = np.percentile(np.abs(vals - med), 50)
+        assert agg_searcher.agg_mad(terms, "n_chars") == want
+
+    def test_mad_tdigest_close(self, agg_searcher, doc_fields):
+        terms = tokenize("the")
+        vals = _match_vals(doc_fields, terms)
+        med = np.percentile(vals, 50)
+        exact = np.percentile(np.abs(vals - med), 50)
+        got = agg_searcher.agg_mad(terms, "n_chars", method="tdigest")
+        span = vals.max() - vals.min()
+        assert abs(got - exact) <= 0.03 * span
+
+    def test_mad_empty_and_bad(self, agg_searcher):
+        import math
+
+        assert math.isnan(agg_searcher.agg_mad(["zzznope"], "n_chars"))
+        with pytest.raises(ValueError, match="method"):
+            agg_searcher.agg_mad(["data"], "n_chars", method="nope")
+
+    def test_filters_match_bruteforce(self, agg_searcher, doc_fields, sf_dir):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
+        )
+        meta = {
+            int(d): (lg, int(n))
+            for d, lg, n in zip(
+                t["doc_id"].to_pylist(),
+                t["lang"].to_pylist(),
+                t["n_chars"].to_pylist(),
+            )
+        }
+        terms = tokenize("data query")
+        ts = set(terms)
+        match = [
+            d for d, (toks, _) in doc_fields.items() if ts & set(toks)
+        ]
+        got = agg_searcher.agg_filters(
+            terms,
+            {
+                "short": ("n_chars", "<", 150),
+                "en": ("lang", "==", "en"),
+            },
+        )
+        assert got["short"] == sum(1 for d in match if meta[d][1] < 150)
+        assert got["en"] == sum(1 for d in match if meta[d][0] == "en")
+        empty = agg_searcher.agg_filters(
+            ["zzznope"], {"x": ("n_chars", "<", 150)}
+        )
+        assert empty == {"x": 0}
