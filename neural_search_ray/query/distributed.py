@@ -213,6 +213,36 @@ class ShardSearchActor:
         )
         return v, d.tolist(), s.tolist()
 
+    def search_synonym(
+        self, groups: list[list[str]], k: int, global_dfs: list[list[float]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.searcher.search_synonym(
+            groups,
+            k,
+            global_dfs=[np.asarray(g, dtype=np.float64) for g in global_dfs],
+        )
+
+    def rare_terms_candidates(self, max_doc_count: int) -> list[str]:
+        """Terms LOCALLY rare on this actor's shards. A term globally
+        rare must be rare on every shard it appears on, so the union of
+        these lists is a complete candidate set — but local dfs
+        UNDER-COUNT (other shards may hold more docs), so the
+        coordinator re-resolves global dfs before the final cut."""
+        s = self.searcher
+        sel = np.flatnonzero(s._gdf <= max_doc_count)
+        return np.asarray(s._gterms, dtype=object)[sel].tolist()
+
+    def agg_composite_partial(self, terms: list[str], sources: list[tuple]):
+        """FULL bucket map for this actor's shards (size=None) —
+        bounded by bucket cardinality, merged by key-sum upstream."""
+        keys, counts = self.searcher.agg_composite(terms, sources, size=None)
+        return keys, counts.tolist()
+
+    def agg_filters_partial(
+        self, terms: list[str], filters: dict
+    ) -> dict:
+        return self.searcher.agg_filters(terms, filters)
+
     def expand_suggest(
         self, term: str, max_edits: int, prefix_length: int
     ) -> list[str]:
@@ -635,6 +665,97 @@ class DistributedSearcher:
             np.concatenate(out_d),
             np.concatenate(out_s),
         )
+
+    def search_synonym(
+        self, groups: list[list[str]], k: int = 10
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Distributed SynonymQuery: per-group blended df = max over the
+        group of GLOBAL dfs (each global df = Σ local), so idf is
+        identical on every shard; per-shard top-k merge stays exact."""
+        gsets = [sorted(set(g)) for g in groups]
+        self._resolve_gdfs([t for g in gsets for t in g])
+        gdfs = [[self._gdf[t] for t in g] for g in gsets]
+        parts = ray.get(
+            [a.search_synonym.remote(gsets, k, gdfs) for a in self.actors]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
+
+    def agg_rare_terms(
+        self, max_doc_count: int = 1, size: int = 10
+    ) -> tuple[list[str], np.ndarray]:
+        """Distributed rare_terms, two-phase for exactness: (1) union of
+        locally-rare candidates (complete: global df ≥ every local df);
+        (2) GLOBAL df re-resolution for the candidates — a term rare on
+        one shard but frequent overall is correctly dropped, and
+        under-counted local dfs are corrected before the cut."""
+        if max_doc_count < 1:
+            raise ValueError("max_doc_count must be >= 1")
+        cand_lists = ray.get(
+            [
+                a.rare_terms_candidates.remote(max_doc_count)
+                for a in self.actors
+            ]
+        )
+        cands = sorted({t for cl in cand_lists for t in cl})
+        if not cands:
+            return [], np.empty(0, np.int64)
+        self._resolve_gdfs(cands)
+        terms = np.asarray(
+            [t for t in cands if self._gdf[t] <= max_doc_count],
+            dtype=object,
+        )
+        if terms.size == 0:
+            return [], np.empty(0, np.int64)
+        dfs = np.asarray(
+            [int(self._gdf[t]) for t in terms], dtype=np.int64
+        )
+        order = np.lexsort((terms, dfs))[:size]
+        return terms[order].tolist(), dfs[order]
+
+    def agg_composite(
+        self,
+        terms: list[str],
+        sources: list[tuple],
+        size: int = 10,
+        after: tuple | None = None,
+    ):
+        """Distributed composite agg: per-shard FULL bucket maps merged
+        by key-sum, then one global key-ordered after/size cut — exact
+        because each partial is complete for its shard's docs."""
+        parts = ray.get(
+            [
+                a.agg_composite_partial.remote(terms, sources)
+                for a in self.actors
+            ]
+        )
+        acc: dict = {}
+        for keys, counts in parts:
+            for kt, c in zip(keys, counts):
+                kt = tuple(kt)
+                acc[kt] = acc.get(kt, 0) + c
+        keys = sorted(acc)
+        if after is not None:
+            keys = [k for k in keys if k > tuple(after)]
+        keys = keys[:size]
+        return keys, np.asarray([acc[k] for k in keys], dtype=np.int64)
+
+    def agg_filters(
+        self, terms: list[str], filters: dict
+    ) -> dict:
+        """Distributed filters agg: per-shard counts sum (distributive)."""
+        parts = ray.get(
+            [
+                a.agg_filters_partial.remote(terms, filters)
+                for a in self.actors
+            ]
+        )
+        out = {name: 0 for name in filters}
+        for p in parts:
+            for name, c in p.items():
+                out[name] += c
+        return out
 
     def suggest_term(
         self,

@@ -1130,7 +1130,7 @@ class IndexSearcher:
         self,
         terms: list[str],
         sources: list[tuple],
-        size: int = 10,
+        size: int | None = 10,
         after: tuple | None = None,
     ):
         """Composite aggregation (OpenSearch composite agg — the
@@ -1180,6 +1180,8 @@ class IndexSearcher:
             while start < len(keys) and keys[start] <= tuple(after):
                 start += 1
             keys, counts = keys[start:], counts[start:]
+        if size is None:  # full partial map (distributed merge path)
+            return keys, counts
         return keys[:size], counts[:size]
 
     def search_range(

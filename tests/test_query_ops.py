@@ -1066,3 +1066,69 @@ class TestRareTerms:
     def test_validation(self, searcher):
         with pytest.raises(ValueError):
             searcher.agg_rare_terms(max_doc_count=0)
+
+
+class TestDistributedCompound2:
+    """Synonym / rare_terms / composite / filters actor-pool parity."""
+
+    @pytest.fixture(scope="class")
+    def dv3_searcher(self, searcher, sf_dir, ray_session):
+        from neural_search_ray.index.docvalues import build_doc_values
+
+        build_doc_values(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "lang", "n_chars"],
+            ),
+            searcher.index_dir,
+            num_shards=searcher.manifest.num_doc_shards,
+        )
+        return searcher
+
+    @pytest.fixture(scope="class")
+    def dsearch3(self, dv3_searcher, ray_session):
+        from neural_search_ray.query.distributed import DistributedSearcher
+
+        d = DistributedSearcher(dv3_searcher.index_dir, num_actors=2)
+        yield d
+        d.shutdown()
+
+    def test_synonym_identical(self, dv3_searcher, dsearch3):
+        for groups in (
+            [["data", "stream"], ["query"]],
+            [["fast", "quick"], ["scan", "table"]],
+        ):
+            sd, ss = dv3_searcher.search_synonym(groups, k=12)
+            dd, ds_ = dsearch3.search_synonym(groups, k=12)
+            assert dd.tolist() == sd.tolist(), groups
+            np.testing.assert_allclose(ds_, ss, rtol=1e-14)
+
+    def test_rare_terms_identical(self, dv3_searcher, dsearch3):
+        for cap in (1, 300, 390, 10**6):
+            st, sdf = dv3_searcher.agg_rare_terms(max_doc_count=cap, size=10)
+            dt, ddf = dsearch3.agg_rare_terms(max_doc_count=cap, size=10)
+            assert dt == st, cap
+            np.testing.assert_array_equal(ddf, sdf)
+
+    def test_composite_identical(self, dv3_searcher, dsearch3):
+        srcs = [("terms", "lang"), ("histogram", "n_chars", 100)]
+        terms = tokenize("data query")
+        sk, sc = dv3_searcher.agg_composite(terms, srcs, size=6)
+        dk, dc = dsearch3.agg_composite(terms, srcs, size=6)
+        assert dk == sk
+        np.testing.assert_array_equal(dc, sc)
+        # paging agrees too
+        sk2, sc2 = dv3_searcher.agg_composite(terms, srcs, size=6, after=sk[-1])
+        dk2, dc2 = dsearch3.agg_composite(terms, srcs, size=6, after=sk[-1])
+        assert dk2 == sk2
+        np.testing.assert_array_equal(dc2, sc2)
+
+    def test_filters_identical(self, dv3_searcher, dsearch3):
+        filters = {
+            "short": ("n_chars", "<", 150),
+            "en": ("lang", "==", "en"),
+        }
+        terms = tokenize("data query")
+        assert dsearch3.agg_filters(terms, filters) == dv3_searcher.agg_filters(
+            terms, filters
+        )
