@@ -1680,6 +1680,28 @@ _FILTERS_SET: dict[str, tuple] = {
 }
 
 
+def q_agg_adjacency(sf_dir: str) -> pa.Table:
+    """adjacency_matrix aggregation (engine agg_adjacency_matrix):
+    named filters + pairwise intersections over each query's match
+    set; empty buckets omitted (OpenSearch semantics)."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, ns, cs = [], [], []
+    for qid, qtext in QUERY_SET:
+        got = searcher.agg_adjacency_matrix(tokenize(qtext), _FILTERS_SET)
+        for name in sorted(got):
+            qs.append(qid)
+            ns.append(name)
+            cs.append(got[name])
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "bucket": pa.array(ns, type=pa.string()),
+            "doc_count": pa.array(cs, type=pa.int64()),
+        }
+    )
+
+
 def q_agg_mad(sf_dir: str) -> pa.Table:
     """median_absolute_deviation aggregation (engine agg_mad, exact
     interpolated-median tier; the t-digest tier is pytest-bounded)."""
@@ -1784,6 +1806,60 @@ def q_agg_percentile_ranks(sf_dir: str) -> pa.Table:
             "query_id": pa.array(qs, type=pa.int64()),
             "value": pa.array(vs, type=pa.int64()),
             "pct_rank": pa.array(rs, type=pa.float64()),
+        }
+    )
+
+
+# misspelled 2-token phrases; every token has >=1 dictionary candidate
+# within 1 edit so the oracle never hits the LM floor path (floor is
+# pytest-covered)
+SUGGEST_PHRASE_SET: list[tuple[int, str]] = [
+    (0, "dat query"),
+    (1, "merge sorr"),
+    (2, "fast joiin"),
+    (3, "tabel scan"),
+]
+_SP_SIZE, _SP_PER_TOKEN, _SP_MAX_EDITS = 3, 5, 2
+
+_LM_CACHE: dict[str, tuple] = {}
+
+
+def _get_lm(sf_dir: str) -> tuple:
+    if sf_dir not in _LM_CACHE:
+        from ..textstats.lm import fit_unigram_lm
+
+        _LM_CACHE[sf_dir] = fit_unigram_lm(_docs_ds(sf_dir))
+    return _LM_CACHE[sf_dir]
+
+
+def q_suggest_phrase(sf_dir: str) -> pa.Table:
+    """Phrase suggester (query/suggest.py — the noisy-channel
+    PhraseSuggester shape): per-token fuzzy candidates × unigram-LM
+    phrase score + ln(½)-per-edit error model."""
+    from ..query.suggest import suggest_phrase
+
+    searcher = get_searcher(sf_dir)
+    vocab, lnp, _ = _get_lm(sf_dir)
+    qs, rs, ps, ss = [], [], [], []
+    for qid, text in SUGGEST_PHRASE_SET:
+        for rank, (phrase, score) in enumerate(
+            suggest_phrase(
+                searcher, vocab, lnp, text,
+                size=_SP_SIZE, per_token=_SP_PER_TOKEN,
+                max_edits=_SP_MAX_EDITS,
+            ),
+            1,
+        ):
+            qs.append(qid)
+            rs.append(rank)
+            ps.append(phrase)
+            ss.append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "rank": pa.array(rs, type=pa.int64()),
+            "phrase": pa.array(ps, type=pa.string()),
+            "score": pa.array(ss, type=pa.float64()),
         }
     )
 
@@ -4214,6 +4290,27 @@ GROUP BY m.query_id"""
             f"GROUP BY m.query_id"
         )
     sqls["agg_filters"] = " UNION ALL ".join(_f_branches)
+    # adjacency_matrix: singles + pairwise intersections, zero buckets
+    # omitted (HAVING)
+    def _f_pred(name: str) -> str:
+        col, op, val = _FILTERS_SET[name]
+        lit = f"'{val}'" if isinstance(val, str) else str(val)
+        return f"d.{col} {_f_sql_op[op]} {lit}"
+
+    _adj_branches = []
+    _f_names = sorted(_FILTERS_SET)
+    for i, a in enumerate(_f_names):
+        _adj_branches.append((a, _f_pred(a)))
+        for b in _f_names[i + 1 :]:
+            _adj_branches.append((f"{a}&{b}", f"{_f_pred(a)} AND {_f_pred(b)}"))
+    sqls["agg_adjacency"] = " UNION ALL ".join(
+        f"SELECT m.query_id, '{bucket}' AS bucket, "
+        f"sum(CASE WHEN {pred} THEN 1 ELSE 0 END)::BIGINT AS doc_count "
+        f"FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id "
+        f"GROUP BY m.query_id "
+        f"HAVING sum(CASE WHEN {pred} THEN 1 ELSE 0 END) > 0"
+        for bucket, pred in _adj_branches
+    )
     # SynonymQuery: per group tf = Σ over synonyms, df = max; groups
     # keyed qid*10+gid, combined as a 2-operand (order-exact) sum
     _syn_vals = []
@@ -4274,6 +4371,41 @@ FROM ({_match_docs}) m
 JOIN documents d ON d.doc_id = m.doc_id
 CROSS JOIN (VALUES {_pr_rows}) v(val)
 GROUP BY m.query_id, v.val"""
+    # phrase suggester: per-token fuzzy candidates (top 5 by
+    # (lev, df desc, term)) × unigram-LM score + ln(0.5)/edit
+    _lp_sql = f"""
+    SELECT df.term, df.df, ln(df.cf / s.total) AS lnp
+    FROM ({SQL_DF}) df
+    CROSS JOIN (SELECT sum(dl)::DOUBLE AS total FROM ({SQL_DL_ALL})) s"""
+
+    def _sp_cand_sql(tok: str) -> str:
+        return f"""
+      SELECT term, lnp, d FROM (
+        SELECT lp.term, lp.lnp, levenshtein('{tok}', lp.term) AS d,
+               row_number() OVER (
+                 ORDER BY levenshtein('{tok}', lp.term), lp.df DESC,
+                          lp.term) AS rn
+        FROM ({_lp_sql}) lp
+        WHERE levenshtein('{tok}', lp.term) <= {_SP_MAX_EDITS}
+      ) WHERE rn <= {_SP_PER_TOKEN}"""
+
+    _sp_branches = []
+    for qid, text in SUGGEST_PHRASE_SET:
+        t1, t2 = tokenize(text)
+        _sp_branches.append(
+            f"""
+  SELECT {qid}::BIGINT AS query_id, rank, phrase, score FROM (
+    SELECT c1.term || ' ' || c2.term AS phrase,
+           round(c1.lnp + c2.lnp + ln(0.5) * (c1.d + c2.d), 6) AS score,
+           row_number() OVER (
+             ORDER BY round(c1.lnp + c2.lnp + ln(0.5) * (c1.d + c2.d), 6)
+                      DESC,
+                      c1.term || ' ' || c2.term) AS rank
+    FROM ({_sp_cand_sql(t1)}) c1 CROSS JOIN ({_sp_cand_sql(t2)}) c2
+    WHERE NOT (c1.term = '{t1}' AND c2.term = '{t2}')
+  ) WHERE rank <= {_SP_SIZE}"""
+        )
+    sqls["suggest_phrase"] = " UNION ALL ".join(_sp_branches)
     # unigram-LM mean token negative log-likelihood per doc
     sqls["lm_nll"] = f"""
 WITH s AS (SELECT sum(dl)::DOUBLE AS total FROM ({SQL_DL_ALL})),
@@ -5511,6 +5643,8 @@ def build_queries() -> dict:
         "rare_terms": q_rare_terms,
         "agg_mad": q_agg_mad,
         "agg_filters": q_agg_filters,
+        "agg_adjacency": q_agg_adjacency,
+        "suggest_phrase": q_suggest_phrase,
         "lm_nll": q_lm_nll,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,

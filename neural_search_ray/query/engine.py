@@ -1322,6 +1322,38 @@ class IndexSearcher:
             )
         return out
 
+    def agg_adjacency_matrix(
+        self,
+        terms: list[str],
+        filters: dict[str, tuple],
+    ) -> dict[str, int]:
+        """adjacency_matrix aggregation: doc counts for every named
+        filter and every pairwise intersection (key "a&b", names in
+        sorted order — OpenSearch's AdjacencyMatrixAggregator keying),
+        empty buckets omitted. Evaluated as sorted-array intersections
+        against cached doc-values scans."""
+        docs = self._match_union(terms)
+        out: dict[str, int] = {}
+        if docs.size == 0:
+            return out
+        names = sorted(filters)
+        sets = {
+            n: np.intersect1d(
+                docs, self.accepted_ids(*filters[n]), assume_unique=True
+            )
+            for n in names
+        }
+        for i, a in enumerate(names):
+            if sets[a].size:
+                out[a] = int(sets[a].size)
+            for b in names[i + 1 :]:
+                inter = np.intersect1d(
+                    sets[a], sets[b], assume_unique=True
+                ).size
+                if inter:
+                    out[f"{a}&{b}"] = int(inter)
+        return out
+
     def agg_percentile_ranks(
         self,
         terms: list[str],

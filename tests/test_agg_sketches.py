@@ -718,3 +718,101 @@ class TestMadAndFilters:
             ["zzznope"], {"x": ("n_chars", "<", 150)}
         )
         assert empty == {"x": 0}
+
+
+class TestAdjacencyMatrix:
+    def test_matches_bruteforce(self, agg_searcher, doc_fields, sf_dir):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
+        )
+        meta = {
+            int(d): (lg, int(n))
+            for d, lg, n in zip(
+                t["doc_id"].to_pylist(),
+                t["lang"].to_pylist(),
+                t["n_chars"].to_pylist(),
+            )
+        }
+        terms = tokenize("data query")
+        ts = set(terms)
+        match = [d for d, (toks, _) in doc_fields.items() if ts & set(toks)]
+        preds = {
+            "en": lambda d: meta[d][0] == "en",
+            "short": lambda d: meta[d][1] < 150,
+        }
+        want = {}
+        for n, p in preds.items():
+            c = sum(1 for d in match if p(d))
+            if c:
+                want[n] = c
+        both = sum(
+            1 for d in match if preds["en"](d) and preds["short"](d)
+        )
+        if both:
+            want["en&short"] = both
+        got = agg_searcher.agg_adjacency_matrix(
+            terms,
+            {"en": ("lang", "==", "en"), "short": ("n_chars", "<", 150)},
+        )
+        assert got == want
+        assert agg_searcher.agg_adjacency_matrix(["zzznope"], {}) == {}
+
+
+class TestPhraseSuggest:
+    @pytest.fixture(scope="class")
+    def lm(self, sf_dir, ray_session):
+        from neural_search_ray.textstats.lm import fit_unigram_lm
+
+        return fit_unigram_lm(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+        )
+
+    def test_matches_bruteforce(self, agg_searcher, lm):
+        import itertools
+        import math
+
+        from neural_search_ray.query.engine import levenshtein
+        from neural_search_ray.query.suggest import suggest_phrase
+
+        vocab, lnp, _ = lm
+        text = "dat query"
+        toks = text.split()
+        cand_lists = []
+        for tok in toks:
+            cs = sorted(
+                (levenshtein(tok, t), -agg_searcher.local_df(t), t)
+                for t in agg_searcher.expand_fuzzy(tok, 2, 0)
+            )[:5]
+            cand_lists.append([(t, d) for d, _, t in cs])
+        want = []
+        for combo in itertools.product(*cand_lists):
+            phrase = tuple(c[0] for c in combo)
+            if phrase == tuple(toks):
+                continue
+            sc = sum(lnp[vocab[c[0]]] for c in combo) + math.log(0.5) * sum(
+                c[1] for c in combo
+            )
+            sc = math.floor(sc * 1e6 + 0.5) / 1e6 if sc >= 0 else math.ceil(sc * 1e6 - 0.5) / 1e6
+            want.append((" ".join(phrase), sc))
+        want.sort(key=lambda r: (-r[1], r[0]))
+        got = suggest_phrase(
+            agg_searcher, vocab, lnp, text, size=3, max_edits=2
+        )
+        assert got == want[:3]
+
+    def test_floor_and_edges(self, agg_searcher, lm):
+        from neural_search_ray.query.suggest import suggest_phrase
+
+        vocab, lnp, _ = lm
+        # OOV token with no candidates stays fixed at the LM floor
+        got = suggest_phrase(agg_searcher, vocab, lnp, "zzzzqqqq dat")
+        assert got and all(p.startswith("zzzzqqqq ") for p, _ in got)
+        assert suggest_phrase(agg_searcher, vocab, lnp, "") == []
+        # exact input phrase is never suggested
+        got = suggest_phrase(agg_searcher, vocab, lnp, "data query")
+        assert all(p != "data query" for p, _ in got)
