@@ -1887,6 +1887,28 @@ def q_lm_nll(sf_dir: str) -> "ray.data.Dataset":
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_lm_nll_bigram(sf_dir: str) -> "ray.data.Dataset":
+    """Bigram-LM perplexity proxy (textstats/lm.py bigram tier): first
+    token by unigram P, rest by MLE P(t|prev) = c_bi/c_ctx; pure MLE is
+    exact on the fitting corpus (every scored bigram was counted)."""
+    from ..textstats.lm import lm_bigram_nll_dataset
+
+    out = lm_bigram_nll_dataset(_docs_ds(sf_dir))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+                "nll": pa.array(
+                    round_half_up(batch["nll"].to_numpy(), 6)
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_significant_terms_distributed(sf_dir: str) -> pa.Table:
     """The shard-actor-pool significant_terms under the same oracle:
     per-actor (term, fg_df) partials merged by sum, background dfs via
@@ -4418,6 +4440,41 @@ sc AS (SELECT tf.doc_id, sum(tf.tf * lp.lnp) AS acc,
 SELECT d.doc_id, coalesce(sc.ntok, 0)::BIGINT AS n_tokens,
        round(coalesce(-sc.acc / sc.ntok, 0.0), 6) AS nll
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"""
+    # bigram-LM nll: positions renumbered AFTER the empty-token filter
+    # so SQL adjacency matches the analyzer's filtered sequence
+    sqls["lm_nll_bigram"] = f"""
+WITH seq AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM (
+    SELECT doc_id, term, ord FROM (
+      SELECT doc_id, unnest(toks) AS term,
+             unnest(range(1, len(toks) + 1)) AS ord
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents))
+    WHERE term <> '')),
+big AS (
+  SELECT a.doc_id, a.term AS prev, b.term AS cur
+  FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+cbi AS (SELECT prev, cur, count(*)::BIGINT AS c FROM big GROUP BY prev, cur),
+cctx AS (SELECT prev, count(*)::BIGINT AS c FROM big GROUP BY prev),
+st AS (SELECT sum(dl)::DOUBLE AS total FROM ({SQL_DL_ALL})),
+contrib AS (
+  SELECT f.doc_id, ln(df.cf / st.total) AS l
+  FROM (SELECT doc_id, term FROM seq WHERE pos = 1) f
+  JOIN ({SQL_DF}) df ON df.term = f.term CROSS JOIN st
+  UNION ALL
+  SELECT b.doc_id, ln(cbi.c / cctx.c) AS l
+  FROM big b
+  JOIN cbi ON cbi.prev = b.prev AND cbi.cur = b.cur
+  JOIN cctx ON cctx.prev = b.prev),
+ntok AS (SELECT doc_id, count(*)::BIGINT AS n FROM seq GROUP BY doc_id),
+sc AS (SELECT doc_id, sum(l) AS acc FROM contrib GROUP BY doc_id)
+SELECT d.doc_id, coalesce(ntok.n, 0)::BIGINT AS n_tokens,
+       round(coalesce(-sc.acc / ntok.n, 0.0), 6) AS nll
+FROM documents d
+LEFT JOIN ntok ON ntok.doc_id = d.doc_id
+LEFT JOIN sc ON sc.doc_id = d.doc_id"""
     # term suggester: dictionary terms within 2 edits, never the input
     _sug_vals = ", ".join(
         f"({qid}, '{t}')" for qid, t in SUGGEST_QUERY_SET
@@ -5645,6 +5702,7 @@ def build_queries() -> dict:
         "agg_filters": q_agg_filters,
         "agg_adjacency": q_agg_adjacency,
         "suggest_phrase": q_suggest_phrase,
+        "lm_nll_bigram": q_lm_nll_bigram,
         "lm_nll": q_lm_nll,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,

@@ -148,3 +148,144 @@ def lm_nll_dataset(
     return ds.map_batches(
         nll_score_stage(vocab_ref, lnp_ref), batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------
+# bigram tier: P(t_i | t_{i-1}) = c(prev, t) / c_ctx(prev), first token
+# scored by the unigram. Pure MLE — every bigram of the fitting corpus
+# was counted, so scoring that corpus never sees an unseen pair (the
+# held-out path applies the floor).
+
+_SEP = "\x1f"  # unit separator: cannot appear inside analyzer tokens
+
+
+def _flat_tokens(batch: pa.Table, text_col: str):
+    """(flat token np array, per-doc lengths) via the Arrow fast path."""
+    lists = analyze_column(batch[text_col].combine_chunks())
+    off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    return lists.flatten().to_numpy(zero_copy_only=False), np.diff(off)
+
+
+def _bigram_keys(flat: np.ndarray, ntok: np.ndarray) -> np.ndarray:
+    """Within-doc adjacent pairs as 'prev\\x1fcur' strings (vectorized
+    object-array concat; pairs never cross doc boundaries)."""
+    if flat.size == 0:
+        return np.empty(0, dtype=object)
+    n = ntok.size
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), ntok)
+    same = doc_idx[1:] == doc_idx[:-1]
+    prev = flat[:-1][same]
+    cur = flat[1:][same]
+    return np.char.add(
+        np.char.add(prev.astype("U"), _SEP), cur.astype("U")
+    ).astype(object)
+
+
+def fit_bigram_lm(ds: "ray.data.Dataset", text_col: str = "text"):
+    """Two streaming passes (unigram + bigram), both vocabulary-bounded:
+    returns a model dict {"uni": (vocab, lnp), "bi": (pair-key dict,
+    ln(c_bi/c_ctx) array)} for broadcast."""
+    from ray.data.aggregate import Sum
+
+    uni_vocab, uni_lnp, _ = fit_unigram_lm(ds, text_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, ntok = _flat_tokens(batch, text_col)
+        keys = _bigram_keys(flat, ntok)
+        u, c = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "pair": pa.array(u, pa.string()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["pair"])
+    ctx: dict[str, int] = {}
+    for r in rows:
+        prev = r["pair"].split(_SEP, 1)[0]
+        ctx[prev] = ctx.get(prev, 0) + r["c"]
+    pair_vocab = {r["pair"]: i for i, r in enumerate(rows)}
+    ln_bi = np.asarray(
+        [
+            np.log(r["c"] / float(ctx[r["pair"].split(_SEP, 1)[0]]))
+            for r in rows
+        ],
+        dtype=np.float64,
+    )
+    return {"uni": (uni_vocab, uni_lnp), "bi": (pair_vocab, ln_bi)}
+
+
+def bigram_nll_stage(model_ref, *, smooth_unseen: bool = False):
+    """Per-batch bigram scorer: nll = −(ln P_uni(t₀) +
+    Σ ln P(tᵢ|tᵢ₋₁)) / n_tokens. Vectorized: one hash-index lookup for
+    first-token unigrams, one for bigram pairs, one segmented reduce."""
+    import pandas as pd
+
+    state: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if "uni_idx" not in state:
+            model = (
+                ray.get(model_ref)
+                if isinstance(model_ref, ray.ObjectRef)
+                else model_ref
+            )
+            uv, ul = model["uni"]
+            bv, bl = model["bi"]
+            state["uni_idx"] = pd.Index(list(uv))
+            state["uni_lnp"] = np.concatenate(
+                [ul, [float(ul.min() - np.log(2.0))]]
+            )
+            state["bi_idx"] = pd.Index(list(bv))
+            fl = float(bl.min() - np.log(2.0)) if bl.size else 0.0
+            state["bi_lnp"] = np.concatenate([bl, [fl]])
+        n = len(batch)
+        flat, ntok = _flat_tokens(batch, "text")
+        nll = np.zeros(n, dtype=np.float64)
+        if flat.size:
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), ntok)
+            contrib = np.zeros(flat.size, dtype=np.float64)
+            first = np.flatnonzero(
+                np.r_[True, doc_idx[1:] != doc_idx[:-1]]
+            )
+            uvid = state["uni_idx"].get_indexer(flat[first])
+            bkeys = _bigram_keys(flat, ntok)
+            bvid = state["bi_idx"].get_indexer(bkeys)
+            if not smooth_unseen and (
+                (uvid < 0).any() or (bvid < 0).any()
+            ):
+                raise KeyError("unseen token/bigram without smoothing")
+            uvid = np.where(uvid < 0, len(state["uni_idx"]), uvid)
+            bvid = np.where(bvid < 0, len(state["bi_idx"]), bvid)
+            contrib[first] = state["uni_lnp"][uvid]
+            rest = np.setdiff1d(
+                np.arange(flat.size, dtype=np.int64), first,
+                assume_unique=True,
+            )
+            contrib[rest] = state["bi_lnp"][bvid]
+            sums = np.add.reduceat(contrib, first)
+            present = doc_idx[first]
+            nll[present] = -sums / ntok[present]
+        return batch.append_column(
+            "n_tokens", pa.array(ntok, pa.int64())
+        ).append_column("nll", pa.array(nll, pa.float64()))
+
+    return fn
+
+
+def lm_bigram_nll_dataset(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Bigram fit + score over the same corpus (the oracle path)."""
+    model_ref = ray.put(fit_bigram_lm(ds, text_col))
+    return ds.map_batches(
+        bigram_nll_stage(model_ref), batch_format="pyarrow"
+    )

@@ -816,3 +816,64 @@ class TestPhraseSuggest:
         # exact input phrase is never suggested
         got = suggest_phrase(agg_searcher, vocab, lnp, "data query")
         assert all(p != "data query" for p, _ in got)
+
+
+class TestBigramLM:
+    @pytest.fixture(scope="class")
+    def model(self, sf_dir, ray_session):
+        from neural_search_ray.textstats.lm import fit_bigram_lm
+
+        return fit_bigram_lm(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+        )
+
+    def test_fit_matches_bruteforce(self, model, doc_fields):
+        from collections import Counter
+
+        cbi, cctx = Counter(), Counter()
+        for toks, _ in doc_fields.values():
+            for a, b in zip(toks, toks[1:]):
+                cbi[(a, b)] += 1
+                cctx[a] += 1
+        pv, bl = model["bi"]
+        assert len(pv) == len(cbi)
+        for pair, i in pv.items():
+            a, b = pair.split("\x1f")
+            assert bl[i] == np.log(cbi[(a, b)] / float(cctx[a])), pair
+
+    def test_scores_match_bruteforce(self, model, sf_dir, ray_session):
+        from neural_search_ray.textstats.lm import lm_bigram_nll_dataset
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        rows = {r["doc_id"]: r for r in lm_bigram_nll_dataset(ds).take_all()}
+        import pyarrow.parquet as pq
+
+        from neural_search_ray.analysis.analyzer import tokenize as tok
+
+        uv, ul = model["uni"]
+        pv, bl = model["bi"]
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        for d, x in list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))[:40]:
+            toks = tok(x)
+            acc = ul[uv[toks[0]]]
+            for a, b in zip(toks, toks[1:]):
+                acc += bl[pv[a + "\x1f" + b]]
+            np.testing.assert_allclose(
+                rows[d]["nll"], -acc / len(toks), rtol=1e-12
+            )
+            assert rows[d]["n_tokens"] == len(toks)
+
+    def test_unseen_raises_and_floor(self, model):
+        from neural_search_ray.textstats.lm import bigram_nll_stage
+
+        batch = pa.table({"text": ["data zzznotseen"]})
+        with pytest.raises(KeyError):
+            bigram_nll_stage(model)(batch)
+        out = bigram_nll_stage(model, smooth_unseen=True)(batch)
+        assert out["nll"][0].as_py() > 0
