@@ -22,9 +22,14 @@ import pyarrow as pa
 
 import ray.data
 
-from .sketches import HyperLogLog, TDigest, hash64
+from .sketches import HyperLogLog, MisraGries, TDigest, hash64
 
-__all__ = ["exact_distinct", "hll_cardinality", "tdigest_quantiles"]
+__all__ = [
+    "exact_distinct",
+    "hll_cardinality",
+    "tdigest_quantiles",
+    "heavy_hitters_terms",
+]
 
 
 def exact_distinct(
@@ -103,6 +108,48 @@ def hll_cardinality(
         .groupby(key)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def heavy_hitters_terms(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    k: int = 100,
+    top: int = 10,
+) -> list[tuple[str, int]]:
+    """Approximate top tokens by collection frequency via mergeable
+    Misra-Gries partials: each block ships at most ``k`` (token, count)
+    rows regardless of block size; the coordinator merge keeps the
+    N/(k+1) error bound under any merge order. Exact whenever the true
+    vocabulary fits in ``k`` (trim never fires). The exact tier for a
+    bounded vocabulary is the term_stats groupby (`top_terms` oracle
+    entry)."""
+    import pyarrow.compute as pc
+
+    from ..analysis.analyzer import analyze_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = analyze_column(batch[text_col].combine_chunks())
+        vc = pc.value_counts(lists.flatten())
+        mg = MisraGries(k).add(
+            np.asarray(vc.field("values").to_pylist(), dtype=object),
+            vc.field("counts").to_numpy(zero_copy_only=False),
+        )
+        vals, counts = mg.to_items()
+        return pa.table(
+            {
+                "token": pa.array(vals, pa.string()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = MisraGries(k)
+    if rows:
+        merged.add(
+            np.asarray([r["token"] for r in rows], dtype=object),
+            [r["c"] for r in rows],
+        )
+    return merged.top(top)
 
 
 def tdigest_quantiles(

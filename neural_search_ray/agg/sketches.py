@@ -29,7 +29,7 @@ import math
 
 import numpy as np
 
-__all__ = ["HyperLogLog", "TDigest", "hash64"]
+__all__ = ["HyperLogLog", "TDigest", "MisraGries", "hash64"]
 
 
 def hash64(values) -> np.ndarray:
@@ -125,6 +125,59 @@ class HyperLogLog:
         out = HyperLogLog(ps.pop())
         out.registers = np.maximum.reduce(mats).copy()
         return out
+
+
+class MisraGries:
+    """Misra-Gries heavy-hitters summary (mergeable form, Agarwal et
+    al. 2013 "Mergeable Summaries"): at most ``k`` counters; any item
+    with true frequency > N/(k+1) is guaranteed present, and each
+    reported count under-estimates the truth by at most N/(k+1).
+    Merge = sum counters, then subtract the (k+1)-largest count and
+    drop non-positives — the guarantee survives any merge tree, so
+    per-block partials combine at a coordinator in any order."""
+
+    def __init__(self, k: int = 100):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+        self.counts: dict = {}
+        self.offset_total = 0  # total mass subtracted (for error bound)
+
+    def add(self, values, counts=None) -> "MisraGries":
+        vals = np.asarray(values)
+        if counts is None:
+            vals, counts = np.unique(vals, return_counts=True)
+        for v, c in zip(vals.tolist(), np.asarray(counts).tolist()):
+            self.counts[v] = self.counts.get(v, 0) + int(c)
+        self._trim()
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        if other.k != self.k:
+            raise ValueError("k mismatch")
+        for v, c in other.counts.items():
+            self.counts[v] = self.counts.get(v, 0) + c
+        self.offset_total += other.offset_total
+        self._trim()
+        return self
+
+    def _trim(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        cs = sorted(self.counts.values(), reverse=True)
+        cut = cs[self.k]  # (k+1)-largest
+        self.offset_total += cut
+        self.counts = {
+            v: c - cut for v, c in self.counts.items() if c - cut > 0
+        }
+
+    def top(self, n: int = 10) -> list[tuple[object, int]]:
+        """(value, lower-bound count) by (count desc, value asc)."""
+        return sorted(self.counts.items(), key=lambda r: (-r[1], r[0]))[:n]
+
+    def to_items(self) -> tuple[list, list]:
+        vals = sorted(self.counts)
+        return vals, [self.counts[v] for v in vals]
 
 
 def _k1(q: np.ndarray | float, delta: float):

@@ -1864,6 +1864,30 @@ def q_suggest_phrase(sf_dir: str) -> pa.Table:
     )
 
 
+_TOP_TERMS_K = 20
+
+
+def q_top_terms(sf_dir: str) -> pa.Table:
+    """Exact heavy-hitters tier: top terms by collection frequency from
+    the distributed term_stats combiner (per-batch partials → one
+    vocab-bounded groupby). The Misra-Gries sketch path
+    (agg/dataset.py heavy_hitters_terms) is pytest-checked against this
+    — exact whenever the vocabulary fits the sketch, N/(k+1)-bounded
+    otherwise."""
+    rows = q_term_stats(sf_dir).take_all()
+    rows.sort(key=lambda r: (-r["cf"], r["term"]))
+    rows = rows[:_TOP_TERMS_K]
+    return pa.table(
+        {
+            "rank": pa.array(
+                range(1, len(rows) + 1), type=pa.int64()
+            ),
+            "term": pa.array([r["term"] for r in rows], type=pa.string()),
+            "cf": pa.array([r["cf"] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def q_lm_nll(sf_dir: str) -> "ray.data.Dataset":
     """Unigram-LM perplexity proxy (textstats/lm.py — the CCNet
     quality-filter shape): fit pass (per-batch term-count combiner →
@@ -4359,6 +4383,12 @@ GROUP BY m.query_id"""
   GROUP BY g.qg // 10, g.doc_id""",
         BM25_K,
     )
+    # exact heavy hitters: top terms by collection frequency
+    sqls["top_terms"] = f"""
+SELECT rank, term, cf FROM (
+  SELECT term, cf, row_number() OVER (ORDER BY cf DESC, term) AS rank
+  FROM ({SQL_DF})
+) WHERE rank <= {_TOP_TERMS_K}"""
     # rare_terms: long-tail dictionary scan
     sqls["rare_terms"] = f"""
 SELECT rank, term, df FROM (
@@ -5703,6 +5733,7 @@ def build_queries() -> dict:
         "agg_adjacency": q_agg_adjacency,
         "suggest_phrase": q_suggest_phrase,
         "lm_nll_bigram": q_lm_nll_bigram,
+        "top_terms": q_top_terms,
         "lm_nll": q_lm_nll,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,

@@ -877,3 +877,73 @@ class TestBigramLM:
             bigram_nll_stage(model)(batch)
         out = bigram_nll_stage(model, smooth_unseen=True)(batch)
         assert out["nll"][0].as_py() > 0
+
+
+class TestMisraGries:
+    def test_guarantee_on_zipf(self):
+        from neural_search_ray.agg.sketches import MisraGries
+
+        rng = np.random.default_rng(11)
+        vals = rng.zipf(1.5, size=200_000) % 10_000
+        true = {}
+        for v in vals.tolist():
+            true[v] = true.get(v, 0) + 1
+        k = 50
+        mg = MisraGries(k)
+        for chunk in np.split(vals, 20):  # streaming adds
+            mg.add(chunk)
+        n = vals.size
+        bound = n / (k + 1)
+        # every true heavy hitter survives
+        for v, c in true.items():
+            if c > bound:
+                assert v in mg.counts, v
+        # reported counts are under-estimates within the bound
+        for v, c in mg.counts.items():
+            assert c <= true[v]
+            assert true[v] - c <= mg.offset_total <= bound
+
+    def test_merge_matches_stream(self):
+        from neural_search_ray.agg.sketches import MisraGries
+
+        rng = np.random.default_rng(12)
+        vals = rng.zipf(1.3, size=100_000) % 1000
+        parts = [MisraGries(40).add(c) for c in np.split(vals, 8)]
+        merged = parts[0]
+        for p in parts[1:]:
+            merged.merge(p)
+        true = {}
+        for v in vals.tolist():
+            true[v] = true.get(v, 0) + 1
+        bound = vals.size / 41
+        for v, c in true.items():
+            if c > bound:
+                assert v in merged.counts, v
+        with pytest.raises(ValueError):
+            MisraGries(10).merge(MisraGries(11))
+
+    def test_exact_when_vocab_fits(self):
+        from neural_search_ray.agg.sketches import MisraGries
+
+        vals = np.array([1, 1, 1, 2, 2, 3] * 10)
+        mg = MisraGries(10).add(vals)
+        assert mg.top(3) == [(1, 30), (2, 20), (3, 10)]
+        assert mg.offset_total == 0
+
+    def test_dataset_heavy_hitters_exact_tier(self, sf_dir, ray_session):
+        import duckdb
+
+        from neural_search_ray.agg.dataset import heavy_hitters_terms
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        got = heavy_hitters_terms(ds, k=100, top=5)
+        want = duckdb.sql(
+            "SELECT term, count(*) c FROM ("
+            "SELECT lower(t.term) term FROM "
+            f"'{sf_dir}/documents.parquet', "
+            "unnest(string_split(text, ' ')) t(term) WHERE t.term<>'') "
+            "GROUP BY term ORDER BY c DESC, term LIMIT 5"
+        ).fetchall()
+        assert [(t, c) for t, c in got] == want
