@@ -1591,6 +1591,29 @@ def q_rank_feature_topk(sf_dir: str) -> pa.Table:
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
+_RF_LOG_BOOST, _RF_LOG_SCALING = 1.5, 1.0
+
+
+def q_rank_feature_log(sf_dir: str) -> pa.Table:
+    """rank_feature log variant (engine search_rank_feature
+    function="log"): BM25 + boost · ln(scaling_factor + v)."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_rank_feature(
+            tokenize(qtext),
+            "n_chars",
+            function="log",
+            scaling_factor=_RF_LOG_SCALING,
+            boost=_RF_LOG_BOOST,
+            k=BM25_K * 3,
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
 def q_agg_extended_stats(sf_dir: str) -> pa.Table:
     """extended_stats aggregation (engine agg_extended_stats):
     population variance via OpenSearch's sum_sq/n − avg² shortcut;
@@ -4291,6 +4314,16 @@ SELECT query_id, bucket, rank, doc_id, score FROM (
   JOIN documents d ON d.doc_id = sc.doc_id""",
         BM25_K,
     )
+    # rank_feature log variant
+    sqls["rank_feature_log"] = _topk_sql(
+        f"""
+  SELECT sc.query_id, sc.doc_id,
+         sc.score + {_RF_LOG_BOOST}
+           * ln({_RF_LOG_SCALING} + d.n_chars) AS score
+  FROM ({_bm25_scored_sql()}) sc
+  JOIN documents d ON d.doc_id = sc.doc_id""",
+        BM25_K,
+    )
     # extended_stats: OpenSearch's population var = sum_sq/n − avg²
     sqls["agg_extended_stats"] = f"""
 WITH a AS (
@@ -5723,6 +5756,7 @@ def build_queries() -> dict:
         "top_hits": q_top_hits,
         "suggest_term": q_suggest_term,
         "rank_feature_topk": q_rank_feature_topk,
+        "rank_feature_log": q_rank_feature_log,
         "agg_extended_stats": q_agg_extended_stats,
         "agg_percentile_ranks": q_agg_percentile_ranks,
         "agg_composite": q_agg_composite,

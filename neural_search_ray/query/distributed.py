@@ -136,6 +136,33 @@ class ShardSearchActor:
         )
         return TDigest(delta).add(vals).to_bytes()
 
+    def agg_extended_stats_partial(self, terms: list[str], field: str):
+        """(count, min, max, sum, sum_sq) — the distributive partial."""
+        s = self.searcher.agg_extended_stats(terms, field)
+        if s["count"] == 0:
+            return None
+        return (s["count"], s["min"], s["max"], s["sum"], s["sum_of_squares"])
+
+    def agg_adjacency_partial(self, terms: list[str], filters: dict) -> dict:
+        return self.searcher.agg_adjacency_matrix(terms, filters)
+
+    def agg_absdev_partial(
+        self, terms: list[str], field: str, center: float, delta: float
+    ) -> bytes:
+        """t-digest of |v − center| over this actor's match set (phase 2
+        of the distributed MAD)."""
+        from ..agg.sketches import TDigest
+
+        docs = self.searcher._match_union(terms)
+        if docs.size == 0:
+            return b""
+        vals = (
+            self.searcher.field_values(docs, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        return TDigest(delta).add(np.abs(vals - center)).to_bytes()
+
     def significant_partial(self, terms: list[str]) -> tuple[dict, int]:
         from .significant import significant_partial
 
@@ -505,6 +532,140 @@ class DistributedSearcher:
         for b in parts[1:]:
             t.merge(TDigest.from_bytes(b))
         return t.quantiles(np.asarray(pcts, dtype=np.float64) / 100.0)
+
+    def agg_extended_stats(self, terms: list[str], field: str) -> dict:
+        """Distributed extended_stats: (count, min, max, sum, sum_sq)
+        partials merge associatively; avg/variance/std computed once at
+        the coordinator with the same float expression as the single
+        searcher — bitwise identical."""
+        parts = [
+            p
+            for p in ray.get(
+                [
+                    a.agg_extended_stats_partial.remote(terms, field)
+                    for a in self.actors
+                ]
+            )
+            if p is not None
+        ]
+        if not parts:
+            return {
+                "count": 0, "min": None, "max": None, "sum": 0,
+                "avg": None, "sum_of_squares": 0, "variance": None,
+                "std_deviation": None,
+            }
+        n = sum(p[0] for p in parts)
+        total = sum(p[3] for p in parts)
+        sum_sq = sum(p[4] for p in parts)
+        avg = total / n
+        var = sum_sq / n - avg * avg
+        return {
+            "count": n,
+            "min": min(p[1] for p in parts),
+            "max": max(p[2] for p in parts),
+            "sum": total,
+            "avg": avg,
+            "sum_of_squares": sum_sq,
+            "variance": var,
+            "std_deviation": float(np.sqrt(var)),
+        }
+
+    def agg_adjacency_matrix(
+        self, terms: list[str], filters: dict
+    ) -> dict:
+        """Distributed adjacency_matrix: every doc lives on exactly one
+        shard, so singles AND pairwise intersections are distributive
+        count-sums (zero buckets stay omitted)."""
+        parts = ray.get(
+            [
+                a.agg_adjacency_partial.remote(terms, filters)
+                for a in self.actors
+            ]
+        )
+        out: dict = {}
+        for p in parts:
+            for name, c in p.items():
+                out[name] = out.get(name, 0) + c
+        return out
+
+    def agg_percentile_ranks(
+        self,
+        terms: list[str],
+        field: str,
+        values: tuple[float, ...],
+        delta: float = 100.0,
+    ) -> np.ndarray:
+        """Distributed percentile_ranks (t-digest tier): invert the
+        merged digest's quantile function by bisection (the exact
+        empirical-CDF tier needs co-located values and stays
+        single-searcher)."""
+        from ..agg.sketches import TDigest
+
+        parts = [
+            b
+            for b in ray.get(
+                [
+                    a.agg_percentiles_partial.remote(terms, field, delta)
+                    for a in self.actors
+                ]
+            )
+            if b
+        ]
+        if not parts:
+            return np.full(len(values), np.nan)
+        t = TDigest.from_bytes(parts[0])
+        for b in parts[1:]:
+            t.merge(TDigest.from_bytes(b))
+        out = []
+        for x in values:
+            lo, hi = 0.0, 1.0
+            for _ in range(40):
+                mid = (lo + hi) / 2.0
+                if t.quantile(mid) <= x:
+                    lo = mid
+                else:
+                    hi = mid
+            out.append(100.0 * lo)
+        return np.asarray(out)
+
+    def agg_mad(
+        self, terms: list[str], field: str, delta: float = 100.0
+    ) -> float:
+        """Distributed MAD (t-digest tier, two phases): merged digest →
+        approximate median, then per-shard digests of |v − median| →
+        merged → median again. Both phases ship only centroid bytes."""
+        from ..agg.sketches import TDigest
+
+        parts = [
+            b
+            for b in ray.get(
+                [
+                    a.agg_percentiles_partial.remote(terms, field, delta)
+                    for a in self.actors
+                ]
+            )
+            if b
+        ]
+        if not parts:
+            return float("nan")
+        t = TDigest.from_bytes(parts[0])
+        for b in parts[1:]:
+            t.merge(TDigest.from_bytes(b))
+        med = t.quantile(0.5)
+        parts2 = [
+            b
+            for b in ray.get(
+                [
+                    a.agg_absdev_partial.remote(terms, field, med, delta)
+                    for a in self.actors
+                ]
+            )
+            if b
+        ]
+        t2 = TDigest.from_bytes(parts2[0])
+        for b in parts2[1:]:
+            t2.merge(TDigest.from_bytes(b))
+        return float(t2.quantile(0.5))
 
     def significant_terms(
         self, terms: list[str], size: int = 10, min_doc_count: int = 1

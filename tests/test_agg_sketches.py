@@ -947,3 +947,48 @@ class TestMisraGries:
             "GROUP BY term ORDER BY c DESC, term LIMIT 5"
         ).fetchall()
         assert [(t, c) for t, c in got] == want
+
+
+class TestDistributedAggs2:
+    @pytest.fixture(scope="class")
+    def dist(self, agg_searcher, ray_session):
+        from neural_search_ray.query.distributed import DistributedSearcher
+
+        d = DistributedSearcher(agg_searcher.index_dir, num_actors=2)
+        yield d
+        d.shutdown()
+
+    def test_extended_stats_identical(self, dist, agg_searcher):
+        terms = tokenize("data query")
+        assert dist.agg_extended_stats(terms, "n_chars") == \
+            agg_searcher.agg_extended_stats(terms, "n_chars")
+        assert dist.agg_extended_stats(["zzznope"], "n_chars")["count"] == 0
+
+    def test_adjacency_identical(self, dist, agg_searcher):
+        filters = {
+            "en": ("lang", "==", "en"),
+            "short": ("n_chars", "<", 150),
+        }
+        terms = tokenize("data query")
+        assert dist.agg_adjacency_matrix(terms, filters) == \
+            agg_searcher.agg_adjacency_matrix(terms, filters)
+
+    def test_percentile_ranks_close(self, dist, agg_searcher, doc_fields):
+        terms = tokenize("the")
+        vals = _match_vals(doc_fields, terms)
+        xs = (150.0, 300.0)
+        got = dist.agg_percentile_ranks(terms, "n_chars", xs)
+        exact = [100.0 * (vals <= x).sum() / vals.size for x in xs]
+        np.testing.assert_allclose(got, exact, atol=5.0)
+
+    def test_mad_close(self, dist, agg_searcher, doc_fields):
+        terms = tokenize("the")
+        vals = _match_vals(doc_fields, terms)
+        med = np.percentile(vals, 50)
+        exact = np.percentile(np.abs(vals - med), 50)
+        got = dist.agg_mad(terms, "n_chars")
+        span = vals.max() - vals.min()
+        assert abs(got - exact) <= 0.05 * span
+        import math
+
+        assert math.isnan(dist.agg_mad(["zzznope"], "n_chars"))
