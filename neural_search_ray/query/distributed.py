@@ -954,6 +954,92 @@ class DistributedSearcher:
         )[:size]
         return [(t, -negdf, d) for d, negdf, t in scored]
 
+    def suggest_phrase(
+        self,
+        vocab: dict,
+        lnp: np.ndarray,
+        text: str,
+        *,
+        size: int = 3,
+        max_edits: int = 1,
+        per_token: int = 5,
+        edit_penalty: float | None = None,
+    ) -> list[tuple[str, float]]:
+        """Distributed phrase suggester: per-token candidates from the
+        UNION of shard-dictionary expansions ranked by GLOBAL df, then
+        the same noisy-channel LM scoring as query/suggest.py (the LM
+        arrays are broadcast by the caller)."""
+        import math
+
+        from ..analysis.analyzer import tokenize
+        from .engine import levenshtein
+
+        if edit_penalty is None:
+            edit_penalty = math.log(0.5)
+        tokens = tokenize(text)
+        if not tokens:
+            return []
+        expansions = ray.get(
+            [
+                a.expand_suggest.remote(tok, max_edits, 0)
+                for a in self.actors
+                for tok in tokens
+            ]
+        )
+        n_act = len(self.actors)
+        floor = float(np.min(lnp) - math.log(2.0)) if len(lnp) else 0.0
+        per_tok_cands = []
+        all_cands = set()
+        for ti, tok in enumerate(tokens):
+            cs = {
+                t
+                for ai in range(n_act)
+                for t in expansions[ai * len(tokens) + ti]
+            }
+            cs.add(tok)  # expand_suggest drops the input token itself
+            all_cands |= cs
+            per_tok_cands.append(cs)
+        self._resolve_gdfs(sorted(all_cands))
+        out_cands = []
+        for tok, cs in zip(tokens, per_tok_cands):
+            present = [t for t in cs if self._gdf.get(t, 0) > 0]
+            scored = sorted(
+                (levenshtein(tok, t), -int(self._gdf[t]), t)
+                for t in present
+            )[:per_token]
+            if not scored:
+                out_cands.append([(tok, floor, 0)])
+                continue
+            out_cands.append(
+                [
+                    (t, float(lnp[vocab[t]]) if t in vocab else floor, d)
+                    for d, _, t in scored
+                ]
+            )
+        phrases: list[tuple[str, ...]] = [()]
+        for cands in out_cands:
+            phrases = [p + (c[0],) for p in phrases for c in cands]
+        lookup = [{c[0]: c for c in cands} for cands in out_cands]
+        orig = tuple(tokens)
+        results = []
+        for p in phrases:
+            if p == orig:
+                continue
+            score, edits = 0.0, 0
+            for i, t in enumerate(p):
+                _, lp, d = lookup[i][t]
+                score += lp
+                edits += d
+            raw = score + edit_penalty * edits
+            r6 = (
+                math.floor(raw * 1e6 + 0.5) / 1e6
+                if raw >= 0
+                else math.ceil(raw * 1e6 - 0.5) / 1e6
+            )
+            results.append((" ".join(p), r6))
+        results.sort(key=lambda r: (-r[1], r[0]))
+        return results[:size]
+
     def _search_multiterm(self, kind: str, arg, k: int):
         parts = ray.get(
             [a.search_multiterm.remote(kind, arg, k) for a in self.actors]

@@ -992,3 +992,28 @@ class TestDistributedAggs2:
         import math
 
         assert math.isnan(dist.agg_mad(["zzznope"], "n_chars"))
+
+
+class TestDistributedPhraseSuggest:
+    def test_matches_single(self, agg_searcher, ray_session, sf_dir):
+        from neural_search_ray.query.distributed import DistributedSearcher
+        from neural_search_ray.query.suggest import suggest_phrase
+        from neural_search_ray.textstats.lm import fit_unigram_lm
+
+        vocab, lnp, _ = fit_unigram_lm(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+        )
+        d = DistributedSearcher(agg_searcher.index_dir, num_actors=2)
+        try:
+            for text in ("dat query", "merge sorr", "zzzzqqqq dat", ""):
+                want = suggest_phrase(
+                    agg_searcher, vocab, lnp, text, size=3, max_edits=2
+                )
+                got = d.suggest_phrase(
+                    vocab, lnp, text, size=3, max_edits=2
+                )
+                assert got == want, text
+        finally:
+            d.shutdown()
