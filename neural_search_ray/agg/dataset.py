@@ -152,6 +152,83 @@ def heavy_hitters_terms(
     return merged.top(top)
 
 
+def heavy_hitters_by_key(
+    ds: "ray.data.Dataset",
+    key: str,
+    text_col: str = "text",
+    k: int = 100,
+    top: int = 10,
+) -> "ray.data.Dataset":
+    """Per-key approximate top tokens via keyed Misra-Gries partials:
+    each block ships ≤ k (key, token, count) rows per key value, one
+    groupby(key) co-locates the partials, map_groups merges — rows →
+    (key, rank, token, cf). Counts are exact whenever the per-key
+    vocabulary fits ``k`` (trim never fires), N_key/(k+1)-bounded
+    under-estimates otherwise."""
+    import pyarrow.compute as pc
+
+    from ..analysis.analyzer import analyze_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = analyze_column(batch[text_col].combine_chunks())
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        flat = lists.flatten()
+        keys_rep = batch[key].take(
+            pa.array(
+                np.repeat(
+                    np.arange(len(batch), dtype=np.int64), np.diff(off)
+                )
+            )
+        )
+        out_k, out_t, out_c = [], [], []
+        t = pa.table({"k": keys_rep, "tok": flat})
+        for kv in t["k"].unique().to_pylist():
+            toks = t.filter(pc.equal(t["k"], kv))["tok"]
+            vc = pc.value_counts(toks)
+            mg = MisraGries(k).add(
+                np.asarray(vc.field("values").to_pylist(), dtype=object),
+                vc.field("counts").to_numpy(zero_copy_only=False),
+            )
+            vals, counts = mg.to_items()
+            out_k += [kv] * len(vals)
+            out_t += vals
+            out_c += counts
+        return pa.table(
+            {
+                key: pa.array(out_k, t["k"].type),
+                "token": pa.array(out_t, pa.string()),
+                "c": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        mg = MisraGries(k)
+        mg.add(
+            np.asarray(group["token"].to_pylist(), dtype=object),
+            group["c"].to_numpy(zero_copy_only=False),
+        )
+        items = mg.top(top)
+        return pa.table(
+            {
+                key: pa.concat_arrays(
+                    [group[key][:1].combine_chunks()] * len(items)
+                ),
+                "rank": pa.array(
+                    range(1, len(items) + 1), pa.int64()
+                ),
+                "term": pa.array([t for t, _ in items], pa.string()),
+                "cf": pa.array([c for _, c in items], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def tdigest_quantiles(
     ds: "ray.data.Dataset",
     key: str,

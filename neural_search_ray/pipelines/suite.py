@@ -1911,6 +1911,21 @@ def q_top_terms(sf_dir: str) -> pa.Table:
     )
 
 
+def q_top_terms_by_lang(sf_dir: str) -> "ray.data.Dataset":
+    """Keyed heavy hitters (agg/dataset.py heavy_hitters_by_key):
+    per-lang top-5 tokens via Misra-Gries partials through ONE keyed
+    groupby. k=100 dominates the synthetic per-lang vocabulary, so the
+    sketch counts are exact and the SQL top-by-cf oracle pins them; at
+    real vocabulary scale the same pipeline degrades gracefully to the
+    N_key/(k+1) bound (pytest-covered)."""
+    from ..agg.dataset import heavy_hitters_by_key
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return heavy_hitters_by_key(ds, "lang", k=100, top=5)
+
+
 def q_lm_nll(sf_dir: str) -> "ray.data.Dataset":
     """Unigram-LM perplexity proxy (textstats/lm.py — the CCNet
     quality-filter shape): fit pass (per-batch term-count combiner →
@@ -4422,6 +4437,18 @@ SELECT rank, term, cf FROM (
   SELECT term, cf, row_number() OVER (ORDER BY cf DESC, term) AS rank
   FROM ({SQL_DF})
 ) WHERE rank <= {_TOP_TERMS_K}"""
+    # keyed heavy hitters: per-lang top tokens by cf
+    sqls["top_terms_by_lang"] = """
+SELECT lang, rank, term, cf FROM (
+  SELECT lang, term, count(*)::BIGINT AS cf,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY count(*) DESC, term) AS rank
+  FROM (
+    SELECT d.lang, lower(t.term) AS term
+    FROM documents d, unnest(string_split(d.text, ' ')) AS t(term)
+    WHERE t.term <> '')
+  GROUP BY lang, term
+) WHERE rank <= 5"""
     # rare_terms: long-tail dictionary scan
     sqls["rare_terms"] = f"""
 SELECT rank, term, df FROM (
@@ -5768,6 +5795,7 @@ def build_queries() -> dict:
         "suggest_phrase": q_suggest_phrase,
         "lm_nll_bigram": q_lm_nll_bigram,
         "top_terms": q_top_terms,
+        "top_terms_by_lang": q_top_terms_by_lang,
         "lm_nll": q_lm_nll,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,

@@ -1017,3 +1017,58 @@ class TestDistributedPhraseSuggest:
                 assert got == want, text
         finally:
             d.shutdown()
+
+
+class TestKeyedHeavyHitters:
+    def test_exact_when_vocab_fits(self, sf_dir, ray_session):
+        import duckdb
+
+        from neural_search_ray.agg.dataset import heavy_hitters_by_key
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+        )
+        got = {
+            (r["lang"], r["rank"]): (r["term"], r["cf"])
+            for r in heavy_hitters_by_key(ds, "lang", k=100, top=3).take_all()
+        }
+        want = duckdb.sql(
+            "SELECT lang, term, cf, rank FROM ("
+            "SELECT lang, term, count(*) cf, row_number() OVER "
+            "(PARTITION BY lang ORDER BY count(*) DESC, term) rank FROM ("
+            "SELECT d.lang, lower(t.term) term FROM "
+            f"'{sf_dir}/documents.parquet' d, "
+            "unnest(string_split(d.text, ' ')) t(term) WHERE t.term<>'') "
+            "GROUP BY lang, term) WHERE rank <= 3"
+        ).fetchall()
+        assert got == {(lg, rk): (t, c) for lg, t, c, rk in want}
+
+    def test_bounded_when_vocab_overflows(self, sf_dir, ray_session):
+        # tiny k forces trims: counts must under-estimate within
+        # N_key/(k+1) and true heavy items must survive
+        import duckdb
+
+        from neural_search_ray.agg.dataset import heavy_hitters_by_key
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+        )
+        k = 8
+        rows = heavy_hitters_by_key(ds, "lang", k=k, top=k).take_all()
+        truth = {
+            (lg, t): c
+            for lg, t, c in duckdb.sql(
+                "SELECT lang, term, count(*) FROM ("
+                "SELECT d.lang, lower(t.term) term FROM "
+                f"'{sf_dir}/documents.parquet' d, "
+                "unnest(string_split(d.text, ' ')) t(term) "
+                "WHERE t.term<>'') GROUP BY lang, term"
+            ).fetchall()
+        }
+        n_per_key = {}
+        for (lg, _), c in truth.items():
+            n_per_key[lg] = n_per_key.get(lg, 0) + c
+        for r in rows:
+            true_c = truth[(r["lang"], r["term"])]
+            assert r["cf"] <= true_c
+            assert true_c - r["cf"] <= n_per_key[r["lang"]] / (k + 1)
