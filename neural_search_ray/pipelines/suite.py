@@ -2035,6 +2035,40 @@ def q_decay_topk_distributed(sf_dir: str) -> pa.Table:
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
+def q_events_cumulative(sf_dir: str) -> "ray.data.Dataset":
+    """Pipeline aggregations over the date_histogram (OpenSearch
+    cumulative_sum + derivative pipeline aggs): per event_type, buckets
+    in time order get a running count sum and a first-difference —
+    computed inside map_groups AFTER the histogram exchange, so the
+    sequential scan touches only bucket rows (bounded by bucket count,
+    never by event count)."""
+    hist = q_events_date_histogram(sf_dir)
+
+    def finish(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        order = pc.sort_indices(group["bucket_us"])
+        g = group.take(order)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(cnt)
+        deriv = np.diff(cnt, prepend=cnt[:1])  # first bucket: null in ES
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "bucket_us": g["bucket_us"],
+                "cnt": pa.array(cnt, pa.int64()),
+                "cum_cnt": pa.array(cum, pa.int64()),
+                # pin: first bucket derivative = 0 (ES emits null; the
+                # integer 0 keeps the oracle schema simple)
+                "deriv": pa.array(deriv, pa.int64()),
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
 def q_query_string_topk(sf_dir: str) -> pa.Table:
     """simple_query_string (query/querystring.py grammar + engine
     search_query_string): term/phrase/prefix clauses with +/- occur
@@ -4183,6 +4217,18 @@ GROUP BY m.query_id, bucket"""
 SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
        count(*)::BIGINT AS cnt, round(sum(value), 2) AS sum_value
 FROM events GROUP BY event_type, bucket_us"""
+    # pipeline aggs over the date_histogram: running sum + derivative
+    sqls["events_cumulative"] = """
+SELECT event_type, bucket_us, cnt,
+       sum(cnt) OVER (PARTITION BY event_type
+                      ORDER BY bucket_us)::BIGINT AS cum_cnt,
+       coalesce(cnt - lag(cnt) OVER (PARTITION BY event_type
+                                     ORDER BY bucket_us), 0)::BIGINT
+         AS deriv
+FROM (
+  SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY event_type, bucket_us)"""
     # numeric range query: lo <= n_chars < hi, constant score
     _range_rows = ", ".join(
         f"({qid}, {lo}, {hi})" for qid, lo, hi in _RANGE_QUERY_SET
@@ -5796,6 +5842,7 @@ def build_queries() -> dict:
         "lm_nll_bigram": q_lm_nll_bigram,
         "top_terms": q_top_terms,
         "top_terms_by_lang": q_top_terms_by_lang,
+        "events_cumulative": q_events_cumulative,
         "lm_nll": q_lm_nll,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
