@@ -2069,6 +2069,47 @@ def q_events_cumulative(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+_MOVAVG_W = 3
+_BSEL_MIN_CNT = 2  # sf0.001 has ~1 event/bucket; 2 keeps it non-empty
+
+
+def q_events_moving_avg(sf_dir: str) -> "ray.data.Dataset":
+    """moving_fn (trailing-window mean) + bucket_selector pipeline aggs
+    over the date_histogram: per event_type in time order, avg of the
+    last W counts (partial head windows averaged over what exists —
+    ES's unweightedAvg on the window it has), then buckets with
+    cnt < threshold dropped (bucket_selector)."""
+    hist = q_events_date_histogram(sf_dir)
+
+    def finish(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        order = pc.sort_indices(group["bucket_us"])
+        g = group.take(order)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cnt)])
+        idx = np.arange(cnt.size)
+        lo = np.maximum(idx - (_MOVAVG_W - 1), 0)
+        win_sum = cum[idx + 1] - cum[lo]
+        width = idx + 1 - lo
+        mov = win_sum / width
+        keep = cnt >= _BSEL_MIN_CNT
+        return pa.table(
+            {
+                "event_type": g["event_type"].filter(pa.array(keep)),
+                "bucket_us": g["bucket_us"].filter(pa.array(keep)),
+                "cnt": pa.array(cnt[keep], pa.int64()),
+                "moving_avg": pa.array(
+                    round_half_up(mov[keep], 6), pa.float64()
+                ),
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
 def q_query_string_topk(sf_dir: str) -> pa.Table:
     """simple_query_string (query/querystring.py grammar + engine
     search_query_string): term/phrase/prefix clauses with +/- occur
@@ -4229,6 +4270,21 @@ FROM (
   SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
          count(*)::BIGINT AS cnt
   FROM events GROUP BY event_type, bucket_us)"""
+    # moving_fn (trailing mean) + bucket_selector over the histogram:
+    # window sum/width division identical to the engine (ints → double)
+    sqls["events_moving_avg"] = f"""
+SELECT event_type, bucket_us, cnt, round(moving_avg, 6) AS moving_avg
+FROM (
+  SELECT event_type, bucket_us, cnt,
+         sum(cnt) OVER w / count(cnt) OVER w AS moving_avg
+  FROM (
+    SELECT event_type,
+           epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
+           count(*)::BIGINT AS cnt
+    FROM events GROUP BY event_type, bucket_us)
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+               ROWS BETWEEN {_MOVAVG_W - 1} PRECEDING AND CURRENT ROW)
+) WHERE cnt >= {_BSEL_MIN_CNT}"""
     # numeric range query: lo <= n_chars < hi, constant score
     _range_rows = ", ".join(
         f"({qid}, {lo}, {hi})" for qid, lo, hi in _RANGE_QUERY_SET
@@ -5843,6 +5899,7 @@ def build_queries() -> dict:
         "top_terms": q_top_terms,
         "top_terms_by_lang": q_top_terms_by_lang,
         "events_cumulative": q_events_cumulative,
+        "events_moving_avg": q_events_moving_avg,
         "lm_nll": q_lm_nll,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
