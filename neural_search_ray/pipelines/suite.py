@@ -5823,22 +5823,26 @@ def build_queries() -> dict:
     (they are additional variants of families already covered in the window).
     """
     return {
-        # --- block 1: never driver-verified through r03 (24 entries) ---
-        "hybrid_fieldsort": q_hybrid_fieldsort,
-        "semantic_highlight_idf": q_semantic_highlight_idf,
-        "bm25_topk_multiseg": q_bm25_topk_multiseg,
-        "agentic_bm25": q_agentic_bm25,
-        "bm25_topk_merged": q_bm25_topk_merged,
-        "bm25_topk_distributed": q_bm25_topk_distributed,
-        "dedup_components": q_dedup_components,
-        "dedup_apply": q_dedup_apply,
-        "media_decode_feat": q_media_decode_feat,
-        "c4_filter": q_c4_filter,
-        "web_curation": q_web_curation,
-        "window_dedup": q_window_dedup,
-        "pii_redact": q_pii_redact,
-        "sequence_pack": q_sequence_pack,
-        "events_asof": q_events_asof,
+        # --- block 1: one representative per NEW round-4 family, never
+        # verified by any independent run (driver or judge) — these get
+        # first claim on the driver's 50-entry window; the block-1
+        # entries they displaced were each judge-verified at r03 and
+        # moved to the tail ---
+        "dis_max_topk": q_dis_max_topk,
+        "boosting_topk": q_boosting_topk,
+        "top_hits": q_top_hits,
+        "suggest_term": q_suggest_term,
+        "suggest_phrase": q_suggest_phrase,
+        "rank_feature_topk": q_rank_feature_topk,
+        "synonym_topk": q_synonym_topk,
+        "rare_terms": q_rare_terms,
+        "agg_extended_stats": q_agg_extended_stats,
+        "agg_percentile_ranks": q_agg_percentile_ranks,
+        "agg_composite": q_agg_composite,
+        "agg_mad": q_agg_mad,
+        "agg_filters": q_agg_filters,
+        "agg_adjacency": q_agg_adjacency,
+        "lm_nll": q_lm_nll,
         # --- block 2: new this round ---
         "minhash_lsh_pairs_mix": q_minhash_lsh_pairs_mix,
         "mmr_select": q_mmr_select,
@@ -5878,29 +5882,34 @@ def build_queries() -> dict:
         "events_user_cardinality": q_events_user_cardinality,
         "significant_terms": q_significant_terms,
         "decay_topk": q_decay_topk,
+        # variants of block-1-covered new families (distributed twins
+        # share their single-node oracles; log/bigram/by-lang/pipeline
+        # variants sit behind their family representative)
         "significant_terms_distributed": q_significant_terms_distributed,
         "decay_topk_distributed": q_decay_topk_distributed,
-        "dis_max_topk": q_dis_max_topk,
-        "boosting_topk": q_boosting_topk,
-        "top_hits": q_top_hits,
-        "suggest_term": q_suggest_term,
-        "rank_feature_topk": q_rank_feature_topk,
         "rank_feature_log": q_rank_feature_log,
-        "agg_extended_stats": q_agg_extended_stats,
-        "agg_percentile_ranks": q_agg_percentile_ranks,
-        "agg_composite": q_agg_composite,
-        "synonym_topk": q_synonym_topk,
-        "rare_terms": q_rare_terms,
-        "agg_mad": q_agg_mad,
-        "agg_filters": q_agg_filters,
-        "agg_adjacency": q_agg_adjacency,
-        "suggest_phrase": q_suggest_phrase,
         "lm_nll_bigram": q_lm_nll_bigram,
         "top_terms": q_top_terms,
         "top_terms_by_lang": q_top_terms_by_lang,
         "events_cumulative": q_events_cumulative,
         "events_moving_avg": q_events_moving_avg,
-        "lm_nll": q_lm_nll,
+        # judge-verified-at-r03 entries displaced from block 1 by the
+        # never-independently-verified round-4 families above
+        "hybrid_fieldsort": q_hybrid_fieldsort,
+        "semantic_highlight_idf": q_semantic_highlight_idf,
+        "bm25_topk_multiseg": q_bm25_topk_multiseg,
+        "agentic_bm25": q_agentic_bm25,
+        "bm25_topk_merged": q_bm25_topk_merged,
+        "bm25_topk_distributed": q_bm25_topk_distributed,
+        "dedup_components": q_dedup_components,
+        "dedup_apply": q_dedup_apply,
+        "media_decode_feat": q_media_decode_feat,
+        "c4_filter": q_c4_filter,
+        "web_curation": q_web_curation,
+        "window_dedup": q_window_dedup,
+        "pii_redact": q_pii_redact,
+        "sequence_pack": q_sequence_pack,
+        "events_asof": q_events_asof,
         # --- block 3: one representative per driver-green family ---
         "bm25_topk": q_bm25_topk,
         "doc_tokenize": q_doc_tokenize,
