@@ -67,20 +67,41 @@ def exact_distinct(
     )
 
 
+def _sorted_groups(tbl: pa.Table, key: str):
+    """Yield (key_value, values_np) per key — ONE sort + boundary
+    detection per batch (O(N log N)) instead of a filter scan per key
+    (O(K·N), pathological for high-cardinality keys like user ids)."""
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(tbl[key])
+    st = tbl.take(order)
+    karr = np.asarray(st[key].to_pylist(), dtype=object)
+    if karr.size == 0:
+        return
+    cols = {
+        c: st[c].to_numpy(zero_copy_only=False)
+        for c in st.column_names
+        if c != key
+    }
+    bounds = np.flatnonzero(np.r_[True, karr[1:] != karr[:-1]])
+    ends = np.r_[bounds[1:], karr.size]
+    for b, e in zip(bounds.tolist(), ends.tolist()):
+        yield karr[b], {c: v[b:e] for c, v in cols.items()}
+
+
 def _hll_partial(key: str, value: str, p: int):
     def fn(batch: pa.Table) -> pa.Table:
         keys, sketches = [], []
-        tbl = batch.select([key, value])
-        for kv in tbl[key].unique().to_pylist():
-            import pyarrow.compute as pc
-
-            vals = tbl.filter(pc.equal(tbl[key], kv))[value]
-            h = HyperLogLog(p).add_hashed(
-                hash64(vals.to_numpy(zero_copy_only=False))
-            )
+        for kv, cols in _sorted_groups(batch.select([key, value]), key):
+            h = HyperLogLog(p).add_hashed(hash64(cols[value]))
             keys.append(kv)
             sketches.append(h.to_bytes())
-        return pa.table({key: keys, "sketch": pa.array(sketches, pa.binary())})
+        return pa.table(
+            {
+                key: pa.array(keys, batch[key].type),
+                "sketch": pa.array(sketches, pa.binary()),
+            }
+        )
 
     return fn
 
@@ -165,8 +186,6 @@ def heavy_hitters_by_key(
     (key, rank, token, cf). Counts are exact whenever the per-key
     vocabulary fits ``k`` (trim never fires), N_key/(k+1)-bounded
     under-estimates otherwise."""
-    import pyarrow.compute as pc
-
     from ..analysis.analyzer import analyze_column
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -182,21 +201,17 @@ def heavy_hitters_by_key(
             )
         )
         out_k, out_t, out_c = [], [], []
-        t = pa.table({"k": keys_rep, "tok": flat})
-        for kv in t["k"].unique().to_pylist():
-            toks = t.filter(pc.equal(t["k"], kv))["tok"]
-            vc = pc.value_counts(toks)
-            mg = MisraGries(k).add(
-                np.asarray(vc.field("values").to_pylist(), dtype=object),
-                vc.field("counts").to_numpy(zero_copy_only=False),
-            )
+        t = pa.table({key: keys_rep, "tok": flat})
+        for kv, cols in _sorted_groups(t, key):
+            u, c = np.unique(cols["tok"].astype(object), return_counts=True)
+            mg = MisraGries(k).add(u, c)
             vals, counts = mg.to_items()
             out_k += [kv] * len(vals)
             out_t += vals
             out_c += counts
         return pa.table(
             {
-                key: pa.array(out_k, t["k"].type),
+                key: pa.array(out_k, t[key].type),
                 "token": pa.array(out_t, pa.string()),
                 "c": pa.array(out_c, pa.int64()),
             }
@@ -241,20 +256,17 @@ def tdigest_quantiles(
     → (key, q, value) rows."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         keys, payloads = [], []
-        tbl = batch.select([key, value])
-        for kv in tbl[key].unique().to_pylist():
-            vals = (
-                tbl.filter(pc.equal(tbl[key], kv))[value]
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float64)
-            )
+        for kv, cols in _sorted_groups(batch.select([key, value]), key):
             keys.append(kv)
-            payloads.append(TDigest(delta).add(vals).to_bytes())
+            payloads.append(
+                TDigest(delta).add(cols[value].astype(np.float64)).to_bytes()
+            )
         return pa.table(
-            {key: keys, "sketch": pa.array(payloads, pa.binary())}
+            {
+                key: pa.array(keys, batch[key].type),
+                "sketch": pa.array(payloads, pa.binary()),
+            }
         )
 
     def finish(group: pa.Table) -> pa.Table:
