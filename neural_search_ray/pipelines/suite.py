@@ -116,6 +116,53 @@ def get_searcher(sf_dir: str) -> IndexSearcher:
     return _SEARCHER_CACHE[idx]
 
 
+# --- multi-field: a derived "title" field indexed as its OWN index over
+# the same doc-id space (the Ray-native shape for per-field indexes:
+# fields build/merge independently, multi_match combines coordinator-side)
+
+_TITLE_TOKENS = 6
+# DuckDB twin of _title_batch: first 6 space-split tokens re-joined
+_TITLE_EXPR_SQL = (
+    f"array_to_string(list_slice(string_split(text, ' '), 1, {_TITLE_TOKENS}), ' ')"
+)
+
+
+def _title_batch(batch: pa.Table) -> pa.Table:
+    """doc_id + title (first N space-split tokens) — all Arrow kernels."""
+    parts = pc.split_pattern(batch["text"], " ")
+    title = pc.binary_join(pc.list_slice(parts, 0, _TITLE_TOKENS), " ")
+    return pa.table({"doc_id": batch["doc_id"], "title": title})
+
+
+_TITLE_INDEX_CACHE: dict[str, str] = {}
+
+
+def get_title_index_dir(sf_dir: str) -> str:
+    if sf_dir in _TITLE_INDEX_CACHE:
+        return _TITLE_INDEX_CACHE[sf_dir]
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = hashlib.md5(
+        f"title:{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/nsr_tindex_{key}"
+    build_index(
+        _docs_ds(sf_dir).map_batches(_title_batch, batch_format="pyarrow"),
+        index_dir,
+        IndexConfig(num_shards=4, num_salts=2),
+        text_column="title",
+        resume=True,
+    )
+    _TITLE_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def get_title_searcher(sf_dir: str) -> IndexSearcher:
+    idx = get_title_index_dir(sf_dir)
+    if idx not in _SEARCHER_CACHE:
+        _SEARCHER_CACHE[idx] = IndexSearcher(idx)
+    return _SEARCHER_CACHE[idx]
+
+
 def _hits_table(rows: list[tuple[int, np.ndarray, np.ndarray]], round_to: int = 6) -> pa.Table:
     """[(query_id, doc_ids, scores)] → (query_id, rank, doc_id, score) with
     scores rounded and ranks re-derived from (rounded desc, doc_id asc)."""
@@ -1512,6 +1559,97 @@ def q_boosting_topk(sf_dir: str) -> pa.Table:
         rows.append((qid, docs, scores))
     out = _hits_table(rows)
     return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+_MM_TITLE_BOOST = 2.0
+_MM_TIE_BREAKER = 0.3
+
+
+def _mm_fields(sf_dir: str) -> list:
+    return [
+        ("title", get_title_searcher(sf_dir), _MM_TITLE_BOOST),
+        ("text", get_searcher(sf_dir), 1.0),
+    ]
+
+
+def _q_multi_match(sf_dir: str, match_type: str, tie_breaker: float = 0.0) -> pa.Table:
+    from ..query.multifield import search_multi_match
+
+    fields = _mm_fields(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = search_multi_match(
+            fields,
+            tokenize(qtext),
+            k=BM25_K * 3,
+            match_type=match_type,
+            tie_breaker=tie_breaker,
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_multi_match_best(sf_dir: str) -> pa.Table:
+    """multi_match type=best_fields over (title^2, text): dis_max of the
+    per-field BM25 queries + tie_breaker · rest (query/multifield.py)."""
+    return _q_multi_match(sf_dir, "best_fields", _MM_TIE_BREAKER)
+
+
+def q_multi_match_most(sf_dir: str) -> pa.Table:
+    """multi_match type=most_fields: per-field BM25 scores SUM."""
+    return _q_multi_match(sf_dir, "most_fields")
+
+
+def q_multi_match_cross(sf_dir: str) -> pa.Table:
+    """multi_match type=cross_fields: term-centric blended-df scoring
+    (df = max across fields), per-term dismax across fields, terms sum."""
+    return _q_multi_match(sf_dir, "cross_fields")
+
+
+def q_match_bool_prefix(sf_dir: str) -> pa.Table:
+    """match_bool_prefix (engine search_match_bool_prefix): every term a
+    SHOULD term-BM25 clause except the last, which is a SHOULD
+    constant-score prefix clause — the search-as-you-type query."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_match_bool_prefix(qtext, k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+_COMPLETION_PREFIXES: list[tuple[int, str]] = [
+    (0, "da"),
+    (1, "se"),
+    (2, "fi"),
+    (3, "ta"),
+]
+_COMPLETION_SIZE = 5
+
+
+def q_suggest_completion(sf_dir: str) -> pa.Table:
+    """completion suggester (engine suggest_completion): dictionary terms
+    under each prefix, weight = df, ordered (weight desc, term asc) —
+    binary-search dictionary slice, integer ordering (no float ties)."""
+    searcher = get_searcher(sf_dir)
+    qs, rs, ts, ws = [], [], [], []
+    for qid, pfx in _COMPLETION_PREFIXES:
+        terms, weights = searcher.suggest_completion(pfx, size=_COMPLETION_SIZE)
+        for r, (t, w) in enumerate(zip(terms, weights), start=1):
+            qs.append(qid)
+            rs.append(r)
+            ts.append(t)
+            ws.append(int(w))
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "rank": pa.array(rs, pa.int64()),
+            "term": pa.array(ts, pa.string()),
+            "weight": pa.array(ws, pa.int64()),
+        }
+    )
 
 
 def q_top_hits(sf_dir: str) -> pa.Table:
@@ -4410,6 +4548,116 @@ SELECT query_id, rank, term, score, fg_df, bg_df FROM (
     ON nm.query_id = sc.query_id AND nm.doc_id = sc.doc_id""",
         BM25_K,
     )
+    # multi_match over (title^2, text): title field = derived-expr chain.
+    # best/most combine per-field SUMMED scores; cross blends per-term df
+    # (max across fields) and dismaxes per term before the over-terms sum.
+    _t_src = f"(SELECT doc_id, {_TITLE_EXPR_SQL} AS text FROM documents)"
+    _t_scored = (
+        f"SELECT query_id, doc_id, {_MM_TITLE_BOOST} * score AS score "
+        f"FROM ({_bm25_scored_sql_src(_t_src)})"
+    )
+    _mm_join = f"""
+  SELECT coalesce(t.query_id, b.query_id) AS query_id,
+         coalesce(t.doc_id, b.doc_id) AS doc_id,
+         coalesce(t.score, 0) AS st, coalesce(b.score, 0) AS sb
+  FROM ({_t_scored}) t
+  FULL JOIN ({_bm25_scored_sql()}) b
+    ON b.query_id = t.query_id AND b.doc_id = t.doc_id"""
+    sqls["multi_match_best"] = _topk_sql(
+        f"""
+  SELECT query_id, doc_id,
+         greatest(st, sb)
+           + {_MM_TIE_BREAKER} * (st + sb - greatest(st, sb)) AS score
+  FROM ({_mm_join})""",
+        BM25_K,
+    )
+    sqls["multi_match_most"] = _topk_sql(
+        f"SELECT query_id, doc_id, st + sb AS score FROM ({_mm_join})",
+        BM25_K,
+    )
+    _t_tok = (
+        f"SELECT doc_id, lower(t.term) AS term FROM {_t_src} docs_t, "
+        "unnest(string_split(text, ' ')) AS t(term) WHERE t.term <> ''"
+    )
+    _t_tf = (
+        f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_t_tok}) "
+        "GROUP BY doc_id, term"
+    )
+    _t_dl = f"SELECT doc_id, count(*)::BIGINT AS dl FROM ({_t_tok}) GROUP BY doc_id"
+    _t_dl_all = (
+        "SELECT d.doc_id, coalesce(l.dl, 0)::BIGINT AS dl FROM documents d "
+        f"LEFT JOIN ({_t_dl}) l USING (doc_id)"
+    )
+    _t_df = f"SELECT term, count(*)::BIGINT AS df FROM ({_t_tf}) GROUP BY term"
+    _bdf = f"""
+  SELECT coalesce(a.term, c.term) AS term,
+         greatest(coalesce(a.df, 0), coalesce(c.df, 0)) AS df
+  FROM ({_t_df}) a FULL JOIN ({SQL_DF}) c ON c.term = a.term"""
+
+    def _cx_scored(tf_sql: str, dl_sql: str, boost: float) -> str:
+        # avg over the field's own dl chain; n_docs shared (same corpus);
+        # float-op order pinned to the engine: ((idf*tf)/denom)*boost
+        return f"""
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id, q.term,
+         ln(1.0 + (s.n_docs - bdf.df + 0.5)/(bdf.df + 0.5))
+           * tf.tf / (tf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/av.avgdl))
+           * {boost} AS score
+  FROM ({_query_values_sql()}) q
+  JOIN ({tf_sql}) tf ON tf.term = q.term
+  JOIN ({_bdf}) bdf ON bdf.term = q.term
+  JOIN ({dl_sql}) dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN ({SQL_STATS}) s
+  CROSS JOIN (SELECT avg(dl)::DOUBLE AS avgdl FROM ({dl_sql})) av"""
+
+    sqls["multi_match_cross"] = _topk_sql(
+        f"""
+  SELECT query_id, doc_id, sum(score) AS score FROM (
+    SELECT coalesce(t.query_id, b.query_id) AS query_id,
+           coalesce(t.doc_id, b.doc_id) AS doc_id,
+           greatest(coalesce(t.score, 0), coalesce(b.score, 0)) AS score
+    FROM ({_cx_scored(_t_tf, _t_dl_all, _MM_TITLE_BOOST)}) t
+    FULL JOIN ({_cx_scored(SQL_TF, SQL_DL_ALL, 1.0)}) b
+      ON b.query_id = t.query_id AND b.doc_id = t.doc_id
+         AND b.term = t.term
+  ) GROUP BY query_id, doc_id""",
+        BM25_K,
+    )
+    # match_bool_prefix: BM25 over all-but-last terms + constant 1.0 for
+    # docs matching the last term as a prefix; should-only union (msm=1)
+    _mbp_terms, _mbp_pfx = [], []
+    for qid, qtext in QUERY_SET:
+        toks = tokenize(qtext)
+        for t in toks[:-1]:
+            _mbp_terms.append(f"({qid}, '{t}')")
+        _mbp_pfx.append(f"({qid}, '{toks[-1]}')")
+    _mbp_term_sql = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(_mbp_terms)
+        + ") AS q(query_id, term)"
+    )
+    sqls["match_bool_prefix"] = _topk_sql(
+        f"""
+  SELECT coalesce(bm.query_id, px.query_id) AS query_id,
+         coalesce(bm.doc_id, px.doc_id) AS doc_id,
+         coalesce(bm.score, 0) + coalesce(px.score, 0) AS score
+  FROM ({_bm25_scored_sql(_mbp_term_sql)}) bm
+  FULL JOIN (SELECT DISTINCT q.query_id::BIGINT AS query_id, t.doc_id,
+                    1.0 AS score
+             FROM (VALUES {", ".join(_mbp_pfx)}) q(query_id, pfx)
+             JOIN ({SQL_TOK}) t ON t.term LIKE q.pfx || '%') px
+    ON px.query_id = bm.query_id AND px.doc_id = bm.doc_id""",
+        BM25_K,
+    )
+    # completion suggester: dictionary terms under the prefix, weight=df
+    sqls["suggest_completion"] = f"""
+SELECT query_id, rank, term, weight FROM (
+  SELECT q.query_id::BIGINT AS query_id, d.term, d.df AS weight,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY d.df DESC, d.term) AS rank
+  FROM (VALUES {", ".join(f"({qid}, '{p}')" for qid, p in _COMPLETION_PREFIXES)})
+       q(query_id, pfx)
+  JOIN ({SQL_DF}) d ON d.term LIKE q.pfx || '%'
+) WHERE rank <= {_COMPLETION_SIZE}"""
     # terms bucket + top_hits: per (query, lang), top K by rounded score
     sqls["top_hits"] = f"""
 SELECT query_id, bucket, rank, doc_id, score FROM (
@@ -5882,6 +6130,12 @@ def build_queries() -> dict:
         "events_user_cardinality": q_events_user_cardinality,
         "significant_terms": q_significant_terms,
         "decay_topk": q_decay_topk,
+        # --- block 2d: session-6 additions (multi-field family) ---
+        "multi_match_best": q_multi_match_best,
+        "multi_match_most": q_multi_match_most,
+        "multi_match_cross": q_multi_match_cross,
+        "match_bool_prefix": q_match_bool_prefix,
+        "suggest_completion": q_suggest_completion,
         # variants of block-1-covered new families (distributed twins
         # share their single-node oracles; log/bigram/by-lang/pipeline
         # variants sit behind their family representative)

@@ -1841,12 +1841,51 @@ class IndexSearcher:
         - only-negative or empty queries match nothing (the parser
           never raises on user input). Phrase clauses need a positional
           index."""
-        from collections import Counter
-
         from .querystring import parse_query_string
 
+        return self._eval_clauses(parse_query_string(qs), k)
+
+    def search_match_bool_prefix(
+        self, text: str, k: int = 10
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """match_bool_prefix (ES/OpenSearch MatchBoolPrefixQueryBuilder,
+        the search-as-you-type shape): every analyzed term becomes a
+        SHOULD term clause except the LAST, which becomes a SHOULD
+        prefix clause (constant-score rewrite) — equivalent to
+        simple_query_string ``t1 t2 last*`` with OR default."""
+        from ..analysis.analyzer import tokenize as _tok
+        from .querystring import Clause
+
+        toks = _tok(text)
+        if not toks:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        clauses = [Clause("should", "term", (t,)) for t in toks[:-1]]
+        clauses.append(Clause("should", "prefix", (toks[-1],)))
+        return self._eval_clauses(clauses, k)
+
+    def suggest_completion(
+        self, prefix: str, size: int = 5
+    ) -> tuple[list[str], np.ndarray]:
+        """Completion suggester over the term dictionary (the
+        corpus-backfilled completion-field shape): dictionary terms
+        carrying ``prefix``, weight = document frequency, ordered
+        (weight desc, term asc) — the FST prefix-walk analogue is a
+        binary-search slice of the sorted dictionary, never a scan.
+        Distributed twin: per-shard slices merge by df sum (the term
+        dictionary is sharded by term, so slices are disjoint)."""
+        lo = np.searchsorted(self._gterms, prefix)
+        hi = np.searchsorted(self._gterms, prefix + chr(0x10FFFF))
+        terms = np.asarray(self._gterms[lo:hi], dtype=object)
+        weights = self._gdf[lo:hi].astype(np.int64)
+        order = np.lexsort((terms, -weights))[:size]
+        return [str(t) for t in terms[order]], weights[order]
+
+    def _eval_clauses(
+        self, clauses: list, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        from collections import Counter
+
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-        clauses = parse_query_string(qs)
 
         def _clause_docs(c) -> np.ndarray:
             if c.kind == "term":

@@ -1,0 +1,159 @@
+"""Multi-field search: the ``multi_match`` query family.
+
+The reference's engine (like OpenSearch) indexes several text fields per
+document and lets one query span them. Ray-native shape: each field is
+its OWN index over the same doc-id space (one ``build_index`` call per
+field column), and ``search_multi_match`` combines per-field BM25 scores
+coordinator-side — no cross-field state ever lives in one posting list,
+so fields can be built, merged, and compacted independently.
+
+Semantics mirror Lucene's MultiMatchQuery rewrites
+(reference analogue: query construction in
+``org.apache.lucene.search.DisjunctionMaxQuery`` and ES/OpenSearch
+``MultiMatchQueryBuilder`` types):
+
+- ``best_fields``: DisjunctionMaxQuery over the per-field boolean-OR
+  BM25 queries — per doc, ``max + tie_breaker * (sum of the rest)``.
+- ``most_fields``: per-field scores SUM (a boolean should over the
+  per-field queries).
+- ``cross_fields``: BlendedTermQuery semantics — term-centric: each
+  query term is scored per field with a BLENDED document frequency
+  (the max df across fields, Lucene's ``BlendedTermQuery.blend``
+  ceiling), the per-doc contribution of the term is the MAX across
+  fields (dismax with tie_breaker=0, the builder default), and terms
+  sum like independent should-clauses.
+
+Field boosts multiply that field's score contribution (``title^2``).
+
+Float discipline: per-field scores reuse ``_bm25_union_scores`` (same
+accumulation order as ``search_bm25``); cross-field per-term max is
+order-independent, and the final over-terms sum runs in sorted-term
+order — the same discipline the SQL oracles round to 6dp against.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bm25 import bm25_idf
+from .engine import IndexSearcher, topk_desc
+
+MULTI_MATCH_TYPES = ("best_fields", "most_fields", "cross_fields")
+
+
+def _union_accumulate(
+    parts: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stack per-source (docs, scores) onto the doc union → (union, matrix)."""
+    union = (
+        np.unique(np.concatenate([p[0] for p in parts]))
+        if len(parts) > 1
+        else parts[0][0]
+    )
+    mat = np.zeros((len(parts), union.size), dtype=np.float64)
+    for i, (docs, scores) in enumerate(parts):
+        mat[i, np.searchsorted(union, docs)] = scores
+    return union, mat
+
+
+def search_multi_match(
+    field_searchers: list[tuple[str, IndexSearcher, float]],
+    terms: list[str],
+    k: int = 10,
+    *,
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+    global_dfs: dict[str, np.ndarray] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k multi_match over per-field indexes sharing one doc-id space.
+
+    ``field_searchers``: [(field_name, searcher, boost)]. Every searcher
+    must index the SAME corpus (same n_docs) — per-field indexes are
+    parallel projections of one document set.
+
+    ``global_dfs``: optional {field: df array aligned to sorted-unique
+    terms} for shard-subset actors (the dis_max distributed pattern).
+    """
+    if match_type not in MULTI_MATCH_TYPES:
+        raise ValueError(f"match_type must be one of {MULTI_MATCH_TYPES}")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError("tie_breaker must be in [0, 1]")
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    sterms = sorted(set(terms))
+    if not sterms or not field_searchers:
+        return empty
+    n_docs = field_searchers[0][1].n_docs
+    for _, s, _ in field_searchers[1:]:
+        if s.n_docs != n_docs:
+            raise ValueError(
+                "multi_match field indexes must cover the same corpus "
+                f"(n_docs {s.n_docs} != {n_docs})"
+            )
+
+    if match_type == "cross_fields":
+        return _cross_fields(field_searchers, sterms, k, global_dfs)
+
+    parts = []
+    for field, s, boost in field_searchers:
+        gdf = None if global_dfs is None else global_dfs[field]
+        docs, scores = s._bm25_union_scores(sterms, gdf)
+        if docs.size:
+            parts.append((docs, scores * boost if boost != 1.0 else scores))
+    if not parts:
+        return empty
+    union, mat = _union_accumulate(parts)
+    if match_type == "most_fields":
+        return topk_desc(union, mat.sum(axis=0), k)
+    mx = mat.max(axis=0)
+    total = mat.sum(axis=0)
+    return topk_desc(union, mx + tie_breaker * (total - mx), k)
+
+
+def _cross_fields(
+    field_searchers: list[tuple[str, IndexSearcher, float]],
+    sterms: list[str],
+    k: int,
+    global_dfs: dict[str, np.ndarray] | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Term-centric blended-df scoring (BlendedTermQuery.blend: df ceiling
+    = max across fields; per-term dismax across fields, tie_breaker=0)."""
+    n_docs = field_searchers[0][1].n_docs
+    # per-field dfs aligned to sterms
+    dfs_by_field = {}
+    for field, s, _ in field_searchers:
+        if global_dfs is not None:
+            dfs_by_field[field] = np.asarray(global_dfs[field], dtype=np.float64)
+        else:
+            dfs_by_field[field] = np.asarray(
+                [s.local_df(t) for t in sterms], dtype=np.float64
+            )
+    df_blend = np.maximum.reduce(list(dfs_by_field.values()))
+    idfs = np.where(
+        df_blend > 0, bm25_idf(np.maximum(df_blend, 1e-9), n_docs), 0.0
+    )
+
+    # per-term: (docs, max-over-fields score); collected, then summed on
+    # the global union in sorted-term order
+    term_parts: list[tuple[np.ndarray, np.ndarray]] = []
+    for ti, t in enumerate(sterms):
+        if idfs[ti] == 0.0:
+            continue
+        fparts = []
+        for field, s, boost in field_searchers:
+            docs, tfs = s.postings(t)
+            if docs.size == 0:
+                continue
+            dl = s.doc_length(docs)
+            k1, b = s.bm25.k1, s.bm25.b
+            sc = idfs[ti] * tfs / (tfs + k1 * (1.0 - b + b * dl / s.avgdl))
+            if boost != 1.0:
+                sc = sc * boost
+            fparts.append((docs, sc))
+        if not fparts:
+            continue
+        union_t, mat_t = _union_accumulate(fparts)
+        term_parts.append((union_t, mat_t.max(axis=0)))
+    if not term_parts:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    union, mat = _union_accumulate(term_parts)
+    return topk_desc(union, mat.sum(axis=0), k)

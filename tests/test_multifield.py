@@ -1,0 +1,171 @@
+"""multi_match over per-field indexes: rank/score identity against an
+independent per-field BM25 reference (tests/oracle.py structures), plus
+match_bool_prefix and the completion suggester."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from neural_search_ray.config import IndexConfig
+from neural_search_ray.corpus.generator import _gen_batch, generate_pages
+from neural_search_ray.index.build import build_index
+from neural_search_ray.pipelines.suite import _title_batch
+from neural_search_ray.query.engine import IndexSearcher
+from neural_search_ray.query.multifield import search_multi_match
+
+from tests.oracle import OracleIndex
+
+K1, B = 1.2, 0.75
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def mf(tmp_path_factory, ray_session):
+    """Body + title (first 6 tokens) indexes over one corpus, plus the
+    matching OracleIndex per field."""
+    body_dir = str(tmp_path_factory.mktemp("mf_body"))
+    title_dir = str(tmp_path_factory.mktemp("mf_title"))
+    cfg = IndexConfig(num_shards=2, num_salts=2)
+    ds = generate_pages(N_DOCS, seed=7)
+    build_index(ds, body_dir, cfg)
+    build_index(
+        ds.map_batches(_title_batch, batch_format="pyarrow"),
+        title_dir,
+        cfg,
+        text_column="title",
+    )
+    t = _gen_batch(pa.table({"id": list(range(N_DOCS))}), 7)
+    docs = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    titles = {d: " ".join(x.split(" ")[:6]) for d, x in docs.items()}
+    return {
+        "body": (IndexSearcher(body_dir), OracleIndex(docs)),
+        "title": (IndexSearcher(title_dir), OracleIndex(titles)),
+    }
+
+
+def _field_scores(oracle: OracleIndex, terms: list[str]) -> dict[int, float]:
+    """Full boolean-OR BM25 score map (sorted-term accumulation)."""
+    scores: dict[int, float] = {}
+    for t in sorted(set(terms)):
+        df = oracle.df.get(t, 0)
+        if df == 0:
+            continue
+        idf = math.log1p((oracle.n_docs - df + 0.5) / (df + 0.5))
+        for doc_id, c in oracle.tf.items():
+            f = c.get(t, 0)
+            if f == 0:
+                continue
+            denom = f + K1 * (1 - B + B * oracle.dl[doc_id] / oracle.avgdl)
+            scores[doc_id] = scores.get(doc_id, 0.0) + idf * f / denom
+    return scores
+
+
+def _ref_multi_match(fields, terms, match_type, tie_breaker=0.0):
+    if match_type == "cross_fields":
+        n = fields[0][1].n_docs
+        scores: dict[int, float] = {}
+        for t in sorted(set(terms)):
+            df = max(o.df.get(t, 0) for _, o, _ in fields)
+            if df == 0:
+                continue
+            idf = math.log1p((n - df + 0.5) / (df + 0.5))
+            per_doc: dict[int, float] = {}
+            for _, o, boost in fields:
+                for doc_id, c in o.tf.items():
+                    f = c.get(t, 0)
+                    if f == 0:
+                        continue
+                    denom = f + K1 * (1 - B + B * o.dl[doc_id] / o.avgdl)
+                    s = idf * f / denom * boost
+                    per_doc[doc_id] = max(per_doc.get(doc_id, 0.0), s)
+            for doc_id, s in per_doc.items():
+                scores[doc_id] = scores.get(doc_id, 0.0) + s
+    else:
+        per_field = [
+            {d: s * boost for d, s in _field_scores(o, terms).items()}
+            for _, o, boost in fields
+        ]
+        union = set().union(*[set(m) for m in per_field])
+        scores = {}
+        for d in union:
+            vals = [m.get(d, 0.0) for m in per_field]
+            if match_type == "most_fields":
+                scores[d] = sum(vals)
+            else:
+                mx = max(vals)
+                scores[d] = mx + tie_breaker * (sum(vals) - mx)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return [d for d, _ in ranked], [s for _, s in ranked]
+
+
+QUERIES = ["the data query", "merge sort", "w0100 w0042 the", "of and"]
+
+
+@pytest.mark.parametrize("match_type,tb", [
+    ("best_fields", 0.0),
+    ("best_fields", 0.3),
+    ("most_fields", 0.0),
+    ("cross_fields", 0.0),
+])
+def test_multi_match_identity(mf, match_type, tb):
+    fields_s = [("title", mf["title"][0], 2.0), ("text", mf["body"][0], 1.0)]
+    fields_o = [("title", mf["title"][1], 2.0), ("text", mf["body"][1], 1.0)]
+    for q in QUERIES:
+        terms = q.split()
+        d, sc = search_multi_match(
+            fields_s, terms, k=10, match_type=match_type, tie_breaker=tb
+        )
+        od, osc = _ref_multi_match(fields_o, terms, match_type, tb)
+        assert d.tolist() == od, (match_type, q)
+        assert np.allclose(sc, osc, atol=1e-9), (match_type, q)
+
+
+def test_multi_match_validation(mf):
+    fields = [("text", mf["body"][0], 1.0)]
+    with pytest.raises(ValueError, match="match_type"):
+        search_multi_match(fields, ["data"], match_type="phrase_fields")
+    with pytest.raises(ValueError, match="tie_breaker"):
+        search_multi_match(fields, ["data"], tie_breaker=1.5)
+
+
+def test_multi_match_corpus_mismatch(mf, tmp_path, ray_session):
+    small_dir = str(tmp_path / "small")
+    build_index(
+        generate_pages(50, seed=9), small_dir, IndexConfig(num_shards=2, num_salts=1)
+    )
+    fields = [("text", mf["body"][0], 1.0), ("other", IndexSearcher(small_dir), 1.0)]
+    with pytest.raises(ValueError, match="same corpus"):
+        search_multi_match(fields, ["data"])
+
+
+def test_match_bool_prefix_equals_query_string(mf):
+    s = mf["body"][0]
+    for q in ["data quer", "merge so", "the w01"]:
+        d1, s1 = s.search_match_bool_prefix(q, k=10)
+        toks = q.split()
+        qs = " ".join(toks[:-1] + [toks[-1] + "*"])
+        d2, s2 = s.search_query_string(qs, k=10)
+        assert d1.tolist() == d2.tolist(), q
+        assert np.allclose(s1, s2, atol=1e-12), q
+
+
+def test_match_bool_prefix_prefix_only_docs_match(mf):
+    s, o = mf["body"]
+    docs, scores = s.search_match_bool_prefix("zzznope w00", k=10)
+    # first term matches nothing; prefix-only docs score the constant 1.0
+    assert docs.size > 0
+    assert np.all(scores == 1.0)
+
+
+def test_suggest_completion_matches_dictionary(mf):
+    s, o = mf["body"]
+    for pfx in ["w0", "da", "th", "zz"]:
+        terms, weights = s.suggest_completion(pfx, size=5)
+        ref = sorted(
+            ((t, df) for t, df in o.df.items() if t.startswith(pfx)),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:5]
+        assert terms == [t for t, _ in ref], pfx
+        assert weights.tolist() == [df for _, df in ref], pfx
