@@ -1652,6 +1652,83 @@ def q_suggest_completion(sf_dir: str) -> pa.Table:
     )
 
 
+def q_multi_match_cross_distributed(sf_dir: str) -> pa.Table:
+    """Distributed multi_match cross_fields (MultiFieldDistributedSearcher):
+    actors hold the SAME doc-shard subset of both field indexes, the
+    coordinator resolves per-field global dfs once, blended-df scoring
+    runs shard-locally, disjoint shards merge by concat + top-k. Same
+    oracle as the single-process entry — rank-identical by construction,
+    proven through the gate."""
+    from ..query.distributed import MultiFieldDistributedSearcher
+
+    field_dirs = [
+        ("title", get_title_index_dir(sf_dir), _MM_TITLE_BOOST),
+        ("text", get_index_dir(sf_dir), 1.0),
+    ]
+    dsearch = MultiFieldDistributedSearcher(field_dirs, num_actors=2)
+    try:
+        rows = []
+        for qid, qtext in QUERY_SET:
+            docs, scores = dsearch.search_multi_match(
+                tokenize(qtext), k=BM25_K * 3, match_type="cross_fields"
+            )
+            rows.append((qid, docs, scores))
+    finally:
+        dsearch.shutdown()
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_match_bool_prefix_distributed(sf_dir: str) -> pa.Table:
+    """Distributed match_bool_prefix: global-df round for term clauses,
+    shard-local prefix expansion (exact by doc membership), concat +
+    top-k merge. Shares the single-process oracle."""
+    from ..query.distributed import DistributedSearcher
+
+    dsearch = DistributedSearcher(get_index_dir(sf_dir), num_actors=2)
+    try:
+        rows = []
+        for qid, qtext in QUERY_SET:
+            docs, scores = dsearch.search_match_bool_prefix(
+                qtext, k=BM25_K * 3
+            )
+            rows.append((qid, docs, scores))
+    finally:
+        dsearch.shutdown()
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_suggest_completion_distributed(sf_dir: str) -> pa.Table:
+    """Distributed completion suggester: per-shard dictionary slices
+    merge by df sum, one global (weight desc, term asc) cut. Shares the
+    single-process oracle."""
+    from ..query.distributed import DistributedSearcher
+
+    dsearch = DistributedSearcher(get_index_dir(sf_dir), num_actors=2)
+    try:
+        qs, rs, ts, ws = [], [], [], []
+        for qid, pfx in _COMPLETION_PREFIXES:
+            terms, weights = dsearch.suggest_completion(
+                pfx, size=_COMPLETION_SIZE
+            )
+            for r, (t, w) in enumerate(zip(terms, weights), start=1):
+                qs.append(qid)
+                rs.append(r)
+                ts.append(t)
+                ws.append(int(w))
+    finally:
+        dsearch.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "rank": pa.array(rs, pa.int64()),
+            "term": pa.array(ts, pa.string()),
+            "weight": pa.array(ws, pa.int64()),
+        }
+    )
+
+
 def q_top_hits(sf_dir: str) -> pa.Table:
     """terms-bucket + top_hits sub-aggregation (engine facet_top_hits):
     per lang bucket of each query's match set, the top 3 docs by
@@ -4939,6 +5016,9 @@ SELECT query_id, rank, term, freq, dist FROM (
     # merged (force-merge/compaction) path: same single-segment oracle
     sqls["bm25_topk_merged"] = sqls["bm25_topk"]
     sqls["bm25_topk_distributed"] = sqls["bm25_topk"]
+    sqls["multi_match_cross_distributed"] = sqls["multi_match_cross"]
+    sqls["match_bool_prefix_distributed"] = sqls["match_bool_prefix"]
+    sqls["suggest_completion_distributed"] = sqls["suggest_completion"]
     sqls["bm25_filtered_en"] = _topk_sql(
         f"SELECT sc.* FROM ({_bm25_scored_sql()}) sc "
         "JOIN documents d ON d.doc_id = sc.doc_id WHERE d.lang = 'en'",
@@ -6141,6 +6221,9 @@ def build_queries() -> dict:
         # variants sit behind their family representative)
         "significant_terms_distributed": q_significant_terms_distributed,
         "decay_topk_distributed": q_decay_topk_distributed,
+        "multi_match_cross_distributed": q_multi_match_cross_distributed,
+        "match_bool_prefix_distributed": q_match_bool_prefix_distributed,
+        "suggest_completion_distributed": q_suggest_completion_distributed,
         "rank_feature_log": q_rank_feature_log,
         "lm_nll_bigram": q_lm_nll_bigram,
         "top_terms": q_top_terms,

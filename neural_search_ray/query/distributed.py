@@ -302,6 +302,21 @@ class ShardSearchActor:
             )[0]
         return fn[kind](arg, k)[0]
 
+    def search_match_bool_prefix(self, text: str, k: int, gdfs: dict):
+        """Shard-local match_bool_prefix: term clauses score with the
+        coordinator's global dfs; the trailing prefix clause expands
+        against the LOCAL dictionary (exact by doc-membership, the
+        search_multiterm argument)."""
+        return self.searcher.search_match_bool_prefix(
+            text, k=k, global_dfs=gdfs
+        )
+
+    def complete_partial(self, prefix: str):
+        """Full (terms, local dfs) dictionary slice under ``prefix`` —
+        the completion suggester's shard partial; bounded by the
+        dictionary, never a postings decode."""
+        return self.searcher.suggest_completion(prefix, size=None)
+
 
 class DistributedSearcher:
     """Driver-side handle: builds the actor pool over disjoint shard
@@ -1063,6 +1078,157 @@ class DistributedSearcher:
         return self._search_multiterm(
             "fuzzy", (term, max_edits, prefix_length), k
         )
+
+    def search_match_bool_prefix(self, text: str, k: int = 10):
+        """Distributed match_bool_prefix: ONE global-df round for the
+        term clauses (the prefix clause is constant-score and expands
+        shard-locally), then shard-local evaluation — doc spaces are
+        disjoint so the merge is concat + top-k."""
+        from ..analysis.analyzer import tokenize as _tok
+
+        toks = _tok(text)
+        if not toks:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        self._resolve_gdfs(toks[:-1])
+        gdfs = {t: self._gdf[t] for t in toks[:-1]}
+        parts = ray.get(
+            [
+                a.search_match_bool_prefix.remote(text, k, gdfs)
+                for a in self.actors
+            ]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
+
+    def suggest_completion(self, prefix: str, size: int = 5):
+        """Distributed completion: per-shard dictionary slices merge by
+        df SUM per term (a term's postings are split across doc shards),
+        then one global (weight desc, term asc) cut."""
+        parts = ray.get(
+            [a.complete_partial.remote(prefix) for a in self.actors]
+        )
+        agg: dict[str, int] = {}
+        for terms, dfs in parts:
+            for t, d in zip(terms, dfs.tolist()):
+                agg[t] = agg.get(t, 0) + d
+        if not agg:
+            return [], np.empty(0, np.int64)
+        terms = np.asarray(sorted(agg), dtype=object)
+        weights = np.asarray([agg[str(t)] for t in terms], dtype=np.int64)
+        order = np.lexsort((terms, -weights))[:size]
+        return [str(t) for t in terms[order]], weights[order]
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
+@ray.remote
+class MultiFieldShardActor:
+    """One actor holding the SAME doc-shard subset of EVERY field index
+    (doc_shard = doc_id % num_doc_shards is field-independent, so the
+    per-field subsets are aligned by construction)."""
+
+    def __init__(self, field_dirs: list[tuple[str, str, float]], shards: list[int]):
+        self.fields = [
+            (f, IndexSearcher(d, shards=shards), b) for f, d, b in field_dirs
+        ]
+
+    def local_dfs(self, terms: list[str]) -> dict[str, list[int]]:
+        return {
+            f: [s.local_df(t) for t in terms] for f, s, _ in self.fields
+        }
+
+    def search(
+        self, terms: list[str], k: int, match_type: str,
+        tie_breaker: float, gdfs: dict[str, list[float]],
+    ):
+        from .multifield import search_multi_match
+
+        return search_multi_match(
+            self.fields,
+            terms,
+            k,
+            match_type=match_type,
+            tie_breaker=tie_breaker,
+            global_dfs={
+                f: np.asarray(v, dtype=np.float64) for f, v in gdfs.items()
+            },
+        )
+
+
+class MultiFieldDistributedSearcher:
+    """Distributed multi_match: per-field global-df phase, shard-local
+    scoring (global n_docs/avgdl come from each field's manifest), and
+    a concat + top-k merge over the disjoint doc shards."""
+
+    def __init__(
+        self, field_dirs: list[tuple[str, str, float]], num_actors: int = 2
+    ):
+        from ..index.manifest import IndexManifest
+
+        manifests = [IndexManifest.load(d) for _, d, _ in field_dirs]
+        if any(m is None for m in manifests):
+            raise FileNotFoundError("missing field index manifest")
+        shards_n = {m.num_doc_shards for m in manifests}
+        if len(shards_n) != 1:
+            raise ValueError(
+                "multi_match field indexes must share num_doc_shards "
+                f"(got {sorted(shards_n)}) so doc shards stay aligned"
+            )
+        shards = list(range(shards_n.pop()))
+        chunks = [shards[i::num_actors] for i in range(num_actors)]
+        chunks = [c for c in chunks if c]
+        self.actors = [
+            MultiFieldShardActor.remote(field_dirs, c) for c in chunks
+        ]
+        # per-(field, term) df cache, same immutability argument as
+        # DistributedSearcher._gdf
+        self._gdf: dict[tuple[str, str], float] = {}
+        self._field_names = [f for f, _, _ in field_dirs]
+
+    def search_multi_match(
+        self,
+        terms: list[str],
+        k: int = 10,
+        *,
+        match_type: str = "best_fields",
+        tie_breaker: float = 0.0,
+    ):
+        sterms = sorted(set(terms))
+        if not sterms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        missing = [
+            t
+            for t in sterms
+            if any((f, t) not in self._gdf for f in self._field_names)
+        ]
+        if missing:
+            local = ray.get(
+                [a.local_dfs.remote(missing) for a in self.actors]
+            )
+            for f in self._field_names:
+                sums = np.asarray(
+                    [part[f] for part in local], dtype=np.float64
+                ).sum(axis=0)
+                self._gdf.update(
+                    ((f, t), v) for t, v in zip(missing, sums.tolist())
+                )
+        gdfs = {
+            f: [self._gdf[(f, t)] for t in sterms]
+            for f in self._field_names
+        }
+        parts = ray.get(
+            [
+                a.search.remote(sterms, k, match_type, tie_breaker, gdfs)
+                for a in self.actors
+            ]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
 
     def shutdown(self) -> None:
         for a in self.actors:

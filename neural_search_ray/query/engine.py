@@ -1846,7 +1846,7 @@ class IndexSearcher:
         return self._eval_clauses(parse_query_string(qs), k)
 
     def search_match_bool_prefix(
-        self, text: str, k: int = 10
+        self, text: str, k: int = 10, *, global_dfs: dict | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         """match_bool_prefix (ES/OpenSearch MatchBoolPrefixQueryBuilder,
         the search-as-you-type shape): every analyzed term becomes a
@@ -1861,10 +1861,10 @@ class IndexSearcher:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         clauses = [Clause("should", "term", (t,)) for t in toks[:-1]]
         clauses.append(Clause("should", "prefix", (toks[-1],)))
-        return self._eval_clauses(clauses, k)
+        return self._eval_clauses(clauses, k, global_dfs=global_dfs)
 
     def suggest_completion(
-        self, prefix: str, size: int = 5
+        self, prefix: str, size: int | None = 5
     ) -> tuple[list[str], np.ndarray]:
         """Completion suggester over the term dictionary (the
         corpus-backfilled completion-field shape): dictionary terms
@@ -1877,11 +1877,13 @@ class IndexSearcher:
         hi = np.searchsorted(self._gterms, prefix + chr(0x10FFFF))
         terms = np.asarray(self._gterms[lo:hi], dtype=object)
         weights = self._gdf[lo:hi].astype(np.int64)
-        order = np.lexsort((terms, -weights))[:size]
+        order = np.lexsort((terms, -weights))
+        if size is not None:
+            order = order[:size]
         return [str(t) for t in terms[order]], weights[order]
 
     def _eval_clauses(
-        self, clauses: list, k: int
+        self, clauses: list, k: int, *, global_dfs: dict | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         from collections import Counter
 
@@ -1940,7 +1942,11 @@ class IndexSearcher:
         if sterms:
             weights = np.asarray([mult[t] for t in sterms], dtype=np.float64)
             dfs = np.asarray(
-                [self.local_df(t) for t in sterms], dtype=np.float64
+                [
+                    self.local_df(t) if global_dfs is None else global_dfs[t]
+                    for t in sterms
+                ],
+                dtype=np.float64,
             )
             idfs = np.where(
                 dfs > 0, bm25_idf(np.maximum(dfs, 1e-9), self.n_docs), 0.0

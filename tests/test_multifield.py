@@ -159,6 +159,52 @@ def test_match_bool_prefix_prefix_only_docs_match(mf):
     assert np.all(scores == 1.0)
 
 
+def test_distributed_multi_match_identity(mf, tmp_path_factory, ray_session):
+    """MultiFieldDistributedSearcher is rank/score-identical to the
+    single-process path for every match_type."""
+    from neural_search_ray.query.distributed import MultiFieldDistributedSearcher
+
+    body_s, title_s = mf["body"][0], mf["title"][0]
+    field_dirs = [
+        ("title", title_s.index_dir, 2.0),
+        ("text", body_s.index_dir, 1.0),
+    ]
+    d = MultiFieldDistributedSearcher(field_dirs, num_actors=2)
+    try:
+        fields_s = [("title", title_s, 2.0), ("text", body_s, 1.0)]
+        for mt, tb in [("best_fields", 0.3), ("most_fields", 0.0), ("cross_fields", 0.0)]:
+            for q in QUERIES:
+                dd, ds_ = d.search_multi_match(
+                    q.split(), k=10, match_type=mt, tie_breaker=tb
+                )
+                sd, ss = search_multi_match(
+                    fields_s, q.split(), k=10, match_type=mt, tie_breaker=tb
+                )
+                assert dd.tolist() == sd.tolist(), (mt, q)
+                assert np.allclose(ds_, ss, atol=1e-12), (mt, q)
+    finally:
+        d.shutdown()
+
+
+def test_distributed_mbp_and_completion_identity(mf, ray_session):
+    from neural_search_ray.query.distributed import DistributedSearcher
+
+    s = mf["body"][0]
+    d = DistributedSearcher(s.index_dir, num_actors=2)
+    try:
+        for q in ["data quer", "merge so", "w01"]:
+            dd, ds_ = d.search_match_bool_prefix(q, k=10)
+            sd, ss = s.search_match_bool_prefix(q, k=10)
+            assert dd.tolist() == sd.tolist(), q
+            assert np.allclose(ds_, ss, atol=1e-12), q
+        for pfx in ["w0", "da", "zz"]:
+            t1, w1 = d.suggest_completion(pfx, size=5)
+            t2, w2 = s.suggest_completion(pfx, size=5)
+            assert t1 == t2 and w1.tolist() == w2.tolist(), pfx
+    finally:
+        d.shutdown()
+
+
 def test_suggest_completion_matches_dictionary(mf):
     s, o = mf["body"]
     for pfx in ["w0", "da", "th", "zz"]:
