@@ -1272,6 +1272,57 @@ def q_agg_stats(sf_dir: str) -> pa.Table:
     )
 
 
+_MULTI_TERMS_K = 5
+
+
+def q_agg_multi_terms(sf_dir: str) -> pa.Table:
+    """multi_terms aggregation (engine agg_multi_terms): composite
+    (lang, source) buckets over each query's match set, top 5 by
+    (count desc, lang asc, source asc)."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, rs, ls, ss, cs = [], [], [], [], []
+    for qid, qtext in QUERY_SET:
+        buckets, counts = searcher.agg_multi_terms(
+            tokenize(qtext), ["lang", "source"], size=_MULTI_TERMS_K
+        )
+        for r, ((lang, src), c) in enumerate(zip(buckets, counts), start=1):
+            qs.append(qid)
+            rs.append(r)
+            ls.append(lang)
+            ss.append(src)
+            cs.append(int(c))
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "rank": pa.array(rs, pa.int64()),
+            "lang": pa.array(ls, pa.string()),
+            "source": pa.array(ss, pa.string()),
+            "cnt": pa.array(cs, pa.int64()),
+        }
+    )
+
+
+def q_agg_weighted_avg(sf_dir: str) -> pa.Table:
+    """weighted_avg aggregation (engine agg_weighted_avg): n_chars
+    weighted by the BM25 doc length over each query's match set;
+    integer partial sums, ONE division — bitwise SQL parity."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        a = searcher.agg_weighted_avg(tokenize(qtext), "n_chars")
+        rows.append((qid, a["sum_vw"], a["sum_w"], a["value"]))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "sum_vw": pa.array([r[1] for r in rows], pa.int64()),
+            "sum_w": pa.array([r[2] for r in rows], pa.int64()),
+            "wavg": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
 def q_agg_histogram(sf_dir: str) -> pa.Table:
     """Histogram aggregation (engine agg_histogram): fixed-interval
     n_chars buckets over each query's match set."""
@@ -2317,6 +2368,75 @@ def q_events_moving_avg(sf_dir: str) -> "ray.data.Dataset":
                 "moving_avg": pa.array(
                     round_half_up(mov[keep], 6), pa.float64()
                 ),
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
+_SDIFF_LAG = 2
+
+
+def q_events_serial_diff(sf_dir: str) -> "ray.data.Dataset":
+    """serial_diff pipeline aggregation (lag=2) over the date_histogram:
+    per event_type in time order, cnt − cnt[lag buckets back]; the
+    first ``lag`` buckets are pinned to 0 (ES emits no value there).
+    Sequential scan AFTER the histogram exchange — bounded by bucket
+    count, never event count."""
+    hist = q_events_date_histogram(sf_dir)
+
+    def finish(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        order = pc.sort_indices(group["bucket_us"])
+        g = group.take(order)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sdiff = np.zeros(cnt.size, dtype=np.int64)
+        if cnt.size > _SDIFF_LAG:
+            sdiff[_SDIFF_LAG:] = cnt[_SDIFF_LAG:] - cnt[:-_SDIFF_LAG]
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "bucket_us": g["bucket_us"],
+                "cnt": pa.array(cnt, pa.int64()),
+                "sdiff": pa.array(sdiff, pa.int64()),
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
+_BSORT_K = 3
+
+
+def q_events_bucket_sort(sf_dir: str) -> "ray.data.Dataset":
+    """bucket_sort pipeline aggregation over the date_histogram: per
+    event_type, buckets re-ranked by (sum_value desc, bucket_us asc)
+    and truncated to the top 3 — the ES bucket_sort sort+size shape.
+    sum_value is already rounded to 2dp by the histogram on BOTH sides,
+    so the float sort key is cross-engine stable."""
+    hist = q_events_date_histogram(sf_dir)
+
+    def finish(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        sv = group["sum_value"].to_numpy(zero_copy_only=False)
+        bu = group["bucket_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bu, -sv))[:_BSORT_K]
+        g = group.take(pa.array(order))
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "rank": pa.array(
+                    np.arange(1, len(g) + 1, dtype=np.int64), pa.int64()
+                ),
+                "bucket_us": g["bucket_us"],
+                "cnt": g["cnt"],
+                "sum_value": g["sum_value"],
             }
         )
 
@@ -3481,9 +3601,9 @@ _DV_BUILT: set[str] = set()
 
 
 def _ensure_docvalues(sf_dir: str) -> None:
-    """Build the per-shard doc-values sidecar (lang, n_chars) once —
-    engine-side field lookup / predicate evaluation replaces the round-1
-    driver-side whole-table dicts."""
+    """Build the per-shard doc-values sidecar (lang, source, n_chars)
+    once — engine-side field lookup / predicate evaluation replaces the
+    round-1 driver-side whole-table dicts."""
     index_dir = get_index_dir(sf_dir)
     if index_dir in _DV_BUILT:
         return
@@ -3491,7 +3611,8 @@ def _ensure_docvalues(sf_dir: str) -> None:
 
     if not os.path.exists(os.path.join(index_dir, DOCVALUES_DIR)):
         ds = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "source", "n_chars"],
         )
         build_doc_values(
             ds, index_dir, num_shards=get_searcher(sf_dir).manifest.num_doc_shards
@@ -4468,6 +4589,24 @@ SELECT m.query_id,
        count(*)::BIGINT AS doc_count
 FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY m.query_id, bucket"""
+    sqls["agg_multi_terms"] = f"""
+SELECT query_id, rank, lang, source, cnt FROM (
+  SELECT m.query_id, d.lang, d.source, count(*)::BIGINT AS cnt,
+         row_number() OVER (PARTITION BY m.query_id
+                            ORDER BY count(*) DESC, d.lang, d.source)
+           AS rank
+  FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id
+  GROUP BY m.query_id, d.lang, d.source
+) WHERE rank <= {_MULTI_TERMS_K}"""
+    sqls["agg_weighted_avg"] = f"""
+SELECT m.query_id,
+       sum(d.n_chars * l.dl)::BIGINT AS sum_vw,
+       sum(l.dl)::BIGINT AS sum_w,
+       (sum(d.n_chars * l.dl)::BIGINT / sum(l.dl)::DOUBLE) AS wavg
+FROM ({_match_docs}) m
+JOIN documents d ON d.doc_id = m.doc_id
+JOIN ({SQL_DL_ALL}) l ON l.doc_id = m.doc_id
+GROUP BY m.query_id"""
     # date_histogram over events: hour buckets as epoch-micros
     sqls["events_date_histogram"] = """
 SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
@@ -4500,6 +4639,24 @@ FROM (
   WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
                ROWS BETWEEN {_MOVAVG_W - 1} PRECEDING AND CURRENT ROW)
 ) WHERE cnt >= {_BSEL_MIN_CNT}"""
+    sqls["events_serial_diff"] = f"""
+SELECT event_type, bucket_us, cnt,
+       coalesce(cnt - lag(cnt, {_SDIFF_LAG}) OVER (
+           PARTITION BY event_type ORDER BY bucket_us), 0)::BIGINT AS sdiff
+FROM (
+  SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY event_type, bucket_us)"""
+    sqls["events_bucket_sort"] = f"""
+SELECT event_type, rank, bucket_us, cnt, sum_value FROM (
+  SELECT event_type, bucket_us, cnt, sum_value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY sum_value DESC, bucket_us) AS rank
+  FROM (
+    SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
+           count(*)::BIGINT AS cnt, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type, bucket_us)
+) WHERE rank <= {_BSORT_K}"""
     # numeric range query: lo <= n_chars < hi, constant score
     _range_rows = ", ".join(
         f"({qid}, {lo}, {hi})" for qid, lo, hi in _RANGE_QUERY_SET
@@ -6216,6 +6373,10 @@ def build_queries() -> dict:
         "multi_match_cross": q_multi_match_cross,
         "match_bool_prefix": q_match_bool_prefix,
         "suggest_completion": q_suggest_completion,
+        "agg_multi_terms": q_agg_multi_terms,
+        "agg_weighted_avg": q_agg_weighted_avg,
+        "events_serial_diff": q_events_serial_diff,
+        "events_bucket_sort": q_events_bucket_sort,
         # variants of block-1-covered new families (distributed twins
         # share their single-node oracles; log/bigram/by-lang/pipeline
         # variants sit behind their family representative)

@@ -1101,6 +1101,81 @@ class IndexSearcher:
             "std_deviation": float(np.sqrt(var)),
         }
 
+    def agg_multi_terms(
+        self, terms: list[str], fields: list[str], size: int | None = 10
+    ) -> tuple[list[tuple], np.ndarray]:
+        """multi_terms aggregation (OpenSearch multi_terms agg):
+        composite buckets over 2+ doc-values fields with doc counts,
+        ordered (count desc, key asc lexicographic). Vectorized:
+        per-field np.unique inverses combine into one integer key,
+        bincount, decode. Shard partials are full maps bounded by the
+        PRODUCT of field cardinalities (the agg's documented cost),
+        merged by bucket-key sum."""
+        if len(fields) < 2:
+            raise ValueError("multi_terms needs >= 2 fields")
+        docs = self._match_union(sorted(set(terms)))
+        if docs.size == 0:
+            return [], np.empty(0, np.int64)
+        uniqs, invs = [], []
+        for f in fields:
+            vals = np.asarray(
+                self.field_values(docs, f).to_pylist(), dtype=object
+            )
+            u, inv = np.unique(vals, return_inverse=True)
+            uniqs.append(u)
+            invs.append(inv)
+        key = invs[0]
+        for inv, u in zip(invs[1:], uniqs[1:]):
+            key = key * u.size + inv
+        counts = np.bincount(key)
+        present = np.flatnonzero(counts)
+        cnt = counts[present].astype(np.int64)
+        idxs = []
+        rem = present
+        for u in reversed(uniqs[1:]):
+            idxs.append(rem % u.size)
+            rem = rem // u.size
+        idxs.append(rem)
+        idxs = idxs[::-1]
+        cols = [u[ix] for u, ix in zip(uniqs, idxs)]
+        order = np.lexsort(tuple(reversed(cols)) + (-cnt,))
+        sel = order[:size] if size is not None else order
+        buckets = [tuple(str(c[i]) for c in cols) for i in sel]
+        return buckets, cnt[sel]
+
+    def agg_weighted_avg(
+        self, terms: list[str], value_field: str, weight_field: str = "_dl"
+    ) -> dict:
+        """weighted_avg aggregation (OpenSearch weighted_avg agg):
+        Σ(value·weight)/Σweight over the match set. ``weight_field``
+        "_dl" uses the BM25 doc length (a weight every index already
+        holds); any numeric doc-values field works. Integer partial
+        sums divide ONCE so the SQL oracle matches bitwise; shard
+        partials (Σvw, Σw) merge associatively."""
+        docs = self._match_union(sorted(set(terms)))
+        if docs.size == 0:
+            return {"value": None, "sum_vw": 0, "sum_w": 0}
+        vals = (
+            self.field_values(docs, value_field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if weight_field == "_dl":
+            w = self.doc_length(docs).astype(np.int64)
+        else:
+            w = (
+                self.field_values(docs, weight_field)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        sum_vw = int((vals * w).sum())
+        sum_w = int(w.sum())
+        return {
+            "value": (sum_vw / sum_w) if sum_w else None,
+            "sum_vw": sum_vw,
+            "sum_w": sum_w,
+        }
+
     def agg_histogram(
         self, terms: list[str], field: str, interval: int
     ) -> tuple[np.ndarray, np.ndarray]:
