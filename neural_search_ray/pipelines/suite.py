@@ -1323,6 +1323,127 @@ def q_agg_weighted_avg(sf_dir: str) -> pa.Table:
     )
 
 
+_RANGE_AGG_BOUNDS: list[tuple[int | None, int | None]] = [
+    (None, 1000),
+    (1000, 4000),
+    (4000, None),
+]
+
+
+def q_agg_range(sf_dir: str) -> pa.Table:
+    """range aggregation (engine agg_range): fixed half-open n_chars
+    ranges (open ends) over each query's match set — every bucket
+    emitted, zeros included, with count + exact int sum."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, bs, cs, ss = [], [], [], []
+    for qid, qtext in QUERY_SET:
+        buckets = searcher.agg_range(
+            tokenize(qtext), "n_chars", _RANGE_AGG_BOUNDS
+        )
+        for bidx, r in enumerate(buckets):
+            qs.append(qid)
+            bs.append(bidx)
+            cs.append(r["cnt"])
+            ss.append(r["sum_v"])
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "bucket": pa.array(bs, pa.int64()),
+            "cnt": pa.array(cs, pa.int64()),
+            "sum_v": pa.array(ss, pa.int64()),
+        }
+    )
+
+
+_DIV_SHARD_SIZE, _DIV_MAX_PER = 20, 2
+
+
+def q_diversified_topk(sf_dir: str) -> pa.Table:
+    """diversified_sampler + nested terms agg (engine
+    agg_diversified_sampler): best-first sample of 20 docs with at most
+    2 per lang, counted by source (count desc, source asc)."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, rs, vs, cs = [], [], [], []
+    for qid, qtext in QUERY_SET:
+        values, counts = searcher.agg_diversified_sampler(
+            tokenize(qtext),
+            "lang",
+            "source",
+            shard_size=_DIV_SHARD_SIZE,
+            max_docs_per_value=_DIV_MAX_PER,
+        )
+        for r, (v, c) in enumerate(zip(values, counts), start=1):
+            qs.append(qid)
+            rs.append(r)
+            vs.append(str(v))
+            cs.append(int(c))
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "rank": pa.array(rs, pa.int64()),
+            "source": pa.array(vs, pa.string()),
+            "cnt": pa.array(cs, pa.int64()),
+        }
+    )
+
+
+_TERMS_SET_MSM = 2
+
+
+def q_terms_set_topk(sf_dir: str) -> pa.Table:
+    """terms_set query (engine search_terms_set): docs matching >= 2
+    distinct query terms, BM25-scored over the matched terms."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_terms_set(
+            tokenize(qtext), _TERMS_SET_MSM, k=BM25_K * 3
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+_FVF_FACTOR, _FVF_WEIGHT = 1.0, 1.5
+
+
+def q_function_score_topk(sf_dir: str) -> pa.Table:
+    """function_score field_value_factor (engine search_function_score):
+    bm25 * weight * ln(1 + factor * n_chars), boost applied to the FULL
+    union before truncation."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_function_score(
+            tokenize(qtext),
+            "n_chars",
+            k=BM25_K * 3,
+            factor=_FVF_FACTOR,
+            modifier="ln1p",
+            weight=_FVF_WEIGHT,
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_percolate(sf_dir: str) -> "ray.data.Dataset":
+    """Percolator (query/percolate.py): QUERY_SET indexed as stored
+    match-AND queries, the documents table streamed through one
+    map_batches — (doc_id, query_id) rows for every doc that contains
+    EVERY distinct term of a stored query. The doc stream never
+    shuffles; the compiled query map rides the task closure."""
+    from ..query.percolate import percolate_dataset
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return percolate_dataset(ds, QUERY_SET)
+
+
 def q_agg_histogram(sf_dir: str) -> pa.Table:
     """Histogram aggregation (engine agg_histogram): fixed-interval
     n_chars buckets over each query's match set."""
@@ -2437,6 +2558,90 @@ def q_events_bucket_sort(sf_dir: str) -> "ray.data.Dataset":
                 "bucket_us": g["bucket_us"],
                 "cnt": g["cnt"],
                 "sum_value": g["sum_value"],
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
+def q_events_sibling_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Sibling pipeline aggregations (ES stats_bucket + max_bucket /
+    min_bucket) over the date_histogram: per event_type ONE row —
+    bucket count, min/max/sum of cnt, avg (exact int sum, one
+    division), and the earliest bucket key achieving the max / min
+    (ES max_bucket returns the tied key list; pinned to its minimum).
+    Runs AFTER the histogram exchange on per-group bucket vectors —
+    cost bounded by bucket count, never event count."""
+    hist = q_events_date_histogram(sf_dir)
+
+    def finish(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cnt = group["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bu = group["bucket_us"].to_numpy(zero_copy_only=False)
+        mn, mx, sm = int(cnt.min()), int(cnt.max()), int(cnt.sum())
+        return pa.table(
+            {
+                "event_type": group["event_type"][:1],
+                "n_buckets": pa.array([cnt.size], pa.int64()),
+                "min_cnt": pa.array([mn], pa.int64()),
+                "max_cnt": pa.array([mx], pa.int64()),
+                "sum_cnt": pa.array([sm], pa.int64()),
+                "avg_cnt": pa.array([sm / cnt.size], pa.float64()),
+                "max_bucket_us": pa.array(
+                    [int(bu[cnt == mx].min())], pa.int64()
+                ),
+                "min_bucket_us": pa.array(
+                    [int(bu[cnt == mn].min())], pa.int64()
+                ),
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
+def q_events_bucket_script(sf_dir: str) -> "ray.data.Dataset":
+    """bucket_script pipeline aggregation over the date_histogram: a
+    per-bucket computed metric avg_value = sum_value / cnt (round6;
+    sum_value is 2dp-rounded identically on both sides). Pure
+    map_batches after the exchange — no second shuffle."""
+    hist = q_events_date_histogram(sf_dir)
+
+    def script(batch: pa.Table) -> pa.Table:
+        sv = batch["sum_value"].to_numpy(zero_copy_only=False)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "avg_value", pa.array(round_half_up(sv / cnt, 6), pa.float64())
+        )
+
+    return hist.map_batches(script, batch_format="pyarrow")
+
+
+def q_events_normalize(sf_dir: str) -> "ray.data.Dataset":
+    """normalize pipeline aggregation (method rescale_0_1) over the
+    date_histogram: per event_type, cnt rescaled to [0,1] by the
+    group's min/max (round6; degenerate max==min pinned to 0)."""
+    hist = q_events_date_histogram(sf_dir)
+
+    def finish(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cnt = group["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mn, mx = cnt.min(), cnt.max()
+        if mx == mn:
+            norm = np.zeros(cnt.size, dtype=np.float64)
+        else:
+            norm = (cnt - mn) / np.float64(mx - mn)
+        return pa.table(
+            {
+                "event_type": group["event_type"],
+                "bucket_us": group["bucket_us"],
+                "cnt": group["cnt"],
+                "norm_cnt": pa.array(round_half_up(norm, 6), pa.float64()),
             }
         )
 
@@ -4607,6 +4812,68 @@ FROM ({_match_docs}) m
 JOIN documents d ON d.doc_id = m.doc_id
 JOIN ({SQL_DL_ALL}) l ON l.doc_id = m.doc_id
 GROUP BY m.query_id"""
+    _range_vals = ", ".join(
+        f"({i}, {'NULL' if lo is None else lo}, {'NULL' if hi is None else hi})"
+        for i, (lo, hi) in enumerate(_RANGE_AGG_BOUNDS)
+    )
+    sqls["agg_range"] = f"""
+WITH r AS (SELECT * FROM (VALUES {_range_vals}) AS r(bucket, lo, hi)),
+ qn AS (SELECT DISTINCT query_id::BIGINT AS query_id
+        FROM ({_query_values_sql()})),
+ c AS (
+  SELECT m.query_id, r.bucket, count(*)::BIGINT AS cnt,
+         sum(d.n_chars)::BIGINT AS sum_v
+  FROM ({_match_docs}) m
+  JOIN documents d ON d.doc_id = m.doc_id
+  JOIN r ON (r.lo IS NULL OR d.n_chars >= r.lo)
+        AND (r.hi IS NULL OR d.n_chars < r.hi)
+  GROUP BY m.query_id, r.bucket)
+SELECT qn.query_id, r.bucket::BIGINT AS bucket,
+       coalesce(c.cnt, 0)::BIGINT AS cnt,
+       coalesce(c.sum_v, 0)::BIGINT AS sum_v
+FROM qn CROSS JOIN r
+LEFT JOIN c ON c.query_id = qn.query_id AND c.bucket = r.bucket"""
+    sqls["diversified_topk"] = f"""
+SELECT query_id, rank, source, cnt FROM (
+  SELECT query_id, source, count(*)::BIGINT AS cnt,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY count(*) DESC, source) AS rank
+  FROM (
+    SELECT query_id, source FROM (
+      SELECT query_id, doc_id, score, source,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM (
+        SELECT s.query_id, s.doc_id, round(s.score, 6) AS score,
+               d.lang, d.source,
+               row_number() OVER (PARTITION BY s.query_id, d.lang
+                                  ORDER BY round(s.score, 6) DESC, s.doc_id)
+                 AS lang_rk
+        FROM ({_bm25_scored_sql()}) s
+        JOIN documents d ON d.doc_id = s.doc_id)
+      WHERE lang_rk <= {_DIV_MAX_PER})
+    WHERE rk <= {_DIV_SHARD_SIZE})
+  GROUP BY query_id, source)"""
+    sqls["terms_set_topk"] = _topk_sql(
+        _bm25_scored_sql() + f" HAVING count(*) >= {_TERMS_SET_MSM}", BM25_K
+    )
+    sqls["function_score_topk"] = _topk_sql(
+        f"""
+  SELECT s.query_id, s.doc_id,
+         s.score * ({_FVF_WEIGHT} * ln(1 + {_FVF_FACTOR} * d.n_chars))
+           AS score
+  FROM ({_bm25_scored_sql()}) s JOIN documents d ON d.doc_id = s.doc_id""",
+        BM25_K,
+    )
+    sqls["percolate"] = f"""
+SELECT m.doc_id, m.query_id FROM (
+  SELECT q.query_id::BIGINT AS query_id, t.doc_id, count(*) AS hit
+  FROM (SELECT DISTINCT doc_id, term FROM ({SQL_TOK})) t
+  JOIN ({_query_values_sql()}) q ON q.term = t.term
+  GROUP BY q.query_id, t.doc_id) m
+JOIN (SELECT query_id::BIGINT AS query_id, count(*) AS need
+      FROM ({_query_values_sql()}) GROUP BY query_id) n USING (query_id)
+WHERE m.hit = n.need"""
     # date_histogram over events: hour buckets as epoch-micros
     sqls["events_date_histogram"] = """
 SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
@@ -4657,6 +4924,41 @@ SELECT event_type, rank, bucket_us, cnt, sum_value FROM (
            count(*)::BIGINT AS cnt, round(sum(value), 2) AS sum_value
     FROM events GROUP BY event_type, bucket_us)
 ) WHERE rank <= {_BSORT_K}"""
+    _hist_cnt_sql = (
+        "SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS "
+        "bucket_us, count(*)::BIGINT AS cnt FROM events "
+        "GROUP BY event_type, bucket_us"
+    )
+    sqls["events_sibling_stats"] = f"""
+WITH h AS ({_hist_cnt_sql}),
+ s AS (SELECT event_type, count(*)::BIGINT AS n_buckets,
+              min(cnt)::BIGINT AS min_cnt, max(cnt)::BIGINT AS max_cnt,
+              sum(cnt)::BIGINT AS sum_cnt
+       FROM h GROUP BY event_type)
+SELECT s.event_type, s.n_buckets, s.min_cnt, s.max_cnt, s.sum_cnt,
+       (s.sum_cnt / s.n_buckets::DOUBLE) AS avg_cnt,
+       (SELECT min(bucket_us) FROM h
+        WHERE h.event_type = s.event_type AND h.cnt = s.max_cnt)
+         AS max_bucket_us,
+       (SELECT min(bucket_us) FROM h
+        WHERE h.event_type = s.event_type AND h.cnt = s.min_cnt)
+         AS min_bucket_us
+FROM s"""
+    sqls["events_bucket_script"] = """
+SELECT event_type, bucket_us, cnt, sum_value,
+       round(sum_value / cnt, 6) AS avg_value
+FROM (SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
+             count(*)::BIGINT AS cnt, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY event_type, bucket_us)"""
+    sqls["events_normalize"] = f"""
+SELECT event_type, bucket_us, cnt,
+       round(CASE WHEN mx = mn THEN 0.0
+                  ELSE (cnt - mn) / (mx - mn)::DOUBLE END, 6) AS norm_cnt
+FROM (
+  SELECT event_type, bucket_us, cnt,
+         min(cnt) OVER (PARTITION BY event_type) AS mn,
+         max(cnt) OVER (PARTITION BY event_type) AS mx
+  FROM ({_hist_cnt_sql}))"""
     # numeric range query: lo <= n_chars < hi, constant score
     _range_rows = ", ".join(
         f"({qid}, {lo}, {hi})" for qid, lo, hi in _RANGE_QUERY_SET
@@ -6340,8 +6642,6 @@ def build_queries() -> dict:
         "bm25_topk_purged": q_bm25_topk_purged,
         # --- block 2b: new this session (positions / dictionary / upsert) ---
         "phrase_topk": q_phrase_topk,
-        "prefix_topk": q_prefix_topk,
-        "wildcard_topk": q_wildcard_topk,
         "bm25_topk_upsert": q_bm25_topk_upsert,
         # --- block 2c: session-4 additions (bool / fuzzy / regexp /
         # phrase-prefix) ---
@@ -6349,16 +6649,12 @@ def build_queries() -> dict:
         "fuzzy_topk": q_fuzzy_topk,
         "regexp_topk": q_regexp_topk,
         "phrase_prefix_topk": q_phrase_prefix_topk,
-        "phrase_topk_distributed": q_phrase_topk_distributed,
-        "bool_topk_distributed": q_bool_topk_distributed,
         "span_near_topk": q_span_near_topk,
-        "span_unordered_topk": q_span_unordered_topk,
         "facet_lang": q_facet_lang,
         "term_vectors": q_term_vectors,
         "more_like_this": q_more_like_this,
         "bm25_topk_snapshot": q_bm25_topk_snapshot,
         "query_string_topk": q_query_string_topk,
-        "agg_stats": q_agg_stats,
         "agg_histogram": q_agg_histogram,
         "range_filter": q_range_filter,
         "events_date_histogram": q_events_date_histogram,
@@ -6367,16 +6663,39 @@ def build_queries() -> dict:
         "events_user_cardinality": q_events_user_cardinality,
         "significant_terms": q_significant_terms,
         "decay_topk": q_decay_topk,
-        # --- block 2d: session-6 additions (multi-field family) ---
+        # --- block 2e: session 6/7 new-FAMILY representatives (the
+        # window holds exactly one rep per family; same-family variants
+        # sit just past the boundary and are locally sweep-verified) ---
         "multi_match_best": q_multi_match_best,
+        "suggest_completion": q_suggest_completion,
+        "percolate": q_percolate,
+        "terms_set_topk": q_terms_set_topk,
+        "agg_multi_terms": q_agg_multi_terms,
+        "events_serial_diff": q_events_serial_diff,
+        # ==== driver 50-entry window boundary (keys above this line) ====
+        # same-family variants of in-window reps, newest first: the
+        # multi_match/bool-prefix siblings, the agg/sampler/pipeline-agg
+        # variants, the function_score sibling of decay, and the
+        # dictionary-op + distributed twins displaced to make room for
+        # block 2e (each family keeps an in-window sibling exercising
+        # the same machinery)
         "multi_match_most": q_multi_match_most,
         "multi_match_cross": q_multi_match_cross,
         "match_bool_prefix": q_match_bool_prefix,
-        "suggest_completion": q_suggest_completion,
-        "agg_multi_terms": q_agg_multi_terms,
         "agg_weighted_avg": q_agg_weighted_avg,
-        "events_serial_diff": q_events_serial_diff,
+        "agg_range": q_agg_range,
+        "diversified_topk": q_diversified_topk,
+        "function_score_topk": q_function_score_topk,
+        "agg_stats": q_agg_stats,
         "events_bucket_sort": q_events_bucket_sort,
+        "events_sibling_stats": q_events_sibling_stats,
+        "events_bucket_script": q_events_bucket_script,
+        "events_normalize": q_events_normalize,
+        "prefix_topk": q_prefix_topk,
+        "wildcard_topk": q_wildcard_topk,
+        "span_unordered_topk": q_span_unordered_topk,
+        "phrase_topk_distributed": q_phrase_topk_distributed,
+        "bool_topk_distributed": q_bool_topk_distributed,
         # variants of block-1-covered new families (distributed twins
         # share their single-node oracles; log/bigram/by-lang/pipeline
         # variants sit behind their family representative)

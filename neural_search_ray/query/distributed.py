@@ -225,6 +225,33 @@ class ShardSearchActor:
             **kwargs,
         )
 
+    def search_terms_set(
+        self, terms: list[str], msm: int, k: int, global_dfs: list[float]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.searcher.search_terms_set(
+            terms,
+            msm,
+            k,
+            global_dfs=np.asarray(global_dfs, dtype=np.float64),
+        )
+
+    def search_function_score(
+        self, terms: list[str], field: str, kwargs: dict, k: int,
+        global_dfs: list[float],
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.searcher.search_function_score(
+            terms,
+            field,
+            k=k,
+            global_dfs=np.asarray(global_dfs, dtype=np.float64),
+            **kwargs,
+        )
+
+    def agg_range_partial(
+        self, terms: list[str], field: str, ranges: list[tuple]
+    ) -> list[dict]:
+        return self.searcher.agg_range(terms, field, ranges)
+
     def facet_top_hits_partial(
         self, terms: list[str], field: str, k_per_bucket: int,
         global_dfs: list[float],
@@ -800,6 +827,70 @@ class DistributedSearcher:
         docs = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
         return topk_desc(docs, scores, k)
+
+    def search_terms_set(
+        self, terms: list[str], minimum_should_match: int = 2, k: int = 10
+    ):
+        """Distributed terms_set: per-doc distinct-match counts are
+        shard-complete (a doc's postings never span shards), so each
+        shard filters + scores with coordinator-global dfs and the
+        merge is a plain exact top-k."""
+        sterms = sorted(set(terms))
+        self._resolve_gdfs(sterms)
+        gdfs = [self._gdf[t] for t in sterms]
+        parts = ray.get(
+            [
+                a.search_terms_set.remote(
+                    sterms, minimum_should_match, k, gdfs
+                )
+                for a in self.actors
+            ]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
+
+    def search_function_score(
+        self, terms: list[str], field: str, *, k: int = 10, **kwargs
+    ):
+        """Distributed function_score: the field_value_factor boost is
+        per-doc doc-values (shard-local); each shard multiplies its
+        FULL union before truncation, so the k-merge stays exact."""
+        sterms = sorted(set(terms))
+        self._resolve_gdfs(sterms)
+        gdfs = [self._gdf[t] for t in sterms]
+        parts = ray.get(
+            [
+                a.search_function_score.remote(sterms, field, kwargs, k, gdfs)
+                for a in self.actors
+            ]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
+
+    def agg_range(
+        self, terms: list[str], field: str, ranges: list[tuple]
+    ) -> list[dict]:
+        """Distributed range agg: the range list is fixed, so shard
+        partials are aligned (cnt, sum) vectors — elementwise sum."""
+        parts = ray.get(
+            [
+                a.agg_range_partial.remote(terms, field, ranges)
+                for a in self.actors
+            ]
+        )
+        out = []
+        for i, (lo, hi) in enumerate(ranges):
+            out.append(
+                {
+                    "from": lo,
+                    "to": hi,
+                    "cnt": sum(p[i]["cnt"] for p in parts),
+                    "sum_v": sum(p[i]["sum_v"] for p in parts),
+                }
+            )
+        return out
 
     def facet_top_hits(
         self, terms: list[str], field: str, k_per_bucket: int = 3

@@ -1176,6 +1176,181 @@ class IndexSearcher:
             "sum_w": sum_w,
         }
 
+    def agg_range(
+        self,
+        terms: list[str],
+        field: str,
+        ranges: list[tuple[float | None, float | None]],
+    ) -> list[dict]:
+        """Range aggregation (OpenSearch range agg — RangeAggregator):
+        per-range doc count + exact int sum of ``field`` over the
+        boolean-OR match set, half-open ES semantics lo <= v < hi with
+        open ends. EVERY requested range is emitted, zero buckets
+        included (the agg's contract). Ranges may overlap — each is
+        counted independently (vectorized comparisons, not digitize).
+        Shard partials (cnt, sum per fixed range list) are tiny and
+        merge by elementwise sum."""
+        docs = self._match_union(sorted(set(terms)))
+        if docs.size:
+            vals = (
+                self.field_values(docs, field)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        else:
+            vals = np.empty(0, np.int64)
+        out = []
+        for lo, hi in ranges:
+            m = np.ones(vals.size, dtype=bool)
+            if lo is not None:
+                m &= vals >= lo
+            if hi is not None:
+                m &= vals < hi
+            out.append(
+                {
+                    "from": lo,
+                    "to": hi,
+                    "cnt": int(m.sum()),
+                    "sum_v": int(vals[m].sum()),
+                }
+            )
+        return out
+
+    def agg_diversified_sampler(
+        self,
+        terms: list[str],
+        diversify_field: str,
+        agg_field: str,
+        *,
+        shard_size: int = 20,
+        max_docs_per_value: int = 2,
+        global_dfs: np.ndarray | None = None,
+    ) -> tuple[list, np.ndarray]:
+        """diversified_sampler agg + nested terms agg (OpenSearch
+        DiversifiedAggregator over BestDocsDeferringCollector): walk the
+        match set best-first by (round6 BM25 desc, doc_id asc), skip
+        docs whose ``diversify_field`` value already holds
+        ``max_docs_per_value`` picks, stop at ``shard_size`` docs, then
+        count the sample by ``agg_field`` (count desc, value asc).
+        Greedy-with-quota over a fixed order == filter rank-within-value
+        <= quota then take the top ``shard_size`` — both sides computed
+        that way (vectorized cumcount; no Python doc loop). Scores are
+        rounded to 6dp BEFORE ranking so the walk order is
+        cross-engine stable."""
+        docs, scores = self._bm25_union_scores(terms, global_dfs)
+        if docs.size == 0:
+            return [], np.empty(0, np.int64)
+        f = 1e6
+        scores = np.floor(scores * f + 0.5) / f  # scores are >= 0
+        order = np.lexsort((docs, -scores))
+        docs_o = docs[order]
+        dv = np.asarray(
+            self.field_values(docs_o, diversify_field).to_pylist(),
+            dtype=object,
+        )
+        codes, inv = np.unique(dv, return_inverse=True)
+        # occurrence index of each position within its value, in walk
+        # order: stable argsort by code keeps walk order inside groups
+        grp = np.argsort(inv, kind="stable")
+        occ = np.empty(inv.size, dtype=np.int64)
+        boundaries = np.flatnonzero(np.diff(inv[grp])) + 1
+        starts = np.concatenate(([0], boundaries))
+        lens = np.diff(np.concatenate((starts, [inv.size])))
+        occ[grp] = np.concatenate([np.arange(n) for n in lens])
+        keep = np.flatnonzero(occ < max_docs_per_value)[:shard_size]
+        sample = docs_o[keep]
+        vc = pc.value_counts(self.field_values(sample, agg_field))
+        values = vc.field("values").to_pylist()
+        counts = (
+            vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        o2 = np.lexsort((np.asarray(values, dtype=object), -counts))
+        return [values[i] for i in o2], counts[o2]
+
+    def search_terms_set(
+        self,
+        terms: list[str],
+        minimum_should_match: int = 2,
+        k: int = 10,
+        *,
+        global_dfs: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """terms_set query (Lucene CoveringQuery — what OpenSearch
+        compiles terms_set's minimum_should_match_script to): docs
+        matching at least ``minimum_should_match`` DISTINCT query
+        terms, scored as the BM25 sum over the doc's matched terms
+        (identical to a bool should with msm). Postings doc lists are
+        unique per term, so one concatenate + unique-with-counts gives
+        the distinct-match count; candidates below msm never reach the
+        scorer. Per-doc counts are shard-complete (docs never span
+        shards), so shard-subset actors run this verbatim with
+        coordinator-supplied global dfs."""
+        sterms = sorted(set(terms))
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not sterms or minimum_should_match < 1:
+            return empty
+        posts = [self.postings(t)[0] for t in sterms]
+        posts = [d for d in posts if d.size]
+        if len(posts) < minimum_should_match:
+            return empty
+        alldocs = np.concatenate(posts) if len(posts) > 1 else posts[0]
+        docs, cnts = np.unique(alldocs, return_counts=True)
+        cand = docs[cnts >= minimum_should_match]
+        if cand.size == 0:
+            return empty
+        if global_dfs is None:
+            dfs = np.asarray(
+                [self.local_df(t) for t in sterms], dtype=np.float64
+            )
+        else:
+            dfs = np.asarray(global_dfs, dtype=np.float64)
+        idfs = np.where(
+            dfs > 0, bm25_idf(np.maximum(dfs, 1e-9), self.n_docs), 0.0
+        )
+        scores = self._score_candidates(cand, sterms, idfs, None)
+        return topk_desc(cand, scores, k)
+
+    def search_function_score(
+        self,
+        terms: list[str],
+        field: str,
+        k: int = 10,
+        *,
+        factor: float = 1.0,
+        modifier: str = "ln1p",
+        weight: float = 1.0,
+        global_dfs: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """function_score with field_value_factor (OpenSearch
+        FieldValueFactorFunction): final = bm25 * weight *
+        modifier(factor * field_value). The factor re-orders docs, so
+        the boost multiplies the FULL union's exact scores before any
+        truncation (top-k pruning on the raw subquery would be
+        unsound — same rule as dis_max/boosting). ``ln1p`` is computed
+        as ln(1 + x) literally (NOT numpy log1p) so a SQL oracle's
+        ln(1 + x) matches float-for-float."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        docs, scores = self._bm25_union_scores(terms, global_dfs)
+        if docs.size == 0:
+            return empty
+        v = (
+            self.field_values(docs, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        x = factor * v
+        if modifier == "ln1p":
+            boost = np.log(1.0 + x)
+        elif modifier == "ln":
+            boost = np.log(x)
+        elif modifier == "sqrt":
+            boost = np.sqrt(x)
+        elif modifier == "none":
+            boost = x
+        else:
+            raise ValueError(f"unknown field_value_factor modifier {modifier!r}")
+        return topk_desc(docs, scores * (weight * boost), k)
+
     def agg_histogram(
         self, terms: list[str], field: str, interval: int
     ) -> tuple[np.ndarray, np.ndarray]:
