@@ -213,6 +213,9 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
         # unigram-LM perplexity proxy: fit pass (vocab-bounded groupby,
         # broadcast via ray.put) + vectorized scoring pass
         "lm_nll",
+        # percolator (new in r4 session 7): full corpus streamed through
+        # the stored-query map — the reverse-search scale stage
+        "percolate",
     ):
         t0 = time.perf_counter()
         res = suite.build_queries()[name](sf_dir)

@@ -190,11 +190,27 @@ def knn_brute_force(
     k: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    accepted_ids: np.ndarray | None = None,
 ) -> pa.Table:
     """Streaming brute-force kNN: per-block local top-k then a k-sized
-    global merge. Returns (query_id, rank, neighbor_id, score)."""
+    global merge. Returns (query_id, rank, neighbor_id, score).
+
+    ``accepted_ids``: optional FILTERED search (the k-NN plugin's
+    filtered-kNN mode): a sorted int64 id whitelist — typically the
+    output of a metadata predicate on another table — broadcast ONCE
+    via ray.put and membership-tested per block with searchsorted
+    (zero-copy object-store read per task; the embeddings stream is
+    never joined or shuffled). Exact: filtering happens BEFORE the
+    local top-k, so no post-filter recall loss. For a predicate on a
+    column resident in the embeddings table itself, prefer a
+    ``filters=`` pushdown at read_parquet instead."""
     queries_ref = ray.put(np.ascontiguousarray(queries, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
+    acc_ref = (
+        ray.put(np.unique(np.asarray(accepted_ids, dtype=np.int64)))
+        if accepted_ids is not None
+        else None
+    )
 
     # stateless tasks (not an actor pool): per-call pool spawn cost ~1.1 s
     # dominated this operator in BENCH_r02 (knn_cosine 1.376 → 1.805 s);
@@ -202,6 +218,13 @@ def knn_brute_force(
     # 0.44-0.50 s. ray.get of the broadcast query matrix is a zero-copy
     # object-store read per task.
     def scan(batch: pa.Table) -> pa.Table:
+        if acc_ref is not None:
+            acc = ray.get(acc_ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(acc, ids)
+            pos_c = np.minimum(pos, acc.size - 1) if acc.size else pos
+            keep = acc[pos_c] == ids if acc.size else np.zeros(ids.size, bool)
+            batch = batch.filter(pa.array(keep))
         stage = BruteForceKNNStage(
             ray.get(queries_ref), qids, k=k, id_col=id_col, emb_col=emb_col
         )
@@ -209,6 +232,15 @@ def knn_brute_force(
 
     local = ds.map_batches(scan, batch_format="pyarrow")
     t = pa.Table.from_pylist(local.take_all())
+    if t.num_rows == 0:  # nothing survived the filter / empty corpus
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
     qid = t["query_id"].to_numpy()
     nid = t["neighbor_id"].to_numpy()
     sc = t["score"].to_numpy()

@@ -1389,6 +1389,40 @@ def q_diversified_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_agg_matrix_stats(sf_dir: str) -> pa.Table:
+    """matrix_stats aggregation (engine agg_matrix_stats): exact
+    integer moment/cross sums between n_chars and the BM25 doc length
+    over each query's match set; derived doubles rounded to 6 on both
+    sides (skew/kurt are pytest-pinned, not oracled)."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    cols: dict[str, list] = {
+        k: []
+        for k in (
+            "query_id n sum_x sum_y sum_xy mean_x mean_y "
+            "var_x var_y cov corr"
+        ).split()
+    }
+    for qid, qtext in QUERY_SET:
+        m = searcher.agg_matrix_stats(tokenize(qtext), "n_chars")
+        cols["query_id"].append(qid)
+        for k in ("n", "sum_x", "sum_y", "sum_xy"):
+            cols[k].append(int(m[k]))
+        for k in ("mean_x", "mean_y", "var_x", "var_y", "cov", "corr"):
+            cols[k].append(float(round_half_up(m[k], 6)))
+    return pa.table(
+        {
+            k: pa.array(
+                v,
+                pa.int64()
+                if k in ("query_id", "n", "sum_x", "sum_y", "sum_xy")
+                else pa.float64(),
+            )
+            for k, v in cols.items()
+        }
+    )
+
+
 _TERMS_SET_MSM = 2
 
 
@@ -2650,6 +2684,69 @@ def q_events_normalize(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# auto_date_histogram ladder (epoch-micros intervals: 1s 5s 10s 30s 1m
+# 5m 10m 30m 1h 3h 12h 1d 7d 30d) and target bucket count
+_ADH_LADDER_US = (
+    1_000_000, 5_000_000, 10_000_000, 30_000_000,
+    60_000_000, 300_000_000, 600_000_000, 1_800_000_000,
+    3_600_000_000, 10_800_000_000, 43_200_000_000,
+    86_400_000_000, 604_800_000_000, 2_592_000_000_000,
+)
+_ADH_TARGET = 30
+
+
+def q_events_auto_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """auto_date_histogram aggregation (the ES agg that picks its own
+    interval): the smallest ladder interval whose floor-aligned bucket
+    count over [min ts, max ts] stays <= the target, then ONE
+    fixed-interval histogram at that interval with the chosen interval
+    carried as a column. Two streaming passes (a tiny min/max aggregate,
+    then the partial+final count exchange) — ES rebuckets in one pass
+    inside a shard; two passes is the shuffle-free Dataset form and the
+    interval choice is identical by construction."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    src = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    ).map_batches(
+        lambda b: pa.table({"ts_us": b["ts"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    mm = src.aggregate(Min("ts_us"), Max("ts_us"))
+    mn, mx = int(mm["min(ts_us)"]), int(mm["max(ts_us)"])
+    iv = next(
+        (i for i in _ADH_LADDER_US if mx // i - mn // i + 1 <= _ADH_TARGET),
+        _ADH_LADDER_US[-1],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(ts // iv * iv, return_counts=True)
+        return pa.table(
+            {
+                "bucket_us": pa.array(u, pa.int64()),
+                "cnt": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    agg = src.map_batches(partial, batch_format="pyarrow").groupby(
+        "bucket_us"
+    ).aggregate(Sum("cnt", alias_name="cnt"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket_us": batch["bucket_us"].cast(pa.int64()),
+                "cnt": batch["cnt"].cast(pa.int64()),
+                "interval_us": pa.array(
+                    np.full(batch.num_rows, iv, dtype=np.int64)
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_query_string_topk(sf_dir: str) -> pa.Table:
     """simple_query_string (query/querystring.py grammar + engine
     search_query_string): term/phrase/prefix clauses with +/- occur
@@ -3516,6 +3613,43 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     qids = qt["vec_id"].to_numpy()
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = knn_brute_force(ds, queries, qids, k=10)
+    return out.set_column(
+        out.schema.get_field_index("score"),
+        "score",
+        pa.array(round_half_up(out["score"].to_numpy(), 6)),
+    )
+
+
+def q_knn_cosine_filtered(sf_dir: str) -> pa.Table:
+    """FILTERED dense kNN (the k-NN plugin's filtered-search mode): a
+    metadata predicate on a DIFFERENT table (documents.lang == 'en')
+    gates the corpus — accepted doc_ids are read with predicate+column
+    pushdown, broadcast ONCE via ray.put, and membership-tested per
+    embeddings block BEFORE the local top-k (exact, no post-filter
+    recall loss; the embeddings stream is never joined or shuffled).
+    Scale note: the broadcast id set is bounded by the filter's
+    selectivity — for non-selective predicates use a read-pushdown
+    (filter column resident in the vector table) or a join variant."""
+    from ..ann.brute import knn_brute_force
+
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    accepted = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id"],
+        filters=[("lang", "==", "en")],
+    )["doc_id"].to_numpy()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = knn_brute_force(ds, queries, qids, k=10, accepted_ids=accepted)
     return out.set_column(
         out.schema.get_field_index("score"),
         "score",
@@ -4812,6 +4946,31 @@ FROM ({_match_docs}) m
 JOIN documents d ON d.doc_id = m.doc_id
 JOIN ({SQL_DL_ALL}) l ON l.doc_id = m.doc_id
 GROUP BY m.query_id"""
+    sqls["agg_matrix_stats"] = f"""
+SELECT query_id, n, sum_x, sum_y, sum_xy,
+       round(sum_x / n, 6) AS mean_x,
+       round(sum_y / n, 6) AS mean_y,
+       round((sum_xx / n) - (sum_x / n) * (sum_x / n), 6) AS var_x,
+       round((sum_yy / n) - (sum_y / n) * (sum_y / n), 6) AS var_y,
+       round((sum_xy / n) - (sum_x / n) * (sum_y / n), 6) AS cov,
+       round(CASE WHEN ((sum_xx / n) - (sum_x / n) * (sum_x / n))
+                       * ((sum_yy / n) - (sum_y / n) * (sum_y / n)) <= 0
+                  THEN 0.0
+                  ELSE ((sum_xy / n) - (sum_x / n) * (sum_y / n))
+                       / sqrt(((sum_xx / n) - (sum_x / n) * (sum_x / n))
+                              * ((sum_yy / n) - (sum_y / n) * (sum_y / n)))
+             END, 6) AS corr
+FROM (
+  SELECT m.query_id, count(*)::BIGINT AS n,
+         sum(d.n_chars)::BIGINT AS sum_x,
+         sum(d.n_chars * d.n_chars)::BIGINT AS sum_xx,
+         sum(l.dl)::BIGINT AS sum_y,
+         sum(l.dl * l.dl)::BIGINT AS sum_yy,
+         sum(d.n_chars * l.dl)::BIGINT AS sum_xy
+  FROM ({_match_docs}) m
+  JOIN documents d ON d.doc_id = m.doc_id
+  JOIN ({SQL_DL_ALL}) l ON l.doc_id = m.doc_id
+  GROUP BY m.query_id)"""
     _range_vals = ", ".join(
         f"({i}, {'NULL' if lo is None else lo}, {'NULL' if hi is None else hi})"
         for i, (lo, hi) in enumerate(_RANGE_AGG_BOUNDS)
@@ -4950,6 +5109,17 @@ SELECT event_type, bucket_us, cnt, sum_value,
 FROM (SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
              count(*)::BIGINT AS cnt, round(sum(value), 2) AS sum_value
       FROM events GROUP BY event_type, bucket_us)"""
+    _adh_vals = ", ".join(f"({i})" for i in _ADH_LADDER_US)
+    sqls["events_auto_histogram"] = f"""
+WITH mm AS (SELECT epoch_us(min(ts))::BIGINT AS mn,
+                   epoch_us(max(ts))::BIGINT AS mx FROM events),
+ iv AS (SELECT coalesce(
+          (SELECT min(i)::BIGINT FROM (VALUES {_adh_vals}) l(i), mm
+           WHERE (mm.mx // i) - (mm.mn // i) + 1 <= {_ADH_TARGET}),
+          {_ADH_LADDER_US[-1]}) AS iv)
+SELECT ((epoch_us(ts)::BIGINT // iv.iv) * iv.iv)::BIGINT AS bucket_us,
+       count(*)::BIGINT AS cnt, iv.iv AS interval_us
+FROM events, iv GROUP BY bucket_us, iv.iv"""
     sqls["events_normalize"] = f"""
 SELECT event_type, bucket_us, cnt,
        round(CASE WHEN mx = mn THEN 0.0
@@ -5795,6 +5965,19 @@ SELECT query_id::BIGINT AS query_id, rank, neighbor_id::BIGINT AS neighbor_id, s
     # ivf_ann runs at nprobe = n_centroids (all buckets scanned) → exact,
     # so the brute-force cosine oracle applies verbatim.
     sqls["ivf_ann"] = sqls["knn_cosine"]
+    # filtered kNN: corpus gated by the documents.lang predicate (the
+    # query vectors stay unfiltered)
+    sqls["knn_cosine_filtered"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM q CROSS JOIN embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en')
+SELECT query_id::BIGINT AS query_id, rank, neighbor_id::BIGINT AS neighbor_id, score FROM (
+  SELECT query_id, neighbor_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 10"""
     # int8 scalar-quantized dense tier: exact integer-dot oracle
     sqls["knn_cosine_sq8"] = _KNN_SQ8_SQL
 
@@ -6646,14 +6829,11 @@ def build_queries() -> dict:
         # --- block 2c: session-4 additions (bool / fuzzy / regexp /
         # phrase-prefix) ---
         "bool_topk": q_bool_topk,
-        "fuzzy_topk": q_fuzzy_topk,
         "regexp_topk": q_regexp_topk,
         "phrase_prefix_topk": q_phrase_prefix_topk,
         "span_near_topk": q_span_near_topk,
         "facet_lang": q_facet_lang,
-        "term_vectors": q_term_vectors,
         "more_like_this": q_more_like_this,
-        "bm25_topk_snapshot": q_bm25_topk_snapshot,
         "query_string_topk": q_query_string_topk,
         "agg_histogram": q_agg_histogram,
         "range_filter": q_range_filter,
@@ -6672,6 +6852,9 @@ def build_queries() -> dict:
         "terms_set_topk": q_terms_set_topk,
         "agg_multi_terms": q_agg_multi_terms,
         "events_serial_diff": q_events_serial_diff,
+        "agg_matrix_stats": q_agg_matrix_stats,
+        "knn_cosine_filtered": q_knn_cosine_filtered,
+        "events_auto_histogram": q_events_auto_histogram,
         # ==== driver 50-entry window boundary (keys above this line) ====
         # same-family variants of in-window reps, newest first: the
         # multi_match/bool-prefix siblings, the agg/sampler/pipeline-agg
@@ -6696,6 +6879,9 @@ def build_queries() -> dict:
         "span_unordered_topk": q_span_unordered_topk,
         "phrase_topk_distributed": q_phrase_topk_distributed,
         "bool_topk_distributed": q_bool_topk_distributed,
+        "fuzzy_topk": q_fuzzy_topk,
+        "term_vectors": q_term_vectors,
+        "bm25_topk_snapshot": q_bm25_topk_snapshot,
         # variants of block-1-covered new families (distributed twins
         # share their single-node oracles; log/bigram/by-lang/pipeline
         # variants sit behind their family representative)

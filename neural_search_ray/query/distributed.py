@@ -252,6 +252,11 @@ class ShardSearchActor:
     ) -> list[dict]:
         return self.searcher.agg_range(terms, field, ranges)
 
+    def agg_matrix_stats_partial(
+        self, terms: list[str], field_x: str, field_y: str
+    ) -> tuple:
+        return self.searcher.agg_matrix_stats_partial(terms, field_x, field_y)
+
     def facet_top_hits_partial(
         self, terms: list[str], field: str, k_per_bucket: int,
         global_dfs: list[float],
@@ -868,6 +873,44 @@ class DistributedSearcher:
         docs = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
         return topk_desc(docs, scores, k)
+
+    def agg_matrix_stats(
+        self, terms: list[str], field_x: str, field_y: str = "_dl"
+    ) -> dict:
+        """Distributed matrix_stats: shard partials are the six exact
+        integer sums, merged by plain addition at the coordinator — the
+        derived doubles are then BIT-IDENTICAL to single-node (same
+        exact sums, same expressions). Higher moments (skew/kurt) are a
+        single-node extra; the distributed protocol ships only the
+        mergeable core (the agg's documented RunningStats merge)."""
+        parts = ray.get(
+            [
+                a.agg_matrix_stats_partial.remote(terms, field_x, field_y)
+                for a in self.actors
+            ]
+        )
+        n, sum_x, sum_xx, sum_y, sum_yy, sum_xy = (
+            sum(p[i] for p in parts) for i in range(6)
+        )
+        if n == 0:
+            return {"n": 0}
+        mean_x, mean_y = sum_x / n, sum_y / n
+        var_x = sum_xx / n - mean_x * mean_x
+        var_y = sum_yy / n - mean_y * mean_y
+        cov = sum_xy / n - mean_x * mean_y
+        denom = np.sqrt(var_x * var_y)
+        return {
+            "n": n,
+            "sum_x": sum_x,
+            "sum_y": sum_y,
+            "sum_xy": sum_xy,
+            "mean_x": mean_x,
+            "mean_y": mean_y,
+            "var_x": var_x,
+            "var_y": var_y,
+            "cov": cov,
+            "corr": cov / denom if denom > 0 else 0.0,
+        }
 
     def agg_range(
         self, terms: list[str], field: str, ranges: list[tuple]

@@ -1267,6 +1267,97 @@ class IndexSearcher:
         o2 = np.lexsort((np.asarray(values, dtype=object), -counts))
         return [values[i] for i in o2], counts[o2]
 
+    def agg_matrix_stats(
+        self, terms: list[str], field_x: str, field_y: str = "_dl"
+    ) -> dict:
+        """matrix_stats aggregation (OpenSearch matrix_stats agg —
+        RunningStats/MatrixStatsResults) between two numeric per-doc
+        series over the boolean-OR match set: count, means, population
+        variances, population covariance and Pearson correlation, all
+        derived from EXACT integer power/cross sums (n, Σx, Σx², Σy,
+        Σy², Σxy) — the mergeable shard-partial form (associative
+        integer adds, so re-executed tasks are safe; the agg's
+        RunningStats merge restated). Derived doubles divide the exact
+        sums once each, so a SQL oracle computing the same expressions
+        matches to <1 ulp (both sides round to 6). Skewness/kurtosis
+        (population m3/m2^1.5, m4/m2²) are returned too but are
+        float-central-moment quantities — pytest-pinned, not oracled.
+        ``field_y`` "_dl" pairs against the BM25 doc length."""
+        docs = self._match_union(sorted(set(terms)))
+        if docs.size == 0:
+            return {"n": 0}
+        x = (
+            self.field_values(docs, field_x)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if field_y == "_dl":
+            y = self.doc_length(docs).astype(np.int64)
+        else:
+            y = (
+                self.field_values(docs, field_y)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        n = int(docs.size)
+        sum_x, sum_xx = int(x.sum()), int((x * x).sum())
+        sum_y, sum_yy = int(y.sum()), int((y * y).sum())
+        sum_xy = int((x * y).sum())
+        mean_x, mean_y = sum_x / n, sum_y / n
+        var_x = sum_xx / n - mean_x * mean_x
+        var_y = sum_yy / n - mean_y * mean_y
+        cov = sum_xy / n - mean_x * mean_y
+        denom = np.sqrt(var_x * var_y)
+        corr = cov / denom if denom > 0 else 0.0
+        xf = x.astype(np.float64) - mean_x
+        m2 = float((xf * xf).mean())
+        m3 = float((xf * xf * xf).mean())
+        m4 = float((xf * xf * xf * xf).mean())
+        return {
+            "n": n,
+            "sum_x": sum_x,
+            "sum_y": sum_y,
+            "sum_xy": sum_xy,
+            "mean_x": mean_x,
+            "mean_y": mean_y,
+            "var_x": var_x,
+            "var_y": var_y,
+            "cov": cov,
+            "corr": corr,
+            "skew_x": m3 / m2**1.5 if m2 > 0 else 0.0,
+            "kurt_x": m4 / m2**2 if m2 > 0 else 0.0,
+        }
+
+    def agg_matrix_stats_partial(
+        self, terms: list[str], field_x: str, field_y: str = "_dl"
+    ) -> tuple[int, int, int, int, int, int]:
+        """Shard partial for the distributed matrix_stats: the six
+        exact integer sums (n, Σx, Σx², Σy, Σy², Σxy)."""
+        docs = self._match_union(sorted(set(terms)))
+        if docs.size == 0:
+            return (0, 0, 0, 0, 0, 0)
+        x = (
+            self.field_values(docs, field_x)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if field_y == "_dl":
+            y = self.doc_length(docs).astype(np.int64)
+        else:
+            y = (
+                self.field_values(docs, field_y)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        return (
+            int(docs.size),
+            int(x.sum()),
+            int((x * x).sum()),
+            int(y.sum()),
+            int((y * y).sum()),
+            int((x * y).sum()),
+        )
+
     def search_terms_set(
         self,
         terms: list[str],

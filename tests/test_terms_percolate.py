@@ -202,6 +202,105 @@ class TestMultiTermsWeightedAvg:
         assert a["value"] == sum_vw / sum_w
 
 
+class TestMatrixStats:
+    def test_moments_vs_numpy(self, searcher, docs):
+        terms = sorted(set(tokenize("the fast join")))
+        m = searcher.agg_matrix_stats(terms, "n_chars")
+        match = sorted(
+            d for d, (toks, *_ ) in docs.items() if toks & set(terms)
+        )
+        x = np.asarray([docs[d][3] for d in match], dtype=np.float64)
+        y = searcher.doc_length(np.asarray(match, np.int64)).astype(np.float64)
+        assert m["n"] == len(match)
+        assert m["mean_x"] == pytest.approx(x.mean())
+        assert m["var_x"] == pytest.approx(x.var())
+        assert m["cov"] == pytest.approx(((x - x.mean()) * (y - y.mean())).mean())
+        assert m["corr"] == pytest.approx(np.corrcoef(x, y)[0, 1])
+        xc = x - x.mean()
+        m2, m3, m4 = (xc**2).mean(), (xc**3).mean(), (xc**4).mean()
+        assert m["skew_x"] == pytest.approx(m3 / m2**1.5)
+        assert m["kurt_x"] == pytest.approx(m4 / m2**2)
+
+    def test_empty_match(self, searcher):
+        assert searcher.agg_matrix_stats(["zzzznoterm"], "n_chars") == {"n": 0}
+
+    def test_distributed_core_identical(self, searcher, ray_session):
+        from neural_search_ray.query.distributed import DistributedSearcher
+
+        d = DistributedSearcher(searcher.index_dir, num_actors=2)
+        terms = sorted(set(tokenize("data query")))
+        single = searcher.agg_matrix_stats(terms, "n_chars")
+        dist = d.agg_matrix_stats(terms, "n_chars")
+        for k in ("n", "sum_x", "sum_y", "sum_xy", "mean_x", "mean_y",
+                  "var_x", "var_y", "cov", "corr"):
+            assert single[k] == dist[k]  # bit-identical: same exact sums
+
+
+class TestFilteredKnn:
+    def test_filter_is_exact_prefilter(self, sf_dir, ray_session, docs):
+        import pyarrow.parquet as pq
+
+        from neural_search_ray.ann.brute import knn_brute_force
+
+        qt = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", 2)],
+        )
+        queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+        qids = qt["vec_id"].to_numpy()
+        accepted = np.asarray(
+            [d for d, (_t, lang, *_r) in docs.items() if lang == "en"],
+            dtype=np.int64,
+        )
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        out = knn_brute_force(ds, queries, qids, k=5, accepted_ids=accepted)
+        neigh = set(out["neighbor_id"].to_pylist())
+        assert neigh <= set(accepted.tolist())
+        # brute reference over the accepted subset only
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = t["vec_id"].to_numpy()
+        emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        keep = np.isin(ids, accepted)
+        ids, emb = ids[keep], emb[keep]
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        q = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        sims = q @ emb.T
+        for qi, qid in enumerate(qids):
+            order = np.lexsort((ids, -sims[qi]))[:5]
+            want = ids[order].tolist()
+            got = [
+                r["neighbor_id"]
+                for r in out.to_pylist()
+                if r["query_id"] == qid
+            ]
+            assert got == want
+
+    def test_empty_accepted_set(self, sf_dir, ray_session):
+        import pyarrow.parquet as pq
+
+        from neural_search_ray.ann.brute import knn_brute_force
+
+        qt = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", 1)],
+        )
+        queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        out = knn_brute_force(
+            ds, queries, qt["vec_id"].to_numpy(), k=5,
+            accepted_ids=np.empty(0, np.int64),
+        )
+        assert out.num_rows == 0
+
+
 class TestDistributedParity:
     def test_terms_set_function_score_range(self, searcher, ray_session):
         from neural_search_ray.query.distributed import DistributedSearcher
