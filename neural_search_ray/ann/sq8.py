@@ -178,3 +178,77 @@ def knn_sq8(
             "score": pa.array(np.concatenate(out_s)),
         }
     )
+
+
+def knn_sq8_rescore(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    scales: np.ndarray,
+    fetch,
+    k: int = 10,
+    oversample: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """Two-phase quantized dense search (the k-NN plugin's
+    quantization + rescore mode: ANN over the compressed codes, exact
+    re-score of an oversampled candidate window — same contract as the
+    plugin's `rescore` / oversample_factor knob).
+
+    Phase 1 streams the corpus once and ranks by the EXACT int8 dot,
+    keeping ``k * oversample`` candidates per query (deterministic: the
+    integer score ties break by neighbor id, so the candidate window is
+    reproducible across engines). Phase 2 calls ``fetch(sorted unique
+    candidate ids) -> (ids, float64 matrix)`` — a pushdown point-read
+    bounded by n_queries * k * oversample rows, NOT a second corpus
+    scan — and re-scores with full-precision cosine; the returned top-k
+    is exact over the candidate window. Recall vs exact float search is
+    governed by oversample (quantization rank noise must fit inside the
+    window); pytest pins recall on the test corpus."""
+    cand = knn_sq8(
+        ds, queries, query_ids, scales,
+        k=k * oversample, id_col=id_col, emb_col=emb_col,
+    )
+    if cand.num_rows == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    need = np.unique(cand["neighbor_id"].to_numpy())
+    fids, fvecs = fetch(need)
+    fids = np.asarray(fids, dtype=np.int64)
+    order = np.argsort(fids)
+    fids, fvecs = fids[order], np.asarray(fvecs, dtype=np.float64)[order]
+    fn = np.linalg.norm(fvecs, axis=1)
+    fn[fn == 0] = 1.0
+    unit_c = fvecs / fn[:, None]
+    q = np.asarray(queries, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    unit_q = q / qn[:, None]
+    sims = unit_q @ unit_c.T  # (nq, n_candidates)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qpos = {int(qv): i for i, qv in enumerate(qids)}
+    c_q = cand["query_id"].to_numpy()
+    c_n = cand["neighbor_id"].to_numpy()
+    out_q, out_r, out_n, out_s = [], [], [], []
+    for qv in np.unique(c_q):
+        m = c_q == qv
+        nids = c_n[m]
+        sc = sims[qpos[int(qv)], np.searchsorted(fids, nids)]
+        sel = np.lexsort((nids, -sc))[:k]
+        out_q.append(np.full(sel.size, qv, dtype=np.int64))
+        out_r.append(np.arange(1, sel.size + 1, dtype=np.int64))
+        out_n.append(nids[sel])
+        out_s.append(sc[sel])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "rank": pa.array(np.concatenate(out_r)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "score": pa.array(np.concatenate(out_s)),
+        }
+    )

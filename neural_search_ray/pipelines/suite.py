@@ -3691,6 +3691,76 @@ def q_knn_cosine_sq8(sf_dir: str) -> pa.Table:
     return knn_sq8(ds, queries, qids, scales, k=10)
 
 
+_SQ8_RESCORE_OVERSAMPLE = 3
+
+
+def q_knn_sq8_rescore(sf_dir: str) -> pa.Table:
+    """Two-phase quantized dense search (ann/sq8.py knn_sq8_rescore —
+    the k-NN plugin's quantize + rescore mode): int8-dot candidate
+    window of k*oversample per query, then exact float64 cosine over a
+    pushdown point-read of just those vectors. Scores rounded to 6 for
+    the cross-engine rank discipline (same as knn_cosine)."""
+    import pyarrow.parquet as pq
+
+    from ..ann.sq8 import knn_sq8_rescore, train_sq8_scales
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    if sf_dir not in _SQ8_SCALES_CACHE:
+        _SQ8_SCALES_CACHE[sf_dir] = train_sq8_scales(ds)
+    scales = _SQ8_SCALES_CACHE[sf_dir]
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+
+    def fetch(ids: np.ndarray):
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "in", [int(i) for i in ids])],
+        )
+        return (
+            t["vec_id"].to_numpy(),
+            np.asarray(t["embedding"].to_pylist(), dtype=np.float64),
+        )
+
+    out = knn_sq8_rescore(
+        ds, queries, qids, scales, fetch,
+        k=10, oversample=_SQ8_RESCORE_OVERSAMPLE,
+    )
+    return out.set_column(
+        out.schema.get_field_index("score"),
+        "score",
+        pa.array(round_half_up(out["score"].to_numpy(), 6)),
+    )
+
+
+_MIX_TARGET_FRAC, _MIX_ALPHA, _MIX_SALT = 0.5, 0.5, "mix1"
+
+
+def q_source_mix_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Temperature-scaled source mixing (corpus/mix.py): per-source
+    keep rate ∝ √count normalized to a 50% target corpus fraction,
+    applied as a deterministic md5 gate — one tiny counts exchange,
+    then a shuffle-free streaming filter."""
+    from ..corpus.mix import source_mix_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return source_mix_sample(
+        ds,
+        target_frac=_MIX_TARGET_FRAC,
+        alpha=_MIX_ALPHA,
+        salt=_MIX_SALT,
+    )
+
+
 RADIAL_MIN_SCORE = 0.2  # shared by knn_radial / ivf_radial and their oracle
 
 
@@ -5980,6 +6050,60 @@ SELECT query_id::BIGINT AS query_id, rank, neighbor_id::BIGINT AS neighbor_id, s
   FROM scored) WHERE rank <= 10"""
     # int8 scalar-quantized dense tier: exact integer-dot oracle
     sqls["knn_cosine_sq8"] = _KNN_SQ8_SQL
+    # two-phase quantized search: int-dot candidate window (exact,
+    # integer tie discipline) then float cosine re-rank at round6
+    sqls["knn_sq8_rescore"] = f"""
+WITH flat AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings),
+dims AS (
+  SELECT i, CASE WHEN max(abs(v)) = 0 THEN 0.0
+                 ELSE 127.0 / max(abs(v)) END AS s
+  FROM flat GROUP BY i),
+qv AS (
+  SELECT vec_id, i, floor(v * s + 0.5)::BIGINT AS q
+  FROM flat JOIN dims USING (i)),
+s1 AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         sum(a.q * b.q)::BIGINT AS score
+  FROM (SELECT * FROM qv WHERE vec_id < 5) a
+  JOIN qv b USING (i)
+  GROUP BY 1, 2),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS r
+    FROM s1) WHERE r <= {10 * _SQ8_RESCORE_OVERSAMPLE}),
+cos AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[]) AS score
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id)
+SELECT query_id::BIGINT AS query_id, rank,
+       neighbor_id::BIGINT AS neighbor_id, score FROM (
+  SELECT query_id, neighbor_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, neighbor_id)
+           AS rank
+  FROM cos) WHERE rank <= 10"""
+    # temperature-scaled source mixing: per-source ppm from the same
+    # float expression (sqrt weights, one rounding), same md5 gate
+    sqls["source_mix_sample"] = f"""
+WITH c AS (SELECT source, count(*)::BIGINT AS cnt
+           FROM documents GROUP BY source),
+ t AS (SELECT sum(sqrt(cnt)) AS w_sum, sum(cnt)::BIGINT AS n_total FROM c),
+ r AS (SELECT c.source,
+         floor(least(1.0, ({_MIX_TARGET_FRAC} * t.n_total) * sqrt(c.cnt)
+                           / t.w_sum / c.cnt) * 1000000.0 + 0.5)::BIGINT
+           AS ppm
+       FROM c, t)
+SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+WHERE (md5_number_lower(d.doc_id::VARCHAR || '{_MIX_SALT}')
+       & 9223372036854775807) % 1000000 < r.ppm"""
 
     # radial retrieval: ALL neighbors with cosine >= threshold (no top-k)
     sqls["knn_radial"] = f"""
@@ -6856,6 +6980,11 @@ def build_queries() -> dict:
         "knn_cosine_filtered": q_knn_cosine_filtered,
         "events_auto_histogram": q_events_auto_histogram,
         # ==== driver 50-entry window boundary (keys above this line) ====
+        # first past the post: new two-phase / mixing modes whose family
+        # siblings (knn_cosine_sq8 in-window; quality_sample driver-green
+        # r02+r03) already carry independent verification
+        "knn_sq8_rescore": q_knn_sq8_rescore,
+        "source_mix_sample": q_source_mix_sample,
         # same-family variants of in-window reps, newest first: the
         # multi_match/bool-prefix siblings, the agg/sampler/pipeline-agg
         # variants, the function_score sibling of decay, and the

@@ -376,3 +376,94 @@ class TestPercolate:
                 if need <= toks:
                     want.add((d, qid))
         assert got == want
+
+
+class TestSourceMix:
+    def test_rates_math_and_saturation(self):
+        from neural_search_ray.corpus.mix import source_mix_rates
+
+        import math
+
+        counts = {"a": 100, "b": 400, "c": 4}
+        ppm = source_mix_rates(counts, target_frac=0.5, alpha=0.5)
+        N = 504
+        W = sum(math.sqrt(c) for c in (100, 400, 4))
+        for s, c in counts.items():
+            want = min(1.0, (0.5 * N) * math.sqrt(c) / W / c)
+            assert ppm[s] == int(math.floor(want * 1e6 + 0.5))
+        # a tiny source upweighted past 1.0 saturates at 1e6 ppm
+        ppm2 = source_mix_rates({"a": 10000, "b": 1}, 0.9, alpha=0.1)
+        assert ppm2["b"] == 1_000_000
+
+    def test_sample_hits_target_fraction(self, sf_dir, ray_session):
+        from neural_search_ray.corpus.mix import source_mix_sample
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        n_total = ds.count()
+        out = source_mix_sample(ds, target_frac=0.5, alpha=0.5)
+        n_kept = out.count()
+        # md5 gate is uniform: binomial noise around the target
+        assert abs(n_kept / n_total - 0.5) < 0.1
+        # deterministic: the same sample on a second pass
+        assert source_mix_sample(ds, target_frac=0.5, alpha=0.5).count() == n_kept
+
+    def test_alpha_upweights_small_sources(self):
+        from neural_search_ray.corpus.mix import source_mix_rates
+
+        counts = {"big": 10000, "small": 100}
+        flat = source_mix_rates(counts, 0.3, alpha=1.0)
+        temp = source_mix_rates(counts, 0.3, alpha=0.5)
+        assert flat["big"] == flat["small"]  # alpha=1 is proportional
+        assert temp["small"] > temp["big"]
+
+
+class TestSq8Rescore:
+    def test_recall_and_exact_scores(self, sf_dir, ray_session):
+        import pyarrow.parquet as pq
+
+        from neural_search_ray.ann.brute import knn_brute_force
+        from neural_search_ray.ann.sq8 import (
+            knn_sq8_rescore,
+            train_sq8_scales,
+        )
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        scales = train_sq8_scales(ds)
+        qt = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", 3)],
+        )
+        queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+        qids = qt["vec_id"].to_numpy()
+
+        def fetch(ids):
+            t = pq.read_table(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"],
+                filters=[("vec_id", "in", [int(i) for i in ids])],
+            )
+            return (
+                t["vec_id"].to_numpy(),
+                np.asarray(t["embedding"].to_pylist(), dtype=np.float64),
+            )
+
+        got = knn_sq8_rescore(ds, queries, qids, scales, fetch, k=10,
+                              oversample=3)
+        exact = knn_brute_force(ds, queries, qids, k=10)
+        for q in qids:
+            g = [r["neighbor_id"] for r in got.to_pylist() if r["query_id"] == q]
+            e = [r["neighbor_id"] for r in exact.to_pylist() if r["query_id"] == q]
+            recall = len(set(g) & set(e)) / len(e)
+            assert recall >= 0.8, (q, recall)
+        # phase-2 scores are the TRUE cosines for every returned pair
+        ex = {(r["query_id"], r["neighbor_id"]): r["score"]
+              for r in exact.to_pylist()}
+        for r in got.to_pylist():
+            key = (r["query_id"], r["neighbor_id"])
+            if key in ex:
+                assert r["score"] == pytest.approx(ex[key], abs=1e-12)
