@@ -1389,6 +1389,36 @@ def q_diversified_topk(sf_dir: str) -> pa.Table:
     )
 
 
+_TOP_METRICS_SIZE = 3
+
+
+def q_agg_top_metrics(sf_dir: str) -> pa.Table:
+    """top_metrics aggregation (engine agg_top_metrics): BM25 doc
+    length at the top 3 match-set docs by (n_chars desc, doc_id)."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, rs, ds_, svs, mvs = [], [], [], [], []
+    for qid, qtext in QUERY_SET:
+        docs, sv, mv = searcher.agg_top_metrics(
+            tokenize(qtext), "n_chars", "_dl", size=_TOP_METRICS_SIZE
+        )
+        for r, (d, s, m) in enumerate(zip(docs, sv, mv), start=1):
+            qs.append(qid)
+            rs.append(r)
+            ds_.append(int(d))
+            svs.append(int(s))
+            mvs.append(int(m))
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "rank": pa.array(rs, pa.int64()),
+            "doc_id": pa.array(ds_, pa.int64()),
+            "sort_v": pa.array(svs, pa.int64()),
+            "metric_v": pa.array(mvs, pa.int64()),
+        }
+    )
+
+
 def q_agg_matrix_stats(sf_dir: str) -> pa.Table:
     """matrix_stats aggregation (engine agg_matrix_stats): exact
     integer moment/cross sums between n_chars and the BM25 doc length
@@ -2592,6 +2622,74 @@ def q_events_bucket_sort(sf_dir: str) -> "ray.data.Dataset":
                 "bucket_us": g["bucket_us"],
                 "cnt": g["cnt"],
                 "sum_value": g["sum_value"],
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
+_HOUR_US = 3_600_000_000
+
+
+def q_events_date_histogram_dense(sf_dir: str) -> "ray.data.Dataset":
+    """date_histogram with min_doc_count=0 (the ES empty-bucket
+    contract): per event_type, EVERY hour bucket between the series'
+    min and max is emitted with zero-filled counts. Densification runs
+    AFTER the exchange on per-group bucket vectors (np.arange over the
+    span + searchsorted scatter) — cost bounded by the bucket span,
+    never the event count."""
+    hist = q_events_date_histogram(sf_dir)
+
+    def finish(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        bu = group["bucket_us"].to_numpy(zero_copy_only=False)
+        cnt = group["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(bu)
+        bu, cnt = bu[order], cnt[order]
+        full = np.arange(bu[0], bu[-1] + 1, _HOUR_US, dtype=np.int64)
+        dense = np.zeros(full.size, dtype=np.int64)
+        dense[np.searchsorted(full, bu)] = cnt
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group["event_type"][0].as_py()] * full.size
+                ),
+                "bucket_us": pa.array(full),
+                "cnt": pa.array(dense),
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
+_PBKT_PCTS = (25.0, 50.0, 75.0, 99.0)
+
+
+def q_events_percentiles_bucket(sf_dir: str) -> "ray.data.Dataset":
+    """percentiles_bucket pipeline aggregation: per event_type, the
+    linear-interpolated (PERCENTILE_CONT) percentiles of the bucket cnt
+    series — exact and cross-engine because numpy 'linear' and DuckDB
+    quantile_cont share the interpolation rule (round6 absorbs the
+    interpolation division)."""
+    hist = q_events_date_histogram(sf_dir)
+
+    def finish(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cnt = group["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = np.percentile(cnt, list(_PBKT_PCTS), method="linear")
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group["event_type"][0].as_py()] * len(_PBKT_PCTS)
+                ),
+                "pct": pa.array(np.asarray(_PBKT_PCTS, dtype=np.float64)),
+                "value": pa.array(round_half_up(vals, 6), pa.float64()),
             }
         )
 
@@ -5199,6 +5297,36 @@ FROM (
          min(cnt) OVER (PARTITION BY event_type) AS mn,
          max(cnt) OVER (PARTITION BY event_type) AS mx
   FROM ({_hist_cnt_sql}))"""
+    sqls["events_date_histogram_dense"] = f"""
+WITH h AS ({_hist_cnt_sql}),
+ b AS (SELECT event_type,
+              unnest(generate_series(min(bucket_us), max(bucket_us),
+                                     {_HOUR_US})) AS bucket_us
+       FROM h GROUP BY event_type)
+SELECT b.event_type, b.bucket_us::BIGINT AS bucket_us,
+       coalesce(h.cnt, 0)::BIGINT AS cnt
+FROM b LEFT JOIN h ON h.event_type = b.event_type
+                  AND h.bucket_us = b.bucket_us"""
+    _pbkt_list = ", ".join(str(p / 100.0) for p in _PBKT_PCTS)
+    _pbkt_vals = ", ".join(
+        f"({i + 1}, {p}::DOUBLE)" for i, p in enumerate(_PBKT_PCTS)
+    )
+    sqls["events_percentiles_bucket"] = f"""
+WITH h AS ({_hist_cnt_sql}),
+ q AS (SELECT event_type, quantile_cont(cnt, [{_pbkt_list}]) AS qs
+       FROM h GROUP BY event_type)
+SELECT q.event_type, p.pct, round(q.qs[p.i], 6) AS value
+FROM q, (VALUES {_pbkt_vals}) p(i, pct)"""
+    sqls["agg_top_metrics"] = f"""
+SELECT query_id, rank, doc_id, sort_v, metric_v FROM (
+  SELECT m.query_id, m.doc_id, d.n_chars::BIGINT AS sort_v,
+         l.dl::BIGINT AS metric_v,
+         row_number() OVER (PARTITION BY m.query_id
+                            ORDER BY d.n_chars DESC, m.doc_id) AS rank
+  FROM ({_match_docs}) m
+  JOIN documents d ON d.doc_id = m.doc_id
+  JOIN ({SQL_DL_ALL}) l ON l.doc_id = m.doc_id
+) WHERE rank <= {_TOP_METRICS_SIZE}"""
     # numeric range query: lo <= n_chars < hi, constant score
     _range_rows = ", ".join(
         f"({qid}, {lo}, {hi})" for qid, lo, hi in _RANGE_QUERY_SET
@@ -6985,6 +7113,9 @@ def build_queries() -> dict:
         # r02+r03) already carry independent verification
         "knn_sq8_rescore": q_knn_sq8_rescore,
         "source_mix_sample": q_source_mix_sample,
+        "agg_top_metrics": q_agg_top_metrics,
+        "events_date_histogram_dense": q_events_date_histogram_dense,
+        "events_percentiles_bucket": q_events_percentiles_bucket,
         # same-family variants of in-window reps, newest first: the
         # multi_match/bool-prefix siblings, the agg/sampler/pipeline-agg
         # variants, the function_score sibling of decay, and the

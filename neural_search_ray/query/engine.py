@@ -1267,6 +1267,41 @@ class IndexSearcher:
         o2 = np.lexsort((np.asarray(values, dtype=object), -counts))
         return [values[i] for i in o2], counts[o2]
 
+    def agg_top_metrics(
+        self,
+        terms: list[str],
+        sort_field: str,
+        metric_field: str = "_dl",
+        size: int = 3,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """top_metrics aggregation (OpenSearch top_metrics agg): the
+        metric field's values at the top ``size`` docs of the match set
+        ordered by (sort_field desc, doc_id asc — the deterministic tie
+        rule). Returns (doc_ids, sort_values, metric_values). Shard
+        partials are each shard's own top ``size`` rows; the
+        coordinator merge is a size-bounded re-sort — exact because a
+        doc's sort value is shard-local."""
+        docs = self._match_union(sorted(set(terms)))
+        if docs.size == 0:
+            e = np.empty(0, np.int64)
+            return e, e, e
+        sv = (
+            self.field_values(docs, sort_field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        sel = np.lexsort((docs, -sv))[:size]
+        top = docs[sel]
+        if metric_field == "_dl":
+            mv = self.doc_length(top).astype(np.int64)
+        else:
+            mv = (
+                self.field_values(top, metric_field)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        return top, sv[sel], mv
+
     def agg_matrix_stats(
         self, terms: list[str], field_x: str, field_y: str = "_dl"
     ) -> dict:
