@@ -87,73 +87,83 @@ _PARTIAL_SCHEMA_POS = _PARTIAL_SCHEMA.append(
 )
 
 
+def pack_partial_rows(
+    run_terms: pa.Array,      # one term per run, in run order
+    run_df: np.ndarray,       # postings per run
+    run_shard: np.ndarray,
+    run_bucket: np.ndarray,
+    run_post_start: np.ndarray,  # posting-space start of each run
+    total_postings: int,
+    p_doc: np.ndarray,
+    p_tf: np.ndarray,
+    pos_flat: np.ndarray | None = None,   # token-space positions per run
+    run_pos_start: np.ndarray | None = None,
+    *,
+    index_positions: bool = False,
+) -> pa.Table:
+    """Pack consecutive runs sharing (shard, bucket) into one row of
+    _PARTIAL_SCHEMA[_POS]. PRECONDITION: runs are sorted by (shard,
+    bucket) and postings are laid out run-contiguously (positions
+    token-contiguously). Shared by the tokenizing build map stage and
+    index/reshard.py's decode-and-repack map stage."""
+    schema = _PARTIAL_SCHEMA_POS if index_positions else _PARTIAL_SCHEMA
+    nruns = run_df.size
+    gb = np.flatnonzero(
+        (np.diff(run_shard) != 0) | (np.diff(run_bucket) != 0)
+    ) + 1
+    g_starts = np.concatenate(([0], gb))          # run space
+    run_offsets = pa.array(
+        np.concatenate((g_starts, [nruns])), type=pa.int64()
+    )
+    post_offsets = pa.array(
+        np.concatenate((run_post_start[g_starts], [total_postings])),
+        type=pa.int64(),
+    )
+    cols = {
+        "doc_shard": pa.array(run_shard[g_starts].astype(np.int32)),
+        "term_bucket": pa.array(run_bucket[g_starts].astype(np.int32)),
+        "terms": pa.ListArray.from_arrays(run_offsets, run_terms),
+        "dfs": pa.ListArray.from_arrays(
+            run_offsets, pa.array(run_df.astype(np.int32), type=pa.int32())
+        ),
+        "doc_ids": pa.ListArray.from_arrays(
+            post_offsets, pa.array(p_doc, type=pa.int64())
+        ),
+        "tfs": pa.ListArray.from_arrays(
+            post_offsets, pa.array(p_tf.astype(np.int32), type=pa.int32())
+        ),
+    }
+    if index_positions:
+        if pos_flat is None:  # doc-length sentinel rows: empty lists
+            pos_offsets = pa.array(
+                np.zeros(g_starts.size + 1, dtype=np.int64)
+            )
+            pos_vals = pa.array(np.empty(0, np.int32), type=pa.int32())
+        else:
+            pos_offsets = pa.array(
+                np.concatenate(
+                    (run_pos_start[g_starts], [pos_flat.size])
+                ),
+                type=pa.int64(),
+            )
+            pos_vals = pa.array(pos_flat.astype(np.int32), type=pa.int32())
+        cols["pos"] = pa.ListArray.from_arrays(pos_offsets, pos_vals)
+    return pa.table(cols, schema=schema)
+
+
 def make_tokenize_partial_postings(
     config: IndexConfig, id_column: str = "doc_id", text_column: str = "text"
 ):
     """Build the map_batches fn: batch of (doc_id, text) → partial postings."""
+    import functools
+
     num_shards = config.num_shards
     num_buckets = config.num_salts * config.num_shards  # term buckets per shard
     analyzer_cfg = config.analyzer
     index_positions = config.index_positions
-    schema = _PARTIAL_SCHEMA_POS if index_positions else _PARTIAL_SCHEMA
-
-    def _packed_rows(
-        run_terms: pa.Array,      # one term per run, in run order
-        run_df: np.ndarray,       # postings per run
-        run_shard: np.ndarray,
-        run_bucket: np.ndarray,
-        run_post_start: np.ndarray,  # posting-space start of each run
-        total_postings: int,
-        p_doc: np.ndarray,
-        p_tf: np.ndarray,
-        pos_flat: np.ndarray | None = None,   # token-space positions per run
-        run_pos_start: np.ndarray | None = None,
-    ) -> pa.Table:
-        """Pack consecutive runs sharing (shard, bucket) into one row.
-        PRECONDITION: runs are sorted by (shard, bucket) and postings are
-        laid out run-contiguously (positions token-contiguously)."""
-        nruns = run_df.size
-        gb = np.flatnonzero(
-            (np.diff(run_shard) != 0) | (np.diff(run_bucket) != 0)
-        ) + 1
-        g_starts = np.concatenate(([0], gb))          # run space
-        run_offsets = pa.array(
-            np.concatenate((g_starts, [nruns])), type=pa.int64()
-        )
-        post_offsets = pa.array(
-            np.concatenate((run_post_start[g_starts], [total_postings])),
-            type=pa.int64(),
-        )
-        cols = {
-            "doc_shard": pa.array(run_shard[g_starts].astype(np.int32)),
-            "term_bucket": pa.array(run_bucket[g_starts].astype(np.int32)),
-            "terms": pa.ListArray.from_arrays(run_offsets, run_terms),
-            "dfs": pa.ListArray.from_arrays(
-                run_offsets, pa.array(run_df.astype(np.int32), type=pa.int32())
-            ),
-            "doc_ids": pa.ListArray.from_arrays(
-                post_offsets, pa.array(p_doc, type=pa.int64())
-            ),
-            "tfs": pa.ListArray.from_arrays(
-                post_offsets, pa.array(p_tf.astype(np.int32), type=pa.int32())
-            ),
-        }
-        if index_positions:
-            if pos_flat is None:  # doc-length sentinel rows: empty lists
-                pos_offsets = pa.array(
-                    np.zeros(g_starts.size + 1, dtype=np.int64)
-                )
-                pos_vals = pa.array(np.empty(0, np.int32), type=pa.int32())
-            else:
-                pos_offsets = pa.array(
-                    np.concatenate(
-                        (run_pos_start[g_starts], [pos_flat.size])
-                    ),
-                    type=pa.int64(),
-                )
-                pos_vals = pa.array(pos_flat.astype(np.int32), type=pa.int32())
-            cols["pos"] = pa.ListArray.from_arrays(pos_offsets, pos_vals)
-        return pa.table(cols, schema=schema)
+    _packed_rows = functools.partial(
+        pack_partial_rows, index_positions=index_positions
+    )
 
     def fn(batch: pa.Table) -> pa.Table:
         from ..runtime import ensure_worker_tuned

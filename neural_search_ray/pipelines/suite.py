@@ -2889,6 +2889,35 @@ def q_bm25_topk_snapshot(sf_dir: str) -> pa.Table:
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
+_RESHARD_CACHE: dict[str, str] = {}
+
+
+def q_bm25_topk_resharded(sf_dir: str) -> pa.Table:
+    """BM25 through a RESHARD of the base index (index/reshard.py —
+    the _split/_shrink analogue): postings decoded and repacked from
+    the base's doc-shard layout to a different, non-multiple shard
+    count through the build's own exchange. Global stats and scores
+    are preserved exactly, so this runs under the SAME oracle as
+    bm25_topk."""
+    from ..index.reshard import reshard_index
+
+    if sf_dir not in _RESHARD_CACHE:
+        base = get_index_dir(sf_dir)
+        out = base + "-resharded"
+        reshard_index(base, out, 5)
+        _RESHARD_CACHE[sf_dir] = out
+    idx = _RESHARD_CACHE[sf_dir]
+    if idx not in _SEARCHER_CACHE:
+        _SEARCHER_CACHE[idx] = IndexSearcher(idx)
+    searcher = _SEARCHER_CACHE[idx]
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
 _MLT_MOD = 53        # deterministic source-doc sample: doc_id % 53 == 0
 _MLT_MAX_TERMS = 10  # max_query_terms (Lucene MLT default is 25)
 
@@ -5075,6 +5104,8 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["more_like_this"] = _topk_sql(_mlt_scored_sql(), BM25_K)
     # snapshot -> restore round trip: rank-identical to the source index
     sqls["bm25_topk_snapshot"] = sqls["bm25_topk"]
+    # reshard rewrite: rank- and score-identical to the source index
+    sqls["bm25_topk_resharded"] = sqls["bm25_topk"]
     # simple_query_string: parsed with the engine's own parser, scored
     # as the boolean combination of term/phrase/prefix clauses
     sqls["query_string_topk"] = _topk_sql(_qs_scored_sql(), BM25_K)
@@ -7116,6 +7147,7 @@ def build_queries() -> dict:
         "agg_top_metrics": q_agg_top_metrics,
         "events_date_histogram_dense": q_events_date_histogram_dense,
         "events_percentiles_bucket": q_events_percentiles_bucket,
+        "bm25_topk_resharded": q_bm25_topk_resharded,
         # same-family variants of in-window reps, newest first: the
         # multi_match/bool-prefix siblings, the agg/sampler/pipeline-agg
         # variants, the function_score sibling of decay, and the
