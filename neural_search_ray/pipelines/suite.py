@@ -1048,6 +1048,38 @@ def q_phrase_topk(sf_dir: str) -> pa.Table:
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
+_HL_WINDOW, _HL_TOPK = 8, 5
+
+
+def q_highlight_positional(sf_dir: str) -> pa.Table:
+    """Positional plain highlighter (engine highlight_best_window —
+    the UnifiedHighlighter best-passage rule): for each query's round6
+    BM25 top-5 docs, the 8-token window holding the most query-term
+    occurrences, selected from the positional postings alone."""
+    searcher = get_pos_searcher(sf_dir)
+    qs, ds_, ws, hs = [], [], [], []
+    for qid, qtext in QUERY_SET:
+        terms = tokenize(qtext)
+        docs, scores = searcher.search_bm25(terms, k=_HL_TOPK * 3)
+        sc = round_half_up(scores, 6)
+        order = np.lexsort((docs, -sc))[:_HL_TOPK]
+        hd, hw, hh = searcher.highlight_best_window(
+            terms, docs[order], window=_HL_WINDOW
+        )
+        qs.extend([qid] * hd.size)
+        ds_.extend(hd.tolist())
+        ws.extend(hw.tolist())
+        hs.extend(hh.tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "doc_id": pa.array(ds_, pa.int64()),
+            "win_start": pa.array(ws, pa.int64()),
+            "n_hits": pa.array(hs, pa.int64()),
+        }
+    )
+
+
 def q_prefix_topk(sf_dir: str) -> pa.Table:
     """Prefix query (engine search_prefix): term-dictionary range
     expansion + constant-score union, Lucene PrefixQuery semantics."""
@@ -5106,6 +5138,40 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["bm25_topk_snapshot"] = sqls["bm25_topk"]
     # reshard rewrite: rank- and score-identical to the source index
     sqls["bm25_topk_resharded"] = sqls["bm25_topk"]
+    # positional best-window highlighter over the bm25 top-5 candidates:
+    # token positions renumbered after the empty-token filter (0-based
+    # to match the analyzer), window start = a matched position,
+    # (hits desc, start asc) tie rule
+    sqls["highlight_positional"] = f"""
+WITH cand AS (SELECT query_id, doc_id
+              FROM ({_topk_sql(_bm25_scored_sql(), _HL_TOPK)})),
+seq AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS p
+  FROM (
+    SELECT doc_id, term, ord FROM (
+      SELECT doc_id, unnest(toks) AS term,
+             unnest(range(1, len(toks) + 1)) AS ord
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents))
+    WHERE term <> '')),
+hit AS (
+  SELECT c.query_id, s.doc_id, s.p
+  FROM cand c
+  JOIN seq s ON s.doc_id = c.doc_id
+  JOIN ({_query_values_sql()}) q
+    ON q.query_id = c.query_id AND q.term = s.term),
+win AS (
+  SELECT h.query_id, h.doc_id, h.p AS win_start,
+         (SELECT count(*) FROM hit h2
+          WHERE h2.query_id = h.query_id AND h2.doc_id = h.doc_id
+            AND h2.p >= h.p AND h2.p < h.p + {_HL_WINDOW}) AS n_hits
+  FROM hit h)
+SELECT query_id, doc_id, win_start::BIGINT AS win_start,
+       n_hits::BIGINT AS n_hits FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                               ORDER BY n_hits DESC, win_start) AS rn
+  FROM win) WHERE rn = 1"""
     # simple_query_string: parsed with the engine's own parser, scored
     # as the boolean combination of term/phrase/prefix clauses
     sqls["query_string_topk"] = _topk_sql(_qs_scored_sql(), BM25_K)
@@ -7148,6 +7214,7 @@ def build_queries() -> dict:
         "events_date_histogram_dense": q_events_date_histogram_dense,
         "events_percentiles_bucket": q_events_percentiles_bucket,
         "bm25_topk_resharded": q_bm25_topk_resharded,
+        "highlight_positional": q_highlight_positional,
         # same-family variants of in-window reps, newest first: the
         # multi_match/bool-prefix siblings, the agg/sampler/pipeline-agg
         # variants, the function_score sibling of decay, and the

@@ -917,6 +917,61 @@ class IndexSearcher:
             scores = np.zeros(cand.size, dtype=np.float64)
         return topk_desc(cand, scores, k)
 
+    def highlight_best_window(
+        self,
+        terms: list[str],
+        doc_ids: np.ndarray,
+        window: int = 8,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Positional plain highlighter — the Lucene UnifiedHighlighter
+        best-passage selection restated over the .prx-style positional
+        postings (no re-tokenization, no stored text): for each given
+        doc, the window of ``window`` consecutive token positions
+        holding the MOST query-term occurrences; ties break to the
+        smallest start. A best window always starts at a matched
+        position, so candidates = the doc's matched positions and the
+        whole batch folds into ONE searchsorted over the (doc, pos)
+        key space. Returns (doc_ids, win_start, n_hits) for every
+        requested doc with at least one matched position. Shard-safe:
+        positions are shard-local, so shard partials concatenate."""
+        sterms = sorted(set(terms))
+        want = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        e = np.empty(0, np.int64)
+        if want.size == 0 or not sterms:
+            return e, e, e
+        from ..index.codec import posting_gather
+
+        d_parts, p_parts = [], []
+        for t in sterms:
+            docs, tfs, pos_flat, tok_start = self.postings_positions(t)
+            if docs.size == 0:
+                continue
+            idx = np.searchsorted(docs, want)
+            idx_c = np.minimum(idx, docs.size - 1)
+            sel = np.flatnonzero(docs[idx_c] == want)
+            rows = idx_c[sel]
+            if rows.size == 0:
+                continue
+            gp = pos_flat[posting_gather(tok_start, tfs, rows)]
+            d_parts.append(np.repeat(docs[rows], tfs[rows]))
+            p_parts.append(gp)
+        if not d_parts:
+            return e, e, e
+        d = np.concatenate(d_parts)
+        p = np.concatenate(p_parts)
+        big = np.int64(1) << np.int64(32)  # positions are int32-bounded
+        key = d * big + p
+        key.sort()
+        d_s, p_s = key // big, key % big
+        hi = np.searchsorted(key, d_s * big + p_s + window)
+        cnt = hi - np.arange(key.size)
+        order = np.lexsort((p_s, -cnt, d_s))
+        first = np.concatenate(
+            ([0], np.flatnonzero(np.diff(d_s[order]) != 0) + 1)
+        )
+        best = order[first]
+        return d_s[best], p_s[best], cnt[best]
+
     def search_phrase_prefix(
         self,
         terms: list[str],

@@ -425,3 +425,46 @@ class TestUpsert:
         ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
         with pytest.raises(FileNotFoundError):
             upsert_docs(str(tmp_path / "nope"), ds, segment_id="s")
+
+
+class TestHighlightBestWindow:
+    def test_matches_bruteforce(self, pos_index, corpus):
+        s = IndexSearcher(pos_index)
+        W = 6
+        for qtext in ["data query", "the fast join", "merge sort window"]:
+            terms = sorted(set(tokenize(qtext)))
+            want_docs = sorted(
+                d for d, toks in corpus.items() if set(toks) & set(terms)
+            )[:20]
+            hd, hw, hh = s.highlight_best_window(
+                terms, np.asarray(want_docs, np.int64), window=W
+            )
+            got = {int(d): (int(w), int(h)) for d, w, h in zip(hd, hw, hh)}
+            for d in want_docs:
+                toks = corpus[d]
+                pos = [i for i, t in enumerate(toks) if t in terms]
+                assert pos, d
+                best = max(
+                    ((sum(1 for p2 in pos if p <= p2 < p + W), -p) for p in pos),
+                )
+                assert got[d] == (-best[1], best[0])
+
+    def test_no_match_and_empty(self, pos_index):
+        s = IndexSearcher(pos_index)
+        d, w, h = s.highlight_best_window(
+            ["zzzznoterm"], np.asarray([0, 1], np.int64)
+        )
+        assert d.size == 0
+        d, w, h = s.highlight_best_window(["data"], np.empty(0, np.int64))
+        assert d.size == 0
+
+    def test_window_one_counts_single(self, pos_index, corpus):
+        s = IndexSearcher(pos_index)
+        terms = ["data"]
+        docs = [d for d, toks in corpus.items() if "data" in toks][:5]
+        hd, hw, hh = s.highlight_best_window(
+            terms, np.asarray(docs, np.int64), window=1
+        )
+        assert (hh == 1).all()  # a 1-token window holds exactly one hit
+        for d, w in zip(hd, hw):
+            assert corpus[int(d)][int(w)] == "data"
