@@ -216,6 +216,10 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
         # percolator (new in r4 session 7): full corpus streamed through
         # the stored-query map — the reverse-search scale stage
         "percolate",
+        # reshard rewrite (decode+repack through the build exchange) +
+        # the positional best-window highlighter (both new in session 7)
+        "bm25_topk_resharded",
+        "highlight_positional",
     ):
         t0 = time.perf_counter()
         res = suite.build_queries()[name](sf_dir)

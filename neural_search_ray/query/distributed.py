@@ -257,6 +257,13 @@ class ShardSearchActor:
     ) -> tuple:
         return self.searcher.agg_matrix_stats_partial(terms, field_x, field_y)
 
+    def highlight_best_window(
+        self, terms: list[str], doc_ids: list[int], window: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return self.searcher.highlight_best_window(
+            terms, np.asarray(doc_ids, dtype=np.int64), window=window
+        )
+
     def facet_top_hits_partial(
         self, terms: list[str], field: str, k_per_bucket: int,
         global_dfs: list[float],
@@ -911,6 +918,25 @@ class DistributedSearcher:
             "cov": cov,
             "corr": cov / denom if denom > 0 else 0.0,
         }
+
+    def highlight_best_window(
+        self, terms: list[str], doc_ids: np.ndarray, window: int = 8
+    ):
+        """Distributed highlighter: a doc's positions live on exactly
+        one shard, so per-shard best windows concatenate — no merge
+        logic, no duplicate docs possible."""
+        ids = [int(d) for d in np.asarray(doc_ids, dtype=np.int64)]
+        parts = ray.get(
+            [
+                a.highlight_best_window.remote(terms, ids, window)
+                for a in self.actors
+            ]
+        )
+        d = np.concatenate([p[0] for p in parts])
+        w = np.concatenate([p[1] for p in parts])
+        h = np.concatenate([p[2] for p in parts])
+        order = np.argsort(d)
+        return d[order], w[order], h[order]
 
     def agg_range(
         self, terms: list[str], field: str, ranges: list[tuple]

@@ -468,3 +468,16 @@ class TestHighlightBestWindow:
         assert (hh == 1).all()  # a 1-token window holds exactly one hit
         for d, w in zip(hd, hw):
             assert corpus[int(d)][int(w)] == "data"
+
+    def test_distributed_parity(self, pos_index, ray_session):
+        from neural_search_ray.query.distributed import DistributedSearcher
+
+        s = IndexSearcher(pos_index)
+        d = DistributedSearcher(pos_index, num_actors=2)
+        terms = sorted(set(tokenize("data query")))
+        docs, _ = s.search_bm25(terms, k=10)
+        a = s.highlight_best_window(terms, docs, window=8)
+        b = d.highlight_best_window(terms, docs, window=8)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+        d.shutdown()
