@@ -2730,6 +2730,50 @@ def q_events_percentiles_bucket(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def q_events_rollup_day(sf_dir: str) -> "ray.data.Dataset":
+    """Index-rollup end-to-end (agg/rollup.py — the OpenSearch
+    index-management rollup/transform shape): ONE streaming pass over
+    the raw events materializes an HOURLY pre-aggregated table (count /
+    sum / min / max partials per (event_type, hour)); the DAILY
+    histogram with full metrics is then answered FROM the rollup by
+    merging partials — the raw table is never re-read. The oracle
+    aggregates raw events directly at day granularity, proving
+    rollup-path == raw-path. avg is derived from the ROUNDED sum so the
+    engine and SQL divide identical numerators (float-tie discipline)."""
+    from ..agg.rollup import build_rollup, rollup_aggregate
+
+    key = sf_dir.strip("/").replace("/", "_")
+    rollup_dir = build_rollup(
+        f"{sf_dir}/events.parquet",
+        f"/tmp/nsr_rollup_{key}",
+        interval="hour",
+    )
+    daily = rollup_aggregate(rollup_dir, coarse="day")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        sum2 = round_half_up(
+            batch["sum_value"].to_numpy(zero_copy_only=False), 2
+        )
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "bucket_us": batch["bucket_us"].cast(pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "sum_value": pa.array(sum2, pa.float64()),
+                "min_value": batch["min_value"].cast(pa.float64()),
+                "max_value": batch["max_value"].cast(pa.float64()),
+                "avg_value": pa.array(
+                    round_half_up(sum2 / cnt, 6), pa.float64()
+                ),
+            }
+        )
+
+    return daily.map_batches(finish, batch_format="pyarrow")
+
+
 def q_events_sibling_stats(sf_dir: str) -> "ray.data.Dataset":
     """Sibling pipeline aggregations (ES stats_bucket + max_bucket /
     min_bucket) over the date_histogram: per event_type ONE row —
@@ -5414,6 +5458,14 @@ WITH h AS ({_hist_cnt_sql}),
        FROM h GROUP BY event_type)
 SELECT q.event_type, p.pct, round(q.qs[p.i], 6) AS value
 FROM q, (VALUES {_pbkt_vals}) p(i, pct)"""
+    # rollup path must equal aggregating the raw stream at day grain;
+    # avg divides the ROUNDED sum on both sides (float-tie discipline)
+    sqls["events_rollup_day"] = """
+SELECT event_type, epoch_us(date_trunc('day', ts))::BIGINT AS bucket_us,
+       count(*)::BIGINT AS cnt, round(sum(value), 2) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value,
+       round(round(sum(value), 2) / count(*), 6) AS avg_value
+FROM events GROUP BY event_type, bucket_us"""
     sqls["agg_top_metrics"] = f"""
 SELECT query_id, rank, doc_id, sort_v, metric_v FROM (
   SELECT m.query_id, m.doc_id, d.n_chars::BIGINT AS sort_v,
@@ -7203,8 +7255,9 @@ def build_queries() -> dict:
         "events_serial_diff": q_events_serial_diff,
         "agg_matrix_stats": q_agg_matrix_stats,
         "knn_cosine_filtered": q_knn_cosine_filtered,
-        "events_auto_histogram": q_events_auto_histogram,
+        "events_rollup_day": q_events_rollup_day,
         # ==== driver 50-entry window boundary (keys above this line) ====
+        "events_auto_histogram": q_events_auto_histogram,
         # first past the post: new two-phase / mixing modes whose family
         # siblings (knn_cosine_sq8 in-window; quality_sample driver-green
         # r02+r03) already carry independent verification
