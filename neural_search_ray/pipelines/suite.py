@@ -2097,6 +2097,143 @@ def q_rank_feature_log(sf_dir: str) -> pa.Table:
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
+_SAMPLER_SHARD_SIZE = 30
+
+
+def q_agg_sampler(sf_dir: str) -> pa.Table:
+    """sampler aggregation (engine agg_sampler — SamplerAggregator):
+    stats sub-agg over only the top-shard_size best-scoring match docs.
+    Sample membership pinned by (round6(score) desc, doc_id) on both
+    sides; the metrics themselves are exact int64."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        s = searcher.agg_sampler(
+            tokenize(qtext), "n_chars", shard_size=_SAMPLER_SHARD_SIZE
+        )
+        rows.append((qid, s["count"], s["min"], s["max"], s["sum"], s["avg"]))
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "query_id": pa.array(cols[0], pa.int64()),
+            "cnt": pa.array(cols[1], pa.int64()),
+            "min_v": pa.array(cols[2], pa.int64()),
+            "max_v": pa.array(cols[3], pa.int64()),
+            "sum_v": pa.array(cols[4], pa.int64()),
+            "avg_v": pa.array(cols[5], pa.float64()),
+        }
+    )
+
+
+def q_agg_terms_stats(sf_dir: str) -> pa.Table:
+    """terms bucket agg with a stats SUB-aggregation (engine
+    agg_terms_stats — the OpenSearch terms{stats} bucket+metric
+    composition): one row per lang bucket over the match set with
+    count/min/max/sum/avg of n_chars, all-int64 exact."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, ks, cs, mins, maxs, sums, avgs = [], [], [], [], [], [], []
+    for qid, qtext in QUERY_SET:
+        for b in searcher.agg_terms_stats(tokenize(qtext), "lang", "n_chars"):
+            qs.append(qid)
+            ks.append(b["key"])
+            cs.append(b["doc_count"])
+            mins.append(b["min"])
+            maxs.append(b["max"])
+            sums.append(b["sum"])
+            avgs.append(b["avg"])
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "key": pa.array(ks, pa.string()),
+            "doc_count": pa.array(cs, pa.int64()),
+            "min_v": pa.array(mins, pa.int64()),
+            "max_v": pa.array(maxs, pa.int64()),
+            "sum_v": pa.array(sums, pa.int64()),
+            "avg_v": pa.array(avgs, pa.float64()),
+        }
+    )
+
+
+_CLIP_CAP = 320  # clips roughly the upper half of n_chars (median 306)
+
+
+def _scripted_rows(results: list[tuple[int, dict]]) -> pa.Table:
+    cols = list(zip(*[(q, r["clipped_sum"], r["doc_count"]) for q, r in results]))
+    return pa.table(
+        {
+            "query_id": pa.array(cols[0], pa.int64()),
+            "clipped_sum": pa.array(cols[1], pa.int64()),
+            "doc_count": pa.array(cols[2], pa.int64()),
+        }
+    )
+
+
+def q_agg_scripted_metric(sf_dir: str) -> pa.Table:
+    """scripted_metric aggregation (engine agg_scripted_metric — the
+    OpenSearch ScriptedMetricAggregator init/map/combine/reduce user-
+    script contract, scripts registered in agg/scripted.py) with the
+    clipped_sum script: sum(min(n_chars, cap)) + count over the
+    boolean-OR match set — a budgeted total no stock agg expresses.
+    All-int64 state, so single-node == distributed == SQL bitwise."""
+    from ..agg.scripted import SCRIPTED_METRICS
+
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    script = SCRIPTED_METRICS["clipped_sum"]("n_chars", _CLIP_CAP)
+    return _scripted_rows(
+        [
+            (qid, searcher.agg_scripted_metric(tokenize(qtext), script))
+            for qid, qtext in QUERY_SET
+        ]
+    )
+
+
+def q_agg_scripted_distributed(sf_dir: str) -> pa.Table:
+    """The shard-actor-pool scripted_metric under the same oracle: each
+    actor maps over its own match set, the coordinator folds the opaque
+    states with the script's associative combine and reduces ONCE —
+    the cross-shard half of the ScriptedMetricAggregator contract."""
+    from ..agg.scripted import SCRIPTED_METRICS
+    from ..query.distributed import DistributedSearcher
+
+    index_dir = get_index_dir(sf_dir)
+    _ensure_docvalues(sf_dir)
+    get_searcher(sf_dir)  # ensures the index exists
+    script = SCRIPTED_METRICS["clipped_sum"]("n_chars", _CLIP_CAP)
+    dsearch = DistributedSearcher(index_dir, num_actors=2)
+    try:
+        return _scripted_rows(
+            [
+                (qid, dsearch.agg_scripted_metric(tokenize(qtext), script))
+                for qid, qtext in QUERY_SET
+            ]
+        )
+    finally:
+        dsearch.shutdown()
+
+
+def q_events_scripted_rms(sf_dir: str) -> "ray.data.Dataset":
+    """Dataset-path scripted_metric (agg/scripted.py
+    scripted_metric_by_key) with the rms_cents script per event_type:
+    map+combine fuse per Arrow batch into one opaque pickled state per
+    (batch, key), ONE hash exchange of binary partials, reduce in
+    map_groups. The map script quantizes to integer cents (half-up, the
+    repo-wide tie discipline; values are strictly positive so this
+    equals SQL round()), making the sum-of-squares exact integer
+    arithmetic — the result is independent of merge order and
+    bit-identical to the SQL oracle."""
+    from ..agg.scripted import SCRIPTED_METRICS, scripted_metric_by_key
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return scripted_metric_by_key(
+        ds, "event_type", SCRIPTED_METRICS["rms_cents"]("value")
+    )
+
+
 def q_agg_extended_stats(sf_dir: str) -> pa.Table:
     """extended_stats aggregation (engine agg_extended_stats):
     population variance via OpenSearch's sum_sq/n − avg² shortcut;
@@ -4057,6 +4194,107 @@ def _get_ivf_dir(sf_dir: str, n_centroids: int = 8) -> str:
     return out_dir
 
 
+_HNSW_CACHE: dict[str, str] = {}
+
+
+def _get_hnsw_dir(sf_dir: str) -> str:
+    """Build (once per sf_dir content) the distributed on-disk HNSW index."""
+    if sf_dir in _HNSW_CACHE:
+        return _HNSW_CACHE[sf_dir]
+    from ..ann.hnsw import MANIFEST, build_hnsw_index
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:hnsw_v1".encode()
+    ).hexdigest()[:12]
+    out_dir = f"/tmp/nsr_hnsw_{key}"
+    if not os.path.exists(os.path.join(out_dir, MANIFEST)):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        build_hnsw_index(ds, out_dir, num_shards=4, M=8, ef_construction=64)
+    _HNSW_CACHE[sf_dir] = out_dir
+    return out_dir
+
+
+def q_hnsw_ann(sf_dir: str) -> pa.Table:
+    """HNSW ANN over the DISTRIBUTED on-disk graph index (per-shard
+    parallel graph builds, per-shard beam search + coordinator k-merge —
+    ann/hnsw.py, the k-NN-plugin segment-graph shape), run at its
+    provably-EXACT setting (ef = max shard size: implicit level-0 chain
+    edges make each shard graph connected, so the beam visits every
+    node) — the brute-force cosine SQL oracle applies verbatim, like
+    ivf_ann at nprobe=all. Approximate recall at realistic ef is
+    pytest-asserted (tests/test_hnsw.py)."""
+    import pyarrow.parquet as pq
+
+    from ..ann.hnsw import HNSWSearcher
+
+    hnsw_dir = _get_hnsw_dir(sf_dir)
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    searcher = HNSWSearcher(hnsw_dir)
+    ef_exact = searcher.max_shard_size
+    out_q, out_r, out_n, out_s = [], [], [], []
+    for qid, q in zip(qids, queries):
+        ids, sims = searcher.search(q, k=10, ef=ef_exact)
+        out_q.append(np.full(ids.size, qid, dtype=np.int64))
+        out_r.append(np.arange(1, ids.size + 1, dtype=np.int64))
+        out_n.append(ids)
+        out_s.append(round_half_up(sims, 6))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "rank": pa.array(np.concatenate(out_r)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "score": pa.array(np.concatenate(out_s)),
+        }
+    )
+
+
+def q_hnsw_ann_distributed(sf_dir: str) -> pa.Table:
+    """The shard-actor-pool HNSW under the same oracle: one actor per
+    shard graph (loaded once in __init__), fan-out search, coordinator
+    k-merge — result-identical to the local HNSWSearcher."""
+    import pyarrow.parquet as pq
+
+    from ..ann.hnsw import DistributedHNSWSearcher
+
+    hnsw_dir = _get_hnsw_dir(sf_dir)
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    searcher = DistributedHNSWSearcher(hnsw_dir)
+    try:
+        ef_exact = searcher.max_shard_size
+        out_q, out_r, out_n, out_s = [], [], [], []
+        for qid, q in zip(qids, queries):
+            ids, sims = searcher.search(q, k=10, ef=ef_exact)
+            out_q.append(np.full(ids.size, qid, dtype=np.int64))
+            out_r.append(np.arange(1, ids.size + 1, dtype=np.int64))
+            out_n.append(ids)
+            out_s.append(round_half_up(sims, 6))
+    finally:
+        searcher.shutdown()
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "rank": pa.array(np.concatenate(out_r)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "score": pa.array(np.concatenate(out_s)),
+        }
+    )
+
+
 def q_ivf_ann(sf_dir: str) -> pa.Table:
     """IVF ANN over the DISTRIBUTED on-disk index (sample→centroids,
     map_batches assign, groupby(bucket) bucket files — ann/ivf.py), run
@@ -5742,6 +5980,45 @@ SELECT query_id, bucket, rank, doc_id, score FROM (
   JOIN documents d ON d.doc_id = sc.doc_id""",
         BM25_K,
     )
+    # sampler: stats over the top-shard_size scored sample; membership
+    # pinned by (round6(score) desc, doc_id) on both sides
+    sqls["agg_sampler"] = f"""
+WITH ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rnk
+  FROM ({_bm25_scored_sql()}))
+SELECT r.query_id, count(*)::BIGINT AS cnt,
+       min(d.n_chars)::BIGINT AS min_v, max(d.n_chars)::BIGINT AS max_v,
+       sum(d.n_chars)::BIGINT AS sum_v,
+       (sum(d.n_chars)::BIGINT / count(*)::DOUBLE) AS avg_v
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rnk <= {_SAMPLER_SHARD_SIZE}
+GROUP BY r.query_id"""
+    # terms{stats} bucket+metric composition, all-int64
+    sqls["agg_terms_stats"] = f"""
+SELECT m.query_id, d.lang AS key, count(*)::BIGINT AS doc_count,
+       min(d.n_chars)::BIGINT AS min_v, max(d.n_chars)::BIGINT AS max_v,
+       sum(d.n_chars)::BIGINT AS sum_v,
+       (sum(d.n_chars)::BIGINT / count(*)::DOUBLE) AS avg_v
+FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.query_id, d.lang"""
+    # scripted_metric clipped_sum: all-int64, bitwise across paths;
+    # the distributed twin must reduce to the identical rows
+    sqls["agg_scripted_metric"] = f"""
+SELECT m.query_id, sum(least(d.n_chars, {_CLIP_CAP}))::BIGINT AS clipped_sum,
+       count(*)::BIGINT AS doc_count
+FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.query_id"""
+    sqls["agg_scripted_distributed"] = sqls["agg_scripted_metric"]
+    # scripted rms_cents: quantize-to-cents makes sum-of-squares exact
+    # int; the one float division + sqrt runs once on both sides
+    sqls["events_scripted_rms"] = """
+SELECT event_type, count(*)::BIGINT AS doc_count,
+       round(sqrt(sum(CAST(round(value * 100, 0) AS BIGINT)
+                      * CAST(round(value * 100, 0) AS BIGINT))
+                  / count(*)) / 100, 6) AS rms
+FROM events GROUP BY event_type"""
     # extended_stats: OpenSearch's population var = sum_sq/n − avg²
     sqls["agg_extended_stats"] = f"""
 WITH a AS (
@@ -6312,6 +6589,10 @@ SELECT query_id::BIGINT AS query_id, rank, neighbor_id::BIGINT AS neighbor_id, s
     # ivf_ann runs at nprobe = n_centroids (all buckets scanned) → exact,
     # so the brute-force cosine oracle applies verbatim.
     sqls["ivf_ann"] = sqls["knn_cosine"]
+    # hnsw_ann runs at ef = max shard size (chain-connected level 0 ⇒
+    # the beam visits every node) → exact, same oracle.
+    sqls["hnsw_ann"] = sqls["knn_cosine"]
+    sqls["hnsw_ann_distributed"] = sqls["knn_cosine"]
     # filtered kNN: corpus gated by the documents.lang predicate (the
     # query vectors stay unfiltered)
     sqls["knn_cosine_filtered"] = """
@@ -7233,11 +7514,9 @@ def build_queries() -> dict:
         "regexp_topk": q_regexp_topk,
         "phrase_prefix_topk": q_phrase_prefix_topk,
         "span_near_topk": q_span_near_topk,
-        "facet_lang": q_facet_lang,
+        "agg_terms_stats": q_agg_terms_stats,
         "more_like_this": q_more_like_this,
         "query_string_topk": q_query_string_topk,
-        "agg_histogram": q_agg_histogram,
-        "range_filter": q_range_filter,
         "events_date_histogram": q_events_date_histogram,
         "agg_cardinality": q_agg_cardinality,
         "agg_percentiles": q_agg_percentiles,
@@ -7254,9 +7533,21 @@ def build_queries() -> dict:
         "agg_multi_terms": q_agg_multi_terms,
         "events_serial_diff": q_events_serial_diff,
         "agg_matrix_stats": q_agg_matrix_stats,
-        "knn_cosine_filtered": q_knn_cosine_filtered,
+        "hnsw_ann": q_hnsw_ann,
         "events_rollup_day": q_events_rollup_day,
+        "agg_scripted_metric": q_agg_scripted_metric,
+        "events_scripted_rms": q_events_scripted_rms,
         # ==== driver 50-entry window boundary (keys above this line) ====
+        # displaced for the scripted family + hnsw: agg_histogram,
+        # range_filter, knn_cosine_filtered (nearest cousins
+        # date_histogram / agg_filters / knn_cosine_sq8 stay in-window)
+        "agg_histogram": q_agg_histogram,
+        "range_filter": q_range_filter,
+        "facet_lang": q_facet_lang,
+        "knn_cosine_filtered": q_knn_cosine_filtered,
+        "agg_scripted_distributed": q_agg_scripted_distributed,
+        "hnsw_ann_distributed": q_hnsw_ann_distributed,
+        "agg_sampler": q_agg_sampler,
         "events_auto_histogram": q_events_auto_histogram,
         # first past the post: new two-phase / mixing modes whose family
         # siblings (knn_cosine_sq8 in-window; quality_sample driver-green

@@ -146,6 +146,9 @@ class ShardSearchActor:
     def agg_adjacency_partial(self, terms: list[str], filters: dict) -> dict:
         return self.searcher.agg_adjacency_matrix(terms, filters)
 
+    def agg_scripted_partial(self, terms: list[str], script):
+        return self.searcher.agg_scripted_partial(terms, script)
+
     def agg_absdev_partial(
         self, terms: list[str], field: str, center: float, delta: float
     ) -> bytes:
@@ -623,6 +626,26 @@ class DistributedSearcher:
             "variance": var,
             "std_deviation": float(np.sqrt(var)),
         }
+
+    def agg_scripted_metric(self, terms: list[str], script) -> dict:
+        """Distributed scripted_metric: every shard runs the map script
+        over its own match set, the coordinator folds the opaque states
+        with the script's combine and applies reduce ONCE — the
+        OpenSearch script contract verbatim (combine must be
+        associative; reduce sees all shard states)."""
+        parts = [
+            p
+            for p in ray.get(
+                [
+                    a.agg_scripted_partial.remote(terms, script)
+                    for a in self.actors
+                ]
+            )
+            if p is not None
+        ]
+        if not parts:
+            return {f: None for f in script.output_fields}
+        return script.reduce(script.combine(parts))
 
     def agg_adjacency_matrix(
         self, terms: list[str], filters: dict

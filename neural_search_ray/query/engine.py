@@ -1156,6 +1156,98 @@ class IndexSearcher:
             "std_deviation": float(np.sqrt(var)),
         }
 
+    def agg_sampler(
+        self, terms: list[str], field: str, shard_size: int = 100
+    ) -> dict:
+        """sampler aggregation (OpenSearch SamplerAggregator): run the
+        sub-metrics over only the top-``shard_size`` best-scoring match
+        docs (this searcher = one shard, so the sample is the global
+        score top-N). Sub-agg here is the stats shape over a numeric
+        doc-values field — exact int64, avg divided once."""
+        docs, _ = self.search_bm25(terms, k=shard_size)
+        if docs.size == 0:
+            return {"count": 0, "min": None, "max": None, "sum": 0, "avg": None}
+        vals = (
+            self.field_values(docs, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        total = int(vals.sum())
+        return {
+            "count": int(vals.size),
+            "min": int(vals.min()),
+            "max": int(vals.max()),
+            "sum": total,
+            "avg": total / vals.size,
+        }
+
+    def agg_terms_stats(
+        self, terms: list[str], bucket_field: str, metric_field: str
+    ) -> list[dict]:
+        """terms bucket agg with a stats SUB-aggregation (the standard
+        OpenSearch bucket+metric composition: terms { stats }): one row
+        per bucket value over the boolean-OR match set, carrying count /
+        min / max / sum / avg of the metric field. Vectorized: one
+        np.unique inverse + bincount / minimum.at per bucket set; shard
+        partials are (bucket, count, min, max, sum) maps merged by key —
+        the same distributive shape as agg_stats. Buckets ordered by
+        (count desc, key asc), the terms-agg default."""
+        docs = self._match_union(sorted(set(terms)))
+        if docs.size == 0:
+            return []
+        keys = self.field_values(docs, bucket_field).to_pylist()
+        vals = (
+            self.field_values(docs, metric_field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        uniq, inv = np.unique(np.asarray(keys, dtype=object), return_inverse=True)
+        n = uniq.size
+        counts = np.bincount(inv, minlength=n)
+        sums = np.bincount(inv, weights=vals, minlength=n).astype(np.int64)
+        mins = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        maxs = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mins, inv, vals)
+        np.maximum.at(maxs, inv, vals)
+        order = np.lexsort((uniq, -counts))
+        return [
+            {
+                "key": uniq[i],
+                "doc_count": int(counts[i]),
+                "min": int(mins[i]),
+                "max": int(maxs[i]),
+                "sum": int(sums[i]),
+                "avg": int(sums[i]) / int(counts[i]),
+            }
+            for i in order
+        ]
+
+    def agg_scripted_partial(self, terms: list[str], script):
+        """Shard-local scripted-metric state: the script's map runs
+        vectorized over the match set's doc-values (this searcher = one
+        shard = one mini-batch). None on an empty match set so the
+        coordinator merge can skip the shard entirely."""
+        docs = self._match_union(sorted(set(terms)))
+        if docs.size == 0:
+            return None
+        cols = {
+            c: self.field_values(docs, c).to_numpy(zero_copy_only=False)
+            for c in script.columns
+        }
+        return script.map_batch(cols)
+
+    def agg_scripted_metric(self, terms: list[str], script) -> dict:
+        """scripted_metric aggregation (OpenSearch ScriptedMetricAggregator:
+        init/map/combine/reduce user scripts over arbitrary opaque state,
+        under the associative-combine contract). The script is a
+        registered `agg.scripted.ScriptedMetric`; single-node is the
+        one-shard degenerate case of the distributed merge, so both
+        paths run the identical reduce expression."""
+        part = self.agg_scripted_partial(terms, script)
+        if part is None:
+            return {f: None for f in script.output_fields}
+        return script.reduce(script.combine([part]))
+
     def agg_multi_terms(
         self, terms: list[str], fields: list[str], size: int | None = 10
     ) -> tuple[list[tuple], np.ndarray]:
