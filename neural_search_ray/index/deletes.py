@@ -167,6 +167,66 @@ def upsert_docs(
     )
 
 
+def delete_by_query(index_dir: str, terms: list[str]) -> int:
+    """_delete_by_query analogue (OpenSearch DeleteByQueryRequest): resolve
+    the query's match set against the CURRENT index view, then tombstone
+    exactly those ids — snapshot-then-delete, like the reference's
+    scroll-then-bulk-delete loop (a doc modified to match after the
+    snapshot is untouched). Query shape: boolean-OR term match, the agg
+    scope. Stats stay stale until purge_deletes, the liveDocs model.
+
+    Returns the number of newly tombstoned docs."""
+    from ..query.engine import IndexSearcher
+
+    searcher = IndexSearcher(index_dir)
+    return delete_docs(index_dir, searcher.match_docs(terms))
+
+
+def update_by_query(
+    index_dir: str,
+    terms: list[str],
+    source,
+    transform,
+    *,
+    segment_id: str,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> IndexManifest:
+    """_update_by_query analogue (OpenSearch UpdateByQueryRequest with a
+    script): resolve the query's match set, apply ``transform`` (the
+    script — a pyarrow.Table -> pyarrow.Table callable, same registry
+    discipline as query/scripts.py) to the matched docs' SOURCE rows,
+    and upsert the transformed copies (delete → purge → new segment,
+    the updateDocument model upsert_docs implements). ``source`` is the
+    doc-source Dataset (the reference reads _source from the index; this
+    engine's source of truth is the corpus parquet).
+
+    The matched-id set is broadcast once via ray.put and each source
+    batch filters against it with one np.isin — the source stream never
+    shuffles and unmatched docs never leave their block."""
+    from ..query.engine import IndexSearcher
+
+    searcher = IndexSearcher(index_dir)
+    ids = searcher.match_docs(terms)
+    ids_ref = ray.put(np.sort(ids))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = np.isin(
+            batch[id_column].to_numpy(zero_copy_only=False), ray.get(ids_ref)
+        )
+        return transform(batch.filter(pa.array(keep)))
+
+    updated = source.map_batches(pick, batch_format="pyarrow")
+    return upsert_docs(
+        index_dir,
+        updated,
+        segment_id=segment_id,
+        doc_ids=ids,
+        id_column=id_column,
+        text_column=text_column,
+    )
+
+
 def _purged_seg_id(sid: str) -> str:
     """seg-000 -> seg-000.p1 -> seg-000.p2 ... (purge generation)."""
     base, dot, gen = sid.rpartition(".p")

@@ -411,6 +411,93 @@ def _span_unordered_scored_sql() -> str:
   WHERE p.tf > 0"""
 
 
+def _intervals_scored_sql() -> str:
+    """Unordered n-term minimal-interval oracle mirroring engine
+    search_intervals: every query-term position p is a candidate window
+    END; prev_t(p) = latest occurrence of t at-or-before p; start
+    s = least(prev_t); minimal windows = smallest end per distinct
+    (doc, s); tf = minimal windows with (e − s) ≤ n − 1 + max_gaps.
+    idf summed per term, same weight-1 BM25 form as the span oracle.
+    (SQL positions are 1-based vs the engine's 0-based — widths agree.)"""
+    branches = []
+    idf_rows = []
+    for qid, terms, max_gaps in INTERVALS_QUERY_SET:
+        n = len(terms)
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        prev_cols = ", ".join(
+            f"list_aggregate(list_filter(range(1, p + 1), "
+            f"j -> toks[j] = '{t}'), 'max') AS p{i}"
+            for i, t in enumerate(terms)
+        )
+        not_null = " AND ".join(f"p{i} IS NOT NULL" for i in range(n))
+        least = "least(" + ", ".join(f"p{i}" for i in range(n)) + ")"
+        branches.append(f"""
+SELECT {qid} AS query_id, doc_id, count(*)::BIGINT AS tf FROM (
+  SELECT doc_id, s, min(p) AS e FROM (
+    SELECT doc_id, p, {least} AS s FROM (
+      SELECT doc_id, p, {prev_cols}
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, len(toks) + 1)) AS p FROM w)
+      WHERE list_contains([{in_list}], toks[p])
+    ) WHERE {not_null}
+  ) GROUP BY doc_id, s
+) WHERE e - s <= {n - 1 + max_gaps}
+GROUP BY doc_id""")
+        for t in terms:
+            idf_rows.append(f"({qid}, '{t}')")
+    ptf = " UNION ALL ".join(branches)
+    idf_sql = f"""
+    SELECT q.query_id, sum(ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))) AS idf_sum
+    FROM (VALUES {", ".join(idf_rows)}) q(query_id, term)
+    JOIN ({SQL_DF}) df ON df.term = q.term
+    CROSS JOIN ({SQL_STATS}) s
+    GROUP BY q.query_id"""
+    return f"""
+  WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents)
+  SELECT p.query_id::BIGINT AS query_id, p.doc_id,
+         i.idf_sum * p.tf / (p.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) AS score
+  FROM ({ptf}) p
+  JOIN ({idf_sql}) i ON i.query_id = p.query_id
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = p.doc_id
+  CROSS JOIN ({SQL_STATS}) s
+  WHERE p.tf > 0"""
+
+
+def _span_first_scored_sql() -> str:
+    """span_first oracle mirroring engine search_span_first: tf = term
+    occurrences in the opening window (1-based i ≤ end ⇔ the engine's
+    0-based p < end), single-term idf, same BM25 tf form."""
+    branches = []
+    idf_rows = []
+    for qid, t, end in SPAN_FIRST_SET:
+        branches.append(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"len(list_filter(range(1, least({end}, len(toks)) + 1), "
+            f"i -> toks[i] = '{t}'))::BIGINT AS tf FROM w"
+        )
+        idf_rows.append(f"({qid}, '{t}')")
+    ptf = " UNION ALL ".join(branches)
+    idf_sql = f"""
+    SELECT q.query_id, sum(ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))) AS idf_sum
+    FROM (VALUES {", ".join(idf_rows)}) q(query_id, term)
+    JOIN ({SQL_DF}) df ON df.term = q.term
+    CROSS JOIN ({SQL_STATS}) s
+    GROUP BY q.query_id"""
+    return f"""
+  WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents)
+  SELECT p.query_id::BIGINT AS query_id, p.doc_id,
+         i.idf_sum * p.tf / (p.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) AS score
+  FROM ({ptf}) p
+  JOIN ({idf_sql}) i ON i.query_id = p.query_id
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = p.doc_id
+  CROSS JOIN ({SQL_STATS}) s
+  WHERE p.tf > 0"""
+
+
 def _facet_lang_sql(size: int) -> str:
     """Terms-agg oracle: doc count per documents.lang over the boolean-OR
     match set of each QUERY_SET query; top `size` buckets by
@@ -899,6 +986,101 @@ def q_bm25_topk_upsert(sf_dir: str) -> pa.Table:
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
+# --- delete_by_query / update_by_query (query-driven maintenance) ---------
+
+_DBQ_TERM = "dup"  # rare term (df ~6%): the match set to delete/update
+_UBQ_PREFIX = "fresh data copy "  # prepended to updated docs' text
+_DBQ_INDEX_CACHE: dict[str, str] = {}
+_UBQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def _dbq_index_dir(sf_dir: str) -> str:
+    """Hardlink copy of the base index with delete_by_query(['dup'])
+    applied — every doc containing the term is tombstoned (snapshot-
+    then-delete against the current view, index/deletes.py). Idempotent."""
+    import shutil
+
+    from ..index.deletes import delete_by_query
+
+    if sf_dir in _DBQ_INDEX_CACHE:
+        return _DBQ_INDEX_CACHE[sf_dir]
+    base = get_index_dir(sf_dir)
+    d = f"{base}-dbq"
+    if not os.path.exists(d):
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base, tmp, copy_function=os.link)
+        os.rename(tmp, d)
+    delete_by_query(d, [_DBQ_TERM])
+    _DBQ_INDEX_CACHE[sf_dir] = d
+    return d
+
+
+def _ubq_index_dir(sf_dir: str) -> str:
+    """Hardlink copy of the base index with update_by_query(['dup'],
+    prepend-prefix script) applied: matched docs re-ingested as
+    '_UBQ_PREFIX + text' (delete → purge → new segment). Idempotent:
+    upsert resumes by segment id."""
+    import shutil
+
+    from ..index.deletes import update_by_query
+
+    if sf_dir in _UBQ_INDEX_CACHE:
+        return _UBQ_INDEX_CACHE[sf_dir]
+    base = get_index_dir(sf_dir)
+    d = f"{base}-ubq"
+    if not os.path.exists(d):
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base, tmp, copy_function=os.link)
+        os.rename(tmp, d)
+
+    def _prepend(matched: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            pa.array([_UBQ_PREFIX] * len(matched), type=pa.string()),
+            matched["text"],
+            "",
+        )
+        return pa.table({"doc_id": matched["doc_id"], "text": text})
+
+    update_by_query(
+        d, [_DBQ_TERM], _docs_ds(sf_dir), _prepend, segment_id="seg-ubq"
+    )
+    _UBQ_INDEX_CACHE[sf_dir] = d
+    return d
+
+
+def q_bm25_delete_by_query(sf_dir: str) -> pa.Table:
+    """BM25 top-k after delete_by_query('dup') (index/deletes.py — the
+    _delete_by_query analogue: query match set resolved, then
+    tombstoned). Tombstones only, no purge, so stats stay STALE (the
+    liveDocs model): the oracle scores with FULL-corpus stats and only
+    filters the matched docs from the candidates."""
+    searcher = IndexSearcher(_dbq_index_dir(sf_dir))
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_bm25_update_by_query(sf_dir: str) -> pa.Table:
+    """BM25 top-k after update_by_query('dup', prepend-prefix script)
+    (index/deletes.py — the _update_by_query analogue: match set
+    resolved, script applied to the matched docs' source rows, upserted
+    via delete → purge → new segment). Stats recomputed by the purge,
+    so scores are bit-identical to a fresh build over the updated
+    corpus — exactly what the oracle computes via a CASE'd corpus."""
+    searcher = IndexSearcher(_ubq_index_dir(sf_dir))
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
 # --- positional queries (phrase) and term-dictionary expansion -------------
 
 # exact-adjacency phrases over the documents corpus: bigrams with healthy
@@ -1200,6 +1382,58 @@ def q_span_unordered_topk(sf_dir: str) -> pa.Table:
         docs, scores = searcher.search_span_near(
             [t0, t1], k=BM25_K * 3, slop=slop, in_order=False
         )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+# (query_id, [terms...], max_gaps) — UNORDERED n-term intervals; these
+# exercise the >2-term matcher the 2-term span family can't express
+INTERVALS_QUERY_SET: list[tuple[int, list[str], int]] = [
+    (0, ["data", "query", "table"], 4),
+    (1, ["merge", "sort", "window"], 3),
+    (2, ["fast", "join", "hash"], 5),
+    (3, ["scan", "filter", "row"], 2),
+    (4, ["the", "a", "key"], 1),
+]
+
+
+def q_intervals_topk(sf_dir: str) -> pa.Table:
+    """Unordered n-term intervals query (engine search_intervals —
+    Lucene all_of(ordered=false) minimal-interval semantics): tf =
+    number of MINIMAL windows containing all terms in any order with
+    gap count ≤ max_gaps, scored like span-near (idf summed, weight-1
+    windows)."""
+    searcher = get_pos_searcher(sf_dir)
+    rows = []
+    for qid, terms, max_gaps in INTERVALS_QUERY_SET:
+        docs, scores = searcher.search_intervals(
+            terms, k=BM25_K * 3, max_gaps=max_gaps
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+# (query_id, term, end) — spans must END within the first `end` positions
+SPAN_FIRST_SET: list[tuple[int, str, int]] = [
+    (0, "data", 3),
+    (1, "merge", 5),
+    (2, "vector", 4),
+    (3, "scan", 2),
+    (4, "the", 1),
+]
+
+
+def q_span_first_topk(sf_dir: str) -> pa.Table:
+    """span_first query (engine search_span_first — Lucene
+    SpanFirstQuery): only term occurrences in the opening ``end``
+    positions match (0-based p < end); tf restricted accordingly,
+    single-term BM25 scoring."""
+    searcher = get_pos_searcher(sf_dir)
+    rows = []
+    for qid, term, end in SPAN_FIRST_SET:
+        docs, scores = searcher.search_span_first(term, end, k=BM25_K * 3)
         rows.append((qid, docs, scores))
     out = _hits_table(rows)
     return out.filter(pc.less_equal(out["rank"], BM25_K))
@@ -1520,6 +1754,51 @@ def q_function_score_topk(sf_dir: str) -> pa.Table:
             factor=_FVF_FACTOR,
             modifier="ln1p",
             weight=_FVF_WEIGHT,
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+_BLEND_ALPHA = 0.75  # 1 - alpha must be float-exact (0.25), see scripts.py
+
+
+def q_script_score_topk(sf_dir: str) -> pa.Table:
+    """script_score query (engine search_script_score — OpenSearch
+    ScriptScoreQuery over a registered query/scripts.py kernel) with
+    length_norm: new score = _score / sqrt(1 + n_chars) — an inverse-
+    length reciprocal no field_value_factor modifier expresses. Script
+    runs over the full union's exact BM25 before truncation."""
+    from ..query.scripts import SCORE_SCRIPTS
+
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    script = SCORE_SCRIPTS["length_norm"]("n_chars")
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_script_score(
+            tokenize(qtext), script, k=BM25_K * 3
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_script_score_blend(sf_dir: str) -> pa.Table:
+    """script_score with the additive field_blend kernel:
+    0.75·_score + 0.25·ln(1 + n_chars) — an ADDITIVE relevance/static-
+    signal blend (rank_feature and function_score are multiplicative
+    only). alpha chosen so 1 − alpha is float-exact and the SQL literal
+    replays the identical arithmetic."""
+    from ..query.scripts import SCORE_SCRIPTS
+
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    script = SCORE_SCRIPTS["field_blend"]("n_chars", _BLEND_ALPHA)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_script_score(
+            tokenize(qtext), script, k=BM25_K * 3
         )
         rows.append((qid, docs, scores))
     out = _hits_table(rows)
@@ -4433,6 +4712,31 @@ def q_events_page2(sf_dir: str) -> "ray.data.Dataset":
     ).select_columns(["event_id", "value"])
 
 
+_SLICE_N, _SLICE_SIZE, _SLICE_PAGES = 4, 12, 2
+
+
+def q_events_sliced_scroll(sf_dir: str) -> "ray.data.Dataset":
+    """Sliced scroll (rank/paging.py sliced_pages — the _search?scroll
+    ``slice`` parallel-export API): events partitioned into 4 slices by
+    event_id % 4 (documented deviation from murmur3-of-_id), each slice
+    independently serving its first 2 pages of 12 sorted by (ts,
+    event_id). One per-batch per-slice prune bounds the exchange; the
+    stream is never globally sorted."""
+    from ..rank.paging import sliced_pages
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+    return sliced_pages(
+        ds,
+        "event_id",
+        _SLICE_N,
+        [("ts", "asc"), ("event_id", "asc")],
+        _SLICE_SIZE,
+        _SLICE_PAGES,
+    )
+
+
 # --- two-phase / collapse / rerank ----------------------------------------
 
 
@@ -5358,6 +5662,25 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
         ),
         BM25_K,
     )
+    # delete_by_query: match set tombstoned, stats stale (liveDocs) —
+    # full-corpus stats, matched docs filtered from candidates only
+    sqls["bm25_delete_by_query"] = _topk_sql(
+        f"SELECT * FROM ({_bm25_scored_sql()}) WHERE doc_id NOT IN "
+        f"(SELECT DISTINCT doc_id FROM ({SQL_TOK}) "
+        f"WHERE term = '{_DBQ_TERM}')",
+        BM25_K,
+    )
+    # update_by_query: matched docs' text transformed, then upserted
+    # (delete → purge → re-add) — stats chain over the UPDATED corpus
+    sqls["bm25_update_by_query"] = _topk_sql(
+        _bm25_scored_sql_src(
+            f"(SELECT doc_id, CASE WHEN doc_id IN (SELECT DISTINCT doc_id "
+            f"FROM ({SQL_TOK}) WHERE term = '{_DBQ_TERM}') "
+            f"THEN '{_UBQ_PREFIX}' || text ELSE text END AS text "
+            f"FROM documents)"
+        ),
+        BM25_K,
+    )
     # positional phrase query + term-dictionary expansion queries
     sqls["phrase_topk"] = _topk_sql(_phrase_scored_sql(), BM25_K)
     sqls["prefix_topk"] = _multiterm_const_sql(
@@ -5406,6 +5729,10 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["span_unordered_topk"] = _topk_sql(
         _span_unordered_scored_sql(), BM25_K
     )
+    # unordered n-term minimal intervals (Lucene all_of(ordered=false))
+    sqls["intervals_topk"] = _topk_sql(_intervals_scored_sql(), BM25_K)
+    # span_first: occurrences restricted to the opening window
+    sqls["span_first_topk"] = _topk_sql(_span_first_scored_sql(), BM25_K)
     # terms aggregation over the boolean-OR match set, bucketed by lang
     sqls["facet_lang"] = _facet_lang_sql(_FACET_SIZE)
     # _termvectors sample: per-doc term -> tf from the forward index
@@ -5568,6 +5895,24 @@ SELECT query_id, rank, source, cnt FROM (
   SELECT s.query_id, s.doc_id,
          s.score * ({_FVF_WEIGHT} * ln(1 + {_FVF_FACTOR} * d.n_chars))
            AS score
+  FROM ({_bm25_scored_sql()}) s JOIN documents d ON d.doc_id = s.doc_id""",
+        BM25_K,
+    )
+    # script_score length_norm: reciprocal-sqrt length normalization
+    # (weight=1.0 so the engine's weight*score is a float no-op)
+    sqls["script_score_topk"] = _topk_sql(
+        f"""
+  SELECT s.query_id, s.doc_id,
+         s.score / sqrt(1.0 + d.n_chars) AS score
+  FROM ({_bm25_scored_sql()}) s JOIN documents d ON d.doc_id = s.doc_id""",
+        BM25_K,
+    )
+    # script_score field_blend: additive relevance/static blend;
+    # 0.25 = 1 − alpha exactly in float64, addition order score-first
+    sqls["script_score_blend"] = _topk_sql(
+        f"""
+  SELECT s.query_id, s.doc_id,
+         {_BLEND_ALPHA} * s.score + 0.25 * ln(1.0 + d.n_chars) AS score
   FROM ({_bm25_scored_sql()}) s JOIN documents d ON d.doc_id = s.doc_id""",
         BM25_K,
     )
@@ -6702,6 +7047,15 @@ SELECT event_id, value FROM (
          row_number() OVER (ORDER BY value DESC, event_id) AS rn
   FROM events)
 WHERE rn > 100 AND rn <= 200"""
+    # sliced scroll: independent per-slice pagination, slice = id % N
+    sqls["events_sliced_scroll"] = f"""
+SELECT slice_id, (rn - 1) // {_SLICE_SIZE} + 1 AS page, rn AS rank, event_id
+FROM (
+  SELECT event_id % {_SLICE_N} AS slice_id, event_id,
+         row_number() OVER (PARTITION BY event_id % {_SLICE_N}
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn <= {_SLICE_SIZE * _SLICE_PAGES}"""
     sqls["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -7484,12 +7838,10 @@ def build_queries() -> dict:
         "boosting_topk": q_boosting_topk,
         "top_hits": q_top_hits,
         "suggest_term": q_suggest_term,
-        "suggest_phrase": q_suggest_phrase,
         "rank_feature_topk": q_rank_feature_topk,
         "synonym_topk": q_synonym_topk,
         "rare_terms": q_rare_terms,
         "agg_extended_stats": q_agg_extended_stats,
-        "agg_percentile_ranks": q_agg_percentile_ranks,
         "agg_composite": q_agg_composite,
         "agg_mad": q_agg_mad,
         "agg_filters": q_agg_filters,
@@ -7503,17 +7855,25 @@ def build_queries() -> dict:
         "knn_cosine_sq8": q_knn_cosine_sq8,
         "rerank_rescore": q_rerank_rescore,
         "query_enrich_sparse": q_query_enrich_sparse,
-        "bm25_topk_deleted": q_bm25_topk_deleted,
-        "bm25_topk_purged": q_bm25_topk_purged,
         # --- block 2b: new this session (positions / dictionary / upsert) ---
         "phrase_topk": q_phrase_topk,
-        "bm25_topk_upsert": q_bm25_topk_upsert,
+        # query-driven maintenance: delete_by_query exercises the
+        # tombstone + stale-stats path end-to-end (superset of
+        # bm25_topk_deleted, displaced to tail); update_by_query runs
+        # the full delete → purge → re-add chain (superset of
+        # bm25_topk_upsert and bm25_topk_purged, displaced to tail)
+        "bm25_delete_by_query": q_bm25_delete_by_query,
+        "bm25_update_by_query": q_bm25_update_by_query,
         # --- block 2c: session-4 additions (bool / fuzzy / regexp /
         # phrase-prefix) ---
         "bool_topk": q_bool_topk,
         "regexp_topk": q_regexp_topk,
         "phrase_prefix_topk": q_phrase_prefix_topk,
         "span_near_topk": q_span_near_topk,
+        # new positional matchers: n-term unordered minimal intervals
+        # + opening-window span_first
+        "intervals_topk": q_intervals_topk,
+        "span_first_topk": q_span_first_topk,
         "agg_terms_stats": q_agg_terms_stats,
         "more_like_this": q_more_like_this,
         "query_string_topk": q_query_string_topk,
@@ -7530,14 +7890,26 @@ def build_queries() -> dict:
         "suggest_completion": q_suggest_completion,
         "percolate": q_percolate,
         "terms_set_topk": q_terms_set_topk,
-        "agg_multi_terms": q_agg_multi_terms,
         "events_serial_diff": q_events_serial_diff,
         "agg_matrix_stats": q_agg_matrix_stats,
         "hnsw_ann": q_hnsw_ann,
         "events_rollup_day": q_events_rollup_day,
         "agg_scripted_metric": q_agg_scripted_metric,
         "events_scripted_rms": q_events_scripted_rms,
+        # script_score (registered-kernel scoring) + sliced scroll
+        # (parallel-export pagination) — new families this session
+        "script_score_topk": q_script_score_topk,
+        "events_sliced_scroll": q_events_sliced_scroll,
         # ==== driver 50-entry window boundary (keys above this line) ====
+        # displaced by the maintenance/positional/script families above
+        # (each has an in-window superset or family rep):
+        "bm25_topk_deleted": q_bm25_topk_deleted,
+        "bm25_topk_purged": q_bm25_topk_purged,
+        "bm25_topk_upsert": q_bm25_topk_upsert,
+        "suggest_phrase": q_suggest_phrase,
+        "agg_percentile_ranks": q_agg_percentile_ranks,
+        "agg_multi_terms": q_agg_multi_terms,
+        "script_score_blend": q_script_score_blend,
         # displaced for the scripted family + hnsw: agg_histogram,
         # range_filter, knn_cosine_filtered (nearest cousins
         # date_histogram / agg_filters / knn_cosine_sq8 stay in-window)

@@ -1728,6 +1728,150 @@ class IndexSearcher:
             return np.empty(0, np.int64)
         return np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
 
+    def match_docs(self, terms: list[str]) -> np.ndarray:
+        """Public boolean-OR match set — the _delete_by_query /
+        _update_by_query selection surface (those APIs resolve a query
+        to its matching doc ids, then act on the ids)."""
+        return self._match_union(terms)
+
+    def search_script_score(
+        self,
+        terms: list[str],
+        script,
+        k: int = 10,
+        *,
+        global_dfs: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """script_score query (OpenSearch ScriptScoreQuery): wrap the
+        inner term query and REPLACE each hit's score with a registered
+        score script (query/scripts.py ScoreScript — the compiled-
+        Painless analogue) evaluated over the doc's doc-values and the
+        inner ``_score``. The script reorders docs arbitrarily, so it
+        runs over the FULL union's exact BM25 scores before any
+        truncation (same soundness rule as function_score/dis_max)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        docs, scores = self._bm25_union_scores(terms, global_dfs)
+        if docs.size == 0:
+            return empty
+        cols = {
+            c: self.field_values(docs, c).to_numpy(zero_copy_only=False)
+            for c in script.columns
+        }
+        return topk_desc(docs, script.score(cols, scores), k)
+
+    def search_span_first(
+        self,
+        term: str,
+        end: int,
+        k: int = 10,
+        *,
+        global_df: float | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """span_first query (Lucene SpanFirstQuery): match only term
+        occurrences whose span ends within the first ``end`` positions —
+        a term span at 0-based position p has end p+1, so the condition
+        is p < end (the match-in-the-opening-window primitive, e.g.
+        "term appears in the lead"). tf = count of qualifying positions;
+        scored like a single-term BM25 with that restricted tf.
+        Vectorized: one boolean mask over the flat positions array +
+        np.add.reduceat per posting slice. Requires positions."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if end <= 0:
+            return empty
+        docs, tfs, posf, tok_start = self.postings_positions(term)
+        if docs.size == 0:
+            return empty
+        cnt = np.add.reduceat((posf < end).astype(np.int64), tok_start)
+        keep = cnt > 0
+        docs, f = docs[keep], cnt[keep].astype(np.float64)
+        if docs.size == 0:
+            return empty
+        df = float(self.local_df(term)) if global_df is None else float(global_df)
+        idf = float(bm25_idf(np.asarray([max(df, 1e-9)]), self.n_docs)[0])
+        dl = self.doc_length(docs)
+        k1, b = self.bm25.k1, self.bm25.b
+        scores = idf * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
+        return topk_desc(docs, scores, k)
+
+    def search_intervals(
+        self,
+        terms: list[str],
+        k: int = 10,
+        *,
+        max_gaps: int = 0,
+        global_dfs: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """UNORDERED n-term intervals query (Lucene intervals
+        ``all_of(ordered=false)`` / UnorderedIntervalsSource under the
+        minimal-interval semantics of Vigna's "Efficient lazy
+        algorithms", which Lucene implements): a doc matches where some
+        window contains ALL terms in any order; tf = number of MINIMAL
+        such windows (windows containing no smaller qualifying window)
+        whose gap count (width − n) is ≤ ``max_gaps``. This is the
+        n-term unordered matcher search_span_near(in_order=False)
+        deliberately does not restate (it is pinned to 2 terms).
+
+        Vectorized minimal-window enumeration, no per-doc loop: encode
+        (doc, pos) as one int64 key; every query-term occurrence is a
+        candidate window END; for each term, prev_t(end) = its latest
+        occurrence ≤ end (ONE searchsorted per term over all ends);
+        window start S(end) = min_t prev_t(end) — since the end token is
+        itself a query term, max_t prev_t(end) = end, so [S(end), end]
+        is the tightest window ending there. S(end) is non-decreasing in
+        end, so a window contains another iff their S ties — minimality
+        = keep the FIRST end per distinct S (one np.unique).
+
+        Scored like search_span_near: idf summed per term, weight-1
+        windows, BM25 tf saturation (deviation from Lucene's
+        1/(1+slop) sloppyFreq, pinned by the SQL oracle)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        sterms = sorted(set(terms))
+        n = len(sterms)
+        if n < 2:
+            raise ValueError("intervals needs >= 2 distinct terms")
+        if max_gaps < 0:
+            raise ValueError("max_gaps must be >= 0")
+        posts = [self.postings_positions(t) for t in sterms]
+        if any(p[0].size == 0 for p in posts):
+            return empty
+        if global_dfs is None:
+            dfs = np.asarray(
+                [self.local_df(t) for t in sterms], dtype=np.float64
+            )
+        else:
+            dfs = np.asarray(global_dfs, dtype=np.float64)
+        idf_sum = float(bm25_idf(np.maximum(dfs, 1e-9), self.n_docs).sum())
+        max_pos = max(int(p[2].max()) if p[2].size else 0 for p in posts)
+        shift = np.int64(max_pos + 2)
+        keys = [np.repeat(p[0], p[1]) * shift + p[2] for p in posts]
+        ends = np.unique(np.concatenate(keys))
+        ok = np.ones(ends.size, dtype=bool)
+        prev_min = np.full(ends.size, np.iinfo(np.int64).max, dtype=np.int64)
+        for kt in keys:
+            idx = np.searchsorted(kt, ends, side="right") - 1
+            has = idx >= 0
+            prev = kt[np.maximum(idx, 0)]
+            has &= (prev // shift) == (ends // shift)
+            ok &= has
+            prev_min = np.minimum(prev_min, np.where(has, prev, prev_min))
+        ends_v, s_v = ends[ok], prev_min[ok]
+        if ends_v.size == 0:
+            return empty
+        # ends_v ascending ⇒ np.unique(return_index) picks the smallest
+        # end per distinct start = the minimal windows
+        u_s, first = np.unique(s_v, return_index=True)
+        min_ends = ends_v[first]
+        w_ok = (min_ends - u_s) <= (n - 1 + max_gaps)
+        hits = min_ends[w_ok]
+        if hits.size == 0:
+            return empty
+        docs_u, freq = np.unique(hits // shift, return_counts=True)
+        dl = self.doc_length(docs_u)
+        k1, b = self.bm25.k1, self.bm25.b
+        f = freq.astype(np.float64)
+        scores = idf_sum * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
+        return topk_desc(docs_u, scores, k)
+
     def agg_cardinality(
         self,
         terms: list[str],

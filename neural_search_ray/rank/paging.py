@@ -62,3 +62,86 @@ def search_after(
         [c for c, _ in sort_keys],
         descending=[d == "desc" for _, d in sort_keys],
     ).limit(size)
+
+
+def sliced_pages(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    n_slices: int,
+    sort_keys: list[tuple[str, str]],
+    size: int,
+    pages: int,
+) -> "ray.data.Dataset":
+    """Sliced scroll (the _search?scroll ``slice`` API): partition the
+    stream into ``n_slices`` deterministic slices and page each slice
+    INDEPENDENTLY — the parallel-export surface (one consumer per slice,
+    no coordination; OpenSearch's SliceBuilder). Slice membership here
+    is ``id % n_slices`` — a documented deviation from the reference's
+    murmur3-of-_id, pinned by the oracle (any deterministic id hash
+    partitions correctly; modulo is SQL-exact).
+
+    Returns the first ``pages`` pages of every slice as rows
+    (slice_id, page, rank, id) with rank 1-based within the slice —
+    page p of slice s is exactly what ``search_after`` would serve that
+    slice's consumer, so a real scroll continues from any page's last
+    key with the keyset machinery above.
+
+    Scale shape: a per-batch per-slice top-(size·pages) PRUNE runs
+    inside map_batches (each block contributes at most
+    n_slices·size·pages candidate rows), then one groupby(slice)
+    exchange of the pruned candidates and a final per-slice sort +
+    truncate in map_groups — the whole stream is never globally sorted
+    and the exchange is bounded by slices × page budget × blocks."""
+    if n_slices < 1 or size < 1 or pages < 1:
+        raise ValueError("n_slices, size, pages must all be >= 1")
+    budget = size * pages
+    cols = [id_col] + [c for c, _ in sort_keys if c != id_col]
+    desc = [d == "desc" for _, d in sort_keys]
+
+    def _order(batch: pa.Table) -> np.ndarray:
+        ks = []
+        for (c, _), dsc in zip(reversed(sort_keys), reversed(desc)):
+            v = batch[c].to_numpy(zero_copy_only=False)
+            if dsc:
+                # datetime64/timedelta64 have no negative ufunc — the
+                # int64 epoch view orders identically
+                if v.dtype.kind in "mM":
+                    v = v.view(np.int64)
+                v = -v
+            ks.append(v)
+        return np.lexsort(tuple(ks))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        sl = (
+            batch[id_col].to_numpy(zero_copy_only=False) % n_slices
+        ).astype(np.int64)
+        order = _order(batch)
+        # within sort order, keep the first `budget` rows of each slice
+        sl_o = sl[order]
+        pos = np.empty(sl_o.size, dtype=np.int64)
+        for s in range(n_slices):
+            m = sl_o == s
+            pos[m] = np.arange(int(m.sum()))
+        keep = order[pos < budget]
+        out = batch.take(pa.array(keep))
+        return out.append_column("slice_id", pa.array(sl[keep]))
+
+    def page_group(group: pa.Table) -> pa.Table:
+        order = _order(group)[:budget]
+        out = group.take(pa.array(order))
+        rank = np.arange(1, len(out) + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "slice_id": out["slice_id"],
+                "page": pa.array((rank - 1) // size + 1),
+                "rank": pa.array(rank),
+                id_col: out[id_col],
+            }
+        )
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby("slice_id")
+        .map_groups(page_group, batch_format="pyarrow")
+    )

@@ -1,0 +1,309 @@
+"""Query-driven index maintenance (delete_by_query / update_by_query),
+the script_score query, the unordered n-term intervals matcher,
+span_first, and sliced-scroll pagination."""
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from neural_search_ray.analysis.analyzer import tokenize
+from neural_search_ray.config import IndexConfig
+from neural_search_ray.index.build import build_index
+from neural_search_ray.index.deletes import delete_by_query, update_by_query
+from neural_search_ray.query.engine import IndexSearcher
+from neural_search_ray.query.scripts import SCORE_SCRIPTS, ScoreScript
+
+
+def _docs_ds(sf_dir):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _corpus(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return {
+        int(d): tokenize(x)
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+
+
+@pytest.fixture(scope="module")
+def base_index(tmp_path_factory, sf_dir, ray_session):
+    d = str(tmp_path_factory.mktemp("maint") / "idx")
+    build_index(_docs_ds(sf_dir), d, IndexConfig(num_shards=2, num_salts=1))
+    return d
+
+
+@pytest.fixture(scope="module")
+def pos_index(tmp_path_factory, sf_dir, ray_session):
+    d = str(tmp_path_factory.mktemp("maintpos") / "idx")
+    build_index(
+        _docs_ds(sf_dir),
+        d,
+        IndexConfig(num_shards=2, num_salts=1, index_positions=True),
+    )
+    return d
+
+
+class TestDeleteByQuery:
+    def test_matched_docs_excluded_stats_stale(self, base_index, sf_dir, tmp_path):
+        d = str(tmp_path / "dbq")
+        shutil.copytree(base_index, d, copy_function=shutil.copy)
+        before = IndexSearcher(d)
+        matched = set(before.match_docs(["dup"]).tolist())
+        assert matched, "test corpus must contain the rare term"
+        n = delete_by_query(d, ["dup"])
+        assert n == len(matched)
+        after = IndexSearcher(d)
+        docs, _ = after.search_bm25(["data", "query"], k=10_000)
+        assert not (set(docs.tolist()) & matched)
+        # liveDocs model: stats stay stale until purge
+        assert after.n_docs == before.n_docs
+        # idempotent: same query again tombstones nothing new
+        assert delete_by_query(d, ["dup"]) == 0
+
+    def test_no_match_is_noop(self, base_index, tmp_path):
+        d = str(tmp_path / "dbq2")
+        shutil.copytree(base_index, d, copy_function=shutil.copy)
+        assert delete_by_query(d, ["zzzznotaterm"]) == 0
+
+
+class TestUpdateByQuery:
+    def test_matched_docs_transformed(self, base_index, sf_dir, tmp_path):
+        d = str(tmp_path / "ubq")
+        shutil.copytree(base_index, d, copy_function=shutil.copy)
+        matched = set(IndexSearcher(d).match_docs(["dup"]).tolist())
+
+        def prepend(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            text = pc.binary_join_element_wise(
+                pa.array(["zzmarker "] * len(batch), type=pa.string()),
+                batch["text"],
+                "",
+            )
+            return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+        update_by_query(
+            d, ["dup"], _docs_ds(sf_dir), prepend, segment_id="seg-u1"
+        )
+        s = IndexSearcher(d)
+        # exactly the matched docs carry the marker token now
+        docs, _ = s.search_bm25(["zzmarker"], k=10_000)
+        assert set(docs.tolist()) == matched
+        # stats recomputed: corpus size unchanged, avgdl grew by the
+        # one-token prepend on |matched| docs
+        assert s.n_docs == IndexSearcher(base_index).n_docs
+
+
+class TestScriptScore:
+    def test_length_norm_matches_manual(self, base_index, sf_dir):
+        s = IndexSearcher(base_index)
+        terms = tokenize("data query")
+        script = SCORE_SCRIPTS["length_norm"]("n_chars")
+        # doc-values sidecar: build from the documents table
+        import os
+
+        from neural_search_ray.index.docvalues import (
+            DOCVALUES_DIR,
+            build_doc_values,
+        )
+
+        if not os.path.exists(os.path.join(base_index, DOCVALUES_DIR)):
+            build_doc_values(
+                ray.data.read_parquet(
+                    f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "lang", "source", "n_chars"],
+                ),
+                base_index,
+                num_shards=s.manifest.num_doc_shards,
+            )
+            s = IndexSearcher(base_index)
+        docs, scores = s.search_script_score(terms, script, k=25)
+        base_docs, base_scores = s._bm25_union_scores(terms, None)
+        n_chars = s.field_values(base_docs, "n_chars").to_numpy(
+            zero_copy_only=False
+        )
+        expect = base_scores / np.sqrt(1.0 + n_chars.astype(np.float64))
+        order = np.lexsort((base_docs, -expect))[:25]
+        assert docs.tolist() == base_docs[order].tolist()
+        np.testing.assert_allclose(scores, expect[order], rtol=0, atol=0)
+
+    def test_registry_extension(self, base_index):
+        def kernel(cols, bm25):
+            return bm25 * 0.0 + cols["n_chars"].astype(np.float64)
+
+        SCORE_SCRIPTS["by_len"] = lambda: ScoreScript(
+            "by_len", ("n_chars",), kernel
+        )
+        s = IndexSearcher(base_index)
+        docs, scores = s.search_script_score(
+            ["data"], SCORE_SCRIPTS["by_len"](), k=5
+        )
+        got = s.field_values(docs, "n_chars").to_numpy(zero_copy_only=False)
+        np.testing.assert_array_equal(scores, got.astype(np.float64))
+        SCORE_SCRIPTS.pop("by_len")
+
+
+def _ref_intervals(toks, terms, max_gaps):
+    """Brute-force minimal-interval tf: enumerate every window, keep
+    windows containing all terms, drop windows containing a smaller
+    qualifying window, then gap-filter."""
+    n = len(terms)
+    wins = []
+    for i in range(len(toks)):
+        for j in range(i, len(toks)):
+            if all(t in toks[i : j + 1] for t in terms):
+                wins.append((i, j))
+                break  # larger j only loosens; (i, j) is tightest for i
+    minimal = [
+        (i, j)
+        for (i, j) in wins
+        if not any(
+            (i2, j2) != (i, j) and i2 >= i and j2 <= j for (i2, j2) in wins
+        )
+    ]
+    return sum(1 for (i, j) in minimal if (j - i + 1) - n <= max_gaps)
+
+
+class TestIntervals:
+    CASES = [
+        (["data", "query", "table"], 4),
+        (["merge", "sort", "window"], 2),
+        (["scan", "filter"], 1),
+        (["the", "a", "key", "row"], 6),
+    ]
+
+    @pytest.mark.parametrize("terms,max_gaps", CASES)
+    def test_matches_bruteforce(self, pos_index, sf_dir, terms, max_gaps):
+        s = IndexSearcher(pos_index)
+        corpus = _corpus(sf_dir)
+        expect = {
+            d: tf
+            for d, toks in corpus.items()
+            if (tf := _ref_intervals(toks, terms, max_gaps)) > 0
+        }
+        docs, scores = s.search_intervals(
+            terms, k=len(corpus), max_gaps=max_gaps
+        )
+        assert set(docs.tolist()) == set(expect)
+        # identical tf ⇒ identical score per doc (same idf/dl chain):
+        # recompute engine tf via the score inverse is fragile; instead
+        # assert rank-equality of equal-tf groups by checking scores are
+        # monotone in the reference tf for fixed dl is overkill — the
+        # SQL oracle pins exact scores; here membership + determinism
+        d2, s2 = s.search_intervals(terms, k=len(corpus), max_gaps=max_gaps)
+        assert d2.tolist() == docs.tolist() and s2.tolist() == scores.tolist()
+
+    def test_validation(self, pos_index):
+        s = IndexSearcher(pos_index)
+        with pytest.raises(ValueError):
+            s.search_intervals(["data"], max_gaps=1)
+        with pytest.raises(ValueError):
+            s.search_intervals(["data", "query"], max_gaps=-1)
+
+    def test_absent_term_empty(self, pos_index):
+        s = IndexSearcher(pos_index)
+        docs, _ = s.search_intervals(["data", "zzznope"], max_gaps=9)
+        assert docs.size == 0
+
+
+class TestSpanFirst:
+    @pytest.mark.parametrize("term,end", [("data", 3), ("the", 1), ("scan", 5)])
+    def test_matches_bruteforce(self, pos_index, sf_dir, term, end):
+        s = IndexSearcher(pos_index)
+        corpus = _corpus(sf_dir)
+        expect = {
+            d: sum(1 for p, t in enumerate(toks) if t == term and p < end)
+            for d, toks in corpus.items()
+        }
+        expect = {d: c for d, c in expect.items() if c}
+        docs, _ = s.search_span_first(term, end, k=len(corpus))
+        assert set(docs.tolist()) == set(expect)
+
+    def test_end_zero_empty(self, pos_index):
+        s = IndexSearcher(pos_index)
+        docs, _ = s.search_span_first("data", 0)
+        assert docs.size == 0
+
+
+class TestSlicedPages:
+    def test_pages_match_per_slice_search_after(self, sf_dir, ray_session):
+        from neural_search_ray.rank.paging import search_after, sliced_pages
+
+        n_slices, size, pages = 3, 7, 2
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+        )
+        out = sliced_pages(
+            ds, "event_id", n_slices, [("ts", "asc"), ("event_id", "asc")],
+            size, pages,
+        ).take_all()
+        by_slice = {}
+        for r in out:
+            by_slice.setdefault(r["slice_id"], []).append(r)
+        assert set(by_slice) == set(range(n_slices))
+        for sl, rows in by_slice.items():
+            rows.sort(key=lambda r: r["rank"])
+            # slice membership + rank/page bookkeeping
+            assert all(r["event_id"] % n_slices == sl for r in rows)
+            assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+            assert all(
+                r["page"] == (r["rank"] - 1) // size + 1 for r in rows
+            )
+            # page 1 of this slice == what search_after would serve it
+            def only_slice(batch: pa.Table) -> pa.Table:
+                ids = batch["event_id"].to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(ids % n_slices == sl))
+
+            ref = search_after(
+                ds.map_batches(only_slice, batch_format="pyarrow"),
+                [("ts", "asc"), ("event_id", "asc")],
+                None,
+                size,
+            ).take_all()
+            assert [r["event_id"] for r in rows[:size]] == [
+                r["event_id"] for r in ref
+            ]
+
+    def test_desc_timestamp_key(self, sf_dir, ray_session):
+        """Regression: a DESC key on a timestamp column must not crash
+        (datetime64 has no negative ufunc — ordered via int64 view)."""
+        from neural_search_ray.rank.paging import sliced_pages
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+        )
+        out = sliced_pages(
+            ds, "event_id", 2, [("ts", "desc"), ("event_id", "asc")], 3, 1
+        ).take_all()
+        ts = {
+            r["event_id"]: r["ts"]
+            for r in ds.take_all()
+        }
+        by_slice = {}
+        for r in sorted(out, key=lambda r: r["rank"]):
+            by_slice.setdefault(r["slice_id"], []).append(ts[r["event_id"]])
+        for sl, got in by_slice.items():
+            assert got == sorted(got, reverse=True)
+            # page 1 really is the newest 3 of the slice
+            all_sl = sorted(
+                (v for k, v in ts.items() if k % 2 == sl), reverse=True
+            )
+            assert got == all_sl[: len(got)]
+
+    def test_validation(self, sf_dir, ray_session):
+        from neural_search_ray.rank.paging import sliced_pages
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+        )
+        with pytest.raises(ValueError):
+            sliced_pages(ds, "event_id", 0, [("ts", "asc")], 5, 1)
