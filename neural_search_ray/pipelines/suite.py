@@ -4737,6 +4737,312 @@ def q_events_sliced_scroll(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# --- parent-child join field (stages/joinfield.py) -------------------------
+
+_JF_QTY = 45.0  # has_child inner-query: lineitems with quantity >= this
+_JF_MINC = 2  # has_child min_children gate
+_JF_PRICE = 150_000.0  # has_parent parent-query: totalprice above this
+_JF_TOPK = 10
+
+
+def _jf_children(sf_dir: str) -> "ray.data.Dataset":
+    """The has_child inner query: lineitems with l_quantity >= _JF_QTY,
+    scored by revenue l_extendedprice*(1-l_discount) — filter + score
+    fused in one map_batches, only (key, score) leaves the block."""
+
+    def flt(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        kept = batch.filter(pa.array(q >= _JF_QTY))
+        rev = kept["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - kept["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {"l_orderkey": kept["l_orderkey"], "_rev": pa.array(rev)}
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(flt, batch_format="pyarrow")
+
+
+def q_has_child_topk(sf_dir: str) -> pa.Table:
+    """has_child query (OpenSearch join field, HasChildQueryBuilder):
+    orders with >= 2 lineitems matching the inner query (quantity >=
+    45), scored by the MAX child revenue (score_mode=max — exact in
+    float64 on both sides, no summation-order hazard); top-10 by
+    (score desc, o_orderkey)."""
+    from ..stages.joinfield import has_child
+
+    parents = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    res = (
+        has_child(
+            parents,
+            _jf_children(sf_dir),
+            parent_key="o_orderkey",
+            child_key="l_orderkey",
+            score_col="_rev",
+            score_mode="max",
+            min_children=_JF_MINC,
+        )
+        .sort(["child_score", "o_orderkey"], descending=[True, False])
+        .limit(_JF_TOPK)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(
+                [r["o_orderkey"] for r in res], pa.int64()
+            ),
+            "o_orderpriority": pa.array(
+                [r["o_orderpriority"] for r in res], pa.string()
+            ),
+            "child_score": pa.array(
+                [float(round_half_up(r["child_score"], 6)) for r in res],
+                pa.float64(),
+            ),
+            "n_children": pa.array(
+                [r["n_children"] for r in res], pa.int64()
+            ),
+        }
+    )
+
+
+def q_has_child_sum(sf_dir: str) -> pa.Table:
+    """has_child score_mode=sum variant: total returned quantity
+    (l_returnflag='R') per order — quantities are integer-valued
+    doubles, so the sum is order-independent and float-exact; top-10
+    by (sum desc, o_orderkey)."""
+    from ..stages.joinfield import has_child
+
+    def flt(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["l_returnflag"], "R")
+        kept = batch.filter(m)
+        return pa.table(
+            {"l_orderkey": kept["l_orderkey"], "_qty": kept["l_quantity"]}
+        )
+
+    children = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+    ).map_batches(flt, batch_format="pyarrow")
+    parents = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )
+    res = (
+        has_child(
+            parents,
+            children,
+            parent_key="o_orderkey",
+            child_key="l_orderkey",
+            score_col="_qty",
+            score_mode="sum",
+        )
+        .sort(["child_score", "o_orderkey"], descending=[True, False])
+        .limit(_JF_TOPK)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array([r["o_orderkey"] for r in res], pa.int64()),
+            "child_score": pa.array(
+                [r["child_score"] for r in res], pa.float64()
+            ),
+            "n_children": pa.array([r["n_children"] for r in res], pa.int64()),
+        }
+    )
+
+
+def q_has_parent_topk(sf_dir: str) -> pa.Table:
+    """has_parent query (HasParentQueryBuilder, score=true): lineitems
+    whose parent order matches (totalprice > 150k AND status 'O'),
+    inheriting the parent score o_totalprice. The matched-parent map
+    ships once via ray.put; the child stream never shuffles. Top-10 by
+    (parent_score desc, l_orderkey, l_linenumber)."""
+    from ..stages.joinfield import has_parent
+
+    import pyarrow.parquet as pq
+
+    o = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+    )
+    keep = pc.and_(
+        pc.greater(o["o_totalprice"], _JF_PRICE),
+        pc.equal(o["o_orderstatus"], "O"),
+    )
+    matched = o.filter(keep).select(["o_orderkey", "o_totalprice"])
+    children = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    res = (
+        has_parent(
+            children,
+            matched,
+            parent_key="o_orderkey",
+            child_key="l_orderkey",
+            parent_score_col="o_totalprice",
+        )
+        .sort(
+            ["parent_score", "l_orderkey", "l_linenumber"],
+            descending=[True, False, False],
+        )
+        .limit(_JF_TOPK)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "l_orderkey": pa.array([r["l_orderkey"] for r in res], pa.int64()),
+            "l_linenumber": pa.array(
+                [r["l_linenumber"] for r in res], pa.int64()
+            ),
+            "parent_score": pa.array(
+                [r["parent_score"] for r in res], pa.float64()
+            ),
+        }
+    )
+
+
+def q_join_inner_hits(sf_dir: str) -> pa.Table:
+    """inner_hits: the top-5 has_child parents each bring their top-2
+    matching children by (revenue desc, l_linenumber) — the linenumber
+    tiebreak makes equal-revenue siblings deterministic. Per-batch
+    per-parent prune then ONE groupby, never a global child sort."""
+    from ..stages.joinfield import inner_hits
+
+    top_parents = q_has_child_topk(sf_dir)["o_orderkey"].to_numpy(
+        zero_copy_only=False
+    )[:5]
+
+    def flt(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        kept = batch.filter(pa.array(q >= _JF_QTY))
+        rev = kept["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - kept["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "l_orderkey": kept["l_orderkey"],
+                "l_linenumber": kept["l_linenumber"],
+                "_rev": pa.array(rev),
+            }
+        )
+
+    children = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(flt, batch_format="pyarrow")
+    res = inner_hits(
+        children,
+        top_parents,
+        child_key="l_orderkey",
+        score_col="_rev",
+        size=2,
+        tiebreak_cols=("l_linenumber",),
+    ).take_all()
+    res.sort(key=lambda r: (r["l_orderkey"], r["rank"]))
+    return pa.table(
+        {
+            "l_orderkey": pa.array([r["l_orderkey"] for r in res], pa.int64()),
+            "rank": pa.array([r["rank"] for r in res], pa.int64()),
+            "l_linenumber": pa.array(
+                [int(r["l_linenumber"]) for r in res], pa.int64()
+            ),
+            "revenue": pa.array(
+                [float(round_half_up(r["_rev"], 6)) for r in res],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+# --- index sorting / early termination --------------------------------------
+
+_SORTED_K = 20
+
+
+def q_sorted_topk(sf_dir: str) -> pa.Table:
+    """Index-sorted early-terminating query (Lucene index.sort.field +
+    track_total_hits=false): shards are pre-sorted by (n_chars desc,
+    doc_id) at build, so the top-20 reads k rows PER SHARD (parallel
+    head-k parquet reads) and merges — never a scan or global sort."""
+    from ..index.docvalues import build_sorted_values, sorted_topk
+
+    index_dir = get_index_dir(sf_dir)
+    searcher = get_searcher(sf_dir)
+    build_sorted_values(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "n_chars", "lang"],
+        ),
+        index_dir,
+        searcher.manifest.num_doc_shards,
+        "n_chars",
+        descending=True,
+    )
+    t = sorted_topk(
+        index_dir, "n_chars", _SORTED_K, descending=True, columns=["lang"]
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_chars": pa.array(
+                t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64(),
+            ),
+            "lang": t["lang"],
+        }
+    )
+
+
+# --- mget / count (document APIs) ------------------------------------------
+
+_MGET_IDS = [3, 17, 42, 123, 499]
+
+
+def q_doc_mget(sf_dir: str) -> pa.Table:
+    """_mget analogue: stored-field retrieval for an explicit id list
+    via the doc-values sidecar's per-shard binary search (no scan)."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    ids = np.asarray(_MGET_IDS, dtype=np.int64)
+    cols = {"doc_id": pa.array(ids, pa.int64())}
+    for c in ("lang", "source"):
+        cols[c] = searcher.field_values(ids, c)
+    cols["n_chars"] = pa.array(
+        searcher.field_values(ids, "n_chars").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64),
+        pa.int64(),
+    )
+    return pa.table(cols)
+
+
+def q_match_count(sf_dir: str) -> pa.Table:
+    """_count API analogue: the SIZE of each query's boolean-OR match
+    set (no scoring, no top-k) — the same match-resolution path
+    delete_by_query snapshots."""
+    searcher = get_searcher(sf_dir)
+    rows = [
+        (qid, int(searcher.match_docs(tokenize(qtext)).size))
+        for qid, qtext in QUERY_SET
+    ]
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_matches": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
 # --- two-phase / collapse / rerank ----------------------------------------
 
 
@@ -7056,6 +7362,65 @@ FROM (
                             ORDER BY ts, event_id) AS rn
   FROM events)
 WHERE rn <= {_SLICE_SIZE * _SLICE_PAGES}"""
+    # parent-child join field: engine sorts on the UNROUNDED score (max
+    # of float64 products is exact on both sides), rounds for display
+    sqls["has_child_topk"] = f"""
+WITH c AS (
+  SELECT l_orderkey, max(l_extendedprice * (1.0 - l_discount)) AS mx,
+         count(*)::BIGINT AS n
+  FROM lineitem WHERE l_quantity >= {_JF_QTY}
+  GROUP BY l_orderkey HAVING count(*) >= {_JF_MINC})
+SELECT o.o_orderkey, o.o_orderpriority,
+       round(c.mx, 6) AS child_score, c.n AS n_children
+FROM orders o JOIN c ON c.l_orderkey = o.o_orderkey
+ORDER BY c.mx DESC, o.o_orderkey LIMIT {_JF_TOPK}"""
+    sqls["has_child_sum"] = f"""
+WITH c AS (
+  SELECT l_orderkey, sum(l_quantity) AS s, count(*)::BIGINT AS n
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey)
+SELECT o.o_orderkey, c.s AS child_score, c.n AS n_children
+FROM orders o JOIN c ON c.l_orderkey = o.o_orderkey
+ORDER BY c.s DESC, o.o_orderkey LIMIT {_JF_TOPK}"""
+    sqls["has_parent_topk"] = f"""
+SELECT l.l_orderkey, l.l_linenumber::BIGINT AS l_linenumber,
+       o.o_totalprice AS parent_score
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_totalprice > {_JF_PRICE} AND o.o_orderstatus = 'O'
+ORDER BY o.o_totalprice DESC, l.l_orderkey, l.l_linenumber
+LIMIT {_JF_TOPK}"""
+    sqls["join_inner_hits"] = f"""
+WITH c AS (
+  SELECT l_orderkey, max(l_extendedprice * (1.0 - l_discount)) AS mx
+  FROM lineitem WHERE l_quantity >= {_JF_QTY}
+  GROUP BY l_orderkey HAVING count(*) >= {_JF_MINC}),
+top5 AS (SELECT l_orderkey FROM c ORDER BY mx DESC, l_orderkey LIMIT 5),
+hits AS (
+  SELECT l.l_orderkey, l.l_linenumber::BIGINT AS l_linenumber,
+         l.l_extendedprice * (1.0 - l.l_discount) AS rev,
+         row_number() OVER (
+           PARTITION BY l.l_orderkey
+           ORDER BY l.l_extendedprice * (1.0 - l.l_discount) DESC,
+                    l.l_linenumber) AS rnk
+  FROM lineitem l JOIN top5 USING (l_orderkey)
+  WHERE l.l_quantity >= {_JF_QTY})
+SELECT l_orderkey, rnk::BIGINT AS rank, l_linenumber,
+       round(rev, 6) AS revenue
+FROM hits WHERE rnk <= 2"""
+    sqls["sorted_topk"] = (
+        "SELECT doc_id, n_chars::BIGINT AS n_chars, lang FROM documents "
+        f"ORDER BY n_chars DESC, doc_id LIMIT {_SORTED_K}"
+    )
+    sqls["doc_mget"] = (
+        "SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars "
+        f"FROM documents WHERE doc_id IN ({', '.join(map(str, _MGET_IDS))})"
+    )
+    sqls["match_count"] = f"""
+SELECT qq.query_id::BIGINT AS query_id, coalesce(c.n, 0)::BIGINT AS n_matches
+FROM (SELECT DISTINCT query_id FROM ({_query_values_sql()})) qq
+LEFT JOIN (
+  SELECT q.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n
+  FROM ({_query_values_sql()}) q JOIN ({SQL_TF}) tf ON tf.term = q.term
+  GROUP BY q.query_id) c USING (query_id)"""
     sqls["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -7844,7 +8209,6 @@ def build_queries() -> dict:
         "agg_extended_stats": q_agg_extended_stats,
         "agg_composite": q_agg_composite,
         "agg_mad": q_agg_mad,
-        "agg_filters": q_agg_filters,
         "agg_adjacency": q_agg_adjacency,
         "lm_nll": q_lm_nll,
         # --- block 2: new this round ---
@@ -7868,19 +8232,15 @@ def build_queries() -> dict:
         # phrase-prefix) ---
         "bool_topk": q_bool_topk,
         "regexp_topk": q_regexp_topk,
-        "phrase_prefix_topk": q_phrase_prefix_topk,
         "span_near_topk": q_span_near_topk,
         # new positional matchers: n-term unordered minimal intervals
         # + opening-window span_first
         "intervals_topk": q_intervals_topk,
         "span_first_topk": q_span_first_topk,
-        "agg_terms_stats": q_agg_terms_stats,
         "more_like_this": q_more_like_this,
         "query_string_topk": q_query_string_topk,
-        "events_date_histogram": q_events_date_histogram,
         "agg_cardinality": q_agg_cardinality,
         "agg_percentiles": q_agg_percentiles,
-        "events_user_cardinality": q_events_user_cardinality,
         "significant_terms": q_significant_terms,
         "decay_topk": q_decay_topk,
         # --- block 2e: session 6/7 new-FAMILY representatives (the
@@ -7895,14 +8255,31 @@ def build_queries() -> dict:
         "hnsw_ann": q_hnsw_ann,
         "events_rollup_day": q_events_rollup_day,
         "agg_scripted_metric": q_agg_scripted_metric,
-        "events_scripted_rms": q_events_scripted_rms,
         # script_score (registered-kernel scoring) + sliced scroll
         # (parallel-export pagination) — new families this session
         "script_score_topk": q_script_score_topk,
         "events_sliced_scroll": q_events_sliced_scroll,
+        # parent-child join field (has_child/has_parent/inner_hits) +
+        # document APIs (_mget/_count) — new families this session
+        "has_child_topk": q_has_child_topk,
+        "has_parent_topk": q_has_parent_topk,
+        "join_inner_hits": q_join_inner_hits,
+        "doc_mget": q_doc_mget,
+        "match_count": q_match_count,
+        # index sorting / early termination — new family this session;
+        # displaces events_user_cardinality (the cardinality API rep
+        # agg_cardinality stays in-window)
+        "sorted_topk": q_sorted_topk,
         # ==== driver 50-entry window boundary (keys above this line) ====
-        # displaced by the maintenance/positional/script families above
-        # (each has an in-window superset or family rep):
+        # displaced by the maintenance/positional/script/join families
+        # above (each has an in-window superset or family rep):
+        "has_child_sum": q_has_child_sum,
+        "events_scripted_rms": q_events_scripted_rms,
+        "events_date_histogram": q_events_date_histogram,
+        "phrase_prefix_topk": q_phrase_prefix_topk,
+        "agg_filters": q_agg_filters,
+        "agg_terms_stats": q_agg_terms_stats,
+        "events_user_cardinality": q_events_user_cardinality,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_purged": q_bm25_topk_purged,
         "bm25_topk_upsert": q_bm25_topk_upsert,
