@@ -220,6 +220,13 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
         # the positional best-window highlighter (both new in session 7)
         "bm25_topk_resharded",
         "highlight_positional",
+        # parent-child join field (new in session 8): the lineitem
+        # stream pre-aggregates per batch, one groupby + capped hash
+        # join back to orders — the representative join-exchange stage
+        "has_child_topk",
+        # index-sorted early-termination: head-k read per shard; the
+        # first run pays the one-time sorted-sidecar build
+        "sorted_topk",
     ):
         t0 = time.perf_counter()
         res = suite.build_queries()[name](sf_dir)

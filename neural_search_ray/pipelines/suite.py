@@ -5003,6 +5003,100 @@ def q_sorted_topk(sf_dir: str) -> pa.Table:
     )
 
 
+# --- geo queries / aggs (stages/geo.py) --------------------------------------
+
+_GEO_BOX = {"top": 30.0, "left": -60.0, "bottom": -30.0, "right": 60.0}
+# query point deliberately OFF the 0.01-degree synthetic grid (and off
+# its half-grid): a grid-aligned point has exactly-equidistant mirror
+# pairs whose order would hang on libm ulps; off-grid, unrounded ranking
+# is engine-stable (exact duplicate coordinates remain bit-equal ties,
+# resolved by the event_id tiebreak identically on both sides)
+_GEO_PT = (12.3456, 56.789)
+# precision 2 = 1024 cells, so sf0.01's ~10k events give real per-cell
+# counts (precision 3's 32k cells would make every count 1)
+_GEO_PRECISION = 2
+
+
+def _geo_events(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.geo import add_geo_columns
+
+    return add_geo_columns(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+        )
+    )
+
+
+def q_geo_bbox_count(sf_dir: str) -> "ray.data.Dataset":
+    """geo_bounding_box query + terms agg: event counts per type inside
+    the box — a pure-comparison batch filter (exact, no trig), then the
+    standard partial-count exchange."""
+    from ..stages.geo import geo_bounding_box
+
+    def count(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(et, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(u.tolist(), pa.string()),
+                "_cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": group["event_type"].slice(0, 1),
+                "n_events": pa.array(
+                    [int(np.sum(group["_cnt"].to_numpy()))], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        geo_bounding_box(_geo_events(sf_dir), **_GEO_BOX)
+        .map_batches(count, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def q_geo_distance_topk(sf_dir: str) -> pa.Table:
+    """_geo_distance sort: the 10 nearest events to the query point by
+    haversine, ties (bit-equal duplicate coordinates) broken by
+    event_id; distance rounded to 6 for display only — ranking uses
+    the raw float64 (engine-stable because the query point is off-grid,
+    see _GEO_PT)."""
+    from ..stages.geo import geo_distance_topk
+
+    t = geo_distance_topk(
+        _geo_events(sf_dir), lat=_GEO_PT[0], lon=_GEO_PT[1], k=10
+    )
+    return pa.table(
+        {
+            "event_id": t["event_id"],
+            "distance_km": pa.array(
+                [
+                    float(round_half_up(v, 6))
+                    for v in t["distance_km"].to_pylist()
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def q_geohash_grid(sf_dir: str) -> pa.Table:
+    """geohash_grid aggregation at precision 3: top-10 cells by
+    (doc_count desc, geohash asc). The encode is floor + bit
+    interleave — pure IEEE arithmetic, cell-exact vs the SQL replay."""
+    from ..stages.geo import geohash_grid
+
+    return geohash_grid(
+        _geo_events(sf_dir), precision=_GEO_PRECISION, size=10
+    )
+
+
 # --- mget / count (document APIs) ------------------------------------------
 
 _MGET_IDS = [3, 17, 42, 123, 499]
@@ -5937,6 +6031,8 @@ SELECT query_id, rank, doc_id, score FROM (
 
 
 def build_oracle_sql() -> dict[str, str]:
+    from ..stages.geo import GEOHASH32
+
     sqls: dict[str, str] = {}
     sqls["doc_tokenize"] = SQL_TF
     sqls["term_stats"] = SQL_DF
@@ -7406,6 +7502,51 @@ hits AS (
 SELECT l_orderkey, rnk::BIGINT AS rank, l_linenumber,
        round(rev, 6) AS revenue
 FROM hits WHERE rnk <= 2"""
+    # geo fixture: deterministic coordinates from event_id (pure int64
+    # arithmetic then IEEE float ops — replayed in the same order as
+    # stages/geo.py add_geo_columns so every value is bit-identical)
+    _geo_pts = """
+SELECT event_id, event_type,
+       (event_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+       (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+FROM events"""
+    sqls["geo_bbox_count"] = f"""
+SELECT event_type, count(*)::BIGINT AS n_events
+FROM ({_geo_pts})
+WHERE lat >= {_GEO_BOX['bottom']} AND lat <= {_GEO_BOX['top']}
+  AND lon >= {_GEO_BOX['left']} AND lon <= {_GEO_BOX['right']}
+GROUP BY event_type"""
+    sqls["geo_distance_topk"] = f"""
+SELECT event_id, round(
+  2.0 * 6371.0 * asin(sqrt(
+    pow(sin(radians({_GEO_PT[0]} - lat) / 2.0), 2)
+    + cos(radians(lat)) * cos(radians({_GEO_PT[0]}))
+      * pow(sin(radians({_GEO_PT[1]} - lon) / 2.0), 2))), 6) AS distance_km
+FROM ({_geo_pts})
+ORDER BY 2.0 * 6371.0 * asin(sqrt(
+    pow(sin(radians({_GEO_PT[0]} - lat) / 2.0), 2)
+    + cos(radians(lat)) * cos(radians({_GEO_PT[0]}))
+      * pow(sin(radians({_GEO_PT[1]} - lon) / 2.0), 2))), event_id
+LIMIT 10"""
+    # geohash precision 2: 5 lon bits / 5 lat bits, lon-first interleave
+    sqls["geohash_grid"] = f"""
+WITH b AS (
+  SELECT least(CAST(floor((lon + 180.0) / 360.0 * 32) AS BIGINT), 31) AS lonb,
+         least(CAST(floor((lat + 90.0) / 180.0 * 32) AS BIGINT), 31) AS latb
+  FROM ({_geo_pts})),
+cell AS (
+  SELECT list_sum(list_transform(generate_series(0, 4),
+           i -> ((lonb >> (4 - i)) & 1) * (1::BIGINT << (9 - 2 * i))))
+       + list_sum(list_transform(generate_series(0, 4),
+           i -> ((latb >> (4 - i)) & 1) * (1::BIGINT << (8 - 2 * i)))) AS c
+  FROM b),
+gh AS (
+  SELECT substring('{GEOHASH32}', (((c >> 5) & 31) + 1)::INT, 1)
+      || substring('{GEOHASH32}', ((c & 31) + 1)::INT, 1) AS geohash
+  FROM cell)
+SELECT geohash, count(*)::BIGINT AS doc_count
+FROM gh GROUP BY geohash
+ORDER BY count(*) DESC, geohash LIMIT 10"""
     sqls["sorted_topk"] = (
         "SELECT doc_id, n_chars::BIGINT AS n_chars, lang FROM documents "
         f"ORDER BY n_chars DESC, doc_id LIMIT {_SORTED_K}"
@@ -8200,7 +8341,6 @@ def build_queries() -> dict:
         # entries they displaced were each judge-verified at r03 and
         # moved to the tail ---
         "dis_max_topk": q_dis_max_topk,
-        "boosting_topk": q_boosting_topk,
         "top_hits": q_top_hits,
         "suggest_term": q_suggest_term,
         "rank_feature_topk": q_rank_feature_topk,
@@ -8208,7 +8348,6 @@ def build_queries() -> dict:
         "rare_terms": q_rare_terms,
         "agg_extended_stats": q_agg_extended_stats,
         "agg_composite": q_agg_composite,
-        "agg_mad": q_agg_mad,
         "agg_adjacency": q_agg_adjacency,
         "lm_nll": q_lm_nll,
         # --- block 2: new this round ---
@@ -8247,7 +8386,6 @@ def build_queries() -> dict:
         # window holds exactly one rep per family; same-family variants
         # sit just past the boundary and are locally sweep-verified) ---
         "multi_match_best": q_multi_match_best,
-        "suggest_completion": q_suggest_completion,
         "percolate": q_percolate,
         "terms_set_topk": q_terms_set_topk,
         "events_serial_diff": q_events_serial_diff,
@@ -8270,10 +8408,19 @@ def build_queries() -> dict:
         # displaces events_user_cardinality (the cardinality API rep
         # agg_cardinality stays in-window)
         "sorted_topk": q_sorted_topk,
+        # geo family (bounding box / distance sort / geohash_grid) —
+        # displaces agg_mad, suggest_completion, boosting_topk (family
+        # siblings agg_percentiles, suggest_term, dis_max stay)
+        "geo_bbox_count": q_geo_bbox_count,
+        "geo_distance_topk": q_geo_distance_topk,
+        "geohash_grid": q_geohash_grid,
         # ==== driver 50-entry window boundary (keys above this line) ====
         # displaced by the maintenance/positional/script/join families
         # above (each has an in-window superset or family rep):
         "has_child_sum": q_has_child_sum,
+        "boosting_topk": q_boosting_topk,
+        "agg_mad": q_agg_mad,
+        "suggest_completion": q_suggest_completion,
         "events_scripted_rms": q_events_scripted_rms,
         "events_date_histogram": q_events_date_histogram,
         "phrase_prefix_topk": q_phrase_prefix_topk,

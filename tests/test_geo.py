@@ -1,0 +1,120 @@
+"""Geo family (stages/geo.py): bounding box, haversine distance sort,
+geohash grid — against brute-force numpy references and a known-value
+geohash check."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+from neural_search_ray.stages.geo import (
+    add_geo_columns,
+    geo_bounding_box,
+    geo_distance_topk,
+    geohash_encode,
+    geohash_grid,
+    haversine_km,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pts():
+    ids = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])[
+        "event_id"
+    ].to_numpy().astype(np.int64)
+    lat = (ids * 7919 % 18000).astype(np.float64) / 100.0 - 90.0
+    lon = (ids * 104729 % 36000).astype(np.float64) / 100.0 - 180.0
+    return ids, lat, lon
+
+
+def _geo_ds():
+    return add_geo_columns(
+        ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_id"])
+    ).repartition(6)
+
+
+class TestBoundingBox:
+    def test_matches_numpy(self, ray_session):
+        got = geo_bounding_box(
+            _geo_ds(), top=40.0, left=-10.0, bottom=-40.0, right=90.0
+        ).take_all()
+        ids, lat, lon = _pts()
+        m = (lat >= -40.0) & (lat <= 40.0) & (lon >= -10.0) & (lon <= 90.0)
+        assert {r["event_id"] for r in got} == set(ids[m].tolist())
+        for r in got[:20]:
+            assert -40.0 <= r["lat"] <= 40.0
+            assert -10.0 <= r["lon"] <= 90.0
+
+    def test_validation(self, ray_session):
+        with pytest.raises(ValueError):
+            geo_bounding_box(_geo_ds(), top=0, left=0, bottom=10, right=1)
+        with pytest.raises(ValueError):
+            geo_bounding_box(_geo_ds(), top=10, left=5, bottom=0, right=1)
+
+
+class TestDistanceTopk:
+    def test_matches_brute_force(self, ray_session):
+        qlat, qlon = 12.3456, 56.789
+        got = geo_distance_topk(_geo_ds(), lat=qlat, lon=qlon, k=15)
+        ids, lat, lon = _pts()
+        d = haversine_km(lat, lon, qlat, qlon)
+        order = np.lexsort((ids, d))[:15]
+        assert got["event_id"].to_pylist() == ids[order].tolist()
+        np.testing.assert_array_equal(
+            got["distance_km"].to_numpy(), d[order]
+        )
+
+    def test_haversine_known_value(self):
+        # Paris -> NYC great-circle ~5837 km
+        d = haversine_km(
+            np.array([48.8566]), np.array([2.3522]), 40.7128, -74.0060
+        )
+        assert 5800 < d[0] < 5880
+
+    def test_tie_break_on_duplicate_coords(self, ray_session):
+        # rows with identical coordinates must rank by id — build a tiny
+        # dataset where every point is the same
+        t = pa.table(
+            {
+                "event_id": pa.array([5, 1, 9, 3], pa.int64()),
+                "lat": pa.array([10.0] * 4),
+                "lon": pa.array([20.0] * 4),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(2)
+        got = geo_distance_topk(ds, lat=0.0, lon=0.0, k=3)
+        assert got["event_id"].to_pylist() == [1, 3, 5]
+
+
+class TestGeohash:
+    def test_known_cells(self):
+        # canonical geohash: (57.64911, 10.40744) -> u4pruydqqvj
+        gh = geohash_encode(
+            np.array([57.64911]), np.array([10.40744]), precision=5
+        )
+        assert gh[0] == "u4pru"
+        # equator/prime meridian -> s000...
+        gh = geohash_encode(np.array([0.0]), np.array([0.0]), precision=3)
+        assert gh[0] == "s00"
+
+    def test_edge_clipping(self):
+        gh = geohash_encode(
+            np.array([90.0, -90.0]), np.array([180.0, -180.0]), precision=2
+        )
+        assert gh[0] == "zz" and gh[1] == "00"
+
+    def test_grid_counts_match_numpy(self, ray_session):
+        got = geohash_grid(_geo_ds(), precision=2, size=8)
+        ids, lat, lon = _pts()
+        gh = geohash_encode(lat, lon, 2)
+        u, cnt = np.unique(gh, return_counts=True)
+        order = np.lexsort((u, -cnt))[:8]
+        assert got["geohash"].to_pylist() == u[order].tolist()
+        assert got["doc_count"].to_pylist() == cnt[order].tolist()
+
+    def test_validation(self, ray_session):
+        with pytest.raises(ValueError):
+            geohash_grid(_geo_ds(), precision=0)
