@@ -4786,6 +4786,8 @@ def q_has_child_topk(sf_dir: str) -> pa.Table:
             score_col="_rev",
             score_mode="max",
             min_children=_JF_MINC,
+            broadcast=True,  # matched-parent map is small after the
+            # inner query; the hash-join path is pytest-covered
         )
         .sort(["child_score", "o_orderkey"], descending=[True, False])
         .limit(_JF_TOPK)
@@ -4839,6 +4841,7 @@ def q_has_child_sum(sf_dir: str) -> pa.Table:
             child_key="l_orderkey",
             score_col="_qty",
             score_mode="sum",
+            broadcast=True,
         )
         .sort(["child_score", "o_orderkey"], descending=[True, False])
         .limit(_JF_TOPK)

@@ -83,40 +83,49 @@ def child_scores(
         raise ValueError(f"score_mode must be one of {_MODES}")
     if min_children < 1:
         raise ValueError("min_children must be >= 1")
+    n_buckets = 64
 
-    def finish(group: pa.Table) -> pa.Table:
-        k = group[key_col][0].as_py()
-        cnt = int(np.sum(group["_cnt"].to_numpy(zero_copy_only=False)))
-        if cnt < min_children or (
-            max_children is not None and cnt > max_children
-        ):
-            return pa.table(
-                {
-                    key_col: pa.array([], pa.int64()),
-                    "child_score": pa.array([], pa.float64()),
-                    "n_children": pa.array([], pa.int64()),
-                }
-            )
-        s = float(np.sum(group["_sum"].to_numpy(zero_copy_only=False)))
+    def bucket(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__b", pa.array((keys % n_buckets).astype(np.int32))
+        )
+
+    # one map_groups call per BUCKET (<= n_buckets), each merging all
+    # of its keys vectorized — never one Python call per parent key
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        cnt = np.add.reduceat(
+            group["_cnt"].to_numpy(zero_copy_only=False)[order], starts
+        )
+        s = np.add.reduceat(
+            group["_sum"].to_numpy(zero_copy_only=False)[order], starts
+        )
         if score_mode == "sum":
             score = s
         elif score_mode == "avg":
             score = s / cnt
         elif score_mode == "min":
-            score = float(
-                np.min(group["_min"].to_numpy(zero_copy_only=False))
+            score = np.minimum.reduceat(
+                group["_min"].to_numpy(zero_copy_only=False)[order], starts
             )
         elif score_mode == "max":
-            score = float(
-                np.max(group["_max"].to_numpy(zero_copy_only=False))
+            score = np.maximum.reduceat(
+                group["_max"].to_numpy(zero_copy_only=False)[order], starts
             )
         else:  # none
-            score = 1.0
+            score = np.ones(starts.size, dtype=np.float64)
+        keep = cnt >= min_children
+        if max_children is not None:
+            keep &= cnt <= max_children
         return pa.table(
             {
-                key_col: pa.array([k], pa.int64()),
-                "child_score": pa.array([score], pa.float64()),
-                "n_children": pa.array([cnt], pa.int64()),
+                key_col: pa.array(ks[starts][keep], pa.int64()),
+                "child_score": pa.array(score[keep].astype(np.float64)),
+                "n_children": pa.array(cnt[keep].astype(np.int64)),
             }
         )
 
@@ -124,8 +133,9 @@ def child_scores(
         children.map_batches(
             _partials(key_col, score_col), batch_format="pyarrow"
         )
-        .groupby(key_col)
-        .map_groups(finish, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(merge_bucket, batch_format="pyarrow")
     )
 
 
@@ -140,11 +150,18 @@ def has_child(
     min_children: int = 1,
     max_children: int | None = None,
     num_partitions: int = 64,
+    broadcast: bool = False,
 ) -> "ray.data.Dataset":
     """has_child query: parents that have >= min_children (and <=
     max_children, if set) children in the already-filtered ``children``
     stream, with the mode-combined child score and the child count
-    attached. Inner-join semantics: non-matching parents drop out."""
+    attached. Inner-join semantics: non-matching parents drop out.
+
+    ``broadcast=True`` ships the per-parent agg map (one row per parent
+    WITH matching children — often tiny after the inner query) once via
+    ray.put and attaches it inside map_batches over the parent stream —
+    zero shuffle, the asof_join_broadcast precedent. Default False =
+    hash join, for when the matched-parent map itself is huge."""
     agg = child_scores(
         children,
         key_col=child_key,
@@ -153,6 +170,51 @@ def has_child(
         min_children=min_children,
         max_children=max_children,
     )
+    if broadcast:
+        # bounded by #parents-with-matching-children; drop the
+        # schemaless empty blocks Ray emits for empty groups
+        tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns]
+        if tabs:
+            t = pa.concat_tables(tabs)
+            keys = (
+                t[child_key].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            order = np.argsort(keys, kind="stable")
+            payload = (
+                keys[order],
+                t["child_score"].to_numpy(zero_copy_only=False)[order],
+                t["n_children"].to_numpy(zero_copy_only=False)[order],
+            )
+        else:
+            payload = (
+                np.empty(0, np.int64),
+                np.empty(0, np.float64),
+                np.empty(0, np.int64),
+            )
+        ref = ray.put(payload)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            pk, sc, nc = ray.get(ref)
+            out_empty = batch.slice(0, 0).append_column(
+                "child_score", pa.array([], pa.float64())
+            ).append_column("n_children", pa.array([], pa.int64()))
+            if pk.size == 0:
+                return out_empty
+            ids = (
+                batch[parent_key]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            idx = np.minimum(np.searchsorted(pk, ids), pk.size - 1)
+            hit = pk[idx] == ids
+            kept = batch.filter(pa.array(hit))
+            return kept.append_column(
+                "child_score", pa.array(sc[idx[hit]], pa.float64())
+            ).append_column(
+                "n_children", pa.array(nc[idx[hit]], pa.int64())
+            )
+
+        return parents.map_batches(attach, batch_format="pyarrow")
     from ..runtime import join_partitions
 
     # Dataset.join drops the right-side key column from the output

@@ -124,6 +124,28 @@ class TestHasChild:
             assert r["n_children"] == ref.n[k]
             assert r["o_orderpriority"] == orders.o_orderpriority[k]
 
+    def test_broadcast_matches_join(self, ray_session):
+        parents = ray.data.read_parquet(
+            f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+        )
+
+        def run(broadcast):
+            rows = has_child(
+                parents, _children_ds(),
+                parent_key="o_orderkey", child_key="l_orderkey",
+                score_col="_rev", score_mode="avg", min_children=2,
+                broadcast=broadcast,
+            ).take_all()
+            return sorted(
+                (
+                    r["o_orderkey"], r["o_orderpriority"],
+                    r["child_score"], r["n_children"],
+                )
+                for r in rows
+            )
+
+        assert run(True) == run(False)
+
 
 class TestHasParent:
     def test_score_inherited(self, li, ray_session):
