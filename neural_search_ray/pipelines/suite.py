@@ -498,6 +498,64 @@ def _span_first_scored_sql() -> str:
   WHERE p.tf > 0"""
 
 
+def _span_not_scored_sql() -> str:
+    """span_not oracle mirroring engine search_span_not: include-term
+    positions (1-based i) surviving when no exclude occurrence sits in
+    [i-pre, i+post]; single-term idf on the include term's df."""
+    branches = []
+    idf_rows = []
+    for qid, inc, exc, pre, post in SPAN_NOT_SET:
+        branches.append(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"len(list_filter(range(1, len(toks) + 1), "
+            f"i -> toks[i] = '{inc}' AND len(list_filter("
+            f"range(greatest(1, i - {pre}), least(len(toks), i + {post}) + 1), "
+            f"j -> toks[j] = '{exc}')) = 0))::BIGINT AS tf FROM w"
+        )
+        idf_rows.append(f"({qid}, '{inc}')")
+    ptf = " UNION ALL ".join(branches)
+    idf_sql = f"""
+    SELECT q.query_id, ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5)) AS idf_sum
+    FROM (VALUES {", ".join(idf_rows)}) q(query_id, term)
+    JOIN ({SQL_DF}) df ON df.term = q.term
+    CROSS JOIN ({SQL_STATS}) s"""
+    return f"""
+  WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents)
+  SELECT p.query_id::BIGINT AS query_id, p.doc_id,
+         i.idf_sum * p.tf / (p.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) AS score
+  FROM ({ptf}) p
+  JOIN ({idf_sql}) i ON i.query_id = p.query_id
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = p.doc_id
+  CROSS JOIN ({SQL_STATS}) s
+  WHERE p.tf > 0"""
+
+
+def _lm_scored_sql(similarity: str) -> str:
+    """LM-similarity scored set (engine search_lm): cf/total_tokens
+    collection model, per-term kernels mirrored operation-for-
+    operation (the Dirichlet per-term clamp via greatest)."""
+    if similarity == "dirichlet":
+        per = (
+            f"greatest(0.0, ln(1.0 + tf.tf / ({_LM_MU} * "
+            f"(df.cf / s.total_tokens))) + ln({_LM_MU} / (dl.dl + {_LM_MU})))"
+        )
+    else:
+        per = (
+            f"ln(1.0 + (((1.0 - {_LM_LAMBDA}) * tf.tf) / dl.dl) / "
+            f"({_LM_LAMBDA} * (df.cf / s.total_tokens)))"
+        )
+    return f"""
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id, sum({per}) AS score
+  FROM ({_query_values_sql()}) q
+  JOIN ({SQL_TF}) tf ON tf.term = q.term
+  JOIN ({SQL_DF}) df ON df.term = q.term
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN ({SQL_STATS}) s
+  GROUP BY q.query_id, tf.doc_id"""
+
+
 def _facet_lang_sql(size: int) -> str:
     """Terms-agg oracle: doc count per documents.lang over the boolean-OR
     match set of each QUERY_SET query; top `size` buckets by
@@ -1434,6 +1492,68 @@ def q_span_first_topk(sf_dir: str) -> pa.Table:
     rows = []
     for qid, term, end in SPAN_FIRST_SET:
         docs, scores = searcher.search_span_first(term, end, k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+# span_not: (query_id, include, exclude, pre, post)
+SPAN_NOT_SET: list[tuple[int, str, str, int, int]] = [
+    (0, "data", "query", 1, 1),
+    (1, "merge", "sort", 0, 2),
+    (2, "table", "scan", 2, 0),
+    (3, "the", "fast", 1, 3),
+]
+
+
+def q_span_not_topk(sf_dir: str) -> pa.Table:
+    """span_not query (engine search_span_not — Lucene SpanNotQuery):
+    include-term occurrences with no exclude occurrence within
+    [p-pre, p+post]; tf = surviving count, single-term BM25 with the
+    include term's stored df."""
+    searcher = get_pos_searcher(sf_dir)
+    rows = []
+    for qid, inc, exc, pre, post in SPAN_NOT_SET:
+        docs, scores = searcher.search_span_not(
+            inc, exc, k=BM25_K * 3, pre=pre, post=post
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+# LM similarities (Lucene similarity module): mu / lambda pinned here
+_LM_MU = 2000.0
+_LM_LAMBDA = 0.5
+
+
+def q_lm_dirichlet_topk(sf_dir: str) -> pa.Table:
+    """LM Dirichlet similarity (LMDirichletSimilarity) over the same
+    postings/match union as BM25: per matching term
+    max(0, ln(1 + tf/(mu·cf/T)) + ln(mu/(dl+mu)))."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_lm(
+            tokenize(qtext), k=BM25_K * 3, similarity="dirichlet", mu=_LM_MU
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_lm_jm_topk(sf_dir: str) -> pa.Table:
+    """LM Jelinek-Mercer similarity (LMJelinekMercerSimilarity):
+    per matching term ln(1 + ((1-λ)·tf/dl)/(λ·cf/T))."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_lm(
+            tokenize(qtext),
+            k=BM25_K * 3,
+            similarity="jelinek_mercer",
+            lam=_LM_LAMBDA,
+        )
         rows.append((qid, docs, scores))
     out = _hits_table(rows)
     return out.filter(pc.less_equal(out["rank"], BM25_K))
@@ -2904,6 +3024,29 @@ def q_significant_terms_distributed(sf_dir: str) -> pa.Table:
             "bg_df": pa.array(bs, type=pa.int64()),
         }
     )
+
+
+def q_lm_dirichlet_distributed(sf_dir: str) -> pa.Table:
+    """The shard-actor-pool LM Dirichlet path under the SAME oracle:
+    global collection stats (Σ local cf, manifest total) resolved in a
+    cached coordinator phase, then per-shard scoring + top-k merge —
+    bit-identical to the single-node engine."""
+    from ..query.distributed import DistributedSearcher
+
+    index_dir = get_index_dir(sf_dir)
+    dsearch = DistributedSearcher(index_dir, num_actors=2)
+    try:
+        rows = []
+        for qid, qtext in QUERY_SET:
+            docs, scores = dsearch.search_lm(
+                tokenize(qtext), k=BM25_K * 3, similarity="dirichlet",
+                mu=_LM_MU,
+            )
+            rows.append((qid, docs, scores))
+    finally:
+        dsearch.shutdown()
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
 def q_decay_topk_distributed(sf_dir: str) -> pa.Table:
@@ -6138,6 +6281,11 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["intervals_topk"] = _topk_sql(_intervals_scored_sql(), BM25_K)
     # span_first: occurrences restricted to the opening window
     sqls["span_first_topk"] = _topk_sql(_span_first_scored_sql(), BM25_K)
+    # span_not: include occurrences with no exclude within [p-pre, p+post]
+    sqls["span_not_topk"] = _topk_sql(_span_not_scored_sql(), BM25_K)
+    # LM similarities over the same postings (Lucene similarity module)
+    sqls["lm_dirichlet_topk"] = _topk_sql(_lm_scored_sql("dirichlet"), BM25_K)
+    sqls["lm_jm_topk"] = _topk_sql(_lm_scored_sql("jelinek_mercer"), BM25_K)
     # terms aggregation over the boolean-OR match set, bucketed by lang
     sqls["facet_lang"] = _facet_lang_sql(_FACET_SIZE)
     # _termvectors sample: per-doc term -> tf from the forward index
@@ -6539,6 +6687,7 @@ SELECT query_id, rank, term, score, fg_df, bg_df FROM (
     # shard-actor-pool agg/decay paths: exact vs the same oracles
     sqls["significant_terms_distributed"] = sqls["significant_terms"]
     sqls["decay_topk_distributed"] = sqls["decay_topk"]
+    sqls["lm_dirichlet_distributed"] = sqls["lm_dirichlet_topk"]
     # dis_max: subqueries keyed as query_id*10 + sub_idx in the scored
     # set, re-grouped to query_id at combine (max + tb·(sum − max))
     _dm_vals, _dm_tb = [], []
@@ -8378,7 +8527,9 @@ def build_queries() -> dict:
         # new positional matchers: n-term unordered minimal intervals
         # + opening-window span_first
         "intervals_topk": q_intervals_topk,
-        "span_first_topk": q_span_first_topk,
+        # LM similarity family (new) — span_first displaced to the tail
+        # (span_near + intervals keep the positional family in-window)
+        "lm_dirichlet_topk": q_lm_dirichlet_topk,
         "more_like_this": q_more_like_this,
         "query_string_topk": q_query_string_topk,
         "agg_cardinality": q_agg_cardinality,
@@ -8421,6 +8572,9 @@ def build_queries() -> dict:
         # displaced by the maintenance/positional/script/join families
         # above (each has an in-window superset or family rep):
         "has_child_sum": q_has_child_sum,
+        "lm_jm_topk": q_lm_jm_topk,
+        "span_not_topk": q_span_not_topk,
+        "span_first_topk": q_span_first_topk,
         "boosting_topk": q_boosting_topk,
         "agg_mad": q_agg_mad,
         "suggest_completion": q_suggest_completion,
@@ -8489,6 +8643,7 @@ def build_queries() -> dict:
         # variants sit behind their family representative)
         "significant_terms_distributed": q_significant_terms_distributed,
         "decay_topk_distributed": q_decay_topk_distributed,
+        "lm_dirichlet_distributed": q_lm_dirichlet_distributed,
         "multi_match_cross_distributed": q_multi_match_cross_distributed,
         "match_bool_prefix_distributed": q_match_bool_prefix_distributed,
         "suggest_completion_distributed": q_suggest_completion_distributed,

@@ -46,6 +46,34 @@ class ShardSearchActor:
     def warm(self, terms: list[str]) -> int:
         return self.searcher.warm_terms(terms)
 
+    def total_tokens(self) -> int:
+        return self.searcher.total_tokens()
+
+    def local_cfs(self, terms: list[str]) -> list[int]:
+        """Per-term collection-frequency partials (Σ tf over this
+        actor's shard subset) — the LM similarities' collection-model
+        stat, resolved coordinator-side like global df."""
+        return [self.searcher.collection_freq(t) for t in terms]
+
+    def search_lm(
+        self,
+        terms: list[str],
+        k: int,
+        similarity: str,
+        mu: float,
+        lam: float,
+        cfs: list[float],
+        total: float,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.searcher.search_lm(
+            terms,
+            k,
+            similarity=similarity,
+            mu=mu,
+            lam=lam,
+            global_stats=(np.asarray(cfs, dtype=np.float64), total),
+        )
+
     def search_phrase(
         self, terms: list[str], k: int, global_dfs: list[float]
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -422,6 +450,50 @@ class DistributedSearcher:
             local = ray.get([a.local_dfs.remote(missing) for a in self.actors])
             sums = np.asarray(local, dtype=np.float64).sum(axis=0)
             self._gdf.update(zip(missing, sums.tolist()))
+
+    def search_lm(
+        self,
+        terms: list[str],
+        k: int = 10,
+        *,
+        similarity: str = "dirichlet",
+        mu: float = 2000.0,
+        lam: float = 0.5,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Distributed LM similarity: phase 1 resolves the GLOBAL
+        collection model — cf(term) = Σ local cf, total_tokens from the
+        (global) manifest — exactly the global-df protocol, cached
+        coordinator-side; phase 2 fans out with the global stats and
+        merges per-shard top-k. Scores are bit-identical to the
+        single-node engine because every actor evaluates the same
+        kernel on the same global stats."""
+        sterms = sorted(set(terms))
+        if not hasattr(self, "_gcf"):
+            self._gcf: dict[str, float] = {}
+        missing = [t for t in sterms if t not in self._gcf]
+        if missing:
+            local = ray.get(
+                [a.local_cfs.remote(missing) for a in self.actors]
+            )
+            sums = np.asarray(local, dtype=np.float64).sum(axis=0)
+            self._gcf.update(zip(missing, sums.tolist()))
+        cfs = [self._gcf[t] for t in sterms]
+        if not hasattr(self, "_total_tokens"):
+            # identical on every actor (manifest-global); one RPC, cached
+            self._total_tokens = float(
+                ray.get(self.actors[0].total_tokens.remote())
+            )
+        parts = ray.get(
+            [
+                a.search_lm.remote(
+                    sterms, k, similarity, mu, lam, cfs, self._total_tokens
+                )
+                for a in self.actors
+            ]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
 
     def search_phrase(self, terms: list[str], k: int = 10):
         """Distributed match_phrase: phrase matching is per-doc, so each

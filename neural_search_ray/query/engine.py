@@ -1872,6 +1872,145 @@ class IndexSearcher:
         scores = idf_sum * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
         return topk_desc(docs_u, scores, k)
 
+    def total_tokens(self) -> int:
+        """Collection token count (Σ doc length over complete segments)
+        — the LM similarities' collection-model denominator. Stale
+        until purge like n_docs/avgdl, the liveDocs stats model."""
+        return sum(
+            s["sum_dl"]
+            for s in self.manifest.segments.values()
+            if s["complete"]
+        )
+
+    def collection_freq(self, term: str) -> int:
+        """Collection frequency (Σ tf over all docs) — computed from
+        the decoded postings (the term dict stores df, not cf; postings
+        are LRU-cached so repeat queries pay nothing)."""
+        _, tfs = self.postings(term)
+        return int(tfs.sum())
+
+    def search_lm(
+        self,
+        terms: list[str],
+        k: int = 10,
+        *,
+        similarity: str = "dirichlet",
+        mu: float = 2000.0,
+        lam: float = 0.5,
+        global_stats: tuple[np.ndarray, float] | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Language-model similarities (the Lucene similarity module the
+        reference inherits — LMDirichletSimilarity /
+        LMJelinekMercerSimilarity) over the SAME postings as BM25:
+
+        - dirichlet: per matching term
+          max(0, ln(1 + tf/(mu·p_c)) + ln(mu/(dl + mu))),
+          p_c = cf/total_tokens (the per-term clamp keeps scores
+          non-negative as Lucene requires; a documented deviation from
+          Lucene's unclamped sum, pinned by the SQL oracle)
+        - jelinek_mercer: per matching term
+          ln(1 + ((1-λ)·tf/dl) / (λ·p_c))
+
+        summed over the query's sorted-unique terms.
+        ``global_stats``: optional (cfs aligned to sorted-unique terms,
+        total_tokens) for shard-subset actors — cf/total are collection
+        stats, so distributed scoring needs the coordinator's globals,
+        exactly the global-df protocol."""
+        if similarity not in ("dirichlet", "jelinek_mercer"):
+            raise ValueError(f"unknown similarity: {similarity}")
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        sterms = sorted(set(terms))
+        if not sterms:
+            return empty
+        if global_stats is None:
+            cfs = np.asarray(
+                [self.collection_freq(t) for t in sterms], dtype=np.float64
+            )
+            total = float(self.total_tokens())
+        else:
+            cfs = np.asarray(global_stats[0], dtype=np.float64)
+            total = float(global_stats[1])
+        cand = self._match_union(sterms)
+        if cand.size == 0 or total <= 0:
+            return empty
+        dl = self.doc_length(cand)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t, cf in zip(sterms, cfs):
+            if cf <= 0:
+                continue
+            docs, tfs = self.postings(t)
+            if docs.size == 0:
+                continue
+            p_c = cf / total
+            idx = np.searchsorted(cand, docs)
+            if similarity == "dirichlet":
+                s = np.log(1.0 + tfs / (mu * p_c)) + np.log(
+                    mu / (dl[idx] + mu)
+                )
+                s = np.maximum(0.0, s)
+            else:
+                s = np.log(
+                    1.0 + ((1.0 - lam) * tfs / dl[idx]) / (lam * p_c)
+                )
+            scores[idx] += s
+        return topk_desc(cand, scores, k)
+
+    def search_span_not(
+        self,
+        include: str,
+        exclude: str,
+        k: int = 10,
+        *,
+        pre: int = 0,
+        post: int = 0,
+        global_df: float | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """span_not query (Lucene SpanNotQuery): occurrences of
+        ``include`` that have NO ``exclude`` occurrence within
+        [p - pre, p + post]; tf = surviving count, scored as
+        single-term BM25 with that restricted tf and the include
+        term's df (stored df, a valid upper bound — the Lucene
+        contract). Vectorized: one searchsorted of include positions
+        into the exclude (doc,pos) keyspace per window edge."""
+        if pre < 0 or post < 0:
+            raise ValueError("pre and post must be >= 0")
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        docs_i, tfs_i, posf_i, tok_i = self.postings_positions(include)
+        if docs_i.size == 0:
+            return empty
+        docs_e, tfs_e, posf_e, tok_e = self.postings_positions(exclude)
+        max_pos = int(
+            max(
+                posf_i.max() if posf_i.size else 0,
+                posf_e.max() if posf_e.size else 0,
+            )
+        )
+        shift = np.int64(max_pos + pre + post + 2)
+        keys_i = np.repeat(docs_i, tfs_i) * shift + posf_i
+        if docs_e.size:
+            keys_e = np.repeat(docs_e, tfs_e) * shift + posf_e
+            # an exclude at q kills include at p iff p-pre <= q <= p+post
+            lo = np.searchsorted(keys_e, keys_i - pre)
+            hi = np.searchsorted(keys_e, keys_i + post, side="right")
+            survive = hi == lo
+        else:
+            survive = np.ones(keys_i.size, dtype=bool)
+        kept = keys_i[survive]
+        if kept.size == 0:
+            return empty
+        docs_u, freq = np.unique(kept // shift, return_counts=True)
+        df = (
+            float(self.local_df(include))
+            if global_df is None
+            else float(global_df)
+        )
+        idf = float(bm25_idf(np.asarray([max(df, 1e-9)]), self.n_docs)[0])
+        dl = self.doc_length(docs_u)
+        k1, b = self.bm25.k1, self.bm25.b
+        f = freq.astype(np.float64)
+        scores = idf * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
+        return topk_desc(docs_u, scores, k)
+
     def agg_cardinality(
         self,
         terms: list[str],

@@ -307,3 +307,92 @@ class TestSlicedPages:
         )
         with pytest.raises(ValueError):
             sliced_pages(ds, "event_id", 0, [("ts", "asc")], 5, 1)
+
+
+class TestSpanNot:
+    @pytest.mark.parametrize(
+        "inc,exc,pre,post",
+        [("data", "query", 1, 1), ("merge", "sort", 0, 2), ("the", "fast", 2, 0)],
+    )
+    def test_matches_bruteforce(self, pos_index, sf_dir, inc, exc, pre, post):
+        s = IndexSearcher(pos_index)
+        corpus = _corpus(sf_dir)
+        expect = {}
+        for d, toks in corpus.items():
+            exc_pos = {p for p, t in enumerate(toks) if t == exc}
+            c = sum(
+                1
+                for p, t in enumerate(toks)
+                if t == inc
+                and not any(q in exc_pos for q in range(p - pre, p + post + 1))
+            )
+            if c:
+                expect[d] = c
+        docs, _ = s.search_span_not(inc, exc, k=len(corpus), pre=pre, post=post)
+        assert set(docs.tolist()) == set(expect)
+
+    def test_no_exclude_equals_single_term(self, pos_index):
+        s = IndexSearcher(pos_index)
+        d1, s1 = s.search_span_not("data", "zzznope", k=50)
+        d2, s2 = s.search_bm25(["data"], k=50)
+        assert d1.tolist() == d2.tolist()
+        # 1-ulp: search_bm25 scales precomputed tf-norms, span_not
+        # computes idf*f/(f+norm) inline — different float op order
+        np.testing.assert_allclose(s1, s2, rtol=1e-12)
+
+    def test_validation(self, pos_index):
+        with pytest.raises(ValueError):
+            IndexSearcher(pos_index).search_span_not("a", "b", pre=-1)
+
+
+class TestLMSimilarities:
+    def _ref(self, sf_dir, terms, similarity, mu=2000.0, lam=0.5):
+        corpus = _corpus(sf_dir)
+        total = sum(len(t) for t in corpus.values())
+        cf = {t: sum(toks.count(t) for toks in corpus.values()) for t in terms}
+        out = {}
+        for d, toks in corpus.items():
+            sc = 0.0
+            hit = False
+            for t in sorted(set(terms)):
+                tf = toks.count(t)
+                if tf == 0 or cf[t] == 0:
+                    continue
+                hit = True
+                p_c = cf[t] / total
+                dl = len(toks)
+                if similarity == "dirichlet":
+                    sc += max(
+                        0.0,
+                        np.log(1.0 + tf / (mu * p_c))
+                        + np.log(mu / (dl + mu)),
+                    )
+                else:
+                    sc += np.log(1.0 + ((1.0 - lam) * tf / dl) / (lam * p_c))
+            if hit:
+                out[d] = sc
+        return out
+
+    @pytest.mark.parametrize("similarity", ["dirichlet", "jelinek_mercer"])
+    def test_matches_bruteforce(self, base_index, sf_dir, similarity):
+        s = IndexSearcher(base_index)
+        terms = tokenize("data query table")
+        docs, scores = s.search_lm(
+            terms, k=10_000, similarity=similarity
+        )
+        ref = self._ref(sf_dir, terms, similarity)
+        assert set(docs.tolist()) == set(ref)
+        got = dict(zip(docs.tolist(), scores.tolist()))
+        for d, v in ref.items():
+            np.testing.assert_allclose(got[d], v, rtol=1e-12)
+
+    def test_dirichlet_clamp_nonnegative(self, base_index):
+        s = IndexSearcher(base_index)
+        # 'the' is stopword-grade: high cf makes the unclamped Dirichlet
+        # term negative for short docs — scores must still be >= 0
+        _, scores = s.search_lm(["the"], k=10_000, similarity="dirichlet")
+        assert np.all(scores >= 0.0)
+
+    def test_unknown_similarity(self, base_index):
+        with pytest.raises(ValueError):
+            IndexSearcher(base_index).search_lm(["data"], similarity="bm42")
