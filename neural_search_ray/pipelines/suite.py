@@ -5243,6 +5243,83 @@ def q_geohash_grid(sf_dir: str) -> pa.Table:
     )
 
 
+# --- multi-index search (aliases / cross-index, query/multi.py) -------------
+
+_SPLIT_INDEX_CACHE: dict[str, tuple[str, str]] = {}
+_MI_BOOSTS = [1.0, 1.25]  # indices_boost: en index 1.0, rest 1.25
+
+
+def get_split_index_dirs(sf_dir: str) -> tuple[str, str]:
+    """Two sub-indexes partitioning the corpus by lang ('en' vs rest) —
+    the multi-index / alias target set, built once per sf content."""
+    if sf_dir in _SPLIT_INDEX_CACHE:
+        return _SPLIT_INDEX_CACHE[sf_dir]
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = hashlib.md5(
+        f"split:{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    dirs = []
+    for tag, want_en in (("en", True), ("rest", False)):
+        def flt(batch: pa.Table, _w=want_en) -> pa.Table:
+            m = pc.equal(batch["lang"], "en")
+            if not _w:
+                m = pc.invert(m)
+            return batch.filter(m).select(["doc_id", "text"])
+
+        d = f"/tmp/nsr_mindex_{tag}_{key}"
+        build_index(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "lang"],
+            ).map_batches(flt, batch_format="pyarrow"),
+            d,
+            IndexConfig(num_shards=2, num_salts=1),
+            resume=True,
+        )
+        dirs.append(d)
+    _SPLIT_INDEX_CACHE[sf_dir] = (dirs[0], dirs[1])
+    return _SPLIT_INDEX_CACHE[sf_dir]
+
+
+def q_multi_index_local(sf_dir: str) -> pa.Table:
+    """Multi-index search, default query_then_fetch scoring with
+    indices_boost: each sub-index scores with ITS OWN stats (N, avgdl,
+    df over that index only — the OpenSearch default, scores not
+    globally calibrated), boosted per index, merged top-k."""
+    from ..query.multi import MultiIndexSearcher
+
+    ms = MultiIndexSearcher(
+        list(get_split_index_dirs(sf_dir)), boosts=_MI_BOOSTS
+    )
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = ms.search_bm25(
+            tokenize(qtext), k=BM25_K * 3, mode="query_then_fetch"
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_multi_index_dfs(sf_dir: str) -> pa.Table:
+    """Multi-index search under dfs_query_then_fetch: the coordinator
+    pre-resolves cross-index (N, avgdl, df) and every sub-index scores
+    on the same scale — since the two indexes partition the corpus,
+    the result is float-for-float IDENTICAL to a single index over the
+    union, which is exactly what the (shared bm25_topk) oracle pins."""
+    from ..query.multi import MultiIndexSearcher
+
+    ms = MultiIndexSearcher(list(get_split_index_dirs(sf_dir)))
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = ms.search_bm25(
+            tokenize(qtext), k=BM25_K * 3, mode="dfs_query_then_fetch"
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
 # --- mget / count (document APIs) ------------------------------------------
 
 _MGET_IDS = [3, 17, 42, 123, 499]
@@ -7699,6 +7776,20 @@ gh AS (
 SELECT geohash, count(*)::BIGINT AS doc_count
 FROM gh GROUP BY geohash
 ORDER BY count(*) DESC, geohash LIMIT 10"""
+    # multi-index: query_then_fetch = per-partition stats chains +
+    # indices_boost; dfs_query_then_fetch = the single-corpus result
+    _mi_en = _bm25_scored_sql_src(
+        "(SELECT doc_id, text FROM documents WHERE lang = 'en')"
+    )
+    _mi_rest = _bm25_scored_sql_src(
+        "(SELECT doc_id, text FROM documents WHERE lang <> 'en')"
+    )
+    sqls["multi_index_local"] = _topk_sql(
+        f"""SELECT query_id, doc_id, score * {_MI_BOOSTS[0]} AS score FROM ({_mi_en})
+  UNION ALL SELECT query_id, doc_id, score * {_MI_BOOSTS[1]} AS score FROM ({_mi_rest})""",
+        BM25_K,
+    )
+    sqls["multi_index_dfs"] = sqls["bm25_topk"]
     sqls["sorted_topk"] = (
         "SELECT doc_id, n_chars::BIGINT AS n_chars, lang FROM documents "
         f"ORDER BY n_chars DESC, doc_id LIMIT {_SORTED_K}"
@@ -8531,7 +8622,10 @@ def build_queries() -> dict:
         # (span_near + intervals keep the positional family in-window)
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
         "more_like_this": q_more_like_this,
-        "query_string_topk": q_query_string_topk,
+        # multi-index alias search (new family) — query_string_topk
+        # displaced (its compiled execution is the in-window bool_topk
+        # machinery; parse determinism is pytest-covered)
+        "multi_index_local": q_multi_index_local,
         "agg_cardinality": q_agg_cardinality,
         "agg_percentiles": q_agg_percentiles,
         "significant_terms": q_significant_terms,
@@ -8572,6 +8666,8 @@ def build_queries() -> dict:
         # displaced by the maintenance/positional/script/join families
         # above (each has an in-window superset or family rep):
         "has_child_sum": q_has_child_sum,
+        "multi_index_dfs": q_multi_index_dfs,
+        "query_string_topk": q_query_string_topk,
         "lm_jm_topk": q_lm_jm_topk,
         "span_not_topk": q_span_not_topk,
         "span_first_topk": q_span_first_topk,

@@ -174,6 +174,7 @@ class IndexSearcher:
         shards: list[int] | None = None,
         term_cache_items: int = 100_000,
         cache_limit_bytes: int | None = None,
+        stats_override: tuple[int, float] | None = None,
     ):
         from ..index.deletes import load_tombstones
 
@@ -193,6 +194,14 @@ class IndexSearcher:
         self.n_deleted = int(self._deleted.size)
         self.n_docs = manifest.n_docs
         self.avgdl = manifest.avgdl
+        # dfs_query_then_fetch stats override (multi-index search): the
+        # coordinator resolves the CROSS-INDEX (N, avgdl) and hands them
+        # in BEFORE any postings decode — tf-norms are precomputed at
+        # decode against self.avgdl, so the override must be set at
+        # construction, never after (query/multi.py).
+        if stats_override is not None:
+            self.n_docs = int(stats_override[0])
+            self.avgdl = float(stats_override[1])
         self.bm25 = BM25Config(**manifest.bm25)
         self.shards = (
             set(shards) if shards is not None else set(range(manifest.num_doc_shards))
