@@ -541,6 +541,13 @@ def _lm_scored_sql(similarity: str) -> str:
             f"greatest(0.0, ln(1.0 + tf.tf / ({_LM_MU} * "
             f"(df.cf / s.total_tokens))) + ln({_LM_MU} / (dl.dl + {_LM_MU})))"
         )
+    elif similarity == "dfi":
+        # e = cf*dl/T mirrored op-for-op (cf * dl first, then / T)
+        per = (
+            "CASE WHEN tf.tf > (df.cf * dl.dl / s.total_tokens) THEN "
+            "log2(1.0 + (tf.tf - (df.cf * dl.dl / s.total_tokens)) / "
+            "sqrt(df.cf * dl.dl / s.total_tokens)) ELSE 0.0 END"
+        )
     else:
         per = (
             f"ln(1.0 + (((1.0 - {_LM_LAMBDA}) * tf.tf) / dl.dl) / "
@@ -1536,6 +1543,21 @@ def q_lm_dirichlet_topk(sf_dir: str) -> pa.Table:
     for qid, qtext in QUERY_SET:
         docs, scores = searcher.search_lm(
             tokenize(qtext), k=BM25_K * 3, similarity="dirichlet", mu=_LM_MU
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_dfi_topk(sf_dir: str) -> pa.Table:
+    """DFI similarity (DFISimilarity, standardized independence):
+    per matching term with tf above the chance expectation e = cf·dl/T,
+    log2(1 + (tf−e)/√e); at-or-below-chance terms contribute 0."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_lm(
+            tokenize(qtext), k=BM25_K * 3, similarity="dfi"
         )
         rows.append((qid, docs, scores))
     out = _hits_table(rows)
@@ -6363,6 +6385,7 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     # LM similarities over the same postings (Lucene similarity module)
     sqls["lm_dirichlet_topk"] = _topk_sql(_lm_scored_sql("dirichlet"), BM25_K)
     sqls["lm_jm_topk"] = _topk_sql(_lm_scored_sql("jelinek_mercer"), BM25_K)
+    sqls["dfi_topk"] = _topk_sql(_lm_scored_sql("dfi"), BM25_K)
     # terms aggregation over the boolean-OR match set, bucketed by lang
     sqls["facet_lang"] = _facet_lang_sql(_FACET_SIZE)
     # _termvectors sample: per-doc term -> tf from the forward index
@@ -8669,6 +8692,7 @@ def build_queries() -> dict:
         "multi_index_dfs": q_multi_index_dfs,
         "query_string_topk": q_query_string_topk,
         "lm_jm_topk": q_lm_jm_topk,
+        "dfi_topk": q_dfi_topk,
         "span_not_topk": q_span_not_topk,
         "span_first_topk": q_span_first_topk,
         "boosting_topk": q_boosting_topk,

@@ -1919,13 +1919,18 @@ class IndexSearcher:
           Lucene's unclamped sum, pinned by the SQL oracle)
         - jelinek_mercer: per matching term
           ln(1 + ((1-λ)·tf/dl) / (λ·p_c))
+        - dfi: divergence from independence, standardized measure
+          (DFISimilarity + IndependenceStandardized): expected
+          e = cf·dl/T; contribution 0 when tf ≤ e, else
+          log2(1 + (tf - e)/sqrt(e)) — terms occurring no more often
+          than chance score nothing
 
         summed over the query's sorted-unique terms.
         ``global_stats``: optional (cfs aligned to sorted-unique terms,
         total_tokens) for shard-subset actors — cf/total are collection
         stats, so distributed scoring needs the coordinator's globals,
         exactly the global-df protocol."""
-        if similarity not in ("dirichlet", "jelinek_mercer"):
+        if similarity not in ("dirichlet", "jelinek_mercer", "dfi"):
             raise ValueError(f"unknown similarity: {similarity}")
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         sterms = sorted(set(terms))
@@ -1957,6 +1962,11 @@ class IndexSearcher:
                     mu / (dl[idx] + mu)
                 )
                 s = np.maximum(0.0, s)
+            elif similarity == "dfi":
+                e = cf * dl[idx] / total
+                s = np.zeros(tfs.size, dtype=np.float64)
+                m = tfs > e  # masked: the dead branch would log2(<=0)
+                s[m] = np.log2(1.0 + (tfs[m] - e[m]) / np.sqrt(e[m]))
             else:
                 s = np.log(
                     1.0 + ((1.0 - lam) * tfs / dl[idx]) / (lam * p_c)

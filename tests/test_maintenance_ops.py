@@ -367,13 +367,17 @@ class TestLMSimilarities:
                         np.log(1.0 + tf / (mu * p_c))
                         + np.log(mu / (dl + mu)),
                     )
+                elif similarity == "dfi":
+                    e = cf[t] * dl / total
+                    if tf > e:
+                        sc += np.log2(1.0 + (tf - e) / np.sqrt(e))
                 else:
                     sc += np.log(1.0 + ((1.0 - lam) * tf / dl) / (lam * p_c))
             if hit:
                 out[d] = sc
         return out
 
-    @pytest.mark.parametrize("similarity", ["dirichlet", "jelinek_mercer"])
+    @pytest.mark.parametrize("similarity", ["dirichlet", "jelinek_mercer", "dfi"])
     def test_matches_bruteforce(self, base_index, sf_dir, similarity):
         s = IndexSearcher(base_index)
         terms = tokenize("data query table")
