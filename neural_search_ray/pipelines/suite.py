@@ -3869,6 +3869,55 @@ def q_hybrid_minmax_arith(sf_dir: str) -> pa.Table:
     return _hits_table(rows)
 
 
+def q_hybrid_knn_bm25(sf_dir: str) -> pa.Table:
+    """The neural-search flagship hybrid shape (HybridQuery with a
+    neural clause): BM25 text sub-query + DENSE kNN sub-query (query
+    vector = the embedding row whose vec_id equals the query id;
+    vec_ids align 1:1 with doc_ids in the test tables), fused with
+    min_max + weighted arithmetic mean (0.7 text / 0.3 dense)."""
+    import pyarrow.parquet as pq
+
+    from ..ann.brute import knn_brute_force
+
+    searcher = get_searcher(sf_dir)
+    qid_list = [qid for qid, _ in QUERY_SET]
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", qid_list)],
+    )
+    order = np.argsort(qt["vec_id"].to_numpy(zero_copy_only=False))
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)[
+        order
+    ]
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)[order]
+    knn = knn_brute_force(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        queries,
+        qids,
+        k=10,
+    )
+    kq = knn["query_id"].to_numpy(zero_copy_only=False)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        bm = searcher.search_bm25(sorted(set(tokenize(qtext))), k=10)
+        m = kq == qid
+        dense = (
+            knn["neighbor_id"].to_numpy(zero_copy_only=False)[m].astype(
+                np.int64
+            ),
+            knn["score"].to_numpy(zero_copy_only=False)[m],
+        )
+        docs, comb = hybrid_rank(
+            [bm, dense], normalization="min_max",
+            combination="arithmetic_mean", weights=[0.7, 0.3], k=5,
+        )
+        rows.append((qid, docs, comb))
+    return _hits_table(rows)
+
+
 def q_hybrid_l2_arith(sf_dir: str) -> pa.Table:
     """Hybrid fusion with L2 normalization (L2ScoreNormalizationTechnique
     .java:47-72) + weighted arithmetic mean — same sub-queries as the
@@ -7311,6 +7360,7 @@ SELECT query_id, rank, term, freq, dist FROM (
 
     # hybrid min_max + arithmetic mean (weights 0.7/0.3, k=5 over top-10 subs)
     sqls["hybrid_minmax_arith"] = _hybrid_minmax_sql()
+    sqls["hybrid_knn_bm25"] = _hybrid_knn_sql()
     sqls["hybrid_l2_arith"] = _hybrid_norm_sql("l2")
     sqls["hybrid_zscore_arith"] = _hybrid_norm_sql("z_score")
     sqls["hybrid_minmax_geo"] = _hybrid_norm_sql("min_max", "geometric_mean")
@@ -8225,6 +8275,41 @@ SELECT query_id, rank, doc_id, score FROM (
   FROM combined) WHERE rank <= 5"""
 
 
+def _hybrid_knn_sql() -> str:
+    """BM25 + dense-cosine hybrid oracle: the kNN sub-query's query
+    vector is the embedding row with vec_id = query_id; min_max +
+    0.7/0.3 arithmetic mean, top-5."""
+    bm_top = _topk_raw_sql(_bm25_scored_sql(), 10)
+    qids = ", ".join(str(q) for q, _ in QUERY_SET)
+    knn_scored = f"""
+  SELECT qe.query_id::BIGINT AS query_id, e.vec_id AS doc_id,
+         list_cosine_similarity(qe.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[]) AS score
+  FROM (SELECT vec_id AS query_id, embedding FROM embeddings
+        WHERE vec_id IN ({qids})) qe
+  CROSS JOIN embeddings e"""
+    knn_top = _topk_raw_sql(knn_scored, 10)
+    norm = _NORM_SQL["min_max"]
+    return f"""
+WITH bmn AS ({norm.format(top=bm_top)}),
+     dtn AS ({norm.format(top=knn_top)}),
+     joined AS (
+       SELECT coalesce(b.query_id, d.query_id) AS query_id,
+              coalesce(b.doc_id, d.doc_id) AS doc_id,
+              b.nscore AS s1, d.nscore AS s2
+       FROM bmn b FULL OUTER JOIN dtn d
+         ON b.query_id = d.query_id AND b.doc_id = d.doc_id),
+     combined AS (
+       SELECT query_id, doc_id,
+              {_COMBINE_SQL["arithmetic_mean"]} AS score
+       FROM joined)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM combined) WHERE rank <= 5"""
+
+
 def _hybrid_explain_sql() -> str:
     """Explain-provenance oracle: the min_max+arith hybrid top-5 with raw
     and normalized per-subquery scores carried through the join."""
@@ -8623,7 +8708,7 @@ def build_queries() -> dict:
         "events_asof_trim": q_events_asof_trim,
         "knn_cosine_sq8": q_knn_cosine_sq8,
         "rerank_rescore": q_rerank_rescore,
-        "query_enrich_sparse": q_query_enrich_sparse,
+        "hybrid_knn_bm25": q_hybrid_knn_bm25,
         # --- block 2b: new this session (positions / dictionary / upsert) ---
         "phrase_topk": q_phrase_topk,
         # query-driven maintenance: delete_by_query exercises the
@@ -8688,6 +8773,7 @@ def build_queries() -> dict:
         # ==== driver 50-entry window boundary (keys above this line) ====
         # displaced by the maintenance/positional/script/join families
         # above (each has an in-window superset or family rep):
+        "query_enrich_sparse": q_query_enrich_sparse,
         "has_child_sum": q_has_child_sum,
         "multi_index_dfs": q_multi_index_dfs,
         "query_string_topk": q_query_string_topk,
