@@ -5314,6 +5314,178 @@ def q_geohash_grid(sf_dir: str) -> pa.Table:
     )
 
 
+_GEO_RING_EDGES = [3000.0, 7000.0, 12000.0]
+
+
+def q_geo_bounds(sf_dir: str) -> pa.Table:
+    """geo_bounds + geo_centroid aggregations (stages/geo.py): the
+    bounding box and arithmetic-mean centroid of every event point —
+    per-batch extrema / (Σ, n) partials, bounded driver combine.
+    Extrema are exact; centroid means round to 6 (cross-block float-sum
+    order vs SQL's sequential SUM)."""
+    from ..stages.geo import geo_bounds, geo_centroid
+
+    ds = _geo_events(sf_dir)
+    b = geo_bounds(ds)
+    c = geo_centroid(ds)
+    return pa.table(
+        {
+            "top": pa.array([b["top"]], pa.float64()),
+            "bottom": pa.array([b["bottom"]], pa.float64()),
+            "left": pa.array([b["left"]], pa.float64()),
+            "right": pa.array([b["right"]], pa.float64()),
+            "clat": pa.array([float(round_half_up(c["lat"], 6))], pa.float64()),
+            "clon": pa.array([float(round_half_up(c["lon"], 6))], pa.float64()),
+            "cnt": pa.array([c["count"]], pa.int64()),
+        }
+    )
+
+
+def q_geo_distance_rings(sf_dir: str) -> pa.Table:
+    """geo_distance range aggregation (stages/geo.py
+    geo_distance_ranges): event counts per haversine distance ring
+    around the query point — same pinned distance op order as
+    geo_distance_topk, np.searchsorted bin partials, empty rings kept."""
+    from ..stages.geo import geo_distance_ranges
+
+    t = geo_distance_ranges(
+        _geo_events(sf_dir),
+        lat=_GEO_PT[0],
+        lon=_GEO_PT[1],
+        edges_km=_GEO_RING_EDGES,
+    )
+    return t.select(["ring", "doc_count"])
+
+
+# --- distance_feature / pinned queries, boxplot / t_test / string_stats ----
+
+_DF_ORIGIN, _DF_PIVOT, _DF_BOOST = 300.0, 50.0, 2.0
+_PINNED_IDS = [7, 3, 11]
+_TT_BG_QID = 2  # t_test population B = match set of this query
+
+
+def q_distance_feature_topk(sf_dir: str) -> pa.Table:
+    """distance_feature query (engine search_distance_feature):
+    BM25 + boost · pivot/(pivot + |n_chars − origin|) over the full
+    text match union — the freshness/proximity boost pattern."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_distance_feature(
+            tokenize(qtext),
+            "n_chars",
+            origin=_DF_ORIGIN,
+            pivot=_DF_PIVOT,
+            boost=_DF_BOOST,
+            k=BM25_K * 3,
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_pinned_topk(sf_dir: str) -> pa.Table:
+    """pinned query (engine search_pinned): the fixed promoted ids rank
+    first in the order given (synthetic descending scores, exactly
+    representable so the SQL CASE replay is bit-identical), organic
+    BM25 matches follow with pinned ids removed."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_pinned(
+            _PINNED_IDS, tokenize(qtext), k=BM25_K
+        )
+        rows.append((qid, docs, scores))
+    return _hits_table(rows)
+
+
+def q_agg_boxplot(sf_dir: str) -> pa.Table:
+    """boxplot aggregation (engine agg_boxplot, exact tier): min / q1 /
+    q2 / q3 / max of n_chars per query match set — PERCENTILE_CONT
+    quantiles (the tdigest tier is pytest-bounded, like percentiles)."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    cols: dict[str, list] = {k: [] for k in
+                             ("query_id", "min_v", "q1", "q2", "q3", "max_v")}
+    for qid, qtext in QUERY_SET:
+        b = searcher.agg_boxplot(tokenize(qtext), "n_chars")
+        cols["query_id"].append(qid)
+        cols["min_v"].append(b["min"])
+        cols["q1"].append(float(round_half_up(b["q1"], 6)))
+        cols["q2"].append(float(round_half_up(b["q2"], 6)))
+        cols["q3"].append(float(round_half_up(b["q3"], 6)))
+        cols["max_v"].append(b["max"])
+    return pa.table(
+        {
+            "query_id": pa.array(cols["query_id"], pa.int64()),
+            "min_v": pa.array(cols["min_v"], pa.float64()),
+            "q1": pa.array(cols["q1"], pa.float64()),
+            "q2": pa.array(cols["q2"], pa.float64()),
+            "q3": pa.array(cols["q3"], pa.float64()),
+            "max_v": pa.array(cols["max_v"], pa.float64()),
+        }
+    )
+
+
+def q_agg_t_test(sf_dir: str) -> pa.Table:
+    """t_test aggregation (engine agg_t_test, Welch/heteroscedastic —
+    the reference default): n_chars compared between each query's match
+    set and a fixed background query's match set, from exact int64
+    moment partials with the float expression pinned to the SQL oracle."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    bg = tokenize(QUERY_SET[_TT_BG_QID][1])
+    qs, n1s, n2s, ts = [], [], [], []
+    for qid, qtext in QUERY_SET:
+        r = searcher.agg_t_test(tokenize(qtext), bg, "n_chars")
+        qs.append(qid)
+        n1s.append(r["n1"])
+        n2s.append(r["n2"])
+        ts.append(
+            None if r["t"] is None else float(round_half_up(r["t"], 6))
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "n1": pa.array(n1s, pa.int64()),
+            "n2": pa.array(n2s, pa.int64()),
+            "t_value": pa.array(ts, pa.float64()),
+        }
+    )
+
+
+def q_agg_string_stats(sf_dir: str) -> pa.Table:
+    """string_stats aggregation (engine agg_string_stats): count /
+    min_length / max_length / avg_length / Shannon entropy (base 2)
+    of the ``source`` keyword field over each query's match set —
+    vectorized UTF-32 char histogram, no per-row loop."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, cnts, mins, maxs, avgs, ents = [], [], [], [], [], []
+    for qid, qtext in QUERY_SET:
+        s = searcher.agg_string_stats(tokenize(qtext), "source")
+        qs.append(qid)
+        cnts.append(s["count"])
+        mins.append(s["min_length"])
+        maxs.append(s["max_length"])
+        avgs.append(
+            None if s["avg_length"] is None
+            else float(round_half_up(s["avg_length"], 6))
+        )
+        ents.append(float(round_half_up(s["entropy"], 6)))
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "cnt": pa.array(cnts, pa.int64()),
+            "min_len": pa.array(mins, pa.int64()),
+            "max_len": pa.array(maxs, pa.int64()),
+            "avg_len": pa.array(avgs, pa.float64()),
+            "entropy": pa.array(ents, pa.float64()),
+        }
+    )
+
+
 # --- multi-index search (aliases / cross-index, query/multi.py) -------------
 
 _SPLIT_INDEX_CACHE: dict[str, tuple[str, str]] = {}
@@ -7849,6 +8021,112 @@ gh AS (
 SELECT geohash, count(*)::BIGINT AS doc_count
 FROM gh GROUP BY geohash
 ORDER BY count(*) DESC, geohash LIMIT 10"""
+    # geo_bounds + geo_centroid: extrema exact, means round6
+    sqls["geo_bounds"] = f"""
+SELECT max(lat) AS top, min(lat) AS bottom,
+       min(lon) AS "left", max(lon) AS "right",
+       round(sum(lat) / count(*), 6) AS clat,
+       round(sum(lon) / count(*), 6) AS clon,
+       count(*)::BIGINT AS cnt
+FROM ({_geo_pts})"""
+    # geo_distance rings: same pinned haversine op order as
+    # geo_distance_topk; [from, to) buckets, empty rings kept
+    _ring_dist = f"""2.0 * 6371.0 * asin(sqrt(
+    pow(sin(radians({_GEO_PT[0]} - lat) / 2.0), 2)
+    + cos(radians(lat)) * cos(radians({_GEO_PT[0]}))
+      * pow(sin(radians({_GEO_PT[1]} - lon) / 2.0), 2)))"""
+    _ring_case = "CASE " + " ".join(
+        f"WHEN dist < {e} THEN {i}" for i, e in enumerate(_GEO_RING_EDGES)
+    ) + f" ELSE {len(_GEO_RING_EDGES)} END"
+    sqls["geo_distance_rings"] = f"""
+WITH d AS (SELECT {_ring_dist} AS dist FROM ({_geo_pts})),
+r AS (SELECT {_ring_case} AS ring FROM d),
+c AS (SELECT ring, count(*)::BIGINT AS n FROM r GROUP BY ring)
+SELECT g.ring::BIGINT AS ring, coalesce(c.n, 0)::BIGINT AS doc_count
+FROM (VALUES {", ".join(f"({i})" for i in range(len(_GEO_RING_EDGES) + 1))})
+  g(ring) LEFT JOIN c ON c.ring = g.ring"""
+    # distance_feature: BM25 + boost · pivot/(pivot + |v − origin|)
+    sqls["distance_feature_topk"] = _topk_sql(
+        f"""
+  SELECT sc.query_id, sc.doc_id,
+         sc.score + {_DF_BOOST} * ({_DF_PIVOT}
+           / ({_DF_PIVOT} + abs(d.n_chars::DOUBLE - {_DF_ORIGIN}))) AS score
+  FROM ({_bm25_scored_sql()}) sc
+  JOIN documents d ON d.doc_id = sc.doc_id""",
+        BM25_K,
+    )
+    # pinned: promoted ids first at exactly-representable synthetic
+    # scores (1e9 − i), organic BM25 follows with pins removed
+    _pin_vals = ", ".join(
+        f"({d}, {float(1.0e9 - i)!r})" for i, d in enumerate(_PINNED_IDS)
+    )
+    sqls["pinned_topk"] = f"""
+WITH sc AS ({_bm25_scored_sql()}),
+org AS (SELECT query_id, doc_id, round(score, 6) AS score FROM sc
+        WHERE doc_id NOT IN ({", ".join(map(str, _PINNED_IDS))})),
+pin AS (SELECT q.query_id, p.doc_id::BIGINT AS doc_id, p.score
+        FROM (SELECT DISTINCT query_id FROM ({_query_values_sql()})) q
+        CROSS JOIN (VALUES {_pin_vals}) p(doc_id, score)
+        WHERE p.doc_id IN (SELECT doc_id FROM documents)),
+u AS (SELECT * FROM pin UNION ALL SELECT * FROM org)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM u) WHERE rank <= {BM25_K}"""
+    # boxplot: min/max exact, quartiles PERCENTILE_CONT round6
+    sqls["agg_boxplot"] = f"""
+WITH g AS (
+  SELECT m.query_id, min(d.n_chars)::DOUBLE AS min_v,
+         max(d.n_chars)::DOUBLE AS max_v,
+         quantile_cont(d.n_chars, [0.25, 0.5, 0.75]) AS qs
+  FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id
+  GROUP BY m.query_id)
+SELECT query_id, min_v, round(qs[1], 6) AS q1, round(qs[2], 6) AS q2,
+       round(qs[3], 6) AS q3, max_v FROM g"""
+    # t_test (Welch): exact int64 moments per side, float expression
+    # replayed in the engine's pinned order, round6 on t
+    _tt_moments = f"""
+  SELECT m.query_id, count(*)::BIGINT AS n,
+         sum(d.n_chars)::BIGINT AS s,
+         sum(d.n_chars * d.n_chars)::BIGINT AS ss
+  FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id
+  GROUP BY m.query_id"""
+    sqls["agg_t_test"] = f"""
+WITH ma AS ({_tt_moments}),
+bg AS (SELECT n AS n2, s AS s2, ss AS ss2 FROM ({_tt_moments}) x
+       WHERE x.query_id = {_TT_BG_QID})
+SELECT ma.query_id, ma.n AS n1, bg.n2,
+       round(((ma.s / ma.n::DOUBLE) - (bg.s2 / bg.n2::DOUBLE))
+             / sqrt(((ma.ss - ma.s * (ma.s / ma.n::DOUBLE)) / (ma.n - 1))
+                      / ma.n
+                    + ((bg.ss2 - bg.s2 * (bg.s2 / bg.n2::DOUBLE))
+                       / (bg.n2 - 1)) / bg.n2), 6) AS t_value
+FROM ma CROSS JOIN bg"""
+    # string_stats over the source keyword: lengths exact, entropy
+    # −Σ p·log2(p) over the per-query char distribution, round6
+    sqls["agg_string_stats"] = f"""
+WITH v AS (SELECT m.query_id, d.source AS v
+           FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id),
+base AS (
+  SELECT query_id, count(*)::BIGINT AS cnt,
+         min(length(v))::BIGINT AS min_len,
+         max(length(v))::BIGINT AS max_len,
+         round(sum(length(v))::BIGINT / count(*)::DOUBLE, 6) AS avg_len,
+         sum(length(v))::BIGINT AS total
+  FROM v GROUP BY query_id),
+ch AS (SELECT query_id, substring(v, g.i, 1) AS c
+       FROM v CROSS JOIN generate_series(1, 64) AS g(i)
+       WHERE g.i <= length(v)),
+cc AS (SELECT query_id, c, count(*)::DOUBLE AS n
+       FROM ch GROUP BY query_id, c),
+ent AS (SELECT cc.query_id,
+               round(-sum((cc.n / b.total) * log2(cc.n / b.total)), 6)
+                 AS entropy
+        FROM cc JOIN base b USING (query_id) GROUP BY cc.query_id)
+SELECT b.query_id, b.cnt, b.min_len, b.max_len, b.avg_len,
+       coalesce(e.entropy, 0.0) AS entropy
+FROM base b LEFT JOIN ent e USING (query_id)"""
     # multi-index: query_then_fetch = per-partition stats chains +
     # indices_boost; dfs_query_then_fetch = the single-corpus result
     _mi_en = _bm25_scored_sql_src(
@@ -8752,14 +9030,10 @@ def build_queries() -> dict:
         # script_score (registered-kernel scoring) + sliced scroll
         # (parallel-export pagination) — new families this session
         "script_score_topk": q_script_score_topk,
-        "events_sliced_scroll": q_events_sliced_scroll,
         # parent-child join field (has_child/has_parent/inner_hits) +
         # document APIs (_mget/_count) — new families this session
         "has_child_topk": q_has_child_topk,
-        "has_parent_topk": q_has_parent_topk,
-        "join_inner_hits": q_join_inner_hits,
         "doc_mget": q_doc_mget,
-        "match_count": q_match_count,
         # index sorting / early termination — new family this session;
         # displaces events_user_cardinality (the cardinality API rep
         # agg_cardinality stays in-window)
@@ -8768,9 +9042,25 @@ def build_queries() -> dict:
         # displaces agg_mad, suggest_completion, boosting_topk (family
         # siblings agg_percentiles, suggest_term, dis_max stay)
         "geo_bbox_count": q_geo_bbox_count,
-        "geo_distance_topk": q_geo_distance_topk,
         "geohash_grid": q_geohash_grid,
+        # --- block 2f: session-9 new families (pinned / distance_feature
+        # queries, boxplot / t_test / string_stats metric aggs) —
+        # displace has_parent_topk, join_inner_hits, match_count,
+        # events_sliced_scroll, geo_distance_topk (family reps
+        # has_child_topk, doc_mget, events_page2, geo_bbox_count stay) ---
+        "pinned_topk": q_pinned_topk,
+        "distance_feature_topk": q_distance_feature_topk,
+        "agg_boxplot": q_agg_boxplot,
+        "agg_t_test": q_agg_t_test,
+        "agg_string_stats": q_agg_string_stats,
         # ==== driver 50-entry window boundary (keys above this line) ====
+        "geo_distance_topk": q_geo_distance_topk,
+        "geo_bounds": q_geo_bounds,
+        "geo_distance_rings": q_geo_distance_rings,
+        "has_parent_topk": q_has_parent_topk,
+        "join_inner_hits": q_join_inner_hits,
+        "match_count": q_match_count,
+        "events_sliced_scroll": q_events_sliced_scroll,
         # displaced by the maintenance/positional/script/join families
         # above (each has an in-window superset or family rep):
         "query_enrich_sparse": q_query_enrich_sparse,

@@ -3104,6 +3104,212 @@ class IndexSearcher:
             scores[pos] += token_weights[t] * tfs
         return topk_desc(cand, scores, k)
 
+    # ---- boxplot / t_test / string_stats metric aggs ----------------------
+    def agg_boxplot(
+        self,
+        terms: list[str],
+        field: str,
+        method: str = "exact",
+        delta: float = 100.0,
+    ) -> dict:
+        """boxplot aggregation (OpenSearch BoxplotAggregator): min / q1 /
+        q2 / q3 / max of a numeric doc-values field over the boolean-OR
+        match set. ``method="exact"`` uses linear-interpolation quantiles
+        (PERCENTILE_CONT / numpy "linear" — SQL-oracleable, exact);
+        ``method="tdigest"`` mirrors the reference's TDigestState tier
+        whose shard partials are mergeable centroid sketches."""
+        docs = self._match_union(terms)
+        if docs.size == 0:
+            return {"min": None, "q1": None, "q2": None, "q3": None,
+                    "max": None}
+        vals = (
+            self.field_values(docs, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        if method == "exact":
+            q1, q2, q3 = np.percentile(vals, [25, 50, 75], method="linear")
+        elif method == "tdigest":
+            from ..agg.sketches import TDigest
+
+            t = TDigest(delta).add(vals)
+            q1, q2, q3 = (
+                float(t.quantile(p)) for p in (0.25, 0.5, 0.75)
+            )
+        else:
+            raise ValueError(f"unknown boxplot method: {method}")
+        return {
+            "min": float(vals.min()),
+            "q1": float(q1),
+            "q2": float(q2),
+            "q3": float(q3),
+            "max": float(vals.max()),
+        }
+
+    def _field_moments(
+        self, terms: list[str], field: str
+    ) -> tuple[int, int, int]:
+        """(n, sum, sum_sq) exact int64 moments of a numeric doc-values
+        field over the match union — the mergeable shard partial behind
+        t_test / extended_stats-style aggs."""
+        docs = self._match_union(terms)
+        if docs.size == 0:
+            return 0, 0, 0
+        vals = (
+            self.field_values(docs, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return int(vals.size), int(vals.sum()), int((vals * vals).sum())
+
+    def agg_t_test(
+        self,
+        terms_a: list[str],
+        terms_b: list[str],
+        field: str,
+        mode: str = "heteroscedastic",
+    ) -> dict:
+        """t_test aggregation (OpenSearch TTestAggregator) comparing a
+        numeric field between two unpaired match populations.
+        ``heteroscedastic`` (the reference default) is Welch's t:
+        t = (m1 − m2) / sqrt(v1/n1 + v2/n2); ``homoscedastic`` pools the
+        sample variances. Populations are exact int64 moment partials
+        (n, Σv, Σv²) per side — the associative shard merge — and every
+        float op happens once at the end in a pinned order
+        (v = (Σv² − Σv·(Σv/n)) / (n−1)) so a SQL oracle replaying the
+        same expression matches to round6."""
+        n1, s1, ss1 = self._field_moments(terms_a, field)
+        n2, s2, ss2 = self._field_moments(terms_b, field)
+        if n1 < 2 or n2 < 2:
+            return {"n1": n1, "n2": n2, "t": None}
+        m1, m2 = s1 / n1, s2 / n2
+        v1 = (ss1 - s1 * (s1 / n1)) / (n1 - 1)
+        v2 = (ss2 - s2 * (s2 / n2)) / (n2 - 1)
+        if mode == "heteroscedastic":
+            denom = np.sqrt(v1 / n1 + v2 / n2)
+        elif mode == "homoscedastic":
+            sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+            denom = np.sqrt(sp2 * (1.0 / n1 + 1.0 / n2))
+        else:
+            raise ValueError(f"unknown t_test mode: {mode}")
+        t = (m1 - m2) / denom if denom > 0 else None
+        return {"n1": n1, "n2": n2, "t": None if t is None else float(t)}
+
+    def agg_string_stats(self, terms: list[str], field: str) -> dict:
+        """string_stats aggregation (OpenSearch StringStatsAggregator):
+        count / min_length / max_length / avg_length and Shannon entropy
+        (base 2) of the character distribution across all values of a
+        keyword doc-values field in the match set. Vectorized: one
+        numpy U-dtype (UTF-32) view gives per-row codepoint lengths and
+        the flat codepoint array in O(total chars) with no per-row loop
+        (same trick as expand_fuzzy); entropy is −Σ p·log2(p) over
+        np.unique char counts (sum order differs from SQL's GROUP BY —
+        round6 absorbs, the established float-sum contract)."""
+        docs = self._match_union(terms)
+        if docs.size == 0:
+            return {"count": 0, "min_length": None, "max_length": None,
+                    "avg_length": None, "entropy": 0.0}
+        vals = (
+            self.field_values(docs, field)
+            .to_numpy(zero_copy_only=False)
+        )
+        arr = vals.astype(np.str_)
+        width = arr.dtype.itemsize // 4
+        codes = arr.view(np.uint32).reshape(arr.size, width)
+        lens = (codes != 0).sum(axis=1).astype(np.int64)
+        total = int(lens.sum())
+        flat = codes.ravel()
+        flat = flat[flat != 0]
+        _, cnt = np.unique(flat, return_counts=True)
+        p = cnt / total
+        entropy = float(-(p * np.log2(p)).sum()) if total else 0.0
+        return {
+            "count": int(arr.size),
+            "min_length": int(lens.min()),
+            "max_length": int(lens.max()),
+            "avg_length": total / arr.size,
+            "entropy": entropy,
+        }
+
+    # ---- distance_feature / pinned queries --------------------------------
+    def search_distance_feature(
+        self,
+        terms: list[str],
+        field: str,
+        *,
+        origin: float,
+        pivot: float,
+        boost: float = 1.0,
+        k: int = 10,
+        global_dfs: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """distance_feature query (OpenSearch DistanceFeatureQueryBuilder
+        over Lucene LongField.newDistanceFeatureQuery) composed the
+        recommended way — bool{must: match, should: distance_feature} —
+        so the final score is BM25 + boost · pivot/(pivot + |v − origin|)
+        over the full text match union (additive reorder ⇒ top-k pruning
+        on raw BM25 would be unsound, same contract as rank_feature).
+        Float-op order pinned for the SQL oracle."""
+        if pivot <= 0:
+            raise ValueError("distance_feature needs pivot > 0")
+        cand, scores = self._bm25_union_scores(terms, global_dfs)
+        if cand.size == 0:
+            return cand, scores
+        v = (
+            self.field_values(cand, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        feat = boost * (pivot / (pivot + np.abs(v - origin)))
+        return topk_desc(cand, scores + feat, k)
+
+    #: pinned-hit synthetic score base — far above any organic BM25 score,
+    #: mirroring PinnedQueryBuilder's MAX_ORGANIC_SCORE pinning contract.
+    #: 1e9 keeps PIN_SCORE_BASE − i exactly representable in float64
+    #: (ulp spacing < 1), so the SQL oracle's replay is bit-identical.
+    PIN_SCORE_BASE = 1.0e9
+
+    def search_pinned(
+        self,
+        pinned_ids: list[int],
+        terms: list[str],
+        k: int = 10,
+        global_dfs: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """pinned query (OpenSearch PinnedQueryBuilder): the given doc
+        ids rank first IN THE ORDER GIVEN (synthetic descending scores
+        above every organic score), then organic BM25 matches follow
+        with the pinned ids removed. Pinned ids missing from the index
+        are skipped (the reference's IDs-query semantics)."""
+        seen: set[int] = set()
+        pins: list[int] = []
+        for i in pinned_ids:
+            i = int(i)
+            if i in seen:
+                continue
+            seen.add(i)
+            pos = np.searchsorted(self._dl_doc_ids, i)
+            if pos < self._dl_doc_ids.size and self._dl_doc_ids[pos] == i:
+                pins.append(i)
+        pins = pins[:k]
+        cand, scores = self._bm25_union_scores(terms, global_dfs)
+        if cand.size and k > len(pins):
+            keep = ~np.isin(cand, np.asarray(pins, dtype=np.int64))
+            organic_docs, organic_scores = topk_desc(
+                cand[keep], scores[keep], k - len(pins)
+            )
+        else:
+            organic_docs = np.empty(0, np.int64)
+            organic_scores = np.empty(0, np.float64)
+        pin_docs = np.asarray(pins, dtype=np.int64)
+        pin_scores = self.PIN_SCORE_BASE - np.arange(
+            len(pins), dtype=np.float64
+        )
+        return (
+            np.concatenate([pin_docs, organic_docs]),
+            np.concatenate([pin_scores, organic_scores]),
+        )
+
 
 class SearchStage:
     """map_batches callable-class: batch-evaluate queries against the index.

@@ -207,3 +207,118 @@ def geohash_grid(
             "doc_count": pa.array(n[order]),
         }
     )
+
+
+def geo_bounds(ds: "ray.data.Dataset") -> dict:
+    """geo_bounds aggregation (OpenSearch GeoBoundsAggregator): the
+    smallest bounding box containing every point — top/bottom = max/min
+    lat, left/right = min/max lon (non-wrapping form). Per-batch min/max
+    partials (one 4-value row per batch), bounded driver combine —
+    extrema are exact float comparisons, no rounding contract needed."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "top": pa.array([float(lat.max())]),
+                "bottom": pa.array([float(lat.min())]),
+                "left": pa.array([float(lon.min())]),
+                "right": pa.array([float(lon.max())]),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return {"top": None, "bottom": None, "left": None, "right": None}
+    return {
+        "top": max(r["top"] for r in rows),
+        "bottom": min(r["bottom"] for r in rows),
+        "left": min(r["left"] for r in rows),
+        "right": max(r["right"] for r in rows),
+    }
+
+
+def geo_centroid(ds: "ray.data.Dataset") -> dict:
+    """geo_centroid aggregation (OpenSearch GeoCentroidAggregator):
+    arithmetic mean of lat and lon over all points. Per-batch
+    (Σlat, Σlon, n) partials — the associative shard merge — one
+    bounded driver combine, one division each at the end. Cross-block
+    float-sum order differs from SQL's sequential SUM; consumers round
+    to 6 decimals (the established float-sum contract)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "slat": pa.array([float(lat.sum())]),
+                "slon": pa.array([float(lon.sum())]),
+                "n": pa.array([len(batch)], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    if n == 0:
+        return {"lat": None, "lon": None, "count": 0}
+    return {
+        "lat": sum(r["slat"] for r in rows) / n,
+        "lon": sum(r["slon"] for r in rows) / n,
+        "count": int(n),
+    }
+
+
+def geo_distance_ranges(
+    ds: "ray.data.Dataset",
+    *,
+    lat: float,
+    lon: float,
+    edges_km: list[float],
+) -> pa.Table:
+    """geo_distance range aggregation (OpenSearch GeoDistanceAggregator):
+    doc counts per half-open distance ring [from, to) around an origin,
+    with the first ring [0, edges[0]) and the last [edges[-1], ∞).
+    Per-batch haversine (the SAME pinned op order as geo_distance_topk,
+    so bucket assignment is bit-consistent with the SQL oracle's replay)
+    + np.searchsorted bin counts — one (len(edges)+1)-vector partial per
+    batch, bounded driver combine. Returns (ring, from_km, to_km,
+    doc_count), zero-count rings included (the reference keeps empty
+    range buckets)."""
+    edges = np.asarray(sorted(edges_km), dtype=np.float64)
+    if edges.size == 0 or (np.diff(edges) <= 0).any() or edges[0] <= 0:
+        raise ValueError("edges_km must be strictly increasing and > 0")
+    nb = edges.size + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = haversine_km(
+            batch["lat"].to_numpy(zero_copy_only=False),
+            batch["lon"].to_numpy(zero_copy_only=False),
+            lat,
+            lon,
+        )
+        ring = np.searchsorted(edges, d, side="right")
+        cnt = np.bincount(ring, minlength=nb).astype(np.int64)
+        return pa.table(
+            {
+                "ring": pa.array(np.arange(nb, dtype=np.int64)),
+                "_cnt": pa.array(cnt),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow").take_all()
+    )  # nb rows per block — bounded
+    total = np.zeros(nb, dtype=np.int64)
+    for r in rows:
+        total[r["ring"]] += r["_cnt"]
+    lo = np.concatenate([[0.0], edges])
+    hi = np.concatenate([edges, [np.inf]])
+    return pa.table(
+        {
+            "ring": pa.array(np.arange(nb, dtype=np.int64)),
+            "from_km": pa.array(lo),
+            "to_km": pa.array(hi),
+            "doc_count": pa.array(total),
+        }
+    )

@@ -1072,3 +1072,179 @@ class TestKeyedHeavyHitters:
             true_c = truth[(r["lang"], r["term"])]
             assert r["cf"] <= true_c
             assert true_c - r["cf"] <= n_per_key[r["lang"]] / (k + 1)
+
+
+@pytest.fixture(scope="module")
+def s9_searcher(tmp_path_factory, sf_dir, ray_session):
+    """Searcher with (lang, source, n_chars) doc-values — the session-9
+    operator surface (boxplot / t_test / string_stats / distance_feature
+    / pinned) needs the source keyword column."""
+    from neural_search_ray.index.docvalues import build_doc_values
+
+    d = str(tmp_path_factory.mktemp("s9_idx"))
+    build_index(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        d,
+        IndexConfig(num_shards=2, num_salts=2),
+    )
+    build_doc_values(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "source", "n_chars"],
+        ),
+        d,
+        num_shards=2,
+    )
+    return IndexSearcher(d)
+
+
+@pytest.fixture(scope="module")
+def doc_sources(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return dict(zip(t["doc_id"].to_pylist(), t["source"].to_pylist()))
+
+
+class TestBoxplot:
+    def test_exact_matches_numpy(self, s9_searcher, doc_fields):
+        terms = tokenize("data query")
+        vals = _match_vals(doc_fields, terms)
+        got = s9_searcher.agg_boxplot(terms, "n_chars")
+        q1, q2, q3 = np.percentile(vals, [25, 50, 75], method="linear")
+        assert got["min"] == vals.min() and got["max"] == vals.max()
+        assert got["q1"] == q1 and got["q2"] == q2 and got["q3"] == q3
+
+    def test_tdigest_tier_bounded(self, s9_searcher, doc_fields):
+        terms = tokenize("data query")
+        vals = _match_vals(doc_fields, terms)
+        got = s9_searcher.agg_boxplot(terms, "n_chars", method="tdigest")
+        assert got["min"] == vals.min() and got["max"] == vals.max()
+        assert got["q1"] <= got["q2"] <= got["q3"]
+        assert vals.min() <= got["q1"] and got["q3"] <= vals.max()
+
+    def test_empty_and_validation(self, s9_searcher):
+        got = s9_searcher.agg_boxplot(["zzznope"], "n_chars")
+        assert got["min"] is None and got["q2"] is None
+        with pytest.raises(ValueError, match="method"):
+            s9_searcher.agg_boxplot(["data"], "n_chars", method="nope")
+
+
+class TestTTest:
+    def test_welch_matches_numpy(self, s9_searcher, doc_fields):
+        ta, tb = tokenize("data query"), tokenize("the fast join")
+        va, vb = _match_vals(doc_fields, ta), _match_vals(doc_fields, tb)
+        got = s9_searcher.agg_t_test(ta, tb, "n_chars")
+        assert got["n1"] == va.size and got["n2"] == vb.size
+        want = (va.mean() - vb.mean()) / np.sqrt(
+            va.var(ddof=1) / va.size + vb.var(ddof=1) / vb.size
+        )
+        np.testing.assert_allclose(got["t"], want, rtol=1e-9)
+
+    def test_identical_populations_t_zero(self, s9_searcher):
+        ta = tokenize("data query")
+        got = s9_searcher.agg_t_test(ta, ta, "n_chars")
+        assert got["t"] == 0.0
+
+    def test_homoscedastic_pooled(self, s9_searcher, doc_fields):
+        ta, tb = tokenize("vector search"), tokenize("merge sort window")
+        va, vb = _match_vals(doc_fields, ta), _match_vals(doc_fields, tb)
+        got = s9_searcher.agg_t_test(ta, tb, "n_chars", mode="homoscedastic")
+        n1, n2 = va.size, vb.size
+        sp2 = ((n1 - 1) * va.var(ddof=1) + (n2 - 1) * vb.var(ddof=1)) / (
+            n1 + n2 - 2
+        )
+        want = (va.mean() - vb.mean()) / np.sqrt(sp2 * (1 / n1 + 1 / n2))
+        np.testing.assert_allclose(got["t"], want, rtol=1e-9)
+
+    def test_degenerate_and_validation(self, s9_searcher):
+        got = s9_searcher.agg_t_test(["zzznope"], ["data"], "n_chars")
+        assert got["n1"] == 0 and got["t"] is None
+        with pytest.raises(ValueError, match="mode"):
+            s9_searcher.agg_t_test(["data"], ["query"], "n_chars", mode="x")
+
+
+class TestStringStats:
+    def test_matches_bruteforce(self, s9_searcher, doc_fields, doc_sources):
+        from collections import Counter
+
+        terms = tokenize("data query")
+        ts = set(terms)
+        vals = [
+            doc_sources[d]
+            for d, (toks, _) in doc_fields.items()
+            if ts & set(toks)
+        ]
+        got = s9_searcher.agg_string_stats(terms, "source")
+        lens = [len(v) for v in vals]
+        assert got["count"] == len(vals)
+        assert got["min_length"] == min(lens)
+        assert got["max_length"] == max(lens)
+        assert got["avg_length"] == sum(lens) / len(vals)
+        cnt = Counter("".join(vals))
+        total = sum(cnt.values())
+        want = -sum(
+            (c / total) * np.log2(c / total) for c in cnt.values()
+        )
+        np.testing.assert_allclose(got["entropy"], want, rtol=1e-12)
+
+    def test_empty(self, s9_searcher):
+        got = s9_searcher.agg_string_stats(["zzznope"], "source")
+        assert got["count"] == 0 and got["entropy"] == 0.0
+
+
+class TestDistanceFeature:
+    def test_matches_bruteforce(self, s9_searcher, doc_fields):
+        terms = tokenize("data query")
+        bd, bs = s9_searcher.search_bm25(terms, k=10**6, pruning="none")
+        nmap = {d: n for d, (_, n) in doc_fields.items()}
+        want = {
+            d: s + 2.0 * (50.0 / (50.0 + abs(nmap[d] - 300.0)))
+            for d, s in zip(bd.tolist(), bs.tolist())
+        }
+        docs, scores = s9_searcher.search_distance_feature(
+            terms, "n_chars", origin=300.0, pivot=50.0, boost=2.0, k=10**6
+        )
+        assert set(docs.tolist()) == set(bd.tolist())
+        for d, s in zip(docs.tolist(), scores.tolist()):
+            assert s == want[d], d
+
+    def test_validation(self, s9_searcher):
+        with pytest.raises(ValueError, match="pivot"):
+            s9_searcher.search_distance_feature(
+                ["data"], "n_chars", origin=0.0, pivot=0.0
+            )
+
+
+class TestPinned:
+    def test_pins_first_in_order(self, s9_searcher):
+        terms = tokenize("data query")
+        docs, scores = s9_searcher.search_pinned([7, 3, 11], terms, k=10)
+        assert docs[:3].tolist() == [7, 3, 11]
+        base = s9_searcher.PIN_SCORE_BASE
+        assert scores[:3].tolist() == [base, base - 1.0, base - 2.0]
+        assert docs.size == 10
+        # organic tail: BM25 order with the pins removed
+        bd, _ = s9_searcher.search_bm25(terms, k=20, pruning="none")
+        organic = [d for d in bd.tolist() if d not in (7, 3, 11)][:7]
+        assert docs[3:].tolist() == organic
+        assert (scores[3:] < base - 2.0).all()
+
+    def test_missing_and_duplicate_pins(self, s9_searcher):
+        terms = tokenize("data query")
+        docs, _ = s9_searcher.search_pinned(
+            [10**9, 7, 7, 3], terms, k=10
+        )
+        assert docs[:2].tolist() == [7, 3]
+        assert 10**9 not in docs.tolist()
+        assert len(set(docs.tolist())) == docs.size
+
+    def test_pins_cap_at_k(self, s9_searcher):
+        docs, scores = s9_searcher.search_pinned(
+            [1, 2, 3, 4, 5], tokenize("data"), k=3
+        )
+        assert docs.tolist() == [1, 2, 3]

@@ -118,3 +118,49 @@ class TestGeohash:
     def test_validation(self, ray_session):
         with pytest.raises(ValueError):
             geohash_grid(_geo_ds(), precision=0)
+
+
+class TestBoundsCentroidRings:
+    def test_bounds_matches_numpy(self, ray_session):
+        from neural_search_ray.stages.geo import geo_bounds
+
+        got = geo_bounds(_geo_ds())
+        _, lat, lon = _pts()
+        assert got["top"] == lat.max() and got["bottom"] == lat.min()
+        assert got["left"] == lon.min() and got["right"] == lon.max()
+
+    def test_centroid_matches_numpy(self, ray_session):
+        from neural_search_ray.stages.geo import geo_centroid
+
+        got = geo_centroid(_geo_ds())
+        _, lat, lon = _pts()
+        assert got["count"] == lat.size
+        np.testing.assert_allclose(got["lat"], lat.mean(), rtol=1e-12)
+        np.testing.assert_allclose(got["lon"], lon.mean(), rtol=1e-12)
+
+    def test_rings_match_numpy(self, ray_session):
+        from neural_search_ray.stages.geo import geo_distance_ranges
+
+        edges = [3000.0, 7000.0, 12000.0]
+        t = geo_distance_ranges(
+            _geo_ds(), lat=12.3456, lon=56.789, edges_km=edges
+        )
+        _, lat, lon = _pts()
+        d = haversine_km(lat, lon, 12.3456, 56.789)
+        want = np.bincount(
+            np.searchsorted(np.asarray(edges), d, side="right"), minlength=4
+        )
+        assert t["doc_count"].to_pylist() == want.tolist()
+        assert t["ring"].to_pylist() == [0, 1, 2, 3]
+        assert sum(t["doc_count"].to_pylist()) == lat.size
+        assert t["from_km"].to_pylist()[:2] == [0.0, 3000.0]
+        assert np.isinf(t["to_km"].to_pylist()[-1])
+
+    def test_rings_validation(self, ray_session):
+        from neural_search_ray.stages.geo import geo_distance_ranges
+
+        for bad in ([], [5.0, 5.0], [-1.0, 4.0]):
+            with pytest.raises(ValueError):
+                geo_distance_ranges(
+                    _geo_ds(), lat=0.0, lon=0.0, edges_km=bad
+                )
