@@ -5486,6 +5486,59 @@ def q_agg_string_stats(sf_dir: str) -> pa.Table:
     )
 
 
+# --- nested documents (stages/nested.py — block-join family) ---------------
+
+# min_stars=4 chosen so the fixture DISCRIMINATES block-join from
+# flattened semantics (parents exist with a u5 child and a separate
+# >=4-star child but no u5 >=4-star child — pytest asserts this)
+_NESTED_AUTHOR, _NESTED_MIN_STARS = "u5", 4
+
+
+def _nested_docs(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.nested import add_nested_column
+
+    return add_nested_column(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+    )
+
+
+def q_nested_topk(sf_dir: str) -> pa.Table:
+    """nested query (stages/nested.py nested_query, score_mode=sum):
+    top-10 parents by summed stars of children matching author AND
+    min-stars on the SAME child object — the block-join semantics a
+    flattened mapping gets wrong."""
+    from ..stages.nested import nested_query
+
+    t = nested_query(
+        _nested_docs(sf_dir),
+        author=_NESTED_AUTHOR,
+        min_stars=_NESTED_MIN_STARS,
+        score_mode="sum",
+        k=10,
+    )
+    return t.append_column(
+        "rank", pa.array(np.arange(1, len(t) + 1, dtype=np.int64))
+    )
+
+
+def q_nested_terms(sf_dir: str) -> pa.Table:
+    """nested { terms } aggregation: CHILD counts per author (child
+    scope), top-10 by (count desc, author asc)."""
+    from ..stages.nested import nested_terms_agg
+
+    return nested_terms_agg(_nested_docs(sf_dir), size=10)
+
+
+def q_reverse_nested(sf_dir: str) -> pa.Table:
+    """nested { terms { reverse_nested } } aggregation: PARENT counts
+    per author (back up to root scope), top-10."""
+    from ..stages.nested import reverse_nested_count
+
+    return reverse_nested_count(_nested_docs(sf_dir), size=10)
+
+
 # --- multi-index search (aliases / cross-index, query/multi.py) -------------
 
 _SPLIT_INDEX_CACHE: dict[str, tuple[str, str]] = {}
@@ -8127,6 +8180,30 @@ ent AS (SELECT cc.query_id,
 SELECT b.query_id, b.cnt, b.min_len, b.max_len, b.avg_len,
        coalesce(e.entropy, 0.0) AS entropy
 FROM base b LEFT JOIN ent e USING (query_id)"""
+    # nested fixture: deterministic children from doc_id (pure int64
+    # arithmetic, replayed exactly from stages/nested.py
+    # add_nested_column — the documented fixture contract)
+    _nested_ch = """
+SELECT doc_id,
+       'u' || ((doc_id * 7 + g.i * 3) % 20)::VARCHAR AS author,
+       ((doc_id * 13 + g.i * 5) % 6)::BIGINT AS stars
+FROM documents CROSS JOIN generate_series(0, 2) AS g(i)
+WHERE g.i < doc_id % 3 + 1"""
+    sqls["nested_topk"] = f"""
+SELECT rank, doc_id, score FROM (
+  SELECT doc_id, sum(stars)::DOUBLE AS score,
+         row_number() OVER (ORDER BY sum(stars) DESC, doc_id) AS rank
+  FROM ({_nested_ch})
+  WHERE author = '{_NESTED_AUTHOR}' AND stars >= {_NESTED_MIN_STARS}
+  GROUP BY doc_id) WHERE rank <= 10"""
+    sqls["nested_terms"] = f"""
+SELECT author, count(*)::BIGINT AS child_count
+FROM ({_nested_ch}) GROUP BY author
+ORDER BY child_count DESC, author LIMIT 10"""
+    sqls["reverse_nested"] = f"""
+SELECT author, count(DISTINCT doc_id)::BIGINT AS parent_count
+FROM ({_nested_ch}) GROUP BY author
+ORDER BY parent_count DESC, author LIMIT 10"""
     # multi-index: query_then_fetch = per-partition stats chains +
     # indices_boost; dfs_query_then_fetch = the single-corpus result
     _mi_en = _bm25_scored_sql_src(
@@ -8975,7 +9052,6 @@ def build_queries() -> dict:
         "rank_feature_topk": q_rank_feature_topk,
         "synonym_topk": q_synonym_topk,
         "rare_terms": q_rare_terms,
-        "agg_extended_stats": q_agg_extended_stats,
         "agg_composite": q_agg_composite,
         "agg_adjacency": q_agg_adjacency,
         "lm_nll": q_lm_nll,
@@ -9033,7 +9109,6 @@ def build_queries() -> dict:
         # parent-child join field (has_child/has_parent/inner_hits) +
         # document APIs (_mget/_count) — new families this session
         "has_child_topk": q_has_child_topk,
-        "doc_mget": q_doc_mget,
         # index sorting / early termination — new family this session;
         # displaces events_user_cardinality (the cardinality API rep
         # agg_cardinality stays in-window)
@@ -9042,7 +9117,6 @@ def build_queries() -> dict:
         # displaces agg_mad, suggest_completion, boosting_topk (family
         # siblings agg_percentiles, suggest_term, dis_max stay)
         "geo_bbox_count": q_geo_bbox_count,
-        "geohash_grid": q_geohash_grid,
         # --- block 2f: session-9 new families (pinned / distance_feature
         # queries, boxplot / t_test / string_stats metric aggs) —
         # displace has_parent_topk, join_inner_hits, match_count,
@@ -9053,7 +9127,19 @@ def build_queries() -> dict:
         "agg_boxplot": q_agg_boxplot,
         "agg_t_test": q_agg_t_test,
         "agg_string_stats": q_agg_string_stats,
+        # nested-documents family (block join: nested query + nested /
+        # reverse_nested aggs) — displaces geohash_grid (geo rep
+        # geo_bbox_count stays), agg_extended_stats (the moment-partial
+        # machinery is driver-covered via agg_t_test/agg_boxplot) and
+        # doc_mget (doc-values row fetch exercised by every *_byfield /
+        # collapse entry)
+        "nested_topk": q_nested_topk,
+        "nested_terms": q_nested_terms,
+        "reverse_nested": q_reverse_nested,
         # ==== driver 50-entry window boundary (keys above this line) ====
+        "geohash_grid": q_geohash_grid,
+        "agg_extended_stats": q_agg_extended_stats,
+        "doc_mget": q_doc_mget,
         "geo_distance_topk": q_geo_distance_topk,
         "geo_bounds": q_geo_bounds,
         "geo_distance_rings": q_geo_distance_rings,

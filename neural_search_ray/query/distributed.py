@@ -174,6 +174,37 @@ class ShardSearchActor:
     def agg_adjacency_partial(self, terms: list[str], filters: dict) -> dict:
         return self.searcher.agg_adjacency_matrix(terms, filters)
 
+    def agg_moments_partial(self, terms: list[str], field: str):
+        """(n, Σv, Σv²) exact int64 moments — the t_test shard partial."""
+        return self.searcher._field_moments(terms, field)
+
+    def string_stats_partial(self, terms: list[str], field: str):
+        return self.searcher.string_stats_partial(terms, field)
+
+    def pinned_organic(
+        self, terms: list[str], pins: list[int], k: int,
+        global_dfs: list[float],
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Shard-local organic BM25 top-k with the pinned ids removed
+        (the pins are re-attached coordinator-side)."""
+        cand, scores = self.searcher._bm25_union_scores(
+            terms, np.asarray(global_dfs, dtype=np.float64)
+        )
+        if cand.size == 0 or k <= 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        keep = ~np.isin(cand, np.asarray(pins, dtype=np.int64))
+        return topk_desc(cand[keep], scores[keep], k)
+
+    def has_docs(self, ids: list[int]) -> list[bool]:
+        """Per-id existence on this actor's shard subset (pinned-query
+        id resolution)."""
+        dl_ids = self.searcher._dl_doc_ids
+        out = []
+        for i in ids:
+            pos = np.searchsorted(dl_ids, i)
+            out.append(bool(pos < dl_ids.size and dl_ids[pos] == i))
+        return out
+
     def agg_scripted_partial(self, terms: list[str], script):
         return self.searcher.agg_scripted_partial(terms, script)
 
@@ -249,6 +280,18 @@ class ShardSearchActor:
         global_dfs: list[float],
     ) -> tuple[np.ndarray, np.ndarray]:
         return self.searcher.search_rank_feature(
+            terms,
+            field,
+            k=k,
+            global_dfs=np.asarray(global_dfs, dtype=np.float64),
+            **kwargs,
+        )
+
+    def search_distance_feature(
+        self, terms: list[str], field: str, kwargs: dict, k: int,
+        global_dfs: list[float],
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.searcher.search_distance_feature(
             terms,
             field,
             k=k,
@@ -698,6 +741,167 @@ class DistributedSearcher:
             "variance": var,
             "std_deviation": float(np.sqrt(var)),
         }
+
+    def agg_t_test(
+        self,
+        terms_a: list[str],
+        terms_b: list[str],
+        field: str,
+        mode: str = "heteroscedastic",
+    ) -> dict:
+        """Distributed t_test: exact int64 (n, Σv, Σv²) moment partials
+        per side summed at the coordinator, then the SAME pinned final
+        expression as IndexSearcher.agg_t_test — bitwise identical to
+        the single-node run."""
+        pa_ = ray.get(
+            [a.agg_moments_partial.remote(terms_a, field) for a in self.actors]
+        )
+        pb = ray.get(
+            [a.agg_moments_partial.remote(terms_b, field) for a in self.actors]
+        )
+        n1, s1, ss1 = (sum(p[i] for p in pa_) for i in range(3))
+        n2, s2, ss2 = (sum(p[i] for p in pb) for i in range(3))
+        if n1 < 2 or n2 < 2:
+            return {"n1": n1, "n2": n2, "t": None}
+        m1, m2 = s1 / n1, s2 / n2
+        v1 = (ss1 - s1 * (s1 / n1)) / (n1 - 1)
+        v2 = (ss2 - s2 * (s2 / n2)) / (n2 - 1)
+        if mode == "heteroscedastic":
+            denom = np.sqrt(v1 / n1 + v2 / n2)
+        elif mode == "homoscedastic":
+            sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+            denom = np.sqrt(sp2 * (1.0 / n1 + 1.0 / n2))
+        else:
+            raise ValueError(f"unknown t_test mode: {mode}")
+        t = (m1 - m2) / denom if denom > 0 else None
+        return {"n1": n1, "n2": n2, "t": None if t is None else float(t)}
+
+    def agg_string_stats(self, terms: list[str], field: str) -> dict:
+        """Distributed string_stats: count/extrema/total partials merge
+        associatively, per-codepoint histograms merge by key; entropy is
+        one coordinator pass in sorted-codepoint order — identical float
+        result regardless of sharding (engine.finish_string_stats)."""
+        from .engine import finish_string_stats
+
+        return finish_string_stats(
+            ray.get(
+                [
+                    a.string_stats_partial.remote(terms, field)
+                    for a in self.actors
+                ]
+            )
+        )
+
+    def agg_boxplot(
+        self, terms: list[str], field: str, delta: float = 100.0
+    ) -> dict:
+        """Distributed boxplot (t-digest tier): exact min/max ride the
+        extended_stats partials; the quartiles come from the merged
+        digest — the reference's mergeable-sketch shape (the exact
+        PERCENTILE_CONT tier needs co-located values and stays
+        single-searcher)."""
+        stats = [
+            p
+            for p in ray.get(
+                [
+                    a.agg_extended_stats_partial.remote(terms, field)
+                    for a in self.actors
+                ]
+            )
+            if p is not None
+        ]
+        if not stats:
+            return {"min": None, "q1": None, "q2": None, "q3": None,
+                    "max": None}
+        from ..agg.sketches import TDigest
+
+        parts = [
+            b
+            for b in ray.get(
+                [
+                    a.agg_percentiles_partial.remote(terms, field, delta)
+                    for a in self.actors
+                ]
+            )
+            if b
+        ]
+        t = TDigest.from_bytes(parts[0])
+        for b in parts[1:]:
+            t.merge(TDigest.from_bytes(b))
+        q1, q2, q3 = t.quantiles(np.asarray([0.25, 0.5, 0.75]))
+        return {
+            "min": float(min(p[1] for p in stats)),
+            "q1": float(q1),
+            "q2": float(q2),
+            "q3": float(q3),
+            "max": float(max(p[2] for p in stats)),
+        }
+
+    def search_distance_feature(
+        self, terms: list[str], field: str, *, k: int = 10, **kwargs
+    ):
+        """Distributed distance_feature: per-doc doc-values feature is
+        shard-local; global df broadcast keeps BM25 rank-identical."""
+        sterms = sorted(set(terms))
+        self._resolve_gdfs(sterms)
+        gdfs = [self._gdf[t] for t in sterms]
+        parts = ray.get(
+            [
+                a.search_distance_feature.remote(sterms, field, kwargs, k, gdfs)
+                for a in self.actors
+            ]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
+
+    def search_pinned(
+        self, pinned_ids: list[int], terms: list[str], k: int = 10
+    ):
+        """Distributed pinned query: pin existence resolved across the
+        shard actors (order preserved, first k), organic shard top-k
+        merged with the pins excluded — same output contract as
+        IndexSearcher.search_pinned."""
+        seen: set[int] = set()
+        cand_pins: list[int] = []
+        for i in pinned_ids:
+            i = int(i)
+            if i not in seen:
+                seen.add(i)
+                cand_pins.append(i)
+        exists = ray.get(
+            [a.has_docs.remote(cand_pins) for a in self.actors]
+        )
+        pins = [
+            p
+            for j, p in enumerate(cand_pins)
+            if any(e[j] for e in exists)
+        ][:k]
+        sterms = sorted(set(terms))
+        organic_docs = np.empty(0, np.int64)
+        organic_scores = np.empty(0, np.float64)
+        if sterms and k > len(pins):
+            self._resolve_gdfs(sterms)
+            gdfs = [self._gdf[t] for t in sterms]
+            parts = ray.get(
+                [
+                    a.pinned_organic.remote(sterms, pins, k - len(pins), gdfs)
+                    for a in self.actors
+                ]
+            )
+            organic_docs, organic_scores = topk_desc(
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+                k - len(pins),
+            )
+        pin_docs = np.asarray(pins, dtype=np.int64)
+        pin_scores = IndexSearcher.PIN_SCORE_BASE - np.arange(
+            len(pins), dtype=np.float64
+        )
+        return (
+            np.concatenate([pin_docs, organic_docs]),
+            np.concatenate([pin_scores, organic_scores]),
+        )
 
     def agg_scripted_metric(self, terms: list[str], script) -> dict:
         """Distributed scripted_metric: every shard runs the map script

@@ -75,6 +75,33 @@ def topk_desc(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     return doc_ids[sel], scores[sel]
 
 
+def finish_string_stats(partials: list) -> dict:
+    """Coordinator finalize for string_stats shard partials (see
+    IndexSearcher.string_stats_partial): merge counts/extrema/totals
+    associatively, merge the per-codepoint histograms by key (sorted
+    codepoint order, so the entropy float-sum order is identical no
+    matter how the corpus was sharded), then one entropy pass."""
+    parts = [p for p in partials if p is not None]
+    if not parts:
+        return {"count": 0, "min_length": None, "max_length": None,
+                "avg_length": None, "entropy": 0.0}
+    count = sum(p[0] for p in parts)
+    total = sum(p[3] for p in parts)
+    allu = np.concatenate([p[4] for p in parts])
+    allc = np.concatenate([p[5] for p in parts])
+    uniq, inv = np.unique(allu, return_inverse=True)
+    cnt = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(cnt, inv, allc)
+    p = cnt / total
+    return {
+        "count": count,
+        "min_length": min(q[1] for q in parts),
+        "max_length": max(q[2] for q in parts),
+        "avg_length": total / count,
+        "entropy": float(-(p * np.log2(p)).sum()) if total else 0.0,
+    }
+
+
 def levenshtein(a: str, b: str) -> int:
     """Plain (unweighted) edit distance — the suggest/fuzzy ranking
     metric; DuckDB's levenshtein() is oracle-exact against it."""
@@ -3205,10 +3232,19 @@ class IndexSearcher:
         (same trick as expand_fuzzy); entropy is −Σ p·log2(p) over
         np.unique char counts (sum order differs from SQL's GROUP BY —
         round6 absorbs, the established float-sum contract)."""
+        return finish_string_stats([self.string_stats_partial(terms, field)])
+
+    def string_stats_partial(
+        self, terms: list[str], field: str
+    ) -> tuple | None:
+        """Mergeable string_stats shard partial:
+        (count, min_len, max_len, total_len, codepoints, char_counts) —
+        count/extrema/total merge associatively, char histograms merge
+        by key; entropy is computed ONCE at the coordinator
+        (finish_string_stats) so distributed == single-node exactly."""
         docs = self._match_union(terms)
         if docs.size == 0:
-            return {"count": 0, "min_length": None, "max_length": None,
-                    "avg_length": None, "entropy": 0.0}
+            return None
         vals = (
             self.field_values(docs, field)
             .to_numpy(zero_copy_only=False)
@@ -3217,19 +3253,17 @@ class IndexSearcher:
         width = arr.dtype.itemsize // 4
         codes = arr.view(np.uint32).reshape(arr.size, width)
         lens = (codes != 0).sum(axis=1).astype(np.int64)
-        total = int(lens.sum())
         flat = codes.ravel()
         flat = flat[flat != 0]
-        _, cnt = np.unique(flat, return_counts=True)
-        p = cnt / total
-        entropy = float(-(p * np.log2(p)).sum()) if total else 0.0
-        return {
-            "count": int(arr.size),
-            "min_length": int(lens.min()),
-            "max_length": int(lens.max()),
-            "avg_length": total / arr.size,
-            "entropy": entropy,
-        }
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return (
+            int(arr.size),
+            int(lens.min()),
+            int(lens.max()),
+            int(lens.sum()),
+            uniq,
+            cnt.astype(np.int64),
+        )
 
     # ---- distance_feature / pinned queries --------------------------------
     def search_distance_feature(

@@ -1248,3 +1248,60 @@ class TestPinned:
             [1, 2, 3, 4, 5], tokenize("data"), k=3
         )
         assert docs.tolist() == [1, 2, 3]
+
+
+class TestDistributedS9:
+    """Distributed t_test / string_stats / boxplot / distance_feature /
+    pinned vs the single searcher: moment- and histogram-merged aggs are
+    bitwise identical; the boxplot tdigest tier is tolerance-bounded."""
+
+    @pytest.fixture(scope="class")
+    def dist9(self, s9_searcher, ray_session):
+        from neural_search_ray.query.distributed import DistributedSearcher
+
+        d = DistributedSearcher(s9_searcher.index_dir, num_actors=2)
+        yield d
+        d.shutdown()
+
+    def test_t_test_identical(self, dist9, s9_searcher):
+        ta, tb = tokenize("data query"), tokenize("the fast join")
+        for mode in ("heteroscedastic", "homoscedastic"):
+            want = s9_searcher.agg_t_test(ta, tb, "n_chars", mode=mode)
+            got = dist9.agg_t_test(ta, tb, "n_chars", mode=mode)
+            assert got == want, mode
+
+    def test_string_stats_identical(self, dist9, s9_searcher):
+        for q in ("data query", "vector search"):
+            want = s9_searcher.agg_string_stats(tokenize(q), "source")
+            got = dist9.agg_string_stats(tokenize(q), "source")
+            assert got == want, q
+
+    def test_boxplot_bounded(self, dist9, s9_searcher, doc_fields):
+        terms = tokenize("the")
+        vals = _match_vals(doc_fields, terms)
+        got = dist9.agg_boxplot(terms, "n_chars")
+        exact = s9_searcher.agg_boxplot(terms, "n_chars")
+        assert got["min"] == exact["min"] and got["max"] == exact["max"]
+        span = vals.max() - vals.min()
+        for key in ("q1", "q2", "q3"):
+            assert abs(got[key] - exact[key]) <= 0.03 * span, key
+
+    def test_distance_feature_identical(self, dist9, s9_searcher):
+        args = dict(origin=300.0, pivot=50.0, boost=2.0, k=12)
+        sd, ss = s9_searcher.search_distance_feature(
+            tokenize("data query"), "n_chars", **args
+        )
+        dd, ds_ = dist9.search_distance_feature(
+            tokenize("data query"), "n_chars", **args
+        )
+        assert dd.tolist() == sd.tolist()
+        np.testing.assert_allclose(ds_, ss, rtol=1e-15)
+
+    def test_pinned_identical(self, dist9, s9_searcher):
+        for pins in ([7, 3, 11], [10**9, 5], []):
+            sd, ss = s9_searcher.search_pinned(
+                pins, tokenize("data query"), k=10
+            )
+            dd, ds_ = dist9.search_pinned(pins, tokenize("data query"), k=10)
+            assert dd.tolist() == sd.tolist(), pins
+            np.testing.assert_allclose(ds_, ss, rtol=1e-15)
