@@ -5357,6 +5357,90 @@ def q_geo_distance_rings(sf_dir: str) -> pa.Table:
     return t.select(["ring", "doc_count"])
 
 
+_GEOTILE_ZOOM = 3
+
+
+def q_geotile_grid(sf_dir: str) -> pa.Table:
+    """geotile_grid aggregation (stages/geo.py geotile_grid): top-10
+    Web-Mercator "z/x/y" tiles by event count at zoom 3 — same
+    partial/combine shape as geohash_grid."""
+    from ..stages.geo import geotile_grid
+
+    return geotile_grid(_geo_events(sf_dir), zoom=_GEOTILE_ZOOM, size=10)
+
+
+def q_events_rate(sf_dir: str) -> "ray.data.Dataset":
+    """rate aggregation inside the hourly date_histogram (OpenSearch
+    rate agg, unit=minute): per-bucket sum(value)/60 — the histogram's
+    partial+final sums with one pinned division at the end (rate is
+    derived from the round2 sum exactly as the SQL replays it)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bucket = pc.floor_temporal(batch["ts"], unit="hour").cast(pa.int64())
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "bucket_us": bucket,
+                "value": batch["value"],
+            }
+        )
+        g = pa.TableGroupBy(t, ["event_type", "bucket_us"]).aggregate(
+            [("value", "sum")]
+        )
+        return g.rename_columns(["event_type", "bucket_us", "sum_value"])
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket_us"])
+        .aggregate(Sum("sum_value", alias_name="sum_value"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = round_half_up(batch["sum_value"].to_numpy(), 2)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "bucket_us": batch["bucket_us"].cast(pa.int64()),
+                "rate_per_min": pa.array(round_half_up(s / 60.0, 6)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_span_or_topk(sf_dir: str) -> pa.Table:
+    """span_or query (engine search_span_or — Lucene SpanOrQuery): the
+    clause-union pseudo-term scoring (Σ clause tfs, union df)."""
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_span_or(tokenize(qtext), k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_span_or_topk_distributed(sf_dir: str) -> pa.Table:
+    """Distributed span_or over the shard actor pool: union df summed
+    coordinator-side (disjoint shards) — same oracle as span_or_topk."""
+    from ..query.distributed import DistributedSearcher
+
+    d = DistributedSearcher(get_index_dir(sf_dir), num_actors=2)
+    try:
+        rows = []
+        for qid, qtext in QUERY_SET:
+            docs, scores = d.search_span_or(tokenize(qtext), k=BM25_K * 3)
+            rows.append((qid, docs, scores))
+    finally:
+        d.shutdown()
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
 # --- distance_feature / pinned queries, boxplot / t_test / string_stats ----
 
 _DF_ORIGIN, _DF_PIVOT, _DF_BOOST = 300.0, 50.0, 2.0
@@ -8204,6 +8288,49 @@ ORDER BY child_count DESC, author LIMIT 10"""
 SELECT author, count(DISTINCT doc_id)::BIGINT AS parent_count
 FROM ({_nested_ch}) GROUP BY author
 ORDER BY parent_count DESC, author LIMIT 10"""
+    # geotile_grid zoom 3: slippy-map tile math replayed in the same
+    # op order (lat clamp → radians → ln(tan+sec) → floor → xy clip)
+    _gt_n = 1 << _GEOTILE_ZOOM
+    _gt_latc = "greatest(least(lat, 85.0511), -85.0511)"
+    sqls["geotile_grid"] = f"""
+WITH t AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * {_gt_n}) AS BIGINT) AS x0,
+         CAST(floor((1.0 - ln(tan(radians({_gt_latc}))
+                + 1.0 / cos(radians({_gt_latc}))) / pi())
+               / 2.0 * {_gt_n}) AS BIGINT) AS y0
+  FROM ({_geo_pts})),
+c AS (SELECT '{_GEOTILE_ZOOM}/'
+          || least(greatest(x0, 0), {_gt_n - 1})::VARCHAR || '/'
+          || least(greatest(y0, 0), {_gt_n - 1})::VARCHAR AS tile FROM t)
+SELECT tile, count(*)::BIGINT AS doc_count FROM c
+GROUP BY tile ORDER BY doc_count DESC, tile LIMIT 10"""
+    # rate agg (unit=minute) inside the hourly date_histogram: the
+    # round2 bucket sum divided once, round6
+    sqls["events_rate"] = """
+SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
+       round(round(sum(value), 2) / 60.0, 6) AS rate_per_min
+FROM events GROUP BY event_type, bucket_us"""
+    # span_or: clause-union pseudo-term — Σ clause tfs, UNION df
+    sqls["span_or_topk"] = _topk_sql(
+        f"""
+  SELECT tfu.query_id, tfu.doc_id,
+         ln(1.0 + (s.n_docs - dfu.df + 0.5) / (dfu.df + 0.5))
+         * tfu.f / (tfu.f + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) AS score
+  FROM (
+    SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+           sum(tf.tf)::DOUBLE AS f
+    FROM ({_query_values_sql()}) q JOIN ({SQL_TF}) tf ON tf.term = q.term
+    GROUP BY q.query_id, tf.doc_id) tfu
+  JOIN (
+    SELECT query_id, count(*)::DOUBLE AS df FROM (
+      SELECT DISTINCT q.query_id::BIGINT AS query_id, tf.doc_id
+      FROM ({_query_values_sql()}) q JOIN ({SQL_TF}) tf ON tf.term = q.term
+    ) GROUP BY query_id) dfu ON dfu.query_id = tfu.query_id
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = tfu.doc_id
+  CROSS JOIN ({SQL_STATS}) s""",
+        BM25_K,
+    )
+    sqls["span_or_topk_distributed"] = sqls["span_or_topk"]
     # multi-index: query_then_fetch = per-partition stats chains +
     # indices_boost; dfs_query_then_fetch = the single-corpus result
     _mi_en = _bm25_scored_sql_src(
@@ -9137,6 +9264,14 @@ def build_queries() -> dict:
         "nested_terms": q_nested_terms,
         "reverse_nested": q_reverse_nested,
         # ==== driver 50-entry window boundary (keys above this line) ====
+        # session-9 additions just past the boundary (locally
+        # sweep-verified; families represented in-window): span_or is
+        # the 4th span variant, geotile shares geohash's machinery,
+        # rate shares the date-histogram partial+final shape
+        "span_or_topk": q_span_or_topk,
+        "span_or_topk_distributed": q_span_or_topk_distributed,
+        "geotile_grid": q_geotile_grid,
+        "events_rate": q_events_rate,
         "geohash_grid": q_geohash_grid,
         "agg_extended_stats": q_agg_extended_stats,
         "doc_mget": q_doc_mget,

@@ -174,6 +174,14 @@ class ShardSearchActor:
     def agg_adjacency_partial(self, terms: list[str], filters: dict) -> dict:
         return self.searcher.agg_adjacency_matrix(terms, filters)
 
+    def span_or_union(self, clauses: list[str]) -> int:
+        return self.searcher.span_or_union(clauses)
+
+    def search_span_or(
+        self, clauses: list[str], k: int, global_df: float
+    ) -> tuple[np.ndarray, np.ndarray]:
+        return self.searcher.search_span_or(clauses, k, global_df=global_df)
+
     def agg_moments_partial(self, terms: list[str], field: str):
         """(n, Σv, Σv²) exact int64 moments — the t_test shard partial."""
         return self.searcher._field_moments(terms, field)
@@ -850,6 +858,21 @@ class DistributedSearcher:
                 a.search_distance_feature.remote(sterms, field, kwargs, k, gdfs)
                 for a in self.actors
             ]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
+
+    def search_span_or(self, clauses: list[str], k: int = 10):
+        """Distributed span_or: the union df is the SUM of per-shard
+        union dfs (disjoint doc sets), resolved coordinator-side like
+        global term df, then broadcast — rank-identical to one node."""
+        sterms = sorted(set(clauses))
+        gdf = float(
+            sum(ray.get([a.span_or_union.remote(sterms) for a in self.actors]))
+        )
+        parts = ray.get(
+            [a.search_span_or.remote(sterms, k, gdf) for a in self.actors]
         )
         docs = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])

@@ -3131,6 +3131,49 @@ class IndexSearcher:
             scores[pos] += token_weights[t] * tfs
         return topk_desc(cand, scores, k)
 
+    def span_or_union(self, clauses: list[str]) -> int:
+        """Local union document frequency of a span_or clause set —
+        shards hold disjoint doc sets, so the GLOBAL union df is the
+        plain sum of these across shards (the distributed protocol)."""
+        return int(self._match_union(sorted(set(clauses))).size)
+
+    def search_span_or(
+        self,
+        clauses: list[str],
+        k: int = 10,
+        global_df: float | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """span_or query (Lucene SpanOrQuery): matches spans of ANY
+        clause term. Per-doc frequency is the TOTAL span count
+        (Σ clause tfs — the union of per-term span enumerations), and
+        the query scores as ONE pseudo-term: idf of the UNION document
+        frequency × BM25 tf-norm of the combined frequency (SpanWeight
+        builds a single Similarity.SimScorer over the merged stats).
+        All doc-level — no position decode needed, the span union's
+        per-doc cardinality is exactly the tf sum."""
+        sterms = sorted(set(clauses))
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not sterms:
+            return empty
+        plists = [self.postings(t) for t in sterms]
+        nonempty = [(d, f) for d, f in plists if d.size]
+        if not nonempty:
+            return empty
+        cand = (
+            np.unique(np.concatenate([d for d, _ in nonempty]))
+            if len(nonempty) > 1
+            else nonempty[0][0]
+        )
+        f = np.zeros(cand.size, dtype=np.float64)
+        for docs, tfs in nonempty:
+            f[np.searchsorted(cand, docs)] += tfs
+        df = float(cand.size) if global_df is None else float(global_df)
+        idf = float(bm25_idf(np.asarray([max(df, 1e-9)]), self.n_docs)[0])
+        dl = self.doc_length(cand)
+        k1, b = self.bm25.k1, self.bm25.b
+        scores = idf * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
+        return topk_desc(cand, scores, k)
+
     # ---- boxplot / t_test / string_stats metric aggs ----------------------
     def agg_boxplot(
         self,

@@ -322,3 +322,77 @@ def geo_distance_ranges(
             "doc_count": pa.array(total),
         }
     )
+
+
+def geotile_encode(
+    lat: np.ndarray, lon: np.ndarray, zoom: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Web-Mercator tile (x, y) at ``zoom`` (the OpenSearch
+    geotile_grid key "z/x/y"). Standard slippy-map math:
+    x = ⌊(lon+180)/360·2^z⌋, y = ⌊(1 − ln(tan φ + sec φ)/π)/2·2^z⌋
+    with lat clamped to the Mercator bound ±85.0511°. Operation order
+    fixed and mirrored by the SQL oracle (same libm-ulp caveat as
+    haversine — cell edges are irrational, fixture points are on a
+    0.01° grid, so a flip would need an exact edge landing)."""
+    n = np.int64(1) << zoom
+    x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    latc = np.clip(lat, -85.0511, 85.0511)
+    latr = np.radians(latc)
+    y = np.floor(
+        (1.0 - np.log(np.tan(latr) + 1.0 / np.cos(latr)) / np.pi)
+        / 2.0
+        * n
+    ).astype(np.int64)
+    return np.clip(x, 0, n - 1), np.clip(y, 0, n - 1)
+
+
+def geotile_grid(
+    ds: "ray.data.Dataset", *, zoom: int, size: int = 10
+) -> pa.Table:
+    """geotile_grid bucket aggregation: doc counts per Web-Mercator
+    tile key "z/x/y", top ``size`` by (count desc, key asc) — same
+    partial/combine shape as geohash_grid."""
+    if not 0 <= zoom <= 29:
+        raise ValueError("zoom must be in [0, 29]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x, y = geotile_encode(
+            batch["lat"].to_numpy(zero_copy_only=False),
+            batch["lon"].to_numpy(zero_copy_only=False),
+            zoom,
+        )
+        cell = x << 32 | y
+        u, cnt = np.unique(cell, return_counts=True)
+        keys = [f"{zoom}/{c >> 32}/{c & 0xFFFFFFFF}" for c in u.tolist()]
+        return pa.table(
+            {
+                "tile": pa.array(keys, pa.string()),
+                "_cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tile": group["tile"].slice(0, 1),
+                "doc_count": pa.array(
+                    [int(np.sum(group["_cnt"].to_numpy()))], pa.int64()
+                ),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tile")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()
+    )  # one row per occupied tile — bounded by 4^zoom
+    t = np.asarray([r["tile"] for r in cells])
+    n = np.asarray([r["doc_count"] for r in cells], dtype=np.int64)
+    order = np.lexsort((t, -n))[:size]
+    return pa.table(
+        {
+            "tile": pa.array(t[order].tolist(), pa.string()),
+            "doc_count": pa.array(n[order]),
+        }
+    )

@@ -1305,3 +1305,57 @@ class TestDistributedS9:
             dd, ds_ = dist9.search_pinned(pins, tokenize("data query"), k=10)
             assert dd.tolist() == sd.tolist(), pins
             np.testing.assert_allclose(ds_, ss, rtol=1e-15)
+
+
+class TestSpanOr:
+    def test_matches_bruteforce(self, s9_searcher, doc_fields):
+        from collections import Counter
+
+        clauses = tokenize("merge sort window")
+        cs = set(clauses)
+        per = {
+            d: sum(c for t, c in Counter(toks).items() if t in cs)
+            for d, (toks, _) in doc_fields.items()
+        }
+        per = {d: f for d, f in per.items() if f > 0}
+        df = len(per)
+        idf = np.log1p(
+            (s9_searcher.n_docs - df + 0.5) / (df + 0.5)
+        )
+        k1, b = s9_searcher.bm25.k1, s9_searcher.bm25.b
+        avgdl = s9_searcher.avgdl
+        want = {
+            d: idf * f / (f + k1 * (1.0 - b + b * len(doc_fields[d][0]) / avgdl))
+            for d, f in per.items()
+        }
+        docs, scores = s9_searcher.search_span_or(clauses, k=10**6)
+        assert set(docs.tolist()) == set(per)
+        for d, s in zip(docs.tolist(), scores.tolist()):
+            np.testing.assert_allclose(s, want[d], rtol=1e-12)
+
+    def test_single_clause_equals_bm25(self, s9_searcher):
+        sd, ss = s9_searcher.search_span_or(["data"], k=10)
+        bd, bs = s9_searcher.search_bm25(["data"], k=10, pruning="none")
+        assert sd.tolist() == bd.tolist()
+        np.testing.assert_allclose(ss, bs, rtol=1e-12)
+
+    def test_empty(self, s9_searcher):
+        d, _ = s9_searcher.search_span_or([], k=5)
+        assert d.size == 0
+        d, _ = s9_searcher.search_span_or(["zzznope"], k=5)
+        assert d.size == 0
+
+
+class TestDistributedSpanOr:
+    def test_identical_to_single(self, s9_searcher, ray_session):
+        from neural_search_ray.query.distributed import DistributedSearcher
+
+        d = DistributedSearcher(s9_searcher.index_dir, num_actors=2)
+        try:
+            for q in ("merge sort window", "data query", "vector"):
+                sd, ss = s9_searcher.search_span_or(tokenize(q), k=12)
+                dd, ds_ = d.search_span_or(tokenize(q), k=12)
+                assert dd.tolist() == sd.tolist(), q
+                np.testing.assert_allclose(ds_, ss, rtol=1e-15)
+        finally:
+            d.shutdown()

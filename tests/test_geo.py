@@ -164,3 +164,36 @@ class TestBoundsCentroidRings:
                 geo_distance_ranges(
                     _geo_ds(), lat=0.0, lon=0.0, edges_km=bad
                 )
+
+
+class TestGeotile:
+    def test_known_tiles(self):
+        from neural_search_ray.stages.geo import geotile_encode
+
+        lat = np.array([0.01, 85.3, -85.3, 51.5])
+        lon = np.array([0.01, -180.0, 179.99, -0.13])
+        x, y = geotile_encode(lat, lon, 1)
+        # east/west split at lon 0, north/south at lat 0 (z=1)
+        assert x.tolist() == [1, 0, 1, 0]
+        assert y.tolist() == [0, 0, 1, 0]
+        # clamp keeps extreme latitudes inside [0, 2^z)
+        assert ((y >= 0) & (y <= 1)).all()
+
+    def test_grid_counts_match_numpy(self, ray_session):
+        from collections import Counter
+
+        from neural_search_ray.stages.geo import geotile_encode, geotile_grid
+
+        _, lat, lon = _pts()
+        x, y = geotile_encode(lat, lon, 3)
+        cnt = Counter(f"3/{a}/{b}" for a, b in zip(x.tolist(), y.tolist()))
+        want = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:10]
+        t = geotile_grid(_geo_ds(), zoom=3, size=10)
+        got = list(zip(t["tile"].to_pylist(), t["doc_count"].to_pylist()))
+        assert got == want
+
+    def test_validation(self, ray_session):
+        from neural_search_ray.stages.geo import geotile_grid
+
+        with pytest.raises(ValueError):
+            geotile_grid(_geo_ds(), zoom=40)
