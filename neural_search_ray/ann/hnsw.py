@@ -84,16 +84,29 @@ class HNSWGraph:
         return nbrs
 
     def _search_layer(
-        self, q: np.ndarray, entries: list[int], ef: int, level: int
+        self,
+        q: np.ndarray,
+        entries: list[int],
+        ef: int,
+        level: int,
+        allowed: np.ndarray | None = None,
     ) -> list[tuple[float, int]]:
         """Beam search on one layer; returns up to ``ef`` (sim, ordinal)
-        pairs. Heaps tie-break by ordinal so traversal is deterministic."""
+        pairs. Heaps tie-break by ordinal so traversal is deterministic.
+        ``allowed`` (bool per ordinal) is Lucene's filtered-HNSW
+        contract: the beam TRAVERSES every node (filtered-out nodes
+        keep the graph connected) but only filter-accepted nodes enter
+        the result heap — no post-filter recall loss."""
         sims0 = self.x[entries] @ q
         visited = set(entries)
         # candidates: max-heap by sim; results: min-heap by sim
         cand = [(-s, e) for s, e in zip(sims0, entries)]
         heapq.heapify(cand)
-        res = [(s, e) for s, e in zip(sims0, entries)]
+        res = [
+            (s, e)
+            for s, e in zip(sims0, entries)
+            if allowed is None or allowed[e]
+        ]
         heapq.heapify(res)
         while cand:
             neg_s, c = heapq.heappop(cand)
@@ -110,11 +123,12 @@ class HNSWGraph:
                 continue
             sims = self.x[nbrs] @ q
             for s, j in zip(sims, nbrs):
-                if len(res) < ef or s > res[0][0]:
+                if not res or len(res) < ef or s > res[0][0]:
                     heapq.heappush(cand, (-s, j))
-                    heapq.heappush(res, (float(s), j))
-                    if len(res) > ef:
-                        heapq.heappop(res)
+                    if allowed is None or allowed[j]:
+                        heapq.heappush(res, (float(s), j))
+                        if len(res) > ef:
+                            heapq.heappop(res)
         return res
 
     def _greedy_descend(self, q: np.ndarray, node: int, level: int) -> int:
@@ -180,12 +194,25 @@ class HNSWGraph:
     # -- query --------------------------------------------------------------
 
     def search(
-        self, query: np.ndarray, k: int = 10, ef: int | None = None
+        self,
+        query: np.ndarray,
+        k: int = 10,
+        ef: int | None = None,
+        accepted_ids: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k by cosine; ``ef >= n`` is provably exact (chain edges
-        make level 0 connected ⇒ the beam visits every node)."""
+        make level 0 connected ⇒ the beam visits every node — with a
+        filter, of every ACCEPTED node, since traversal ignores the
+        filter). ``accepted_ids``: sorted original-id whitelist (the
+        k-NN plugin's efficient filtered search, filter applied DURING
+        traversal, not post-filter)."""
         if self.ids is None or self.ids.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
+        allowed = None
+        if accepted_ids is not None:
+            allowed = np.isin(self.ids, accepted_ids)
+            if not allowed.any():
+                return np.empty(0, np.int64), np.empty(0, np.float64)
         q = np.asarray(query, dtype=np.float64)
         qn = np.linalg.norm(q)
         if qn > 0:
@@ -194,7 +221,9 @@ class HNSWGraph:
         node = self.entry
         for lev in range(int(self.levels[self.entry]), 0, -1):
             node = self._greedy_descend(q, node, lev)
-        res = self._search_layer(q, [node], ef, 0)
+        res = self._search_layer(q, [node], ef, 0, allowed=allowed)
+        if not res:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         sims = np.array([s for s, _ in res])
         ords = np.array([j for _, j in res], dtype=np.int64)
         sel = np.lexsort((self.ids[ords], -sims))[:k]
@@ -302,8 +331,16 @@ class HNSWShardActor:
         s._graphs = {}
         self.graph = s._graph(shard, entry)
 
-    def search(self, query: np.ndarray, k: int, ef: int | None):
-        ids, sims = self.graph.search(query, k=k, ef=ef)
+    def search(
+        self,
+        query: np.ndarray,
+        k: int,
+        ef: int | None,
+        accepted_ids: np.ndarray | None = None,
+    ):
+        ids, sims = self.graph.search(
+            query, k=k, ef=ef, accepted_ids=accepted_ids
+        )
         return ids, sims
 
 
@@ -330,9 +367,18 @@ class DistributedHNSWSearcher:
         return max(s["n"] for s in self.manifest["shards"])
 
     def search(
-        self, query: np.ndarray, k: int = 10, ef: int | None = None
+        self,
+        query: np.ndarray,
+        k: int = 10,
+        ef: int | None = None,
+        accepted_ids: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        parts = ray.get([a.search.remote(query, k, ef) for a in self.actors])
+        parts = ray.get(
+            [
+                a.search.remote(query, k, ef, accepted_ids)
+                for a in self.actors
+            ]
+        )
         ids = np.concatenate([p[0] for p in parts])
         sims = np.concatenate([p[1] for p in parts])
         order = np.lexsort((ids, -sims))[:k]
@@ -392,12 +438,16 @@ class HNSWSearcher:
         return g
 
     def search(
-        self, query: np.ndarray, k: int = 10, ef: int | None = None
+        self,
+        query: np.ndarray,
+        k: int = 10,
+        ef: int | None = None,
+        accepted_ids: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         all_ids, all_sims = [], []
         for s in self.manifest["shards"]:
             ids, sims = self._graph(s["shard"], s["entry"]).search(
-                query, k=k, ef=ef
+                query, k=k, ef=ef, accepted_ids=accepted_ids
             )
             all_ids.append(ids)
             all_sims.append(sims)

@@ -4788,6 +4788,54 @@ def q_hnsw_ann_distributed(sf_dir: str) -> pa.Table:
     )
 
 
+def q_hnsw_ann_filtered(sf_dir: str) -> pa.Table:
+    """FILTERED HNSW (the k-NN plugin's efficient filtered search):
+    the lang=='en' whitelist is applied DURING graph traversal — the
+    beam walks through filtered-out nodes (connectivity) but only
+    accepted nodes enter the result heap, so there is no post-filter
+    recall loss. Run at the provably-exact ef (beam visits every
+    node), so the brute-force filtered-cosine oracle applies verbatim;
+    filtered recall at realistic ef is pytest-asserted."""
+    import pyarrow.parquet as pq
+
+    from ..ann.hnsw import HNSWSearcher
+
+    hnsw_dir = _get_hnsw_dir(sf_dir)
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    accepted = np.sort(
+        pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id"],
+            filters=[("lang", "==", "en")],
+        )["doc_id"].to_numpy()
+    )
+    searcher = HNSWSearcher(hnsw_dir)
+    ef_exact = searcher.max_shard_size
+    out_q, out_r, out_n, out_s = [], [], [], []
+    for qid, q in zip(qids, queries):
+        ids, sims = searcher.search(
+            q, k=10, ef=ef_exact, accepted_ids=accepted
+        )
+        out_q.append(np.full(ids.size, qid, dtype=np.int64))
+        out_r.append(np.arange(1, ids.size + 1, dtype=np.int64))
+        out_n.append(ids)
+        out_s.append(round_half_up(sims, 6))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "rank": pa.array(np.concatenate(out_r)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "score": pa.array(np.concatenate(out_s)),
+        }
+    )
+
+
 def q_ivf_ann(sf_dir: str) -> pa.Table:
     """IVF ANN over the DISTRIBUTED on-disk index (sample→centroids,
     map_batches assign, groupby(bucket) bucket files — ann/ivf.py), run
@@ -7964,6 +8012,8 @@ SELECT query_id::BIGINT AS query_id, rank, neighbor_id::BIGINT AS neighbor_id, s
   SELECT query_id, neighbor_id, round(score, 6) AS score,
          row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, neighbor_id) AS rank
   FROM scored) WHERE rank <= 10"""
+    # filtered HNSW at exact ef: the brute filtered-cosine oracle
+    sqls["hnsw_ann_filtered"] = sqls["knn_cosine_filtered"]
     # int8 scalar-quantized dense tier: exact integer-dot oracle
     sqls["knn_cosine_sq8"] = _KNN_SQ8_SQL
     # two-phase quantized search: int-dot candidate window (exact,
@@ -9272,6 +9322,7 @@ def build_queries() -> dict:
         "span_or_topk_distributed": q_span_or_topk_distributed,
         "geotile_grid": q_geotile_grid,
         "events_rate": q_events_rate,
+        "hnsw_ann_filtered": q_hnsw_ann_filtered,
         "geohash_grid": q_geohash_grid,
         "agg_extended_stats": q_agg_extended_stats,
         "doc_mget": q_doc_mget,

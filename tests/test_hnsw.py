@@ -163,3 +163,49 @@ class TestDistributed:
         json.dump(m, open(mp, "w"))
         with pytest.raises(ValueError, match="layout"):
             HNSWSearcher(bad)
+
+
+class TestFilteredSearch:
+    def test_exact_at_full_ef(self):
+        vecs, ids = _corpus()
+        g = HNSWGraph(M=8, ef_construction=32).fit(vecs, ids)
+        accepted = np.sort(ids[::3])  # every 3rd id allowed
+        aset = set(accepted.tolist())
+        for qi in (0, 17, 123):
+            got_ids, got_sims = g.search(
+                vecs[qi], k=10, ef=ids.size, accepted_ids=accepted
+            )
+            m = np.isin(ids, accepted)
+            want_ids, want_sims = _brute_topk(vecs[m], ids[m], vecs[qi], 10)
+            assert (got_ids == want_ids).all()
+            assert np.allclose(got_sims, want_sims)
+            assert all(i in aset for i in got_ids.tolist())
+
+    def test_filtered_recall_at_realistic_ef(self):
+        vecs, ids = _corpus(n=500)
+        g = HNSWGraph(M=8, ef_construction=64).fit(vecs, ids)
+        accepted = np.sort(ids[::4])
+        m = np.isin(ids, accepted)
+        hits = total = 0
+        for qi in range(0, 500, 25):
+            got, _ = g.search(vecs[qi], k=10, ef=64, accepted_ids=accepted)
+            want, _ = _brute_topk(vecs[m], ids[m], vecs[qi], 10)
+            hits += len(set(got) & set(want))
+            total += 10
+        # during-traversal filtering: no post-filter recall collapse
+        assert hits / total >= 0.85
+
+    def test_highly_selective_filter(self):
+        vecs, ids = _corpus()
+        g = HNSWGraph(M=8, ef_construction=32).fit(vecs, ids)
+        accepted = np.sort(ids[:3])
+        got, _ = g.search(vecs[0], k=10, ef=ids.size, accepted_ids=accepted)
+        assert set(got.tolist()) == set(accepted.tolist())
+
+    def test_empty_filter(self):
+        vecs, ids = _corpus()
+        g = HNSWGraph(M=8, ef_construction=32).fit(vecs, ids)
+        got, sims = g.search(
+            vecs[0], k=5, ef=64, accepted_ids=np.array([-1], dtype=np.int64)
+        )
+        assert got.size == 0 and sims.size == 0
