@@ -2165,6 +2165,76 @@ def q_significant_terms(sf_dir: str) -> pa.Table:
     )
 
 
+_SIG_TEXT_SAMPLE = 30
+
+
+def q_significant_text(sf_dir: str) -> pa.Table:
+    """significant_text aggregation (query/significant.py
+    significant_text): JLH over only the top-30 best-scoring hits (the
+    sampled free-text form), foreground dfs from the forward-index rows
+    of the sample — membership pinned by (round6(BM25) desc, doc_id)."""
+    from ..query.significant import significant_text
+
+    index_dir = get_index_dir(sf_dir)
+    _ensure_forward(index_dir)
+    searcher = get_searcher(sf_dir)
+    qs, rs, ts, ss, fs, bs = [], [], [], [], [], []
+    for qid, qtext in QUERY_SET:
+        terms, score, fg, bg = significant_text(
+            searcher, tokenize(qtext),
+            sample_size=_SIG_TEXT_SAMPLE, size=_SIG_SIZE,
+        )
+        qs += [qid] * len(terms)
+        rs += list(range(1, len(terms) + 1))
+        ts += terms
+        ss += list(score)
+        fs += list(fg)
+        bs += list(bg)
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "rank": pa.array(rs, type=pa.int64()),
+            "term": pa.array(ts, type=pa.string()),
+            "score": pa.array(ss, type=pa.float64()),
+            "fg_df": pa.array(fs, type=pa.int64()),
+            "bg_df": pa.array(bs, type=pa.int64()),
+        }
+    )
+
+
+_VW_BUCKETS = 4
+
+
+def q_agg_variable_width(sf_dir: str) -> pa.Table:
+    """variable_width_histogram (engine agg_variable_width, the
+    deterministic equal-depth tier — the reference's streaming
+    clusterer is collection-order-dependent by design): per-query
+    4 buckets with edges at the quartiles, min/max/avg/count each."""
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, bks, cs, mns, mxs, avs = [], [], [], [], [], []
+    for qid, qtext in QUERY_SET:
+        for b in searcher.agg_variable_width(
+            tokenize(qtext), "n_chars", buckets=_VW_BUCKETS
+        ):
+            qs.append(qid)
+            bks.append(b["bucket"])
+            cs.append(b["count"])
+            mns.append(b["min"])
+            mxs.append(b["max"])
+            avs.append(float(round_half_up(b["avg"], 6)))
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "bucket": pa.array(bks, pa.int64()),
+            "cnt": pa.array(cs, pa.int64()),
+            "min_v": pa.array(mns, pa.int64()),
+            "max_v": pa.array(mxs, pa.int64()),
+            "avg_v": pa.array(avs, pa.float64()),
+        }
+    )
+
+
 def q_decay_topk(sf_dir: str) -> pa.Table:
     """function_score gauss decay (engine search_decay): BM25 × gauss
     decay on n_chars, multiply boost mode — full-union scoring (decay
@@ -7176,6 +7246,53 @@ SELECT query_id, rank, term, score, fg_df, bg_df FROM (
                             ORDER BY round(raw, 6) DESC, term) AS rank
   FROM sc
 ) WHERE rank <= {_SIG_SIZE}"""
+    # significant_text: the same JLH chain over the top-30 scored
+    # sample (membership pinned by round6 rank, agg_sampler discipline)
+    _sig_sample = f"""
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id) AS rnk
+    FROM ({_bm25_scored_sql()})) WHERE rnk <= {_SIG_TEXT_SAMPLE}"""
+    sqls["significant_text"] = f"""
+WITH m AS ({_sig_sample}),
+f AS (SELECT query_id, count(*)::DOUBLE AS fg_count FROM m GROUP BY query_id),
+tok AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOK})),
+fg AS (SELECT m.query_id, t.term, count(*)::BIGINT AS fg_df
+       FROM m JOIN tok t ON t.doc_id = m.doc_id
+       GROUP BY m.query_id, t.term),
+sc AS (SELECT fg.query_id, fg.term, fg.fg_df, df.df AS bg_df,
+              (fg.fg_df / f.fg_count - df.df / s.n_docs_d)
+              * ((fg.fg_df / f.fg_count) / (df.df / s.n_docs_d)) AS raw
+       FROM fg
+       JOIN f ON f.query_id = fg.query_id
+       JOIN ({SQL_DF}) df ON df.term = fg.term
+       CROSS JOIN (SELECT n_docs::DOUBLE AS n_docs_d FROM ({SQL_STATS})) s
+       WHERE fg.fg_df / f.fg_count > df.df / s.n_docs_d)
+SELECT query_id, rank, term, score, fg_df, bg_df FROM (
+  SELECT query_id, term, fg_df, bg_df, round(raw, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 6) DESC, term) AS rank
+  FROM sc
+) WHERE rank <= {_SIG_SIZE}"""
+    # variable_width_histogram, equal-depth tier: quartile edges via
+    # quantile_cont, bin = count(edges <= v), exact int partials
+    _vw_qs = "[" + ", ".join(
+        f"{i} / {_VW_BUCKETS}.0" for i in range(1, _VW_BUCKETS)
+    ) + "]"
+    sqls["agg_variable_width"] = f"""
+WITH v AS (SELECT m.query_id, d.n_chars AS v
+           FROM ({_match_docs}) m JOIN documents d ON d.doc_id = m.doc_id),
+e AS (SELECT query_id, quantile_cont(v, {_vw_qs}) AS qs
+      FROM v GROUP BY query_id),
+b AS (SELECT v.query_id, v.v,
+        list_sum(list_transform(e.qs,
+          x -> CASE WHEN v.v >= x THEN 1 ELSE 0 END))::BIGINT AS bucket
+      FROM v JOIN e ON e.query_id = v.query_id)
+SELECT query_id, bucket, count(*)::BIGINT AS cnt,
+       min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v,
+       round(sum(v)::BIGINT / count(*)::DOUBLE, 6) AS avg_v
+FROM b GROUP BY query_id, bucket"""
     # function_score gauss decay: bm25 × exp(dist² · ln(decay)/scale²)
     _decay_dist = (
         f"greatest(abs(d.n_chars - {_DECAY_ORIGIN}) - {_DECAY_OFFSET}, 0)"
@@ -9323,6 +9440,8 @@ def build_queries() -> dict:
         "geotile_grid": q_geotile_grid,
         "events_rate": q_events_rate,
         "hnsw_ann_filtered": q_hnsw_ann_filtered,
+        "significant_text": q_significant_text,
+        "agg_variable_width": q_agg_variable_width,
         "geohash_grid": q_geohash_grid,
         "agg_extended_stats": q_agg_extended_stats,
         "doc_mget": q_doc_mget,

@@ -3308,6 +3308,56 @@ class IndexSearcher:
             cnt.astype(np.int64),
         )
 
+    def agg_variable_width(
+        self, terms: list[str], field: str, buckets: int = 4
+    ) -> list[dict]:
+        """variable_width_histogram aggregation — deterministic
+        EQUAL-DEPTH tier. The reference's
+        VariableWidthHistogramAggregator clusters with an
+        order-dependent streaming heuristic (collection order changes
+        the buckets — no stable oracle exists by design), so this
+        engine pins the deterministic equal-depth restatement: bucket
+        edges at the i/buckets interpolated quantiles
+        (PERCENTILE_CONT), values binned by count(edges ≤ v)
+        (np.searchsorted side="right"), per-bucket min/max/avg/count
+        from exact int64 partials. Non-empty buckets only, keyed by
+        bucket ordinal."""
+        if buckets < 2:
+            raise ValueError("buckets must be >= 2")
+        docs = self._match_union(terms)
+        if docs.size == 0:
+            return []
+        vals = (
+            self.field_values(docs, field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        qs = [i * 100.0 / buckets for i in range(1, buckets)]
+        edges = np.percentile(
+            vals.astype(np.float64), qs, method="linear"
+        )
+        ring = np.searchsorted(edges, vals, side="right")
+        cnt = np.bincount(ring, minlength=buckets)
+        tot = np.bincount(ring, weights=vals, minlength=buckets)
+        mn = np.full(buckets, np.iinfo(np.int64).max)
+        mx = np.full(buckets, np.iinfo(np.int64).min)
+        np.minimum.at(mn, ring, vals)
+        np.maximum.at(mx, ring, vals)
+        out = []
+        for b in range(buckets):
+            if cnt[b] == 0:
+                continue
+            out.append(
+                {
+                    "bucket": b,
+                    "count": int(cnt[b]),
+                    "min": int(mn[b]),
+                    "max": int(mx[b]),
+                    "avg": int(tot[b]) / int(cnt[b]),
+                }
+            )
+        return out
+
     # ---- distance_feature / pinned queries --------------------------------
     def search_distance_feature(
         self,

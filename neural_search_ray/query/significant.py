@@ -33,7 +33,13 @@ from collections import defaultdict
 
 import numpy as np
 
-__all__ = ["significant_terms", "significant_partial", "combine_significant"]
+__all__ = [
+    "significant_terms",
+    "significant_text",
+    "significant_partial",
+    "fg_map_for_docs",
+    "combine_significant",
+]
 
 
 def _round_half_up6(x: np.ndarray) -> np.ndarray:
@@ -50,27 +56,33 @@ _EMPTY = (
 )
 
 
-def significant_partial(searcher, terms: list[str]) -> tuple[dict, int]:
-    """Shard-subset partial: ({term: fg_df}, match_count) over THIS
-    searcher's shards. Bounded by vocabulary, not doc count — safe to
-    ship to a coordinator."""
+def fg_map_for_docs(searcher, docs: np.ndarray) -> dict:
+    """{term: fg_df} over an explicit doc-id set, gathered from the
+    forward index (one CSR row per doc holds each term once →
+    unique-count = df). Bounded by vocabulary — safe to ship."""
     from ..index.forward import ShardForward
 
-    docs = searcher._match_union(terms)
     fg: dict[str, int] = defaultdict(int)
     if docs.size == 0:
-        return {}, 0
+        return {}
     for shard in sorted(searcher.shards):
         fwd = ShardForward(searcher.index_dir, shard)
         sel = np.flatnonzero(np.isin(fwd.doc_ids, docs))
         if sel.size == 0:
             continue
         pos, _, _ = fwd.row_slices(sel)
-        # one CSR row per doc holds each term once → unique-count = df
         tids, counts = np.unique(fwd.flat_tids[pos], return_counts=True)
         for tid, c in zip(tids.tolist(), counts.tolist()):
             fg[fwd.terms[tid]] += int(c)
-    return dict(fg), int(docs.size)
+    return dict(fg)
+
+
+def significant_partial(searcher, terms: list[str]) -> tuple[dict, int]:
+    """Shard-subset partial: ({term: fg_df}, match_count) over THIS
+    searcher's shards. Bounded by vocabulary, not doc count — safe to
+    ship to a coordinator."""
+    docs = searcher._match_union(terms)
+    return fg_map_for_docs(searcher, docs), int(docs.size)
 
 
 def combine_significant(
@@ -128,6 +140,31 @@ def significant_terms(
     forward index (index/forward.py build_forward_index)."""
     return combine_significant(
         [significant_partial(searcher, terms)],
+        lambda vocab: [searcher.local_df(t) for t in vocab],
+        searcher.n_docs,
+        size,
+        min_doc_count,
+    )
+
+
+def significant_text(
+    searcher,
+    terms: list[str],
+    sample_size: int = 30,
+    size: int = 10,
+    min_doc_count: int = 1,
+):
+    """significant_text aggregation (SignificantTextAggregator): JLH
+    over the TOP-``sample_size`` BEST-SCORING hits only (the sampler
+    composition the reference recommends for free-text significance),
+    not the whole match set. Foreground dfs come from the forward index
+    rows of the sampled docs — the re-analysis step without
+    re-tokenizing. Sample membership is pinned by
+    (round6(BM25) desc, doc_id) — the agg_sampler tie discipline — so
+    the SQL oracle reproduces the same sample."""
+    docs, _ = searcher.search_bm25(terms, k=sample_size)
+    return combine_significant(
+        [(fg_map_for_docs(searcher, np.sort(docs)), int(docs.size))],
         lambda vocab: [searcher.local_df(t) for t in vocab],
         searcher.n_docs,
         size,

@@ -1359,3 +1359,72 @@ class TestDistributedSpanOr:
                 np.testing.assert_allclose(ds_, ss, rtol=1e-15)
         finally:
             d.shutdown()
+
+
+class TestSignificantText:
+    def test_matches_bruteforce(self, agg_searcher, doc_fields):
+        from collections import Counter
+
+        from neural_search_ray.query.significant import significant_text
+
+        terms = tokenize("data query")
+        # sample = top-30 by BM25 (engine's own ranking is the spec)
+        docs, _ = agg_searcher.search_bm25(terms, k=30)
+        sample = set(docs.tolist())
+        fg = Counter()
+        for d in sample:
+            fg.update(set(doc_fields[d][0]))
+        n = agg_searcher.n_docs
+        rows = []
+        for t, f in fg.items():
+            fp, bp = f / len(sample), agg_searcher.local_df(t) / n
+            if fp > bp:
+                raw = (fp - bp) * (fp / bp)
+                rows.append((np.floor(raw * 1e6 + 0.5) / 1e6, t, f))
+        got_t, got_s, got_f, _ = significant_text(
+            agg_searcher, terms, sample_size=30, size=10
+        )
+        want = sorted(rows, key=lambda r: (-r[0], r[1]))[:10]
+        assert got_t == [t for _, t, _ in want]
+        assert got_f.tolist() == [f for _, _, f in want]
+
+    def test_sample_smaller_than_match_set(self, agg_searcher):
+        from neural_search_ray.query.significant import (
+            significant_terms,
+            significant_text,
+        )
+
+        terms = tokenize("the data")
+        t_all = significant_terms(agg_searcher, terms, size=10)
+        t_sample = significant_text(
+            agg_searcher, terms, sample_size=5, size=10
+        )
+        # the 5-doc sample has fg_count=5 — different scores than the
+        # full match set (the sampling is real, not a pass-through)
+        assert t_sample[2].max() <= 5
+        assert t_all[2].max() >= t_sample[2].max()
+
+
+class TestVariableWidth:
+    def test_matches_bruteforce(self, s9_searcher, doc_fields):
+        terms = tokenize("data query")
+        vals = _match_vals(doc_fields, terms).astype(np.int64)
+        got = s9_searcher.agg_variable_width(terms, "n_chars", buckets=4)
+        edges = np.percentile(
+            vals.astype(np.float64), [25, 50, 75], method="linear"
+        )
+        ring = np.searchsorted(edges, vals, side="right")
+        for b in got:
+            sel = vals[ring == b["bucket"]]
+            assert b["count"] == sel.size
+            assert b["min"] == sel.min() and b["max"] == sel.max()
+            assert b["avg"] == int(sel.sum()) / sel.size
+        assert sum(b["count"] for b in got) == vals.size
+        # equal-depth: buckets within 1 quantile step of each other
+        cnts = [b["count"] for b in got]
+        assert len(cnts) >= 2
+
+    def test_empty_and_validation(self, s9_searcher):
+        assert s9_searcher.agg_variable_width(["zzznope"], "n_chars") == []
+        with pytest.raises(ValueError, match="buckets"):
+            s9_searcher.agg_variable_width(["data"], "n_chars", buckets=1)
