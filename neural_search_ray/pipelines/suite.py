@@ -532,6 +532,59 @@ def _span_not_scored_sql() -> str:
   WHERE p.tf > 0"""
 
 
+def _span_container_scored_sql(kind: str) -> str:
+    """span_within / span_containing oracle mirroring the engine: big =
+    exact phrase via a positional lambda predicate over the token list
+    (1-based); within scores with the little term's idf, containing
+    with the phrase idf sum."""
+    branches, idf_rows = [], []
+    for qid, little, big in SPAN_CONTAINER_SET:
+        L = len(big)
+        phrase_pred = " AND ".join(
+            f"toks[q + {j}] = '{t}'" for j, t in enumerate(big)
+        )
+        if kind == "within":
+            tf = (
+                f"len(list_filter(range(1, len(toks) + 1), "
+                f"i -> toks[i] = '{little}' AND len(list_filter("
+                f"range(greatest(1, i - {L - 1}), i + 1), "
+                f"q -> q + {L - 1} <= len(toks) AND {phrase_pred})) > 0))"
+            )
+            idf_rows.append(f"({qid}, '{little}')")
+        elif kind == "containing":
+            tf = (
+                f"len(list_filter(range(1, len(toks) + 2 - {L}), "
+                f"q -> {phrase_pred} AND len(list_filter("
+                f"range(q, q + {L}), p -> toks[p] = '{little}')) > 0))"
+            )
+            for t in big:
+                idf_rows.append(f"({qid}, '{t}')")
+        else:
+            raise ValueError(kind)
+        branches.append(
+            f"SELECT {qid} AS query_id, doc_id, {tf}::BIGINT AS tf FROM w"
+        )
+    ptf = " UNION ALL ".join(branches)
+    idf_sql = f"""
+    SELECT q.query_id, sum(ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5)))
+             AS idf_sum
+    FROM (VALUES {", ".join(idf_rows)}) q(query_id, term)
+    JOIN ({SQL_DF}) df ON df.term = q.term
+    CROSS JOIN ({SQL_STATS}) s
+    GROUP BY q.query_id"""
+    return f"""
+  WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents)
+  SELECT p.query_id::BIGINT AS query_id, p.doc_id,
+         i.idf_sum * p.tf / (p.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) AS score
+  FROM ({ptf}) p
+  JOIN ({idf_sql}) i ON i.query_id = p.query_id
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = p.doc_id
+  CROSS JOIN ({SQL_STATS}) s
+  WHERE p.tf > 0"""
+
+
 def _lm_scored_sql(similarity: str) -> str:
     """LM-similarity scored set (engine search_lm): cf/total_tokens
     collection model, per-term kernels mirrored operation-for-
@@ -1511,6 +1564,42 @@ SPAN_NOT_SET: list[tuple[int, str, str, int, int]] = [
     (2, "table", "scan", 2, 0),
     (3, "the", "fast", 1, 3),
 ]
+
+# (query_id, little term, big exact phrase) — span_within/containing
+SPAN_CONTAINER_SET: list[tuple[int, str, list[str]]] = [
+    (0, "data", ["data", "query"]),
+    (1, "sort", ["merge", "sort"]),
+    (2, "scan", ["table", "scan", "filter"]),
+    (3, "the", ["the", "fast"]),
+]
+
+
+def q_span_within_topk(sf_dir: str) -> pa.Table:
+    """span_within query (engine search_span_within — Lucene
+    SpanWithinQuery): little-term occurrences inside a big exact-phrase
+    occurrence; tf = qualifying occurrences, single-term BM25."""
+    searcher = get_pos_searcher(sf_dir)
+    rows = []
+    for qid, little, big in SPAN_CONTAINER_SET:
+        docs, scores = searcher.search_span_within(little, big, k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_span_containing_topk(sf_dir: str) -> pa.Table:
+    """span_containing query (engine search_span_containing — Lucene
+    SpanContainingQuery): big-phrase occurrences containing the little
+    term; tf = qualifying phrase occurrences, phrase-idf scoring."""
+    searcher = get_pos_searcher(sf_dir)
+    rows = []
+    for qid, little, big in SPAN_CONTAINER_SET:
+        docs, scores = searcher.search_span_containing(
+            little, big, k=BM25_K * 3
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
 def q_span_not_topk(sf_dir: str) -> pa.Table:
@@ -5098,6 +5187,87 @@ def _jf_children(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(flt, batch_format="pyarrow")
 
 
+_PARENT_ID_SET = [3, 7, 32, 69]
+_DATE_RANGE_EDGES = ["2024-01-08", "2024-01-15", "2024-01-22"]
+
+
+def q_parent_id(sf_dir: str) -> "ray.data.Dataset":
+    """parent_id query (stages/joinfield.py parent_id_children): the
+    lineitem children of four fixed orderkeys — broadcast membership
+    filter, constant score, never a shuffle."""
+    from ..stages.joinfield import parent_id_children
+
+    children = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    out = parent_id_children(
+        children, child_key="l_orderkey", parent_ids=_PARENT_ID_SET
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "l_linenumber": batch["l_linenumber"].cast(pa.int64()),
+                "l_quantity": batch["l_quantity"].cast(pa.float64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_date_range(sf_dir: str) -> "ray.data.Dataset":
+    """date_range aggregation over the events stream (OpenSearch
+    date_range agg): per-event_type counts in [from, to) calendar
+    ranges — per-batch searchsorted bin partials against int64
+    epoch-us edges, one small (event_type, bucket) exchange."""
+    from ray.data.aggregate import Sum
+
+    edges_us = np.asarray(
+        [
+            int(np.datetime64(e, "us").astype(np.int64))
+            for e in _DATE_RANGE_EDGES
+        ],
+        dtype=np.int64,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ring = np.searchsorted(edges_us, ts, side="right")
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "bucket": pa.array(ring.astype(np.int64)),
+                "_one": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, ["event_type", "bucket"]).aggregate(
+            [("_one", "sum")]
+        )
+        return g.rename_columns(["event_type", "bucket", "_cnt"])
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("_cnt", alias_name="doc_count"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "bucket": batch["bucket"].cast(pa.int64()),
+                "doc_count": batch["doc_count"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_has_child_topk(sf_dir: str) -> pa.Table:
     """has_child query (OpenSearch join field, HasChildQueryBuilder):
     orders with >= 2 lineitems matching the inner query (quantity >=
@@ -6858,6 +7028,28 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["span_first_topk"] = _topk_sql(_span_first_scored_sql(), BM25_K)
     # span_not: include occurrences with no exclude within [p-pre, p+post]
     sqls["span_not_topk"] = _topk_sql(_span_not_scored_sql(), BM25_K)
+    # span_within / span_containing: little term vs big exact phrase
+    sqls["span_within_topk"] = _topk_sql(
+        _span_container_scored_sql("within"), BM25_K
+    )
+    sqls["span_containing_topk"] = _topk_sql(
+        _span_container_scored_sql("containing"), BM25_K
+    )
+    # parent_id: the direct join-field children lookup
+    sqls["parent_id"] = f"""
+SELECT l_orderkey::BIGINT AS l_orderkey,
+       l_linenumber::BIGINT AS l_linenumber,
+       l_quantity::DOUBLE AS l_quantity
+FROM lineitem WHERE l_orderkey IN ({", ".join(map(str, _PARENT_ID_SET))})"""
+    # date_range agg: [from, to) calendar buckets over events.ts
+    _dr_case = "CASE " + " ".join(
+        f"WHEN ts < TIMESTAMP '{e}' THEN {i}"
+        for i, e in enumerate(_DATE_RANGE_EDGES)
+    ) + f" ELSE {len(_DATE_RANGE_EDGES)} END"
+    sqls["events_date_range"] = f"""
+SELECT event_type, ({_dr_case})::BIGINT AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM events GROUP BY event_type, bucket"""
     # LM similarities over the same postings (Lucene similarity module)
     sqls["lm_dirichlet_topk"] = _topk_sql(_lm_scored_sql("dirichlet"), BM25_K)
     sqls["lm_jm_topk"] = _topk_sql(_lm_scored_sql("jelinek_mercer"), BM25_K)
@@ -9442,6 +9634,10 @@ def build_queries() -> dict:
         "hnsw_ann_filtered": q_hnsw_ann_filtered,
         "significant_text": q_significant_text,
         "agg_variable_width": q_agg_variable_width,
+        "span_within_topk": q_span_within_topk,
+        "span_containing_topk": q_span_containing_topk,
+        "parent_id": q_parent_id,
+        "events_date_range": q_events_date_range,
         "geohash_grid": q_geohash_grid,
         "agg_extended_stats": q_agg_extended_stats,
         "doc_mget": q_doc_mget,

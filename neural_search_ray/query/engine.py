@@ -3131,6 +3131,131 @@ class IndexSearcher:
             scores[pos] += token_weights[t] * tfs
         return topk_desc(cand, scores, k)
 
+    def _phrase_start_keys(
+        self, terms: list[str], shift: np.int64
+    ) -> np.ndarray | None:
+        """Sorted ``doc*shift + start`` keys of every exact-phrase
+        occurrence of ``terms`` — the k-way (doc, pos−i) intersection
+        from search_phrase, factored for the span containers."""
+        posts = [self.postings_positions(t) for t in terms]
+        if any(p[0].size == 0 for p in posts):
+            return None
+        cur = None
+        for i, (docs, tfs, posf, _tok) in enumerate(posts):
+            keys = np.repeat(docs, tfs) * shift + (posf - i)
+            if i:
+                keys = keys[posf >= i]
+            cur = (
+                keys if cur is None
+                else np.intersect1d(cur, keys, assume_unique=True)
+            )
+            if cur.size == 0:
+                return None
+        return cur
+
+    def _span_container_shift(
+        self, little: str, big: list[str]
+    ) -> np.int64:
+        """Collision-free (doc, pos) key shift covering the little term,
+        the big phrase AND the ±(L−1) containment window — window probes
+        must never bleed into a neighboring doc's key block."""
+        mx = 0
+        for t in [little] + list(big):
+            posf = self.postings_positions(t)[2]
+            if posf.size:
+                mx = max(mx, int(posf.max()))
+        return np.int64(mx + len(big) + 2)
+
+    def search_span_within(
+        self,
+        little: str,
+        big: list[str],
+        k: int = 10,
+        *,
+        global_df: float | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """span_within query (Lucene SpanWithinQuery): occurrences of
+        the ``little`` term that lie INSIDE an occurrence of the ``big``
+        exact phrase (big span [q, q+L−1] contains position p ⟺
+        q ∈ [p−L+1, p]); tf = qualifying little occurrences, scored as
+        single-term BM25 with the little term's stored df (the Lucene
+        upper-bound contract, as span_not). Vectorized: phrase-start
+        keys once, two searchsorted probes per little occurrence."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not big:
+            return empty
+        docs_l, tfs_l, posf_l, _ = self.postings_positions(little)
+        if docs_l.size == 0:
+            return empty
+        L = len(big)
+        shift = self._span_container_shift(little, big)
+        big_keys = self._phrase_start_keys(big, shift)
+        if big_keys is None:
+            return empty
+        keys_l = np.repeat(docs_l, tfs_l) * shift + posf_l
+        lo = np.searchsorted(big_keys, keys_l - (L - 1))
+        hi = np.searchsorted(big_keys, keys_l, side="right")
+        qual = hi > lo
+        if not qual.any():
+            return empty
+        docs_u, freq = np.unique(
+            np.repeat(docs_l, tfs_l)[qual], return_counts=True
+        )
+        df = (
+            float(self.local_df(little))
+            if global_df is None
+            else float(global_df)
+        )
+        idf = float(bm25_idf(np.asarray([max(df, 1e-9)]), self.n_docs)[0])
+        dl = self.doc_length(docs_u)
+        k1, b = self.bm25.k1, self.bm25.b
+        f = freq.astype(np.float64)
+        scores = idf * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
+        return topk_desc(docs_u, scores, k)
+
+    def search_span_containing(
+        self,
+        little: str,
+        big: list[str],
+        k: int = 10,
+        *,
+        global_dfs_big: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """span_containing query (Lucene SpanContainingQuery):
+        occurrences of the ``big`` exact phrase that CONTAIN an
+        occurrence of the ``little`` term (∃ p ∈ [q, q+L−1] with
+        toks[p] = little); tf = qualifying phrase occurrences, scored
+        with the phrase convention (idf = Σ per-big-term idfs, same dl
+        norm — search_phrase's contract with the restricted tf)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not big:
+            return empty
+        docs_l, tfs_l, posf_l, _ = self.postings_positions(little)
+        L = len(big)
+        shift = self._span_container_shift(little, big)
+        big_keys = self._phrase_start_keys(big, shift)
+        if big_keys is None or docs_l.size == 0:
+            return empty
+        keys_l = np.repeat(docs_l, tfs_l) * shift + posf_l
+        lo = np.searchsorted(keys_l, big_keys)
+        hi = np.searchsorted(keys_l, big_keys + (L - 1), side="right")
+        qual = hi > lo
+        if not qual.any():
+            return empty
+        docs_u, freq = np.unique(big_keys[qual] // shift, return_counts=True)
+        if global_dfs_big is None:
+            dfs = np.asarray(
+                [self.local_df(t) for t in big], dtype=np.float64
+            )
+        else:
+            dfs = np.asarray(global_dfs_big, dtype=np.float64)
+        idf_sum = float(bm25_idf(np.maximum(dfs, 1e-9), self.n_docs).sum())
+        dl = self.doc_length(docs_u)
+        k1, b = self.bm25.k1, self.bm25.b
+        f = freq.astype(np.float64)
+        scores = idf_sum * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
+        return topk_desc(docs_u, scores, k)
+
     def span_or_union(self, clauses: list[str]) -> int:
         """Local union document frequency of a span_or clause set —
         shards hold disjoint doc sets, so the GLOBAL union df is the

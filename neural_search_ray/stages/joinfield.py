@@ -340,3 +340,27 @@ def inner_hits(
         .groupby(child_key)
         .map_groups(top, batch_format="pyarrow")
     )
+
+
+def parent_id_children(
+    children: "ray.data.Dataset",
+    *,
+    child_key: str,
+    parent_ids: list[int],
+) -> "ray.data.Dataset":
+    """parent_id query (OpenSearch ParentIdQueryBuilder): the child docs
+    of the given parent ids — constant-score membership, the direct
+    join-field lookup. A sorted id whitelist is broadcast in the closure
+    (bounded by the query, not the data) and membership-tested per
+    batch; the child stream never shuffles."""
+    pids = np.sort(np.asarray(list(parent_ids), dtype=np.int64))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keys = batch[child_key].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        pos = np.searchsorted(pids, keys)
+        pos = np.minimum(pos, pids.size - 1)
+        return batch.filter(pa.array(pids[pos] == keys))
+
+    return children.map_batches(flt, batch_format="pyarrow")
