@@ -5187,6 +5187,51 @@ def _jf_children(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(flt, batch_format="pyarrow")
 
 
+_TERMS_ENUM_PREFIXES = ["qu", "s", "ta", "w"]
+_ANALYZE_TEXTS = [
+    (0, "The FAST join"),
+    (1, "merge  sort   window"),
+    (2, "Data QUERY vector SEARCH"),
+]
+
+
+def q_terms_enum(sf_dir: str) -> pa.Table:
+    """_terms_enum API (engine terms_enum): term-ordered dictionary
+    slice per prefix with document frequencies — binary-search bounded,
+    never a dictionary scan."""
+    searcher = get_searcher(sf_dir)
+    ps, ts, ds_ = [], [], []
+    for p in _TERMS_ENUM_PREFIXES:
+        terms, dfs = searcher.terms_enum(p, size=10)
+        ps += [p] * len(terms)
+        ts += terms
+        ds_ += dfs.tolist()
+    return pa.table(
+        {
+            "prefix": pa.array(ps, pa.string()),
+            "term": pa.array(ts, pa.string()),
+            "df": pa.array(ds_, pa.int64()),
+        }
+    )
+
+
+def q_analyze_api(sf_dir: str) -> pa.Table:
+    """_analyze API (analysis/analyzer.py tokenize — the reference's
+    IndicesAnalyze action): tokens with 0-based positions for fixed
+    probe texts under the default (standard, lowercase) analyzer."""
+    rows = []
+    for tid, text in _ANALYZE_TEXTS:
+        for pos, tok in enumerate(tokenize(text)):
+            rows.append((tid, pos, tok))
+    return pa.table(
+        {
+            "text_id": pa.array([r[0] for r in rows], pa.int64()),
+            "pos": pa.array([r[1] for r in rows], pa.int64()),
+            "token": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
 _PARENT_ID_SET = [3, 7, 32, 69]
 _DATE_RANGE_EDGES = ["2024-01-08", "2024-01-15", "2024-01-22"]
 
@@ -7050,6 +7095,30 @@ FROM lineitem WHERE l_orderkey IN ({", ".join(map(str, _PARENT_ID_SET))})"""
 SELECT event_type, ({_dr_case})::BIGINT AS bucket,
        count(*)::BIGINT AS doc_count
 FROM events GROUP BY event_type, bucket"""
+    # _terms_enum: term-ordered prefix slice with dfs, first 10
+    _te_vals = ", ".join(f"('{p}')" for p in _TERMS_ENUM_PREFIXES)
+    sqls["terms_enum"] = f"""
+SELECT prefix, term, df FROM (
+  SELECT p.prefix, df.term, df.df,
+         row_number() OVER (PARTITION BY p.prefix ORDER BY df.term) AS rn
+  FROM (VALUES {_te_vals}) p(prefix)
+  JOIN ({SQL_DF}) df ON df.term LIKE p.prefix || '%')
+WHERE rn <= 10"""
+    # _analyze: default-analyzer tokens + 0-based positions over fixed
+    # probe texts (zipped unnest + post-filter renumber, the positional
+    # SQL contract)
+    _an_vals = ", ".join(f"({i}, '{t}')" for i, t in _ANALYZE_TEXTS)
+    sqls["analyze_api"] = f"""
+SELECT text_id::BIGINT AS text_id,
+       (row_number() OVER (PARTITION BY text_id ORDER BY ord) - 1)::BIGINT
+         AS pos,
+       token
+FROM (
+  SELECT text_id, unnest(toks) AS token,
+         unnest(range(1, len(toks) + 1)) AS ord
+  FROM (SELECT v.text_id, string_split(lower(v.body), ' ') AS toks
+        FROM (VALUES {_an_vals}) v(text_id, body)))
+WHERE token <> ''"""
     # LM similarities over the same postings (Lucene similarity module)
     sqls["lm_dirichlet_topk"] = _topk_sql(_lm_scored_sql("dirichlet"), BM25_K)
     sqls["lm_jm_topk"] = _topk_sql(_lm_scored_sql("jelinek_mercer"), BM25_K)
@@ -9638,6 +9707,8 @@ def build_queries() -> dict:
         "span_containing_topk": q_span_containing_topk,
         "parent_id": q_parent_id,
         "events_date_range": q_events_date_range,
+        "terms_enum": q_terms_enum,
+        "analyze_api": q_analyze_api,
         "geohash_grid": q_geohash_grid,
         "agg_extended_stats": q_agg_extended_stats,
         "doc_mget": q_doc_mget,

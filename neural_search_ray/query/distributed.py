@@ -177,6 +177,27 @@ class ShardSearchActor:
     def span_or_union(self, clauses: list[str]) -> int:
         return self.searcher.span_or_union(clauses)
 
+    def search_span_within(
+        self, little: str, big: list[str], k: int, global_df: float
+    ):
+        return self.searcher.search_span_within(
+            little, big, k, global_df=global_df
+        )
+
+    def search_span_containing(
+        self, little: str, big: list[str], k: int, global_dfs_big: list[float]
+    ):
+        return self.searcher.search_span_containing(
+            little, big, k,
+            global_dfs_big=np.asarray(global_dfs_big, dtype=np.float64),
+        )
+
+    def terms_enum_partial(self, prefix: str) -> dict:
+        """{term: local df} for the prefix slice — the per-shard
+        _terms_enum partial (df sums across disjoint shards)."""
+        terms = self.searcher.expand_prefix(prefix)
+        return {t: self.searcher.local_df(t) for t in terms}
+
     def search_span_or(
         self, clauses: list[str], k: int, global_df: float
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -877,6 +898,58 @@ class DistributedSearcher:
         docs = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
         return topk_desc(docs, scores, k)
+
+    def search_span_within(self, little: str, big: list[str], k: int = 10):
+        """Distributed span_within: single little-term global df
+        broadcast (the span_not discipline) — rank-identical."""
+        self._resolve_gdfs([little])
+        parts = ray.get(
+            [
+                a.search_span_within.remote(little, big, k, self._gdf[little])
+                for a in self.actors
+            ]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
+
+    def search_span_containing(
+        self, little: str, big: list[str], k: int = 10
+    ):
+        """Distributed span_containing: big-phrase per-term global dfs
+        broadcast (the search_phrase discipline)."""
+        self._resolve_gdfs(sorted(set(big)))
+        gdfs = [self._gdf[t] for t in big]
+        parts = ray.get(
+            [
+                a.search_span_containing.remote(little, big, k, gdfs)
+                for a in self.actors
+            ]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
+
+    def terms_enum(
+        self, prefix: str, size: int = 10, min_df: int = 1
+    ) -> tuple[list[str], np.ndarray]:
+        """Distributed _terms_enum: per-shard prefix slices merged by
+        df-sum (disjoint shards), term-ordered cut — identical to the
+        single searcher."""
+        merged: dict[str, int] = {}
+        for m in ray.get(
+            [a.terms_enum_partial.remote(prefix) for a in self.actors]
+        ):
+            for t, d in m.items():
+                merged[t] = merged.get(t, 0) + d
+        out_t, out_d = [], []
+        for t in sorted(merged):
+            if merged[t] >= min_df:
+                out_t.append(t)
+                out_d.append(merged[t])
+                if len(out_t) >= size:
+                    break
+        return out_t, np.asarray(out_d, dtype=np.int64)
 
     def search_pinned(
         self, pinned_ids: list[int], terms: list[str], k: int = 10

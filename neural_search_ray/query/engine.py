@@ -3256,6 +3256,28 @@ class IndexSearcher:
         scores = idf_sum * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
         return topk_desc(docs_u, scores, k)
 
+    def terms_enum(
+        self, prefix: str, size: int = 10, min_df: int = 1
+    ) -> tuple[list[str], np.ndarray]:
+        """_terms_enum API (OpenSearch TermsEnum action): the index
+        terms starting with ``prefix``, term-ordered, with document
+        frequencies — a bounded binary-search slice of the sorted term
+        dictionary (expand_prefix), never a scan. The reference's API
+        caps at ``size`` and skips low-df terms via the index options;
+        both knobs mirrored here."""
+        if size < 1:
+            raise ValueError("size must be >= 1")
+        terms = self.expand_prefix(prefix)
+        out_t, out_d = [], []
+        for t in terms:
+            df = self.local_df(t)
+            if df >= min_df:
+                out_t.append(t)
+                out_d.append(df)
+                if len(out_t) >= size:
+                    break
+        return out_t, np.asarray(out_d, dtype=np.int64)
+
     def span_or_union(self, clauses: list[str]) -> int:
         """Local union document frequency of a span_or clause set —
         shards hold disjoint doc sets, so the GLOBAL union df is the

@@ -552,3 +552,62 @@ class TestSpanContainers:
         assert d.size == 0
         d, _ = s.search_span_within("data", [], k=5)
         assert d.size == 0
+
+
+class TestDistributedSpanContainers:
+    def test_identical_to_single(self, pos_index, ray_session):
+        from neural_search_ray.query.distributed import DistributedSearcher
+
+        s = IndexSearcher(pos_index)
+        d = DistributedSearcher(pos_index, num_actors=2)
+        try:
+            for little, big in [
+                ("data", ["data", "query"]),
+                ("scan", ["table", "scan", "filter"]),
+            ]:
+                sd, ss = s.search_span_within(little, big, k=12)
+                dd, ds_ = d.search_span_within(little, big, k=12)
+                assert dd.tolist() == sd.tolist(), (little, big)
+                np.testing.assert_allclose(ds_, ss, rtol=1e-15)
+                sd, ss = s.search_span_containing(little, big, k=12)
+                dd, ds_ = d.search_span_containing(little, big, k=12)
+                assert dd.tolist() == sd.tolist(), (little, big)
+                np.testing.assert_allclose(ds_, ss, rtol=1e-15)
+        finally:
+            d.shutdown()
+
+
+class TestTermsEnum:
+    def test_matches_dictionary(self, pos_index, corpus):
+        s = IndexSearcher(pos_index)
+        vocab = sorted({t for toks in corpus.values() for t in toks})
+        for prefix in ("qu", "s", "zz"):
+            want = [t for t in vocab if t.startswith(prefix)][:10]
+            terms, dfs = s.terms_enum(prefix, size=10)
+            assert terms == want, prefix
+            for t, d in zip(terms, dfs.tolist()):
+                assert d == sum(
+                    1 for toks in corpus.values() if t in toks
+                ), t
+
+    def test_min_df_and_validation(self, pos_index):
+        s = IndexSearcher(pos_index)
+        t_all, d_all = s.terms_enum("s", size=100, min_df=1)
+        t_hi, d_hi = s.terms_enum("s", size=100, min_df=50)
+        assert set(t_hi) <= set(t_all)
+        assert (d_hi >= 50).all()
+        with pytest.raises(ValueError):
+            s.terms_enum("s", size=0)
+
+    def test_distributed_identical(self, pos_index, ray_session):
+        from neural_search_ray.query.distributed import DistributedSearcher
+
+        s = IndexSearcher(pos_index)
+        d = DistributedSearcher(pos_index, num_actors=2)
+        try:
+            for prefix in ("qu", "s", "w"):
+                st, sd_ = s.terms_enum(prefix, size=10)
+                dt, dd = d.terms_enum(prefix, size=10)
+                assert dt == st and dd.tolist() == sd_.tolist(), prefix
+        finally:
+            d.shutdown()
