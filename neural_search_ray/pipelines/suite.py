@@ -5187,6 +5187,45 @@ def _jf_children(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(flt, batch_format="pyarrow")
 
 
+_EXPLAIN_TOPN = 3
+
+
+def q_explain_bm25(sf_dir: str) -> pa.Table:
+    """_explain API (engine explain_bm25): per-term BM25 breakdown
+    (tf / df / idf / tf-norm / contribution) for each query's top-3
+    hits — bitwise-consistent with ranking (same float ops); hit
+    membership pinned by (round6(score) desc, doc_id)."""
+    searcher = get_searcher(sf_dir)
+    qs, ds_, ts, tfs, dfs, idfs, tns, cs = [], [], [], [], [], [], [], []
+    for qid, qtext in QUERY_SET:
+        terms = tokenize(qtext)
+        docs, scores = searcher.search_bm25(terms, k=_EXPLAIN_TOPN * 3)
+        sc = round_half_up(scores, 6)
+        order = np.lexsort((docs, -sc))[:_EXPLAIN_TOPN]
+        for d in docs[order].tolist():
+            for row in searcher.explain_bm25(terms, d):
+                qs.append(qid)
+                ds_.append(d)
+                ts.append(row["term"])
+                tfs.append(row["tf"])
+                dfs.append(row["df"])
+                idfs.append(float(round_half_up(row["idf"], 6)))
+                tns.append(float(round_half_up(row["tf_norm"], 6)))
+                cs.append(float(round_half_up(row["contribution"], 6)))
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "doc_id": pa.array(ds_, pa.int64()),
+            "term": pa.array(ts, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "df": pa.array(dfs, pa.int64()),
+            "idf": pa.array(idfs, pa.float64()),
+            "tf_norm": pa.array(tns, pa.float64()),
+            "contribution": pa.array(cs, pa.float64()),
+        }
+    )
+
+
 _TERMS_ENUM_PREFIXES = ["qu", "s", "ta", "w"]
 _ANALYZE_TEXTS = [
     (0, "The FAST join"),
@@ -7095,6 +7134,28 @@ FROM lineitem WHERE l_orderkey IN ({", ".join(map(str, _PARENT_ID_SET))})"""
 SELECT event_type, ({_dr_case})::BIGINT AS bucket,
        count(*)::BIGINT AS doc_count
 FROM events GROUP BY event_type, bucket"""
+    # _explain: per-term BM25 breakdown for the round6 top-3 hits
+    sqls["explain_bm25"] = f"""
+WITH hits AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id) AS rnk
+    FROM ({_bm25_scored_sql()})) WHERE rnk <= {_EXPLAIN_TOPN})
+SELECT h.query_id, h.doc_id, q.term, tf.tf::BIGINT AS tf,
+       df.df::BIGINT AS df,
+       round(ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5)), 6) AS idf,
+       round(tf.tf / (tf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)), 6)
+         AS tf_norm,
+       round(ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+             * tf.tf / (tf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)), 6)
+         AS contribution
+FROM hits h
+JOIN ({_query_values_sql()}) q ON q.query_id = h.query_id
+JOIN ({SQL_TF}) tf ON tf.term = q.term AND tf.doc_id = h.doc_id
+JOIN ({SQL_DF}) df ON df.term = q.term
+JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = h.doc_id
+CROSS JOIN ({SQL_STATS}) s"""
     # _terms_enum: term-ordered prefix slice with dfs, first 10
     _te_vals = ", ".join(f"('{p}')" for p in _TERMS_ENUM_PREFIXES)
     sqls["terms_enum"] = f"""
@@ -9709,6 +9770,7 @@ def build_queries() -> dict:
         "events_date_range": q_events_date_range,
         "terms_enum": q_terms_enum,
         "analyze_api": q_analyze_api,
+        "explain_bm25": q_explain_bm25,
         "geohash_grid": q_geohash_grid,
         "agg_extended_stats": q_agg_extended_stats,
         "doc_mget": q_doc_mget,

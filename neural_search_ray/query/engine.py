@@ -3256,6 +3256,42 @@ class IndexSearcher:
         scores = idf_sum * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
         return topk_desc(docs_u, scores, k)
 
+    def explain_bm25(
+        self, terms: list[str], doc_id: int
+    ) -> list[dict]:
+        """_explain API (OpenSearch TransportExplainAction for a BM25
+        text query): the per-term score breakdown for ONE (query, doc)
+        pair — tf, df, idf, the tf-norm, and the per-term contribution,
+        summing to exactly the search_bm25 score (same float ops, so
+        explain is bitwise-consistent with ranking). Per-term postings
+        seek + one doc_length lookup; no scoring of other docs."""
+        doc_id = int(doc_id)
+        dl = float(self.doc_length(np.asarray([doc_id], dtype=np.int64))[0])
+        k1, b = self.bm25.k1, self.bm25.b
+        out = []
+        for t in sorted(set(terms)):
+            docs, tfs = self.postings(t)
+            pos = np.searchsorted(docs, doc_id)
+            if pos >= docs.size or docs[pos] != doc_id:
+                continue
+            tf = float(tfs[pos])
+            df = self.local_df(t)
+            idf = float(
+                bm25_idf(np.asarray([max(float(df), 1e-9)]), self.n_docs)[0]
+            )
+            tfn = tf / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+            out.append(
+                {
+                    "term": t,
+                    "tf": int(tf),
+                    "df": int(df),
+                    "idf": idf,
+                    "tf_norm": tfn,
+                    "contribution": idf * tfn,
+                }
+            )
+        return out
+
     def terms_enum(
         self, prefix: str, size: int = 10, min_df: int = 1
     ) -> tuple[list[str], np.ndarray]:

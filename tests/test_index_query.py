@@ -183,3 +183,56 @@ class TestQuantizedTier:
         back = feature_decode(feature_encode(w))
         assert np.all(back <= w + 1e-12)  # truncation, never inflation
         assert np.allclose(back, w, rtol=2 ** -7)  # 7 mantissa bits kept
+
+
+class TestExplainBM25:
+    def test_components_sum_to_score(self, ray_session, tmp_path):
+        import ray as _ray
+
+        from neural_search_ray.config import IndexConfig
+        from neural_search_ray.index.build import build_index
+        from neural_search_ray.query.engine import IndexSearcher
+
+        d = str(tmp_path / "exp_idx")
+        build_index(
+            _ray.data.read_parquet(
+                "/root/testdata/sf0.001/documents.parquet",
+                columns=["doc_id", "text"],
+            ),
+            d,
+            IndexConfig(num_shards=2, num_salts=2),
+        )
+        s = IndexSearcher(d)
+        for q in ("data query", "merge sort window", "the fast join"):
+            terms = q.split()
+            docs, scores = s.search_bm25(terms, k=5, pruning="none")
+            for doc, score in zip(docs.tolist(), scores.tolist()):
+                rows = s.explain_bm25(terms, doc)
+                assert rows, (q, doc)
+                total = sum(r["contribution"] for r in rows)
+                np.testing.assert_allclose(total, score, rtol=1e-12)
+                for r in rows:
+                    assert r["tf"] >= 1 and r["df"] >= 1
+                    np.testing.assert_allclose(
+                        r["contribution"], r["idf"] * r["tf_norm"],
+                        rtol=1e-15,
+                    )
+
+    def test_unmatched_doc_empty(self, ray_session, tmp_path):
+        import ray as _ray
+
+        from neural_search_ray.config import IndexConfig
+        from neural_search_ray.index.build import build_index
+        from neural_search_ray.query.engine import IndexSearcher
+
+        d = str(tmp_path / "exp_idx2")
+        build_index(
+            _ray.data.read_parquet(
+                "/root/testdata/sf0.001/documents.parquet",
+                columns=["doc_id", "text"],
+            ),
+            d,
+            IndexConfig(num_shards=2, num_salts=2),
+        )
+        s = IndexSearcher(d)
+        assert s.explain_bm25(["zzznope"], 0) == []
