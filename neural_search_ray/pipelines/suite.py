@@ -2222,6 +2222,114 @@ def q_events_user_cardinality(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def q_events_cum_card(sf_dir: str) -> pa.Table:
+    """cumulative_cardinality pipeline agg (ES CumulativeCardinality
+    over a day date_histogram): per day bucket, the count of DISTINCT
+    users seen up to and including it — EXACT and distributed via the
+    first-occurrence decomposition: cum_card(day) = Σ_{d≤day} |{users
+    whose FIRST event day is d}|. One groupby(user_id) Min exchange
+    (the only all-to-all over user-sized data), one tiny per-day count
+    exchange, one tiny per-day event-count exchange, then a
+    bucket-bounded driver-side running sum (the events_cumulative
+    pattern — only day-sized scalars ever reach the driver)."""
+    from ray.data.aggregate import Min, Sum
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"], unit="day").cast(pa.int64())
+        t = pa.table({"user_id": batch["user_id"], "day_us": day})
+        g = pa.TableGroupBy(t, ["user_id"]).aggregate([("day_us", "min")])
+        return g.rename_columns(["user_id", "day_us"])
+
+    def day_count_partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"], unit="day").cast(pa.int64())
+        g = pa.TableGroupBy(pa.table({"bucket_us": day}), ["bucket_us"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["bucket_us", "cnt"])
+
+    def firsts_per_day(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"bucket_us": batch["first_day"]}), ["bucket_us"]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["bucket_us", "nf"])
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    firsts = (
+        events.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day_us", alias_name="first_day"))
+        .map_batches(firsts_per_day, batch_format="pyarrow")
+        .groupby("bucket_us")
+        .aggregate(Sum("nf", alias_name="nf"))
+        .take_all()
+    )  # one row per day with ≥1 first occurrence — bucket-bounded
+    days = (
+        events.map_batches(day_count_partial, batch_format="pyarrow")
+        .groupby("bucket_us")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )  # one row per day with events — bucket-bounded
+    nf = {r["bucket_us"]: r["nf"] for r in firsts}
+    days.sort(key=lambda r: r["bucket_us"])
+    cum, cums = 0, []
+    for r in days:
+        cum += nf.get(r["bucket_us"], 0)
+        cums.append(cum)
+    return pa.table(
+        {
+            "bucket_us": pa.array([r["bucket_us"] for r in days], pa.int64()),
+            "cnt": pa.array([r["cnt"] for r in days], pa.int64()),
+            "cum_users": pa.array(cums, pa.int64()),
+        }
+    )
+
+
+_CAT_TOKENS = 4  # pattern prefix length
+_CAT_TOPK = 20
+
+
+def q_categorize_text(sf_dir: str) -> pa.Table:
+    """categorize_text aggregation (deterministic tier of the ES
+    log-pattern categorizer — the streaming drain-tree variant is
+    collection-order-dependent by design, like variable_width_histogram;
+    this tier pins the semantics): pattern = first 4 space-split tokens
+    with digit runs wildcarded to '#', bucket = count per pattern,
+    top-20 by (count desc, pattern asc). Per-batch Arrow-kernel
+    partial (split/slice/join/regex-replace + group-count) → one
+    pattern-keyed groupby → k-sized driver read."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["text"], " ")
+        pattern = pc.binary_join(
+            pc.list_slice(parts, 0, _CAT_TOKENS), " "
+        )
+        pattern = pc.replace_substring_regex(pattern, r"[0-9]+", "#")
+        g = pa.TableGroupBy(
+            pa.table({"pattern": pattern}), ["pattern"]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["pattern", "cnt"])
+
+    rows = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pattern")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: (-r["cnt"], r["pattern"]))
+    rows = rows[:_CAT_TOPK]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+            "pattern": pa.array([r["pattern"] for r in rows], pa.string()),
+            "cnt": pa.array([r["cnt"] for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_significant_terms(sf_dir: str) -> pa.Table:
     """significant_terms aggregation (query/significant.py — JLH
     heuristic over forward-index foreground df vs term-dict background
@@ -2453,6 +2561,25 @@ def q_multi_match_cross(sf_dir: str) -> pa.Table:
     """multi_match type=cross_fields: term-centric blended-df scoring
     (df = max across fields), per-term dismax across fields, terms sum."""
     return _q_multi_match(sf_dir, "cross_fields")
+
+
+def q_combined_fields(sf_dir: str) -> pa.Table:
+    """combined_fields query (query/multifield.py
+    search_combined_fields): term-centric BM25 over the VIRTUAL field
+    concatenating (title^2, text) — tf/dl/avgdl are weighted sums
+    across fields, df is the union document frequency; unlike
+    multi_match, weights blend INSIDE the saturation curve."""
+    from ..query.multifield import search_combined_fields
+
+    fields = _mm_fields(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = search_combined_fields(
+            fields, tokenize(qtext), k=BM25_K * 3
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
 def q_match_bool_prefix(sf_dir: str) -> pa.Table:
@@ -3958,6 +4085,29 @@ def q_bm25_topk_distributed(sf_dir: str) -> pa.Table:
             rows.append((qid, docs, scores))
     finally:
         dsearch.shutdown()
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_msearch_bm25(sf_dir: str) -> pa.Table:
+    """The _msearch API (query/distributed.py msearch_bm25): the WHOLE
+    query workload in two RPC rounds — one union global-df fan-out +
+    one batched search call per shard actor — with per-query results
+    bit-identical to sequential search_bm25 (same oracle as bm25_topk
+    proves it end-to-end)."""
+    from ..query.distributed import DistributedSearcher
+
+    dsearch = DistributedSearcher(get_index_dir(sf_dir), num_actors=2)
+    try:
+        results = dsearch.msearch_bm25(
+            [tokenize(qtext) for _, qtext in QUERY_SET], k=BM25_K * 3
+        )
+    finally:
+        dsearch.shutdown()
+    rows = [
+        (qid, docs, scores)
+        for (qid, _), (docs, scores) in zip(QUERY_SET, results)
+    ]
     out = _hits_table(rows)
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
@@ -6167,6 +6317,128 @@ def q_collapse_bm25_lang(sf_dir: str) -> pa.Table:
     return _hits_table(rows)
 
 
+_CIH_INNER = 3
+
+
+def q_collapse_inner_hits(sf_dir: str) -> pa.Table:
+    """Collapse with inner_hits (rank/collapse.py collapse_inner_hits):
+    per query, the top-3 lang-group HEADS from the bm25 top-10, each
+    carrying its group's top-3 hits (the head included, ES semantics).
+    Output one row per inner hit: (query_id, lang, head_rank,
+    inner_rank, doc_id, score)."""
+    from ..rank.collapse import collapse_inner_hits
+
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    qs, ls, hr, ir, ds_, ss = [], [], [], [], [], []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=10)
+        fv = np.asarray(
+            searcher.field_values(docs, "lang").to_pylist(), dtype=object
+        )
+        for lang, head_rank, idocs, iscores in collapse_inner_hits(
+            docs, scores, fv, k=3, inner_size=_CIH_INNER
+        ):
+            for j in range(idocs.size):
+                qs.append(qid)
+                ls.append(lang)
+                hr.append(head_rank)
+                ir.append(j + 1)
+                ds_.append(int(idocs[j]))
+                ss.append(round_half_up(np.asarray([iscores[j]]), 6)[0])
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "lang": pa.array(ls, pa.string()),
+            "head_rank": pa.array(hr, pa.int64()),
+            "inner_rank": pa.array(ir, pa.int64()),
+            "doc_id": pa.array(ds_, pa.int64()),
+            "score": pa.array(ss, pa.float64()),
+        }
+    )
+
+
+def q_agg_children(sf_dir: str) -> "ray.data.Dataset":
+    """children aggregation (OpenSearch join-field ChildrenAggregator):
+    bucket PARENTS (orders) by o_orderpriority, step into their
+    CHILDREN (lineitems) and aggregate child quantity — count + sum per
+    parent bucket. Ray-native: per-batch child combiner (one partial
+    row per l_orderkey per batch), one groupby(orderkey) exchange,
+    hash-join the per-parent partials to the parent stream
+    (Dataset.join keyed on the SAME orderkey), then a tiny
+    priority-keyed groupby — child rows never shuffle whole."""
+    from ray.data.aggregate import Sum
+
+    def child_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "o_orderkey": batch["l_orderkey"],
+                    "qty": batch["l_quantity"],
+                }
+            ),
+            ["o_orderkey"],
+        ).aggregate([("qty", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_orderkey", "sum_qty", "n_children"])
+
+    per_parent = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_quantity"],
+        )
+        .map_batches(child_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("n_children", alias_name="n_children"),
+        )
+    )
+    parents = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    from ..runtime import join_partitions
+
+    joined = parents.join(
+        per_parent,
+        "inner",
+        num_partitions=join_partitions(8),
+        on=("o_orderkey",),
+    )
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "o_orderpriority": batch["o_orderpriority"],
+                    "sum_qty": batch["sum_qty"],
+                    "n_children": batch["n_children"],
+                }
+            ),
+            ["o_orderpriority"],
+        ).aggregate([("sum_qty", "sum"), ("n_children", "sum")])
+        return g.rename_columns(["o_orderpriority", "sum_qty", "n_children"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "n_children": batch["n_children"].cast(pa.int64()),
+                "sum_qty": pc.round(batch["sum_qty"], 2),
+            }
+        )
+
+    return (
+        joined.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("n_children", alias_name="n_children"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def q_rerank_byfield(sf_dir: str) -> pa.Table:
     """by_field rerank (ByFieldRerankProcessor.java:72-160): replace the
     bm25 score with documents.n_chars (fetched per-hit from doc-values),
@@ -7757,6 +8029,42 @@ FROM b GROUP BY query_id, bucket"""
   ) GROUP BY query_id, doc_id""",
         BM25_K,
     )
+    # combined_fields: BM25 over the VIRTUAL (title^2 + text) field —
+    # weighted tf/dl sums (exact in float64: integer tf/dl × 2.0), union
+    # df, avgdl' = Σ w_f·avgdl_f; float-op order pinned to the engine:
+    # (idf * tfc) / denom, terms summed per (query, doc)
+    _cf_tf = f"""
+  SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+         coalesce(t.term, b.term) AS term,
+         {_MM_TITLE_BOOST} * coalesce(t.tf, 0) + coalesce(b.tf, 0) AS tfc
+  FROM ({_t_tf}) t
+  FULL JOIN ({SQL_TF}) b ON b.doc_id = t.doc_id AND b.term = t.term"""
+    _cf_dl = f"""
+  SELECT td.doc_id, {_MM_TITLE_BOOST} * td.dl + bd.dl AS dlc
+  FROM ({_t_dl_all}) td JOIN ({SQL_DL_ALL}) bd ON bd.doc_id = td.doc_id"""
+    _cf_df = f"""
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM (
+    SELECT term, doc_id FROM ({_t_tf})
+    UNION ALL SELECT term, doc_id FROM ({SQL_TF})
+  ) GROUP BY term"""
+    _cf_avgdl = f"""
+  SELECT {_MM_TITLE_BOOST} * (SELECT avg(dl)::DOUBLE FROM ({_t_dl_all}))
+         + (SELECT avg(dl)::DOUBLE FROM ({SQL_DL_ALL})) AS avgdlc"""
+    sqls["combined_fields_topk"] = _topk_sql(
+        f"""
+  SELECT query_id, doc_id, sum(score) AS score FROM (
+    SELECT q.query_id::BIGINT AS query_id, u.doc_id,
+           ln(1.0 + (s.n_docs - cdf.df + 0.5)/(cdf.df + 0.5)) * u.tfc
+             / (u.tfc + {K1}*(1.0 - {B} + {B}*dl.dlc/av.avgdlc)) AS score
+    FROM ({_query_values_sql()}) q
+    JOIN ({_cf_tf}) u ON u.term = q.term
+    JOIN ({_cf_df}) cdf ON cdf.term = q.term
+    JOIN ({_cf_dl}) dl ON dl.doc_id = u.doc_id
+    CROSS JOIN ({SQL_STATS}) s
+    CROSS JOIN ({_cf_avgdl}) av
+  ) GROUP BY query_id, doc_id""",
+        BM25_K,
+    )
     # match_bool_prefix: BM25 over all-but-last terms + constant 1.0 for
     # docs matching the last term as a prefix; should-only union (msm=1)
     _mbp_terms, _mbp_pfx = [], []
@@ -8113,6 +8421,9 @@ SELECT query_id, rank, term, freq, dist FROM (
     # merged (force-merge/compaction) path: same single-segment oracle
     sqls["bm25_topk_merged"] = sqls["bm25_topk"]
     sqls["bm25_topk_distributed"] = sqls["bm25_topk"]
+    # _msearch: the batched-transport path must reproduce the
+    # sequential per-query results exactly — same oracle
+    sqls["msearch_bm25"] = sqls["bm25_topk"]
     sqls["multi_match_cross_distributed"] = sqls["multi_match_cross"]
     sqls["match_bool_prefix_distributed"] = sqls["match_bool_prefix"]
     sqls["suggest_completion_distributed"] = sqls["suggest_completion"]
@@ -9035,6 +9346,76 @@ SELECT query_id, rank, doc_id, score FROM (
                             ORDER BY round(score, 6) DESC, doc_id) AS rank
   FROM best) WHERE rank <= 3"""
 
+    # collapse + inner_hits: same hit/lang chain as collapse_bm25_lang;
+    # heads ranked on rounded score (the suite's tie discipline), inner
+    # hits on exact scores (the engine's selection order)
+    sqls["collapse_inner_hits"] = f"""
+WITH hits AS ({bm_top_raw}),
+withlang AS (
+  SELECT h.query_id, h.doc_id, h.score, d.lang
+  FROM hits h JOIN documents d USING (doc_id)),
+heads AS (
+  SELECT query_id, lang, doc_id, score FROM (
+    SELECT query_id, lang, doc_id, score,
+           row_number() OVER (PARTITION BY query_id, lang
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM withlang) WHERE rn = 1),
+topheads AS (
+  SELECT query_id, lang, head_rank FROM (
+    SELECT query_id, lang,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id)
+             AS head_rank
+    FROM heads) WHERE head_rank <= 3),
+inner_h AS (
+  SELECT query_id, lang, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id, lang
+                            ORDER BY score DESC, doc_id) AS inner_rank
+  FROM withlang)
+SELECT t.query_id, t.lang, t.head_rank, i.inner_rank, i.doc_id, i.score
+FROM topheads t
+JOIN inner_h i ON i.query_id = t.query_id AND i.lang = t.lang
+WHERE i.inner_rank <= {_CIH_INNER}"""
+
+    # children agg: parents bucketed by priority, child qty aggregated
+    # through the join — integer-valued doubles, sums exact in float64
+    sqls["agg_children"] = """
+SELECT o.o_orderpriority, count(*)::BIGINT AS n_children,
+       round(sum(l.l_quantity), 2) AS sum_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority"""
+
+    # cumulative_cardinality: first-occurrence decomposition — the
+    # window sum over per-day first-user counts equals the cardinality
+    # of the union of users up to each day bucket
+    sqls["events_cum_card"] = """
+WITH fd AS (
+  SELECT user_id, min(epoch_us(date_trunc('day', ts)))::BIGINT AS bucket_us
+  FROM events GROUP BY user_id),
+firsts AS (
+  SELECT bucket_us, count(*)::BIGINT AS nf FROM fd GROUP BY bucket_us),
+days AS (
+  SELECT epoch_us(date_trunc('day', ts))::BIGINT AS bucket_us,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1)
+SELECT d.bucket_us, d.cnt,
+       sum(coalesce(f.nf, 0)) OVER (ORDER BY d.bucket_us)::BIGINT
+         AS cum_users
+FROM days d LEFT JOIN firsts f USING (bucket_us)"""
+
+    # categorize_text (deterministic tier): digit-wildcarded 4-token
+    # prefix pattern, count per pattern, top-20 (count desc, pattern)
+    sqls["categorize_text"] = f"""
+WITH pat AS (
+  SELECT regexp_replace(
+           array_to_string(string_split(text, ' ')[1:{_CAT_TOKENS}], ' '),
+           '[0-9]+', '#', 'g') AS pattern
+  FROM documents),
+agg AS (SELECT pattern, count(*)::BIGINT AS cnt FROM pat GROUP BY pattern)
+SELECT row_number() OVER (ORDER BY cnt DESC, pattern)::BIGINT AS rank,
+       pattern, cnt
+FROM agg ORDER BY cnt DESC, pattern LIMIT {_CAT_TOPK}"""
+
     sqls["rerank_byfield"] = f"""
 WITH hits AS ({bm_top_raw})
 SELECT query_id, rank, doc_id, score, previous_score FROM (
@@ -9739,10 +10120,7 @@ def build_queries() -> dict:
         # events_sliced_scroll, geo_distance_topk (family reps
         # has_child_topk, doc_mget, events_page2, geo_bbox_count stay) ---
         "pinned_topk": q_pinned_topk,
-        "distance_feature_topk": q_distance_feature_topk,
         "agg_boxplot": q_agg_boxplot,
-        "agg_t_test": q_agg_t_test,
-        "agg_string_stats": q_agg_string_stats,
         # nested-documents family (block join: nested query + nested /
         # reverse_nested aggs) — displaces geohash_grid (geo rep
         # geo_bbox_count stays), agg_extended_stats (the moment-partial
@@ -9750,9 +10128,33 @@ def build_queries() -> dict:
         # doc_mget (doc-values row fetch exercised by every *_byfield /
         # collapse entry)
         "nested_topk": q_nested_topk,
+        # --- block 2g: session-10 new families — combined_fields is a
+        # new QUERY family (term-centric virtual-field BM25F, distinct
+        # from multi_match's score-combining rewrites); displaces
+        # reverse_nested (nested family keeps nested_topk+nested_terms)
+        "combined_fields_topk": q_combined_fields,
+        # msearch: batched-transport serving API (new family);
+        # displaces agg_t_test (the Welch/pooled moment partials share
+        # agg_boxplot's in-window machinery)
+        "msearch_bm25": q_msearch_bm25,
+        # session-10 agg families: children (join-field AGGREGATION —
+        # the query side has has_child_topk), cumulative_cardinality
+        # (first-occurrence decomposition), categorize_text
+        # (deterministic log-pattern tier). Displace
+        # distance_feature_topk (promoted-signal rep pinned_topk
+        # stays), agg_string_stats (string metric partials ride the
+        # same moment/finish machinery as in-window agg_boxplot), and
+        # nested_terms (nested family rep nested_topk stays)
+        "agg_children": q_agg_children,
+        "events_cum_card": q_events_cum_card,
+        "categorize_text": q_categorize_text,
+        # ==== driver 50-entry window boundary (keys above this line) ====
         "nested_terms": q_nested_terms,
         "reverse_nested": q_reverse_nested,
-        # ==== driver 50-entry window boundary (keys above this line) ====
+        "agg_t_test": q_agg_t_test,
+        "distance_feature_topk": q_distance_feature_topk,
+        "agg_string_stats": q_agg_string_stats,
+        "collapse_inner_hits": q_collapse_inner_hits,
         # session-9 additions just past the boundary (locally
         # sweep-verified; families represented in-window): span_or is
         # the 4th span variant, geotile shares geohash's machinery,

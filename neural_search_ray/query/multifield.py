@@ -157,3 +157,100 @@ def _cross_fields(
         return np.empty(0, np.int64), np.empty(0, np.float64)
     union, mat = _union_accumulate(term_parts)
     return topk_desc(union, mat.sum(axis=0), k)
+
+
+def search_combined_fields(
+    field_searchers: list[tuple[str, IndexSearcher, float]],
+    terms: list[str],
+    k: int = 10,
+    *,
+    global_stats: dict[str, tuple[np.ndarray, float]] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES/Lucene ``combined_fields`` query (CombinedFieldQuery): BM25
+    over a VIRTUAL field that concatenates the per-field token streams
+    with per-field weights — term-centric, unlike multi_match's
+    score-combining rewrites.
+
+    Per document the virtual field has
+      tf'(t, d)  = sum_f w_f * tf_f(t, d)
+      dl'(d)     = sum_f w_f * dl_f(d)
+      avgdl'     = sum_f w_f * avgdl_f        (linearity of the mean —
+                   every searcher covers the same doc set)
+      df'(t)     = |union_f postings_f(t)|    (the term's true document
+                   frequency in the virtual field)
+    and each query term scores
+      idf(df') * tf' / (tf' + k1 * (1 - b + b * dl'/avgdl'))
+    with terms combining as independent should-clauses (sum, evaluated
+    in sorted-term order — the suite oracle's float discipline).
+
+    ``global_stats``: optional ``{"df": per-term virtual-field dfs
+    aligned to sorted-unique terms, "avgdl": virtual avgdl}`` for
+    shard-subset actors (per-shard doc spaces are disjoint, so union
+    dfs SUM across shards — the same coordinator protocol as plain
+    BM25's global df).
+
+    Weighted integer tf/dl sums are exact in float64, so scores are
+    bit-identical across shard layouts.
+    """
+    sterms = sorted(set(terms))
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    if not sterms or not field_searchers:
+        return empty
+    base = field_searchers[0][1]
+    n_docs = base.n_docs
+    k1, b = base.bm25.k1, base.bm25.b
+
+    # per-term per-field postings gathered once (LRU-cached in-searcher)
+    posts = {
+        (f, t): s.postings(t)
+        for f, s, _ in field_searchers
+        for t in sterms
+    }
+    if global_stats is not None:
+        dfs = np.asarray(global_stats["df"], dtype=np.float64)
+        avgdl_c = float(global_stats["avgdl"])
+    else:
+        dfs = np.asarray(
+            [
+                np.unique(
+                    np.concatenate(
+                        [posts[(f, t)][0] for f, _, _ in field_searchers]
+                    )
+                ).size
+                for t in sterms
+            ],
+            dtype=np.float64,
+        )
+        avgdl_c = float(
+            sum(w * s.avgdl for _, s, w in field_searchers)
+        )
+    idfs = np.where(dfs > 0, bm25_idf(np.maximum(dfs, 1e-9), n_docs), 0.0)
+
+    term_parts: list[tuple[np.ndarray, np.ndarray]] = []
+    for ti, t in enumerate(sterms):
+        if idfs[ti] == 0.0:
+            continue
+        fdocs = [posts[(f, t)][0] for f, _, _ in field_searchers]
+        nonempty = [d for d in fdocs if d.size]
+        if not nonempty:
+            continue
+        union_t = (
+            np.unique(np.concatenate(nonempty))
+            if len(nonempty) > 1
+            else nonempty[0]
+        )
+        tf_c = np.zeros(union_t.size, dtype=np.float64)
+        dl_c = np.zeros(union_t.size, dtype=np.float64)
+        for f, s, w in field_searchers:
+            docs, tfs = posts[(f, t)]
+            if docs.size:
+                tf_c[np.searchsorted(union_t, docs)] += w * tfs
+            dl_c += w * s.doc_length(union_t)
+        sc = idfs[ti] * tf_c / (
+            tf_c + k1 * (1.0 - b + b * dl_c / avgdl_c)
+        )
+        term_parts.append((union_t, sc))
+    if not term_parts:
+        return empty
+    union, mat = _union_accumulate(term_parts)
+    return topk_desc(union, mat.sum(axis=0), k)

@@ -123,6 +123,31 @@ def test_distributed_searcher_rank_identity(skewed_index, ray_session):
         ds.shutdown()
 
 
+def test_msearch_identity_and_transport(skewed_index, ray_session):
+    """msearch (batched multi-query serving) must return per-query
+    results bit-identical to sequential search_bm25, resolve ALL batch
+    terms in the one df round, and handle empty/duplicate queries."""
+    from neural_search_ray.query.distributed import DistributedSearcher
+
+    index_dir, oracle = skewed_index
+    queries = ["the data query", "merge w0500", "of and the", "", "the data query"]
+    ds = DistributedSearcher(index_dir, num_actors=2)
+    try:
+        batch = ds.msearch_bm25([q.split() for q in queries], k=10)
+        assert len(batch) == len(queries)
+        # one df round resolved the union of all terms
+        assert set(ds._gdf) == {t for q in queries for t in q.split()}
+        for q, (d, sc) in zip(queries, batch):
+            sd, ssc = ds.search_bm25(q.split(), k=10)
+            assert d.tolist() == sd.tolist(), q
+            assert np.array_equal(sc, ssc), q
+            od, osc = oracle.search_bm25(q, k=10)
+            assert d.tolist() == od, q
+            assert np.allclose(sc, osc, atol=1e-12), q
+    finally:
+        ds.shutdown()
+
+
 def test_for_codec_rank_identity(tmp_path, ray_session):
     """An index built with posting_codec='for' (bit-packed FOR) returns
     bitwise-identical BM25 results to the default varint build, across

@@ -215,3 +215,96 @@ def test_suggest_completion_matches_dictionary(mf):
         )[:5]
         assert terms == [t for t, _ in ref], pfx
         assert weights.tolist() == [df for _, df in ref], pfx
+
+
+def _ref_combined_fields(fields, terms, k=10):
+    """Independent virtual-field BM25F: weighted tf/dl sums, union df,
+    avgdl' = Σ w·avgdl_f (pure-Python dict reference)."""
+    n = fields[0][1].n_docs
+    avgdl_c = sum(w * o.avgdl for _, o, w in fields)
+    scores: dict[int, float] = {}
+    for t in sorted(set(terms)):
+        docs = set()
+        for _, o, _ in fields:
+            docs |= {d for d, c in o.tf.items() if c.get(t, 0)}
+        if not docs:
+            continue
+        df = len(docs)
+        idf = math.log1p((n - df + 0.5) / (df + 0.5))
+        for d in docs:
+            tfc = sum(w * o.tf[d].get(t, 0) for _, o, w in fields)
+            dlc = sum(w * o.dl[d] for _, o, w in fields)
+            denom = tfc + K1 * (1 - B + B * dlc / avgdl_c)
+            scores[d] = scores.get(d, 0.0) + idf * tfc / denom
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [d for d, _ in ranked], [s for _, s in ranked]
+
+
+def test_combined_fields_identity(mf):
+    from neural_search_ray.query.multifield import search_combined_fields
+
+    fields_s = [("title", mf["title"][0], 2.0), ("text", mf["body"][0], 1.0)]
+    fields_o = [("title", mf["title"][1], 2.0), ("text", mf["body"][1], 1.0)]
+    for q in QUERIES:
+        terms = q.split()
+        d, sc = search_combined_fields(fields_s, terms, k=10)
+        od, osc = _ref_combined_fields(fields_o, terms)
+        assert d.tolist() == od, q
+        assert np.allclose(sc, osc, atol=1e-9), q
+
+
+def test_combined_fields_differs_from_most_fields(mf):
+    """The virtual-field blend must NOT equal per-field score summing
+    (if it did, the operator would be redundant with most_fields)."""
+    from neural_search_ray.query.multifield import search_combined_fields
+
+    fields_s = [("title", mf["title"][0], 2.0), ("text", mf["body"][0], 1.0)]
+    _, cf = search_combined_fields(fields_s, ["the", "data"], k=10)
+    _, most = search_multi_match(
+        fields_s, ["the", "data"], k=10, match_type="most_fields"
+    )
+    assert not np.allclose(cf, most)
+
+
+def test_combined_fields_global_stats_shard_identity(mf, tmp_path_factory):
+    """Shard-subset actors with coordinator-resolved virtual-field
+    stats (summed union dfs + global avgdl') must reproduce the
+    single-searcher scores bit-identically."""
+    import pyarrow as pa
+
+    from neural_search_ray.query.engine import IndexSearcher
+    from neural_search_ray.query.multifield import search_combined_fields
+
+    body, title = mf["body"][0], mf["title"][0]
+    fields_full = [("title", title, 2.0), ("text", body, 1.0)]
+    terms = ["the", "data", "query"]
+    full_d, full_s = search_combined_fields(fields_full, terms, k=10)
+
+    sterms = sorted(set(terms))
+    avgdl_c = 2.0 * title.avgdl + 1.0 * body.avgdl
+    # per-shard-subset searchers over each index's shard halves
+    halves = [list(range(0, 1)), list(range(1, 2))]
+    parts = []
+    gdfs = np.zeros(len(sterms))
+    subs = []
+    for h in halves:
+        tsub = IndexSearcher(title.index_dir, shards=h)
+        bsub = IndexSearcher(body.index_dir, shards=h)
+        subs.append([("title", tsub, 2.0), ("text", bsub, 1.0)])
+        for ti, t in enumerate(sterms):
+            u = np.unique(
+                np.concatenate([tsub.postings(t)[0], bsub.postings(t)[0]])
+            )
+            gdfs[ti] += u.size
+    for fs in subs:
+        d, s = search_combined_fields(
+            fs, terms, k=10, global_stats={"df": gdfs, "avgdl": avgdl_c}
+        )
+        parts.append((d, s))
+    docs = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    from neural_search_ray.query.engine import topk_desc
+
+    md, ms = topk_desc(docs, scores, 10)
+    assert md.tolist() == full_d.tolist()
+    assert np.allclose(ms, full_s, atol=0)

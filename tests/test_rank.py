@@ -118,6 +118,26 @@ class TestCollapseRerank:
         d, s, f = collapse_top_docs(docs, scores, langs, docs_per_group=1)
         assert d.tolist() == [1, 3]
 
+    def test_collapse_inner_hits(self):
+        from neural_search_ray.rank.collapse import collapse_inner_hits
+
+        docs = np.array([1, 2, 3, 4, 5, 6])
+        scores = np.array([9.0, 8.0, 7.0, 6.0, 5.0, 4.0])
+        langs = np.array(["en", "en", "fr", "en", "fr", "de"])
+        groups = collapse_inner_hits(docs, scores, langs, k=2, inner_size=2)
+        # heads: en(doc 1, 9.0) rank 1, fr(doc 3, 7.0) rank 2; de cut by k=2
+        assert [(g[0], g[1]) for g in groups] == [("en", 1), ("fr", 2)]
+        en, fr = groups
+        assert en[2].tolist() == [1, 2]  # head included, top-2 inner
+        assert en[3].tolist() == [9.0, 8.0]
+        assert fr[2].tolist() == [3, 5]
+        # tie on score falls back to doc_id asc, like the collector
+        g2 = collapse_inner_hits(
+            np.array([7, 6]), np.array([1.0, 1.0]), np.array(["en", "en"]),
+            k=1, inner_size=2,
+        )
+        assert g2[0][2].tolist() == [6, 7]
+
     def test_rerank_by_field(self):
         d, s, prev = rerank_by_field(
             np.array([1, 2]), np.array([0.9, 0.1]), np.array([10.0, 20.0]),
