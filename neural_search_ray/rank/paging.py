@@ -145,3 +145,26 @@ def sliced_pages(
         .groupby("slice_id")
         .map_groups(page_group, batch_format="pyarrow")
     )
+
+
+def keyset_after_scores(
+    doc_ids: np.ndarray,
+    scores: np.ndarray,
+    cursor: tuple[float, int] | None,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """search_after over a (score desc, doc_id asc) ranking — the
+    BM25-paging keyset: keep hits strictly after the cursor
+    (score < cur_score, or equal score and doc_id > cur_doc), then the
+    next ``k`` in ranking order. Operates on whatever score precision
+    the collector ranks with (the suite passes 6dp-rounded scores, its
+    cross-engine tie discipline)."""
+    docs = np.asarray(doc_ids, dtype=np.int64)
+    sc = np.asarray(scores, dtype=np.float64)
+    order = np.lexsort((docs, -sc))
+    docs, sc = docs[order], sc[order]
+    if cursor is not None:
+        cs, cd = float(cursor[0]), int(cursor[1])
+        keep = (sc < cs) | ((sc == cs) & (docs > cd))
+        docs, sc = docs[keep], sc[keep]
+    return docs[:k], sc[:k]

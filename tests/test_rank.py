@@ -359,3 +359,52 @@ class TestWeightedHighlight:
             {"alpha"}, text.strip(), scorer=make_weighted_scorer({})
         )
         assert out == text.strip() and score == 0
+
+
+class TestRankEval:
+    def test_metrics_hand_computed(self):
+        import math
+
+        from neural_search_ray.query.rankeval import rank_eval_query
+
+        # ranked: [5, 9, 2, 7]; relevant: {9, 7, 42}; total_relevant=3
+        m = rank_eval_query(
+            np.array([5, 9, 2, 7]), {9, 7, 42}, 3, k=10
+        )
+        assert m["n_rel_retrieved"] == 2.0
+        assert m["precision"] == 2.0 / 4  # ES divides by actual retrieved
+        assert m["recall"] == 2.0 / 3
+        assert m["mrr"] == 1.0 / 2
+        dcg = 1 / math.log2(3) + 1 / math.log2(5)
+        idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+        assert abs(m["ndcg"] - dcg / idcg) < 1e-12
+
+    def test_edge_cases(self):
+        from neural_search_ray.query.rankeval import rank_eval_query
+
+        # no relevant docs exist at all
+        m = rank_eval_query(np.array([1, 2]), set(), 0, k=10)
+        assert (m["precision"], m["recall"], m["mrr"], m["ndcg"]) == (0, 0, 0, 0)
+        # empty run
+        m = rank_eval_query(np.array([], dtype=np.int64), {1}, 1, k=10)
+        assert m["precision"] == 0.0 and m["ndcg"] == 0.0
+        # perfect run
+        m = rank_eval_query(np.array([1, 2]), {1, 2}, 2, k=10)
+        assert m["precision"] == 1.0 and m["recall"] == 1.0
+        assert m["mrr"] == 1.0 and abs(m["ndcg"] - 1.0) < 1e-12
+        # k truncation: only the first k ranks count
+        m = rank_eval_query(np.array([3, 1]), {1}, 1, k=1)
+        assert m["recall"] == 0.0
+
+    def test_keyset_after_scores(self):
+        from neural_search_ray.rank.paging import keyset_after_scores
+
+        docs = np.array([4, 1, 3, 2])
+        sc = np.array([5.0, 5.0, 4.0, 3.0])
+        # ranking: (1,5.0) (4,5.0) (3,4.0) (2,3.0)
+        d, s = keyset_after_scores(docs, sc, None, 2)
+        assert d.tolist() == [1, 4]
+        d, s = keyset_after_scores(docs, sc, (5.0, 4), 2)  # after (5.0, 4)
+        assert d.tolist() == [3, 2] and s.tolist() == [4.0, 3.0]
+        d, s = keyset_after_scores(docs, sc, (3.0, 2), 2)  # past the end
+        assert d.size == 0

@@ -165,3 +165,42 @@ class TestSnapshotRestore:
         restored = str(tmp_path / "out7")
         mr = restore_index(repo, "s1", restored)
         assert "seg-inflight" not in mr.segments
+
+
+class TestPointInTime:
+    def test_pit_isolated_from_live_mutation(
+        self, tmp_path, sf_dir, ray_session
+    ):
+        """The PIT contract (suite q_pit_page2): a snapshot-restored
+        view is FROZEN — deleting docs in the live index afterwards
+        must not change any PIT result, while the live view diverges;
+        page 2 via the keyset cursor equals ranks 11-20 of the frozen
+        ranking."""
+        from neural_search_ray.rank.paging import keyset_after_scores
+
+        base = str(tmp_path / "base")
+        build_index(_docs_ds(sf_dir), base, CFG)
+        repo, pit = str(tmp_path / "repo"), str(tmp_path / "pit")
+        snapshot_index(base, repo, "pit1")
+        restore_index(repo, "pit1", pit)
+        before = _results(IndexSearcher(pit))
+
+        # mutate the LIVE index only
+        live = IndexSearcher(base)
+        d0, _ = live.search_bm25(tokenize(QUERIES[0]), k=5)
+        delete_docs(base, d0[:3])
+        live_after = IndexSearcher(base)
+        dl, _ = live_after.search_bm25(tokenize(QUERIES[0]), k=15)
+        assert not set(d0[:3].tolist()) & set(dl.tolist())  # live diverged
+
+        pit_s = IndexSearcher(pit)
+        assert _results(pit_s) == before  # PIT frozen
+
+        # keyset page 2 == ranks 11-20 of the frozen full ranking
+        d, s = pit_s.search_bm25(tokenize(QUERIES[0]), k=30)
+        order = np.lexsort((d, -s))
+        d, s = d[order], s[order]
+        cursor = (s[9], int(d[9]))
+        d2, s2 = keyset_after_scores(d, s, cursor, 10)
+        assert d2.tolist() == d[10:20].tolist()
+        assert np.array_equal(s2, s[10:20])
