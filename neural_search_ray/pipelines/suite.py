@@ -241,11 +241,12 @@ def _bm25_scored_sql_filtered(doc_where: str) -> str:
     )
 
 
-def _bm25_scored_sql_src(src: str) -> str:
+def _bm25_scored_sql_src(src: str, q_values: str | None = None) -> str:
     """BM25 scored set with the ENTIRE stats chain computed over an
     arbitrary ``(SELECT doc_id, text ...)`` corpus subquery — shared by
-    the post-purge oracle (filtered corpus) and the upsert oracle
-    (updated corpus)."""
+    the post-purge oracle (filtered corpus), the upsert/reindex oracles
+    (updated corpus), and the search_as_you_type shingle subfields
+    (shingled corpus + shingled query terms via ``q_values``)."""
     tok = (
         f"SELECT doc_id, lower(t.term) AS term FROM {src} docs_f, "
         "unnest(string_split(text, ' ')) AS t(term) WHERE t.term <> ''"
@@ -262,7 +263,7 @@ def _bm25_scored_sql_src(src: str) -> str:
   SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
          sum( ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
               * tf.tf / (tf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) ) AS score
-  FROM ({_query_values_sql()}) q
+  FROM ({q_values or _query_values_sql()}) q
   JOIN ({tf}) tf ON tf.term = q.term
   JOIN ({df}) df ON df.term = q.term
   JOIN ({dl_all}) dl ON dl.doc_id = tf.doc_id
@@ -1191,6 +1192,59 @@ def q_bm25_update_by_query(sf_dir: str) -> pa.Table:
     so scores are bit-identical to a fresh build over the updated
     corpus — exactly what the oracle computes via a CASE'd corpus."""
     searcher = IndexSearcher(_ubq_index_dir(sf_dir))
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+# --- reindex (the _reindex API) --------------------------------------------
+
+_REINDEX_TERM = "data"  # copy only docs matching this (boolean-OR query)
+_REINDEX_SUFFIX = "reindexed copy"  # ingest script: appended to every doc
+_REINDEX_CACHE: dict[str, str] = {}
+
+
+def _reindexed_dir(sf_dir: str) -> str:
+    """_reindex end-to-end (index/reindex.py): source = the -dbq index
+    (docs containing 'dup' tombstoned), query = match('data'), script =
+    append ' reindexed copy'. The destination is a FRESH build over
+    (live ∩ matched, transformed) docs, so its df/N/avgdl chain is exact
+    over the copied sub-corpus — the semantic contrast with
+    delete_by_query's stale liveDocs stats. Idempotent: build_index
+    resume skips the completed segment."""
+    from ..index.reindex import reindex
+
+    if sf_dir in _REINDEX_CACHE:
+        return _REINDEX_CACHE[sf_dir]
+    src = _dbq_index_dir(sf_dir)
+    dst = get_index_dir(sf_dir) + "-reindexed"
+
+    def _suffix(batch: pa.Table) -> pa.Table:
+        text = pc.binary_join_element_wise(
+            batch["text"],
+            pa.array([_REINDEX_SUFFIX] * len(batch), type=pa.string()),
+            " ",
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+    reindex(
+        src, dst, _docs_ds(sf_dir),
+        query_terms=[_REINDEX_TERM], script=_suffix,
+    )
+    _REINDEX_CACHE[sf_dir] = dst
+    return dst
+
+
+def q_bm25_topk_reindexed(sf_dir: str) -> pa.Table:
+    """BM25 top-k over the REINDEXED destination: only live source docs
+    matching 'data' were copied (tombstoned 'dup' docs excluded), each
+    with ' reindexed copy' appended by the ingest script, and the stats
+    chain is freshly computed over that sub-corpus — which is exactly
+    what the oracle recomputes."""
+    searcher = IndexSearcher(_reindexed_dir(sf_dir))
     rows = []
     for qid, qtext in QUERY_SET:
         docs, scores = searcher.search_bm25(tokenize(qtext), k=BM25_K * 3)
@@ -2590,6 +2644,69 @@ def q_match_bool_prefix(sf_dir: str) -> pa.Table:
     rows = []
     for qid, qtext in QUERY_SET:
         docs, scores = searcher.search_match_bool_prefix(qtext, k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+# search_as_you_type: partial multi-word inputs (last token incomplete),
+# spanning 1..3-token queries so every subfield regime is exercised
+SAYT_QUERY_SET: list[tuple[int, str]] = [
+    (0, "data qu"),
+    (1, "fast jo"),
+    (2, "table scan fil"),
+    (3, "merge so"),
+    (4, "slow group ag"),
+    (5, "qu"),
+]
+_SAYT_WIDTHS = (2, 3)
+_SAYT_CACHE: dict[str, list] = {}
+
+
+def _sayt_searchers(sf_dir: str) -> list:
+    """[(1, base), (2, 2gram), (3, 3gram)] searchers — the shingle
+    subfield indexes are built once per sf_dir from the shingle stage
+    (stages/shingles.py) over the same doc-id space; build_index resume
+    makes the fixture idempotent."""
+    from ..config import AnalyzerConfig
+    from ..stages.shingles import make_shingle_stage
+
+    if sf_dir in _SAYT_CACHE:
+        return _SAYT_CACHE[sf_dir]
+    out = [(1, get_searcher(sf_dir))]
+    for n in _SAYT_WIDTHS:
+        d = get_index_dir(sf_dir) + f"-sayt{n}"
+        build_index(
+            _docs_ds(sf_dir).map_batches(
+                make_shingle_stage(n), batch_format="pyarrow"
+            ),
+            d,
+            # whitespace tokenizer: the shingle stage already analyzed
+            # the text, and the standard tokenizer would split the "_"
+            # joiner back apart
+            IndexConfig(
+                num_shards=2,
+                num_salts=2,
+                analyzer=AnalyzerConfig(tokenizer="whitespace"),
+            ),
+        )
+        out.append((n, IndexSearcher(d)))
+    _SAYT_CACHE[sf_dir] = out
+    return out
+
+
+def q_search_as_you_type(sf_dir: str) -> pa.Table:
+    """search_as_you_type end-to-end (stages/shingles.py subfield build
+    + query/multifield.py search_as_you_type): base bool_prefix leg plus
+    2-/3-shingle subfield legs, each BM25-scoring its complete shingles
+    (stats chains over the SHINGLE corpora) + constant-1.0 last-shingle
+    prefix clause, summed across fields."""
+    from ..query.multifield import search_as_you_type
+
+    searchers = _sayt_searchers(sf_dir)
+    rows = []
+    for qid, qtext in SAYT_QUERY_SET:
+        docs, scores = search_as_you_type(searchers, qtext, k=BM25_K * 3)
         rows.append((qid, docs, scores))
     out = _hits_table(rows)
     return out.filter(pc.less_equal(out["rank"], BM25_K))
@@ -7497,6 +7614,18 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
         ),
         BM25_K,
     )
+    # reindex: live (non-'dup'-tombstoned) docs matching 'data', script-
+    # suffixed, FRESH stats chain over the copied sub-corpus
+    sqls["bm25_topk_reindexed"] = _topk_sql(
+        _bm25_scored_sql_src(
+            f"(SELECT doc_id, text || ' {_REINDEX_SUFFIX}' AS text "
+            f"FROM documents WHERE doc_id IN (SELECT DISTINCT doc_id "
+            f"FROM ({SQL_TOK}) WHERE term = '{_REINDEX_TERM}') "
+            f"AND doc_id NOT IN (SELECT DISTINCT doc_id "
+            f"FROM ({SQL_TOK}) WHERE term = '{_DBQ_TERM}'))"
+        ),
+        BM25_K,
+    )
     # positional phrase query + term-dictionary expansion queries
     sqls["phrase_topk"] = _topk_sql(_phrase_scored_sql(), BM25_K)
     sqls["prefix_topk"] = _multiterm_const_sql(
@@ -8265,6 +8394,69 @@ FROM b GROUP BY query_id, bucket"""
              FROM (VALUES {", ".join(_mbp_pfx)}) q(query_id, pfx)
              JOIN ({SQL_TOK}) t ON t.term LIKE q.pfx || '%') px
     ON px.query_id = bm.query_id AND px.doc_id = bm.doc_id""",
+        BM25_K,
+    )
+    # search_as_you_type: per-field bool_prefix (BM25 over complete
+    # shingles with the SHINGLE corpus' own stats chain + constant 1.0
+    # for the last-shingle prefix), fields summed on the doc union
+    from ..stages.shingles import shingle_tokens as _shingle_toks
+
+    def _sayt_src_sql(n: int) -> str:
+        if n == 1:
+            return "(SELECT doc_id, text FROM documents)"
+        join_expr = " || '_' || ".join(f"toks[i + {j}]" for j in range(n))
+        return (
+            f"(SELECT doc_id, array_to_string(list_transform("
+            f"range(1, len(toks) - {n - 2}), i -> {join_expr}), ' ') AS text "
+            f"FROM (SELECT doc_id, list_filter(string_split(lower(text), "
+            f"' '), x -> x <> '') AS toks FROM documents))"
+        )
+
+    _sayt_field_sqls = []
+    for _n in (1,) + _SAYT_WIDTHS:
+        _src = _sayt_src_sql(_n)
+        _tok = (
+            f"SELECT doc_id, lower(t.term) AS term FROM {_src} docs_f, "
+            "unnest(string_split(text, ' ')) AS t(term) WHERE t.term <> ''"
+        )
+        _terms, _pfx = [], []
+        for qid, qtext in SAYT_QUERY_SET:
+            _sh = (
+                tokenize(qtext)
+                if _n == 1
+                else _shingle_toks(tokenize(qtext), _n)
+            )
+            if not _sh:
+                continue
+            for t in sorted(set(_sh[:-1])):
+                _terms.append(f"({qid}, '{t}')")
+            _pfx.append(f"({qid}, '{_sh[-1]}')")
+        _px_sql = (
+            f"SELECT DISTINCT q.query_id::BIGINT AS query_id, t.doc_id, "
+            f"1.0 AS score FROM (VALUES {', '.join(_pfx)}) q(query_id, pfx) "
+            f"JOIN ({_tok}) t ON t.term LIKE q.pfx || '%'"
+        )
+        if not _terms:
+            _sayt_field_sqls.append(_px_sql)
+            continue
+        _qv = (
+            "SELECT * FROM (VALUES "
+            + ", ".join(_terms)
+            + ") AS q(query_id, term)"
+        )
+        _sayt_field_sqls.append(
+            f"""
+  SELECT coalesce(bm.query_id, px.query_id) AS query_id,
+         coalesce(bm.doc_id, px.doc_id) AS doc_id,
+         coalesce(bm.score, 0) + coalesce(px.score, 0) AS score
+  FROM ({_bm25_scored_sql_src(_src, _qv)}) bm
+  FULL JOIN ({_px_sql}) px
+    ON px.query_id = bm.query_id AND px.doc_id = bm.doc_id"""
+        )
+    sqls["search_as_you_type"] = _topk_sql(
+        "SELECT query_id, doc_id, sum(score) AS score FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM ({s})" for s in _sayt_field_sqls)
+        + ") GROUP BY query_id, doc_id",
         BM25_K,
     )
     # completion suggester: dictionary terms under the prefix, weight=df
@@ -10448,6 +10640,8 @@ def build_queries() -> dict:
         "knn_cosine_sq8": q_knn_cosine_sq8,
         "knn_sq8_rescore": q_knn_sq8_rescore,
         "pit_page2": q_pit_page2,
+        "bm25_topk_reindexed": q_bm25_topk_reindexed,
+        "search_as_you_type": q_search_as_you_type,
         "source_mix_sample": q_source_mix_sample,
         "agg_top_metrics": q_agg_top_metrics,
         "events_date_histogram_dense": q_events_date_histogram_dense,

@@ -254,3 +254,49 @@ def search_combined_fields(
         return empty
     union, mat = _union_accumulate(term_parts)
     return topk_desc(union, mat.sum(axis=0), k)
+
+
+def search_as_you_type(
+    field_searchers: list[tuple[int, IndexSearcher]],
+    text: str,
+    k: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """search_as_you_type (the ES/OpenSearch SearchAsYouTypeFieldMapper
+    + multi_match type=bool_prefix contract): partial multi-word input
+    matched against the base field and its shingle subfields.
+
+    ``field_searchers``: [(n, searcher)] — n=1 the base field, n>=2 the
+    shingle subfields built with stages/shingles.make_shingle_stage (all
+    over the SAME doc-id space). Per field, the query is analyzed with
+    THAT field's analyzer (its n-shingles, stages/shingles.shingle_tokens):
+    every complete shingle becomes a SHOULD term clause, the LAST
+    shingle — the one carrying the user's partial final token — becomes
+    a SHOULD prefix clause (constant-score rewrite, exactly
+    match_bool_prefix's shape; IndexSearcher.search_match_bool_prefix IS
+    this function's n=1 leg). A field whose width exceeds the query's
+    token count emits no clauses (ES: the shingle filter produces no
+    output). Field scores SUM on the doc union — bool-should combine,
+    the most_fields discipline.
+    """
+    from ..analysis.analyzer import tokenize
+    from ..stages.shingles import shingle_tokens
+    from .querystring import Clause
+
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    toks = tokenize(text)
+    if not toks:
+        return empty
+    parts: list[tuple[np.ndarray, np.ndarray]] = []
+    for n, s in field_searchers:
+        sh = toks if n == 1 else shingle_tokens(toks, n)
+        if not sh:
+            continue
+        clauses = [Clause("should", "term", (t,)) for t in sh[:-1]]
+        clauses.append(Clause("should", "prefix", (sh[-1],)))
+        docs, scores = s._eval_clauses(clauses, k=max(s.n_docs, 1))
+        if docs.size:
+            parts.append((docs, scores))
+    if not parts:
+        return empty
+    union, mat = _union_accumulate(parts)
+    return topk_desc(union, mat.sum(axis=0), k)

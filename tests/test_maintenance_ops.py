@@ -400,3 +400,79 @@ class TestLMSimilarities:
     def test_unknown_similarity(self, base_index):
         with pytest.raises(ValueError):
             IndexSearcher(base_index).search_lm(["data"], similarity="bm42")
+
+
+class TestReindex:
+    """index/reindex.py — the _reindex API: live-doc view, query match
+    selection, ingest script, fresh stats, resume, config inheritance."""
+
+    def test_reindex_full_fidelity(self, base_index, sf_dir, tmp_path, ray_session):
+        """No query, no script, no deletes: the destination must be
+        rank- AND score-identical to the source (same corpus, same
+        config inherited from the source manifest)."""
+        from neural_search_ray.index.reindex import reindex
+
+        dst = str(tmp_path / "ri_full")
+        reindex(base_index, dst, _docs_ds(sf_dir))
+        s0, s1 = IndexSearcher(base_index), IndexSearcher(dst)
+        for q in ("data query", "fast join", "slow group agg"):
+            d0, v0 = s0.search_bm25(tokenize(q), k=20)
+            d1, v1 = s1.search_bm25(tokenize(q), k=20)
+            assert d0.tolist() == d1.tolist()
+            np.testing.assert_allclose(v0, v1, rtol=1e-12)
+
+    def test_reindex_respects_tombstones_and_query(
+        self, base_index, sf_dir, tmp_path, ray_session
+    ):
+        """Tombstoned docs never cross; with query_terms only the match
+        set is copied; destination stats are FRESH (n_docs = copied)."""
+        from neural_search_ray.index.deletes import delete_by_query
+        from neural_search_ray.index.manifest import IndexManifest
+        from neural_search_ray.index.reindex import reindex
+
+        src = str(tmp_path / "ri_src")
+        shutil.copytree(base_index, src, copy_function=shutil.copy)
+        delete_by_query(src, ["dup"])
+        live_searcher = IndexSearcher(src)
+        matched = set(live_searcher.match_docs(["data"]).tolist())
+        dropped = set(IndexSearcher(base_index).match_docs(["dup"]).tolist())
+
+        dst = str(tmp_path / "ri_dst")
+        m = reindex(src, dst, _docs_ds(sf_dir), query_terms=["data"])
+        want = matched - dropped
+        assert m.n_docs == len(want)
+        s = IndexSearcher(dst)
+        got = set(s.match_docs(["data"]).tolist())
+        assert got == want
+        assert not (set(s.match_docs(["dup"]).tolist()) & dropped)
+
+    def test_reindex_script_and_resume(self, base_index, sf_dir, tmp_path, ray_session):
+        """The ingest script transforms every copied doc; re-running the
+        same reindex is a resume no-op (segment already complete)."""
+        import pyarrow.compute as pc
+
+        from neural_search_ray.index.reindex import reindex
+
+        def add_tag(batch: pa.Table) -> pa.Table:
+            text = pc.binary_join_element_wise(
+                batch["text"],
+                pa.array(["xtagx"] * len(batch), type=pa.string()),
+                " ",
+            )
+            return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+        dst = str(tmp_path / "ri_tag")
+        m1 = reindex(base_index, dst, _docs_ds(sf_dir), script=add_tag)
+        s = IndexSearcher(dst)
+        # every copied doc contains the injected tag
+        assert set(s.match_docs(["xtagx"]).tolist()) == set(
+            _corpus(sf_dir).keys()
+        )
+        m2 = reindex(base_index, dst, _docs_ds(sf_dir), script=add_tag)
+        assert m2.segments.keys() == m1.segments.keys()
+
+    def test_reindex_missing_source(self, tmp_path, sf_dir, ray_session):
+        from neural_search_ray.index.reindex import reindex
+
+        with pytest.raises(ValueError, match="manifest"):
+            reindex(str(tmp_path / "nope"), str(tmp_path / "o"), _docs_ds(sf_dir))

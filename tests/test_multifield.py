@@ -308,3 +308,140 @@ def test_combined_fields_global_stats_shard_identity(mf, tmp_path_factory):
     md, ms = topk_desc(docs, scores, 10)
     assert md.tolist() == full_d.tolist()
     assert np.allclose(ms, full_s, atol=0)
+
+
+class TestSearchAsYouType:
+    """stages/shingles.py + query/multifield.search_as_you_type: the
+    SAYT field type (shingle subfields) and its bool_prefix multi-field
+    query."""
+
+    def test_shingle_stage_matches_python(self, ray_session):
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.stages.shingles import make_shingle_stage
+
+        texts = [
+            "Data Query fast join",
+            "one",
+            "",
+            "alpha beta gamma delta epsilon",
+            "x y",
+        ]
+        batch = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts)}
+        )
+        for n in (2, 3):
+            out = make_shingle_stage(n)(batch)
+            got = out["text"].to_pylist()
+            want = [
+                " ".join(
+                    "_".join(tokenize(t)[i : i + n])
+                    for i in range(len(tokenize(t)) - n + 1)
+                )
+                for t in texts
+            ]
+            assert got == want, (n, got, want)
+
+    def test_shingle_width_validation(self):
+        from neural_search_ray.stages.shingles import make_shingle_stage
+
+        with pytest.raises(ValueError, match=">= 2"):
+            make_shingle_stage(1)
+
+    @pytest.fixture(scope="class")
+    def sayt(self, tmp_path_factory, ray_session):
+        from neural_search_ray.config import AnalyzerConfig
+        from neural_search_ray.corpus.generator import generate_pages
+        from neural_search_ray.stages.shingles import make_shingle_stage
+
+        ds = generate_pages(N_DOCS, seed=7)
+        base_dir = str(tmp_path_factory.mktemp("sayt_base"))
+        build_index(ds, base_dir, IndexConfig(num_shards=2, num_salts=2))
+        searchers = [(1, IndexSearcher(base_dir))]
+        for n in (2, 3):
+            d = str(tmp_path_factory.mktemp(f"sayt_{n}"))
+            build_index(
+                ds.map_batches(make_shingle_stage(n), batch_format="pyarrow"),
+                d,
+                IndexConfig(
+                    num_shards=2, num_salts=2,
+                    analyzer=AnalyzerConfig(tokenizer="whitespace"),
+                ),
+            )
+            searchers.append((n, IndexSearcher(d)))
+        t = _gen_batch(pa.table({"id": list(range(N_DOCS))}), 7)
+        docs = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        return searchers, docs
+
+    def _ref_scores(self, docs, text, n):
+        """Per-field bool_prefix reference: BM25 over complete query
+        shingles (OracleIndex over the shingled corpus) + 1.0 for docs
+        holding any term under the last-shingle prefix."""
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.stages.shingles import shingle_tokens
+
+        toks = tokenize(text)
+        sh = toks if n == 1 else shingle_tokens(toks, n)
+        if not sh:
+            return {}
+        shingled = {
+            d: " ".join(
+                "_".join(tokenize(x)[i : i + n])
+                for i in range(len(tokenize(x)) - n + 1)
+            )
+            if n > 1
+            else x
+            for d, x in docs.items()
+        }
+        from neural_search_ray.config import AnalyzerConfig
+
+        cfg = AnalyzerConfig(tokenizer="whitespace") if n > 1 else AnalyzerConfig()
+        oracle = OracleIndex(shingled, analyzer=cfg)
+        scores: dict[int, float] = {}
+        if sh[:-1]:
+            d_, s_ = oracle.search_bm25(" ".join(sh[:-1]), k=10**9)
+            scores = dict(zip(d_, s_))
+        pfx = sh[-1]
+        for d, stext in shingled.items():
+            dtoks = (
+                stext.split(" ") if n > 1 else tokenize(stext)
+            )
+            if any(t.startswith(pfx) for t in dtoks if t):
+                scores[d] = scores.get(d, 0.0) + 1.0
+        return scores
+
+    @pytest.mark.parametrize(
+        "q", ["data qu", "fast jo", "table scan fil", "merge so", "qu"]
+    )
+    def test_sayt_matches_reference(self, sayt, q):
+        from neural_search_ray.query.multifield import search_as_you_type
+
+        searchers, docs = sayt
+        want: dict[int, float] = {}
+        for n, _ in searchers:
+            for d, s in self._ref_scores(docs, q, n).items():
+                want[d] = want.get(d, 0.0) + s
+        docs_got, scores_got = search_as_you_type(searchers, q, k=15)
+        ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+        assert docs_got.tolist() == [d for d, _ in ranked]
+        np.testing.assert_allclose(
+            scores_got, [s for _, s in ranked], rtol=1e-12
+        )
+
+    def test_sayt_single_token_uses_base_only(self, sayt):
+        """One-token query: the 2/3-gram fields emit no clauses, so the
+        result equals the base field's bool_prefix alone."""
+        from neural_search_ray.query.multifield import search_as_you_type
+
+        searchers, _ = sayt
+        d_all, s_all = search_as_you_type(searchers, "qu", k=50)
+        d_base, s_base = search_as_you_type(searchers[:1], "qu", k=50)
+        assert d_all.tolist() == d_base.tolist()
+        np.testing.assert_allclose(s_all, s_base, rtol=1e-12)
+
+    def test_sayt_empty_query(self, sayt):
+        from neural_search_ray.query.multifield import search_as_you_type
+
+        searchers, _ = sayt
+        d, s = search_as_you_type(searchers, "", k=10)
+        assert d.size == 0 and s.size == 0
