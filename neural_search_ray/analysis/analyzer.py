@@ -35,6 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import AnalyzerConfig
+from .stem import apply_token_filters
 
 # Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (33 words)
 ENGLISH_STOPWORDS = frozenset(
@@ -121,6 +122,8 @@ def tokenize(text: str, config: AnalyzerConfig = AnalyzerConfig()) -> list[str]:
     out: list[str] = []
     stops = _stop_tuple(config.remove_stopwords)
     lower = config.lowercase
+    poss, stemmer = config.strip_possessive, config.stemmer
+    filt = poss or stemmer != "none"
     for tok in raw:
         if lower:
             tok = tok.lower()
@@ -129,8 +132,16 @@ def tokenize(text: str, config: AnalyzerConfig = AnalyzerConfig()) -> list[str]:
             for i in range(0, len(tok), mtl):
                 piece = tok[i : i + mtl]
                 if piece not in stops:
+                    if filt:
+                        piece = apply_token_filters(piece, poss, stemmer)
+                        if not piece:
+                            continue
                     out.append(piece)
         elif tok not in stops:
+            if filt:
+                tok = apply_token_filters(tok, poss, stemmer)
+                if not tok:
+                    continue
             out.append(tok)
     return out
 
@@ -191,6 +202,24 @@ def analyze_column(
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if config.strip_possessive or config.stemmer != "none":
+        # run the base analysis without the token filters (stopwords are
+        # judged on unstemmed tokens — Lucene chain order), then apply
+        # the filters VECTORIZED over the flat token array: one
+        # ends_with/replace_slice kernel chain per rule, both for the
+        # fast path and the stitched slow path.
+        from dataclasses import replace as _dc_replace
+
+        from .stem import apply_token_filters_flat
+
+        base = _dc_replace(config, strip_possessive=False, stemmer="none")
+        lists = analyze_column(col, base)
+        flat = apply_token_filters_flat(
+            lists.flatten(), config.strip_possessive, config.stemmer
+        )
+        return _strip_empty_tokens(
+            pa.ListArray.from_arrays(lists.offsets, flat)
+        )
     fast_eligible = (
         config.lowercase
         and not config.remove_stopwords

@@ -26,6 +26,21 @@ class AnalyzerConfig:
     # (FixedTokenLengthChunker.java:56-64): standard | whitespace | letter |
     # lowercase | uax_url_email | classic | thai
     tokenizer: str = "standard"
+    # post-stop token filters (Lucene analysis-chain order: stopwords are
+    # judged on the UNstemmed token, then filters apply):
+    # EnglishPossessiveFilter ("john's" -> "john")
+    strip_possessive: bool = False
+    # "none" | "minimal_english" (Lucene EnglishMinimalStemmer — Harman
+    # S-stemmer; see analysis/stem.py for the exact rule table)
+    stemmer: str = "none"
+
+    def __post_init__(self) -> None:
+        from .analysis.stem import STEMMERS
+
+        if self.stemmer not in STEMMERS:
+            raise ValueError(
+                f"unknown stemmer {self.stemmer!r}; options: {STEMMERS}"
+            )
 
 
 @dataclass(frozen=True)

@@ -372,6 +372,48 @@ def _span_scored_sql() -> str:
   WHERE p.tf > 0"""
 
 
+def _span_multi_scored_sql() -> str:
+    """span_multi oracle mirroring engine search_span_multi for
+    (term, prefix) legs: tf = start positions i (term leg) with ANY
+    token matching the prefix at some j in (i, i+1+slop]; idf_sum =
+    idf(df_term) + idf(df_union) where df_union = distinct docs holding
+    any prefix expansion (the SpanOr leg's blended df)."""
+    branches = []
+    idf_branches = []
+    for qid, t0, pfx, slop in SPAN_MULTI_QUERY_SET:
+        inner = (
+            f"len(list_filter(range(i + 1, least(i + {slop + 2}, len(toks) + 1)), "
+            f"j -> toks[j] LIKE '{pfx}%')) > 0"
+        )
+        branches.append(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"len(list_filter(range(1, len(toks) + 1), "
+            f"i -> toks[i] = '{t0}' AND {inner}))::BIGINT AS tf FROM w"
+        )
+        idf_branches.append(
+            f"""SELECT {qid} AS query_id,
+    ln(1.0 + (s.n_docs - d0.df + 0.5)/(d0.df + 0.5))
+    + ln(1.0 + (s.n_docs - du.df + 0.5)/(du.df + 0.5)) AS idf_sum
+  FROM ({SQL_STATS}) s,
+       (SELECT df FROM ({SQL_DF}) WHERE term = '{t0}') d0,
+       (SELECT count(DISTINCT doc_id)::BIGINT AS df FROM ({SQL_TOK})
+        WHERE term LIKE '{pfx}%') du"""
+        )
+    ptf = " UNION ALL ".join(branches)
+    idf_sql = " UNION ALL ".join(idf_branches)
+    return f"""
+  WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents)
+  SELECT p.query_id::BIGINT AS query_id, p.doc_id,
+         i.idf_sum * p.tf / (p.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) AS score
+  FROM ({ptf}) p
+  JOIN ({idf_sql}) i ON i.query_id = p.query_id
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = p.doc_id
+  CROSS JOIN ({SQL_STATS}) s
+  WHERE p.tf > 0"""
+
+
 def _span_unordered_scored_sql() -> str:
     """Unordered 2-term span oracle mirroring engine
     search_span_near(in_order=False): tf = distinct positions i of
@@ -1253,6 +1295,79 @@ def q_bm25_topk_reindexed(sf_dir: str) -> pa.Table:
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
+# --- stemming analysis chain (minimal_english) ------------------------------
+
+_STEM_CFG_KW = dict(stemmer="minimal_english")
+_STEM_CACHE: dict[str, str] = {}
+
+
+def _pluralize_even_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic plural-rich fixture: every even-length token of the
+    space-separated corpus gains a trailing 's' ("data" -> "datas",
+    "query" unchanged). The synthetic vocabulary has no natural plurals,
+    so this transform — applied identically in SQL — is what makes the
+    stemmer entry non-vacuous: queries only match the pluralized corpus
+    THROUGH the minimal_english stemmer."""
+    from ..analysis.analyzer import _strip_empty_tokens
+
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = _strip_empty_tokens(pc.split_pattern(pc.utf8_lower(col), " "))
+    flat = lists.flatten()
+    even = pc.equal(pc.bit_wise_and(pc.utf8_length(flat), 1), 0)
+    flat = pc.if_else(
+        even, pc.binary_join_element_wise(flat, "s", ""), flat
+    )
+    text = pc.binary_join(
+        pa.ListArray.from_arrays(lists.offsets, flat), " "
+    )
+    return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+
+def _stemmed_index_dir(sf_dir: str) -> str:
+    """Index over the pluralized corpus with the minimal_english stemmer
+    in the analysis chain (analysis/stem.py = Lucene
+    EnglishMinimalStemmer; the reference consumes Lucene token filters
+    through the same AnalysisRegistry seam as the standard analyzer)."""
+    from ..config import AnalyzerConfig
+
+    if sf_dir in _STEM_CACHE:
+        return _STEM_CACHE[sf_dir]
+    d = get_index_dir(sf_dir) + "-stem"
+    build_index(
+        _docs_ds(sf_dir).map_batches(
+            _pluralize_even_batch, batch_format="pyarrow"
+        ),
+        d,
+        IndexConfig(
+            num_shards=2,
+            num_salts=2,
+            analyzer=AnalyzerConfig(**_STEM_CFG_KW),
+        ),
+    )
+    _STEM_CACHE[sf_dir] = d
+    return d
+
+
+def q_stemmed_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-k through the stemming analysis chain: the corpus was
+    deterministically pluralized, the index analyzer stems it back, and
+    the query terms pass through the SAME stemmer — scores match a full
+    SQL recomputation that applies the identical pluralize + stem CASE
+    chain to every token."""
+    from ..config import AnalyzerConfig
+
+    cfg = AnalyzerConfig(**_STEM_CFG_KW)
+    searcher = IndexSearcher(_stemmed_index_dir(sf_dir))
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext, cfg), k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
 # --- positional queries (phrase) and term-dictionary expansion -------------
 
 # exact-adjacency phrases over the documents corpus: bigrams with healthy
@@ -1331,6 +1446,18 @@ QS_QUERY_SET: list[tuple[int, str]] = [
 
 # (query_id, term0, term1, slop) — in-order span-near pairs; slop=0
 # degenerates to exact phrase (cross-checked in tests)
+# span_multi: (term leg, PREFIX leg, slop) — the prefix leg expands to
+# a SpanOr union of dictionary terms; prefixes chosen to expand to >1
+# vocabulary term so the union path (not single-term luck) is exercised
+SPAN_MULTI_QUERY_SET: list[tuple[int, str, str, int]] = [
+    (0, "data", "qu", 1),
+    (1, "fast", "jo", 1),
+    (2, "merge", "so", 2),
+    (3, "slow", "gr", 1),
+    (4, "table", "sc", 0),
+    (5, "big", "w0", 2),
+]
+
 SPAN_QUERY_SET: list[tuple[int, str, str, int]] = [
     (0, "data", "query", 1),
     (1, "merge", "sort", 2),
@@ -1538,6 +1665,22 @@ def q_span_near_topk(sf_dir: str) -> pa.Table:
     for qid, t0, t1, slop in SPAN_QUERY_SET:
         docs, scores = searcher.search_span_near(
             [t0, t1], k=BM25_K * 3, slop=slop
+        )
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+def q_span_multi_topk(sf_dir: str) -> pa.Table:
+    """span_multi (engine search_span_multi — Lucene SpanNearQuery over
+    a SpanTermQuery + SpanMultiTermQueryWrapper(PrefixQuery) leg): the
+    prefix leg's position stream is the dictionary-expansion union; idf
+    of that leg uses the distinct-doc union df."""
+    searcher = get_pos_searcher(sf_dir)
+    rows = []
+    for qid, t0, pfx, slop in SPAN_MULTI_QUERY_SET:
+        docs, scores = searcher.search_span_multi(
+            [("term", t0), ("prefix", pfx)], k=BM25_K * 3, slop=slop
         )
         rows.append((qid, docs, scores))
     out = _hits_table(rows)
@@ -2707,6 +2850,54 @@ def q_search_as_you_type(sf_dir: str) -> pa.Table:
     rows = []
     for qid, qtext in SAYT_QUERY_SET:
         docs, scores = search_as_you_type(searchers, qtext, k=BM25_K * 3)
+        rows.append((qid, docs, scores))
+    out = _hits_table(rows)
+    return out.filter(pc.less_equal(out["rank"], BM25_K))
+
+
+# edge_ngram autocomplete: partial single tokens, 2..4 chars (the gram
+# width band), matched as exact TERMS against the gram index
+_EDGE_PREFIXES: list[tuple[int, str]] = [
+    (0, "da"),
+    (1, "sca"),
+    (2, "quer"),
+    (3, "wi"),
+    (4, "mer"),
+    (5, "jo"),
+]
+_EDGE_GRAMS = (2, 4)
+_EDGE_CACHE: dict[str, str] = {}
+
+
+def _edge_index_dir(sf_dir: str) -> str:
+    """Gram index built once per sf_dir by the edge n-gram stage
+    (stages/shingles.py make_edge_ngram_stage) — the index side of the
+    autocomplete mapping; build_index resume makes it idempotent."""
+    from ..stages.shingles import make_edge_ngram_stage
+
+    if sf_dir in _EDGE_CACHE:
+        return _EDGE_CACHE[sf_dir]
+    d = get_index_dir(sf_dir) + "-edge"
+    build_index(
+        _docs_ds(sf_dir).map_batches(
+            make_edge_ngram_stage(*_EDGE_GRAMS), batch_format="pyarrow"
+        ),
+        d,
+        IndexConfig(num_shards=2, num_salts=2),
+    )
+    _EDGE_CACHE[sf_dir] = d
+    return d
+
+
+def q_edge_ngram_topk(sf_dir: str) -> pa.Table:
+    """Autocomplete via index-time edge n-grams: each partial-word query
+    is ONE exact term lookup on the gram index (no dictionary range
+    scan — the scale contrast with prefix_topk), BM25-scored with the
+    gram corpus' own stats chain."""
+    searcher = IndexSearcher(_edge_index_dir(sf_dir))
+    rows = []
+    for qid, pfx in _EDGE_PREFIXES:
+        docs, scores = searcher.search_bm25([pfx], k=BM25_K * 3)
         rows.append((qid, docs, scores))
     out = _hits_table(rows)
     return out.filter(pc.less_equal(out["rank"], BM25_K))
@@ -7626,6 +7817,51 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
         ),
         BM25_K,
     )
+    # stemmed analysis chain: pluralize even-length tokens (the fixture
+    # transform), stem with the EXACT minimal_english CASE chain
+    # (analysis/stem.py stem_sql_expr), full stats over the stemmed
+    # stream; query terms pre-stemmed with the engine's own filter
+    from ..analysis.stem import stem_sql_expr as _stem_sql
+    from ..config import AnalyzerConfig as _ACfg
+
+    _stem_cfg = _ACfg(**_STEM_CFG_KW)
+    _stem_src = (
+        "(SELECT doc_id, array_to_string(list_transform(list_transform("
+        "list_filter(string_split(lower(text), ' '), x -> x <> ''), "
+        "x -> CASE WHEN length(x) % 2 = 0 THEN x || 's' ELSE x END), "
+        f"x -> {_stem_sql('x')}), ' ') AS text FROM documents)"
+    )
+    _stem_qrows = []
+    for _qid, _qtext in QUERY_SET:
+        for _t in sorted(set(tokenize(_qtext, _stem_cfg))):
+            _stem_qrows.append(f"({_qid}, '{_t}')")
+    sqls["stemmed_topk"] = _topk_sql(
+        _bm25_scored_sql_src(
+            _stem_src,
+            "SELECT * FROM (VALUES "
+            + ", ".join(_stem_qrows)
+            + ") AS q(query_id, term)",
+        ),
+        BM25_K,
+    )
+    # edge_ngram autocomplete: gram corpus (prefix expansion of every
+    # token, widths 2..4) + the partial words as plain term queries
+    _edge_src = (
+        "(SELECT doc_id, array_to_string(flatten(list_transform("
+        "list_filter(string_split(lower(text), ' '), x -> x <> ''), "
+        f"x -> list_transform(range({_EDGE_GRAMS[0]}, "
+        f"least(length(x), {_EDGE_GRAMS[1]}) + 1), "
+        "i -> substr(x, 1, i::INT)))), ' ') AS text FROM documents)"
+    )
+    sqls["edge_ngram_topk"] = _topk_sql(
+        _bm25_scored_sql_src(
+            _edge_src,
+            "SELECT * FROM (VALUES "
+            + ", ".join(f"({q}, '{p}')" for q, p in _EDGE_PREFIXES)
+            + ") AS q(query_id, term)",
+        ),
+        BM25_K,
+    )
     # positional phrase query + term-dictionary expansion queries
     sqls["phrase_topk"] = _topk_sql(_phrase_scored_sql(), BM25_K)
     sqls["prefix_topk"] = _multiterm_const_sql(
@@ -7670,6 +7906,7 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
     sqls["bool_topk_distributed"] = sqls["bool_topk"]
     # in-order span-near over positional postings
     sqls["span_near_topk"] = _topk_sql(_span_scored_sql(), BM25_K)
+    sqls["span_multi_topk"] = _topk_sql(_span_multi_scored_sql(), BM25_K)
     # unordered 2-term span (min-position window convention)
     sqls["span_unordered_topk"] = _topk_sql(
         _span_unordered_scored_sql(), BM25_K
@@ -10642,6 +10879,9 @@ def build_queries() -> dict:
         "pit_page2": q_pit_page2,
         "bm25_topk_reindexed": q_bm25_topk_reindexed,
         "search_as_you_type": q_search_as_you_type,
+        "stemmed_topk": q_stemmed_topk,
+        "edge_ngram_topk": q_edge_ngram_topk,
+        "span_multi_topk": q_span_multi_topk,
         "source_mix_sample": q_source_mix_sample,
         "agg_top_metrics": q_agg_top_metrics,
         "events_date_histogram_dense": q_events_date_histogram_dense,

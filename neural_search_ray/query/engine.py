@@ -2677,6 +2677,99 @@ class IndexSearcher:
         scores = idf_sum * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
         return topk_desc(docs_u, scores, k)
 
+    def search_span_multi(
+        self,
+        legs: list[tuple[str, str]],
+        k: int = 10,
+        *,
+        slop: int = 0,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """In-order span-near whose legs may be multi-term expansions —
+        Lucene SpanNearQuery over SpanTermQuery /
+        SpanMultiTermQueryWrapper(PrefixQuery) legs (the wrapper's
+        SPAN_REWRITE expands the prefix into a SpanOrQuery of dictionary
+        terms).
+
+        ``legs``: [("term", t) | ("prefix", p), ...]. Per leg the
+        position stream is the UNION of the positions of every matching
+        dictionary term (prefix expansion via the sorted-dictionary
+        binary search, never a scan); matching and tf are EXACTLY
+        search_span_near's greedy in-order chain over the merged
+        streams. Scoring (pinned by the SQL oracle, same weight-1 span
+        convention): idf_sum = Σ per-leg idf where a multi-term leg's
+        df is the number of DISTINCT docs containing ANY expansion —
+        the blended idf of the expanded SpanOr leg."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not legs:
+            return empty
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        n = len(legs)
+        leg_keys: list[np.ndarray] = []
+        leg_dfs: list[int] = []
+        max_pos = 0
+        leg_parts: list[list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = []
+        for kind, val in legs:
+            if kind == "term":
+                terms = [val]
+            elif kind == "prefix":
+                terms = self.expand_prefix(val)
+            else:
+                raise ValueError(f"unknown span leg kind {kind!r}")
+            parts = []
+            for t in terms:
+                p = self.postings_positions(t)
+                if p[0].size:
+                    parts.append((p[0], p[1], p[2]))
+            if not parts:
+                return empty
+            leg_parts.append(parts)
+            leg_dfs.append(
+                int(
+                    np.unique(np.concatenate([pp[0] for pp in parts])).size
+                    if len(parts) > 1
+                    else parts[0][0].size
+                )
+            )
+            max_pos = max(
+                max_pos,
+                max(int(pp[2].max()) if pp[2].size else 0 for pp in parts),
+            )
+        shift = np.int64(max_pos + n + slop + 2)
+        for parts in leg_parts:
+            keys = np.concatenate(
+                [np.repeat(pp[0], pp[1]) * shift + pp[2] for pp in parts]
+            )
+            if len(parts) > 1:
+                keys.sort()
+            leg_keys.append(keys)
+        idf_sum = float(
+            bm25_idf(
+                np.maximum(np.asarray(leg_dfs, dtype=np.float64), 1e-9),
+                self.n_docs,
+            ).sum()
+        )
+        start = leg_keys[0]
+        cur = start
+        for i in range(1, n):
+            pos = np.searchsorted(leg_keys[i], cur, side="right")
+            ok = pos < leg_keys[i].size
+            nxt = leg_keys[i][np.minimum(pos, leg_keys[i].size - 1)]
+            ok &= (nxt // shift) == (cur // shift)
+            start, cur = start[ok], nxt[ok]
+            if start.size == 0:
+                return empty
+        width_ok = (cur - start) <= (n - 1 + slop)
+        start = start[width_ok]
+        if start.size == 0:
+            return empty
+        docs_u, freq = np.unique(start // shift, return_counts=True)
+        dl = self.doc_length(docs_u)
+        k1, b = self.bm25.k1, self.bm25.b
+        f = freq.astype(np.float64)
+        scores = idf_sum * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
+        return topk_desc(docs_u, scores, k)
+
     def search_query_string(
         self, qs: str, k: int = 10
     ) -> tuple[np.ndarray, np.ndarray]:

@@ -75,3 +75,78 @@ def make_shingle_stage(
         return pa.table({id_col: batch[id_col], text_col: shingled})
 
     return stage
+
+
+def edge_ngrams(tok: str, min_gram: int = 2, max_gram: int = 4) -> list[str]:
+    """Reference form of the edge n-gram expansion of one token (Lucene
+    EdgeNGramTokenFilter, preserve_original=false): prefixes of length
+    min_gram..min(len, max_gram); tokens shorter than min_gram emit
+    nothing."""
+    return [tok[:g] for g in range(min_gram, min(len(tok), max_gram) + 1)]
+
+
+def make_edge_ngram_stage(
+    min_gram: int = 2,
+    max_gram: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    config: AnalyzerConfig = AnalyzerConfig(),
+):
+    """map_batches stage: (id, text) → (id, edge-gram text) — the
+    index side of the classic autocomplete mapping (index analyzer =
+    edge_ngram filter, search analyzer = standard), so a partial-word
+    query becomes an exact TERM lookup against the gram index instead
+    of a dictionary range scan.
+
+    Vectorized: one analyze_column pass, then ONE utf8_slice_codeunits
+    kernel per gram width (scalar stop — the per-token variable bound is
+    handled by masking tokens shorter than the width), stitched back
+    per row with a numpy gather. Gram order within a row is by width
+    then token position; BM25 is bag-of-words so the stream order never
+    affects scores.
+    """
+    if not (1 <= min_gram <= max_gram):
+        raise ValueError(
+            f"need 1 <= min_gram <= max_gram, got ({min_gram}, {max_gram})"
+        )
+
+    def stage(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lst = analyze_column(col, config)
+        tok_lens = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(lst)
+        chars = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of_tok = np.repeat(np.arange(tok_lens.size), tok_lens)
+        seg_vals: list[pa.Array] = []
+        seg_docs: list[np.ndarray] = []
+        for g in range(min_gram, max_gram + 1):
+            keep = np.flatnonzero(chars >= g)
+            if keep.size == 0:
+                continue
+            sel = pa.array(keep)
+            seg_vals.append(pc.utf8_slice_codeunits(flat.take(sel), 0, g))
+            seg_docs.append(doc_of_tok[keep])
+        if not seg_vals:
+            out: pa.Array = pa.array([""] * len(batch), pa.string())
+        else:
+            all_vals = pa.concat_arrays(
+                [v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+                 for v in seg_vals]
+            )
+            all_docs = np.concatenate(seg_docs)
+            order = np.argsort(all_docs, kind="stable")
+            counts = np.bincount(all_docs, minlength=len(batch))
+            new_offs = pa.array(
+                np.concatenate([[0], np.cumsum(counts)]), pa.int64()
+            )
+            out = pc.binary_join(
+                pa.ListArray.from_arrays(
+                    new_offs, all_vals.take(pa.array(order))
+                ),
+                " ",
+            )
+        return pa.table({id_col: batch[id_col], text_col: out})
+
+    return stage

@@ -221,3 +221,107 @@ class TestThaiSegmentation:
 
         assert len(set(_STARTER_LEXICON)) > 600
         assert all(_THAI_RUN_RE.match(w) for w in _STARTER_LEXICON)
+
+
+class TestEnglishTokenFilters:
+    """analysis/stem.py — Lucene EnglishPossessiveFilter +
+    EnglishMinimalStemmer (Harman S-stemmer) parity, python and
+    vectorized forms."""
+
+    # Lucene-pinned goldens (EnglishMinimalStemmer rule table)
+    GOLDEN = [
+        ("cats", "cat"), ("ponies", "pony"), ("queries", "query"),
+        ("ties", "ty"), ("caresses", "caresse"), ("caress", "caress"),
+        ("focus", "focus"), ("gas", "ga"), ("goes", "goes"),
+        ("sees", "sees"), ("trees", "trees"), ("toes", "toes"),
+        ("abyss", "abyss"), ("is", "is"), ("s", "s"), ("", ""),
+        ("ies", "ies"), ("aies", "aies"), ("eies", "eies"),
+        ("dies", "dy"), ("w00015s", "w00015"), ("datas", "data"),
+    ]
+
+    def test_minimal_english_goldens(self):
+        from neural_search_ray.analysis.stem import stem_minimal_english_token
+
+        for w, want in self.GOLDEN:
+            assert stem_minimal_english_token(w) == want, w
+
+    def test_possessive_goldens(self):
+        from neural_search_ray.analysis.stem import strip_possessive_token
+
+        for w, want in [
+            ("john's", "john"), ("james’s", "james"), ("'s", ""),
+            ("s", "s"), ("cats", "cats"), ("o'briens", "o'briens"),
+        ]:
+            assert strip_possessive_token(w) == want, w
+
+    def test_vectorized_equals_python(self):
+        import pyarrow as pa
+
+        from neural_search_ray.analysis.stem import (
+            apply_token_filters, apply_token_filters_flat,
+        )
+
+        words = [w for w, _ in self.GOLDEN] + [
+            "john's", "james’s", "'s", "us", "ss", "class", "bus",
+            "windows", "tables", "files", "alias", "axes", "boxes",
+        ]
+        got = apply_token_filters_flat(
+            pa.array(words, type=pa.string()), True, "minimal_english"
+        ).to_pylist()
+        want = [apply_token_filters(w, True, "minimal_english") for w in words]
+        assert got == want
+
+    def test_analyzer_chain_order_and_config(self):
+        """Stopwords judged on the UNstemmed token; empty tokens dropped;
+        unknown stemmer refused; old manifests (no stemmer key) load."""
+        import pytest as _pytest
+
+        from neural_search_ray.config import AnalyzerConfig
+
+        cfg = AnalyzerConfig(stemmer="minimal_english", strip_possessive=True)
+        # "as" is a stopword only when remove_stopwords; unstemmed "its"
+        # is NOT in the stop set -> stemmed to "it" (which IS a stopword
+        # — proves stop ran before stem)
+        cfg_stop = AnalyzerConfig(
+            stemmer="minimal_english", remove_stopwords=True
+        )
+        assert tokenize("its cats", cfg_stop) == ["it", "cat"]
+        assert tokenize("john's ponies", cfg) == ["john", "pony"]
+        with _pytest.raises(ValueError, match="stemmer"):
+            AnalyzerConfig(stemmer="porter")
+        assert AnalyzerConfig(**{"lowercase": True}).stemmer == "none"
+
+    def test_analyze_column_stemmed_matches_tokenize(self):
+        import pyarrow as pa
+
+        from neural_search_ray.analysis.analyzer import analyze_column
+        from neural_search_ray.config import AnalyzerConfig
+
+        cfg = AnalyzerConfig(stemmer="minimal_english", strip_possessive=True)
+        texts = [
+            "Data Queries fast joins", "", None, "john's 's s",
+            "simple ascii rows stay fast", "Ünïcode Pönies don't",
+            "x" * 300 + "s",
+        ]
+        col = pa.array(texts, type=pa.string())
+        got = analyze_column(col, cfg).to_pylist()
+        from neural_search_ray.analysis.analyzer import tokenize
+
+        assert got == [tokenize(t or "", cfg) for t in texts]
+
+    def test_stem_sql_expr_matches_python(self):
+        import duckdb
+
+        from neural_search_ray.analysis.stem import (
+            stem_minimal_english_token, stem_sql_expr,
+        )
+
+        words = [w for w, _ in self.GOLDEN if w] + [
+            "windows", "tables", "alias", "axes", "bliss", "genus",
+            "studies", "dazes", "shoes", "knees",
+        ]
+        con = duckdb.connect()
+        got = con.execute(
+            f"SELECT list_transform($1, x -> {stem_sql_expr('x')})", [words]
+        ).fetchone()[0]
+        assert got == [stem_minimal_english_token(w) for w in words]

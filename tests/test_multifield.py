@@ -445,3 +445,59 @@ class TestSearchAsYouType:
         searchers, _ = sayt
         d, s = search_as_you_type(searchers, "", k=10)
         assert d.size == 0 and s.size == 0
+
+
+class TestEdgeNgram:
+    """stages/shingles.py make_edge_ngram_stage — the index side of the
+    autocomplete mapping (edge_ngram index analyzer, standard search)."""
+
+    def test_stage_matches_python(self, ray_session):
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.stages.shingles import (
+            edge_ngrams, make_edge_ngram_stage,
+        )
+
+        texts = ["Data Query x fast", "", "a", "verylongtoken ok", None]
+        batch = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+        out = make_edge_ngram_stage(2, 4)(batch)["text"].to_pylist()
+        for got, t in zip(out, texts):
+            toks = tokenize(t or "")
+            want = [g for tok in toks for g in edge_ngrams(tok, 2, 4)]
+            # stage orders grams width-major; compare as multisets AND
+            # assert the per-row token membership is identical
+            assert sorted(got.split(" ") if got else []) == sorted(want)
+
+    def test_gram_width_validation(self):
+        from neural_search_ray.stages.shingles import make_edge_ngram_stage
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="min_gram"):
+            make_edge_ngram_stage(3, 2)
+        with _pytest.raises(ValueError, match="min_gram"):
+            make_edge_ngram_stage(0, 2)
+
+    def test_edge_index_autocomplete(self, tmp_path_factory, ray_session):
+        """A partial word is ONE term lookup on the gram index; the hit
+        set equals the brute-force prefix scan over the raw corpus."""
+        from neural_search_ray.corpus.generator import generate_pages
+        from neural_search_ray.stages.shingles import make_edge_ngram_stage
+
+        ds = generate_pages(300, seed=11)
+        d = str(tmp_path_factory.mktemp("edge"))
+        build_index(
+            ds.map_batches(make_edge_ngram_stage(2, 4), batch_format="pyarrow"),
+            d, IndexConfig(num_shards=2, num_salts=2),
+        )
+        s = IndexSearcher(d)
+        t = _gen_batch(pa.table({"id": list(range(300))}), 11)
+        docs = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        for pfx in ("da", "quer", "xy"):
+            got, _ = s.search_bm25([pfx], k=10**6)
+            want = {
+                did for did, text in docs.items()
+                if any(w.startswith(pfx) for w in text.lower().split())
+            }
+            assert set(got.tolist()) == want, pfx

@@ -611,3 +611,98 @@ class TestTermsEnum:
                 assert dt == st and dd.tolist() == sd_.tolist(), prefix
         finally:
             d.shutdown()
+
+
+class TestSpanMulti:
+    """engine search_span_multi — SpanNear over term +
+    SpanMultiTermQueryWrapper(prefix) legs."""
+
+    def _ref(self, corpus, t0, pfx, slop):
+        """Greedy in-order reference over raw token lists + blended idf."""
+        import math
+
+        tf = {}
+        df0 = dfu = 0
+        n_docs = len(corpus)
+        dls = {}
+        for did, toks in corpus.items():
+            dls[did] = len(toks)
+            if t0 in toks:
+                df0 += 1
+            if any(w.startswith(pfx) for w in toks):
+                dfu += 1
+            cnt = 0
+            for i, w in enumerate(toks):
+                if w != t0:
+                    continue
+                if any(
+                    toks[j].startswith(pfx)
+                    for j in range(i + 1, min(i + slop + 2, len(toks)))
+                ):
+                    cnt += 1
+            if cnt:
+                tf[did] = cnt
+        if not df0 or not dfu:
+            return {}
+        idf = sum(
+            math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for d in (df0, dfu)
+        )
+        avgdl = sum(dls.values()) / n_docs
+        out = {}
+        for did, f in tf.items():
+            out[did] = idf * f / (f + 1.2 * (1 - 0.75 + 0.75 * dls[did] / avgdl))
+        return out
+
+    @pytest.mark.parametrize(
+        "t0,pfx,slop",
+        [("data", "qu", 1), ("table", "sc", 0), ("big", "w0", 2)],
+    )
+    def test_matches_reference(self, pos_index, corpus, t0, pfx, slop):
+        s = IndexSearcher(pos_index)
+        docs, scores = s.search_span_multi(
+            [("term", t0), ("prefix", pfx)], k=10**6, slop=slop
+        )
+        want = self._ref(corpus, t0, pfx, slop)
+        assert dict(zip(docs.tolist(), np.round(scores, 9))) == {
+            d: float(np.round(v, 9)) for d, v in want.items()
+        }
+
+    def test_empty_and_validation(self, pos_index):
+        s = IndexSearcher(pos_index)
+        d, v = s.search_span_multi([("term", "zzznope"), ("prefix", "qu")], k=5)
+        assert d.size == 0
+        d, v = s.search_span_multi([("prefix", "zzznope")], k=5)
+        assert d.size == 0
+        assert s.search_span_multi([], k=5)[0].size == 0
+        with pytest.raises(ValueError, match="slop"):
+            s.search_span_multi([("term", "data")], slop=-1)
+        with pytest.raises(ValueError, match="kind"):
+            s.search_span_multi([("wildcard", "d*")], k=5)
+
+    def test_three_leg_chain_hits_contain_pattern(self, pos_index, corpus):
+        """A 3-leg chain (term, prefix, term): every hit really holds an
+        in-order window data < qu* < scan of width <= 2 + slop."""
+        slop = 3
+        s = IndexSearcher(pos_index)
+        docs, _ = s.search_span_multi(
+            [("term", "data"), ("prefix", "qu"), ("term", "scan")],
+            k=10**6, slop=slop,
+        )
+
+        def has_chain(toks):
+            for i, w in enumerate(toks):
+                if w != "data":
+                    continue
+                for j in range(i + 1, len(toks)):
+                    if toks[j].startswith("qu"):
+                        for m in range(j + 1, len(toks)):
+                            if toks[m] == "scan" and m - i <= 2 + slop:
+                                return True
+                            if m - i > 2 + slop:
+                                break
+                    if j - i > 1 + slop:
+                        break
+            return False
+
+        want = {d for d, toks in corpus.items() if has_chain(toks)}
+        assert set(docs.tolist()) == want
