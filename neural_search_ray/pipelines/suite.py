@@ -2903,6 +2903,66 @@ def q_edge_ngram_topk(sf_dir: str) -> pa.Table:
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
+# context-filtered completion: (prefix, category context) pairs
+_CTX_COMPLETIONS: list[tuple[int, str, str]] = [
+    (0, "s", "en"),   # scan/slow/small/sort/spark/stream... — ranking work
+    (1, "c", "en"),   # column/customer/...
+    (2, "qu", "de"),
+    (3, "m", "fr"),
+    (4, "gr", "zh"),
+    (5, "w0", "es"),  # long-tail w-words within one context
+]
+_CTX_SIZE = 5
+_CTX_CACHE: dict[str, str] = {}
+
+
+def _ctx_suggester_dir(sf_dir: str) -> str:
+    """(context, term, df) sidecar built once per sf_dir
+    (index/contexts.py — the ES completion-contexts mapping analogue);
+    idempotent via the existing-sidecar skip."""
+    from ..index.contexts import build_completion_contexts
+
+    if sf_dir in _CTX_CACHE:
+        return _CTX_CACHE[sf_dir]
+    d = get_index_dir(sf_dir) + "-ctx"
+    build_completion_contexts(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+        ),
+        d,
+    )
+    _CTX_CACHE[sf_dir] = d
+    return d
+
+
+def q_suggest_completion_ctx(sf_dir: str) -> pa.Table:
+    """Completion suggester with a category context (ES completion
+    contexts mapping): per (prefix, lang), dictionary terms under the
+    prefix weighted by their WITHIN-CONTEXT df, ordered (weight desc,
+    term asc) — served from the index-time (context, term, df) sidecar,
+    never a postings post-filter."""
+    from ..index.contexts import ContextSuggester
+
+    sug = ContextSuggester(_ctx_suggester_dir(sf_dir))
+    qid_out, rank_out, term_out, w_out = [], [], [], []
+    for qid, pfx, ctx in _CTX_COMPLETIONS:
+        terms, weights = sug.suggest(pfx, ctx, size=_CTX_SIZE)
+        for r, (t, w) in enumerate(zip(terms, weights), start=1):
+            qid_out.append(qid)
+            rank_out.append(r)
+            term_out.append(t)
+            w_out.append(int(w))
+    return pa.table(
+        {
+            "query_id": pa.array(qid_out, pa.int64()),
+            "rank": pa.array(rank_out, pa.int64()),
+            "term": pa.array(term_out, pa.string()),
+            "weight": pa.array(w_out, pa.int64()),
+        }
+    )
+
+
 _COMPLETION_PREFIXES: list[tuple[int, str]] = [
     (0, "da"),
     (1, "se"),
@@ -3947,6 +4007,44 @@ def q_events_rollup_day(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return daily.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_bucket_correlation(sf_dir: str) -> pa.Table:
+    """bucket_correlation pipeline agg (OpenSearch's count_correlation
+    function shape): per event_type, the Pearson correlation between
+    its hourly doc-count series and the ALL-types total series over the
+    SAME bucket universe (missing buckets gap-filled with 0 — the
+    equal-length-series requirement). Runs on the already-aggregated
+    histogram table — one row per (type, bucket), bounded by bucket
+    count, never event count; sums are exact int64 so the single float
+    division is deterministic (rounded to 6 like every float contract
+    here)."""
+    tbl = pa.Table.from_pylist(q_events_date_histogram(sf_dir).take_all())
+    et = tbl["event_type"].to_numpy(zero_copy_only=False)
+    bu = tbl["bucket_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = tbl["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    buckets, binv = np.unique(bu, return_inverse=True)
+    types, tinv = np.unique(et, return_inverse=True)
+    mat = np.zeros((types.size, buckets.size), np.int64)
+    mat[tinv, binv] = c
+    tot = mat.sum(axis=0)
+    n = buckets.size
+    x = mat.astype(np.float64)
+    y = tot.astype(np.float64)
+    sx, sy = x.sum(axis=1), y.sum()
+    num = n * (x * y).sum(axis=1) - sx * sy
+    den = np.sqrt(
+        (n * (x * x).sum(axis=1) - sx**2) * (n * (y * y).sum() - sy**2)
+    )
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r = num / den
+    return pa.table(
+        {
+            "event_type": pa.array(types.tolist(), pa.string()),
+            "r": pa.array(round_half_up(r, 6), pa.float64()),
+            "n_buckets": pa.array([n] * types.size, pa.int64()),
+        }
+    )
 
 
 def q_events_sibling_stats(sf_dir: str) -> "ray.data.Dataset":
@@ -8245,6 +8343,27 @@ SELECT event_type, rank, bucket_us, cnt, sum_value FROM (
         "bucket_us, count(*)::BIGINT AS cnt FROM events "
         "GROUP BY event_type, bucket_us"
     )
+    # bucket_correlation: per type, corr(hourly counts, all-types totals)
+    # over the union bucket universe, gaps filled 0 (sample-vs-population
+    # scaling cancels inside Pearson, so corr() matches the engine's
+    # n-weighted sum formula exactly up to the round-6 float contract)
+    sqls["events_bucket_correlation"] = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+u AS (SELECT DISTINCT b FROM h),
+tot AS (SELECT b, sum(c)::BIGINT AS t FROM h GROUP BY b),
+grid AS (
+  SELECT et.event_type, u.b
+  FROM (SELECT DISTINCT event_type FROM h) et CROSS JOIN u),
+filled AS (
+  SELECT g.event_type, coalesce(h.c, 0)::BIGINT AS c, tot.t
+  FROM grid g
+  LEFT JOIN h ON h.event_type = g.event_type AND h.b = g.b
+  JOIN tot ON tot.b = g.b)
+SELECT event_type, round(corr(c, t), 6) AS r,
+       count(*)::BIGINT AS n_buckets
+FROM filled GROUP BY event_type"""
     sqls["events_sibling_stats"] = f"""
 WITH h AS ({_hist_cnt_sql}),
  s AS (SELECT event_type, count(*)::BIGINT AS n_buckets,
@@ -8706,6 +8825,22 @@ SELECT query_id, rank, term, weight FROM (
        q(query_id, pfx)
   JOIN ({SQL_DF}) d ON d.term LIKE q.pfx || '%'
 ) WHERE rank <= {_COMPLETION_SIZE}"""
+    # context completion: within-context df (distinct docs in lang
+    # containing the term), ordered weight desc then term asc
+    sqls["suggest_completion_ctx"] = f"""
+SELECT query_id, rank, term, weight FROM (
+  SELECT q.query_id::BIGINT AS query_id, d.term,
+         d.df::BIGINT AS weight,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY d.df DESC, d.term) AS rank
+  FROM (VALUES {", ".join(f"({qid}, '{p}', '{c}')" for qid, p, c in _CTX_COMPLETIONS)})
+       q(query_id, pfx, ctx)
+  JOIN (
+    SELECT doc.lang, t.term, count(DISTINCT t.doc_id) AS df
+    FROM ({SQL_TOK}) t JOIN documents doc ON doc.doc_id = t.doc_id
+    GROUP BY 1, 2
+  ) d ON d.term LIKE q.pfx || '%' AND d.lang = q.ctx
+) WHERE rank <= {_CTX_SIZE}"""
     # terms bucket + top_hits: per (query, lang), top K by rounded score
     sqls["top_hits"] = f"""
 SELECT query_id, bucket, rank, doc_id, score FROM (
@@ -10882,6 +11017,8 @@ def build_queries() -> dict:
         "stemmed_topk": q_stemmed_topk,
         "edge_ngram_topk": q_edge_ngram_topk,
         "span_multi_topk": q_span_multi_topk,
+        "events_bucket_correlation": q_events_bucket_correlation,
+        "suggest_completion_ctx": q_suggest_completion_ctx,
         "source_mix_sample": q_source_mix_sample,
         "agg_top_metrics": q_agg_top_metrics,
         "events_date_histogram_dense": q_events_date_histogram_dense,

@@ -1132,3 +1132,109 @@ class TestDistributedCompound2:
         assert dsearch3.agg_filters(terms, filters) == dv3_searcher.agg_filters(
             terms, filters
         )
+
+
+class TestContextCompletion:
+    """index/contexts.py — the ES completion-contexts mapping analogue:
+    per-(context, term) df sidecar + binary-search suggest."""
+
+    @pytest.fixture(scope="class")
+    def ctx_dir(self, tmp_path_factory, sf_dir, ray_session):
+        from neural_search_ray.index.contexts import (
+            build_completion_contexts,
+        )
+
+        d = str(tmp_path_factory.mktemp("ctx"))
+        build_completion_contexts(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "lang"],
+            ),
+            d,
+        )
+        return d
+
+    def test_matches_bruteforce(self, ctx_dir, sf_dir):
+        import pyarrow.parquet as pq_
+
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.index.contexts import ContextSuggester
+
+        t = pq_.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        rows = list(
+            zip(t["lang"].to_pylist(), t["text"].to_pylist())
+        )
+        sug = ContextSuggester(ctx_dir)
+        for pfx, ctx in [("da", "en"), ("qu", "de"), ("w00", "es"), ("zz", "en")]:
+            df = {}
+            for lang, text in rows:
+                if lang != ctx:
+                    continue
+                for term in set(tokenize(text)):
+                    if term.startswith(pfx):
+                        df[term] = df.get(term, 0) + 1
+            want = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+            terms, weights = sug.suggest(pfx, ctx, size=5)
+            assert list(zip(terms, weights.tolist())) == want, (pfx, ctx)
+
+    def test_idempotent_build(self, ctx_dir, sf_dir, ray_session):
+        import os
+
+        from neural_search_ray.index.contexts import (
+            SIDECAR, build_completion_contexts,
+        )
+
+        p = os.path.join(ctx_dir, SIDECAR)
+        mtime = os.path.getmtime(p)
+        build_completion_contexts(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "lang"],
+            ),
+            ctx_dir,
+        )
+        assert os.path.getmtime(p) == mtime  # existing sidecar kept
+
+    def test_unknown_context_empty(self, ctx_dir):
+        from neural_search_ray.index.contexts import ContextSuggester
+
+        terms, weights = ContextSuggester(ctx_dir).suggest("da", "xx")
+        assert terms == [] and weights.size == 0
+
+
+class TestBucketCorrelation:
+    def test_matches_numpy_reference(self, sf_dir, ray_session):
+        """Pearson per type vs the all-types totals, gap-filled grid."""
+        import pyarrow.parquet as pq_
+
+        from neural_search_ray.pipelines.suite import (
+            q_events_bucket_correlation,
+        )
+
+        got = q_events_bucket_correlation(sf_dir)
+        t = pq_.read_table(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        hour = (ts // 3_600_000_000) * 3_600_000_000
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        buckets = np.unique(hour)
+        types = np.unique(et)
+        ref = {}
+        tot = np.array(
+            [(hour == b).sum() for b in buckets], dtype=np.float64
+        )
+        for ty in types:
+            x = np.array(
+                [((hour == b) & (et == ty)).sum() for b in buckets],
+                dtype=np.float64,
+            )
+            r = np.corrcoef(x, tot)[0, 1]
+            ref[str(ty)] = round(float(r), 6)
+        got_map = dict(
+            zip(got["event_type"].to_pylist(), got["r"].to_pylist())
+        )
+        assert set(got_map) == set(ref)
+        for k in ref:
+            assert abs(got_map[k] - ref[k]) <= 1e-6, k
+        assert got["n_buckets"].to_pylist() == [len(buckets)] * len(types)
