@@ -1586,6 +1586,33 @@ def q_wildcard_topk(sf_dir: str) -> pa.Table:
     )
 
 
+# infix needles: core-word interiors + a long-tail digit run; 'uer'
+# hits query/queries-class terms, '000' fans out over the w-words
+INFIX_QUERY_SET: list[tuple[int, str]] = [
+    (0, "uer"),
+    (1, "usto"),
+    (2, "rge"),
+    (3, "can"),
+    (4, "000"),
+    (5, "zzz"),  # absent — empty result leg
+]
+
+
+def q_wildcard_infix_ngram(sf_dir: str) -> pa.Table:
+    """Infix wildcard through the dictionary n-gram acceleration map
+    (engine search_infix_ngram — the ES `wildcard` field type's plan:
+    gram-intersection candidates + substring verify + CONSTANT_SCORE
+    union). Results are rank-identical to a '*needle*' dictionary scan,
+    which is exactly what the LIKE '%needle%' oracle recomputes."""
+    searcher = get_searcher(sf_dir)
+    return _hits_table(
+        [
+            (qid, *searcher.search_infix_ngram(needle, k=BM25_K))
+            for qid, needle in INFIX_QUERY_SET
+        ]
+    )
+
+
 def q_fuzzy_topk(sf_dir: str) -> pa.Table:
     """Fuzzy query (engine search_fuzzy): Levenshtein term-dictionary
     expansion (vectorized banded DP) + constant-score union — Lucene
@@ -7970,6 +7997,13 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
         "q.pat",
         BM25_K,
     )
+    # infix wildcard via the ngram acceleration map — same constant-score
+    # contract as wildcard_topk, pattern %needle%
+    sqls["wildcard_infix_ngram"] = _multiterm_const_sql(
+        [(qid, f"%{needle}%") for qid, needle in INFIX_QUERY_SET],
+        "q.pat",
+        BM25_K,
+    )
     # fuzzy: Levenshtein expansion (plain metric — DuckDB levenshtein()
     # is exact vs the engine's banded DP), prefix-length narrowing
     sqls["fuzzy_topk"] = _const_cond_sql(
@@ -11019,6 +11053,7 @@ def build_queries() -> dict:
         "span_multi_topk": q_span_multi_topk,
         "events_bucket_correlation": q_events_bucket_correlation,
         "suggest_completion_ctx": q_suggest_completion_ctx,
+        "wildcard_infix_ngram": q_wildcard_infix_ngram,
         "source_mix_sample": q_source_mix_sample,
         "agg_top_metrics": q_agg_top_metrics,
         "events_date_histogram_dense": q_events_date_histogram_dense,

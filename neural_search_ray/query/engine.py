@@ -753,6 +753,76 @@ class IndexSearcher:
             [t for t in self.expand_prefix(fixed) if rx.match(t)], k
         )
 
+    def _ngram_term_map(self, n: int = 3) -> dict:
+        """gram → sorted term-id array over the dictionary (built once
+        per searcher — the ES `wildcard` field type's ngram acceleration
+        structure, term-level). Grams are produced with ONE Arrow slice
+        kernel per offset (offsets bounded by the longest dictionary
+        term), then grouped with a single argsort — no per-term Python
+        in the build."""
+        cached = getattr(self, "_ngmap_cache", None)
+        if cached is not None and cached[0] == n:
+            return cached[1]
+        terms_pa = pa.array([str(t) for t in self._gterms], type=pa.string())
+        lens = pc.utf8_length(terms_pa).to_numpy(zero_copy_only=False)
+        max_len = int(lens.max()) if lens.size else 0
+        gram_parts, tid_parts = [], []
+        for off in range(0, max(max_len - n + 1, 0)):
+            keep = np.flatnonzero(lens >= off + n)
+            if keep.size == 0:
+                break
+            gram_parts.append(
+                pc.utf8_slice_codeunits(
+                    terms_pa.take(pa.array(keep)), off, off + n
+                )
+            )
+            tid_parts.append(keep)
+        out: dict[str, np.ndarray] = {}
+        if gram_parts:
+            grams = np.asarray(
+                pa.concat_arrays(gram_parts).to_pylist(), dtype=object
+            )
+            tids = np.concatenate(tid_parts)
+            order = np.argsort(grams, kind="stable")
+            grams, tids = grams[order], tids[order]
+            uniq, starts = np.unique(grams, return_index=True)
+            bounds = np.append(starts, grams.size)
+            for i, g in enumerate(uniq):
+                out[str(g)] = np.unique(tids[bounds[i] : bounds[i + 1]])
+        self._ngmap_cache = (n, out)
+        return out
+
+    def search_infix_ngram(
+        self, needle: str, k: int = 10, *, n: int = 3
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Infix (contains) wildcard accelerated by the dictionary n-gram
+        map — the ES `wildcard` field type's query plan: the needle's
+        covering grams intersect to a candidate term set (no dictionary
+        scan), each candidate is VERIFIED by a real substring check
+        (gram conjunction over-approximates), then the verified terms
+        take the standard CONSTANT_SCORE multi-term union. Results are
+        identical to search_wildcard("*needle*"); needles shorter than
+        the gram width fall back to that scan path."""
+        if len(needle) < n:
+            return self.search_wildcard(f"*{needle}*", k)
+        m = self._ngram_term_map(n)
+        cand: np.ndarray | None = None
+        for i in range(len(needle) - n + 1):
+            tids = m.get(needle[i : i + n])
+            if tids is None or tids.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            cand = (
+                tids
+                if cand is None
+                else np.intersect1d(cand, tids, assume_unique=True)
+            )
+            if cand.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+        terms = [
+            str(self._gterms[t]) for t in cand if needle in str(self._gterms[t])
+        ]
+        return self._constant_score_union(terms, k)
+
     def search_regexp(self, pattern: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """Constant-score regexp query (Lucene RegexpQuery under the
         CONSTANT_SCORE rewrite): dictionary terms FULLY matching the
