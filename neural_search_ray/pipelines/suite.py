@@ -1295,6 +1295,39 @@ def q_bm25_topk_reindexed(sf_dir: str) -> pa.Table:
     return out.filter(pc.less_equal(out["rank"], BM25_K))
 
 
+# --- search templates (_search/template) ------------------------------------
+
+# one stored template serving every query: match body, size from params
+# with the mustache default idiom (odd query_ids pass size=5, even ones
+# omit it and take the template default 10)
+_SEARCH_TEMPLATE_SRC = (
+    '{"query": {"match": {"text": "{{qtext}}"}}, '
+    '"size": {{size}}{{^size}}10{{/size}}}'
+)
+_TEMPLATE_SIZED = 5
+
+
+def q_search_template(sf_dir: str) -> pa.Table:
+    """Search-template API (query/templates.py): the mustache-subset
+    render + dispatch path — per query, the stored template renders
+    with that query's params (size present or defaulted) and executes
+    the engine's ordinary BM25 path, so ranking is identical to
+    bm25_topk up to the per-query size cut."""
+    from ..query.templates import search_template
+
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        params: dict = {"qtext": qtext}
+        if qid % 2 == 1:
+            params["size"] = _TEMPLATE_SIZED
+        docs, scores = search_template(
+            searcher, _SEARCH_TEMPLATE_SRC, params
+        )
+        rows.append((qid, docs, scores))
+    return _hits_table(rows)
+
+
 # --- stemming analysis chain (minimal_english) ------------------------------
 
 _STEM_CFG_KW = dict(stemmer="minimal_english")
@@ -6463,6 +6496,25 @@ def q_geo_bounds(sf_dir: str) -> pa.Table:
     )
 
 
+_GEO_LINE_SIZE = 5
+
+
+def q_geo_line(sf_dir: str) -> "ray.data.Dataset":
+    """geo_line aggregation (stages/geo.py geo_line): per user, the
+    first 5 track points by (ts, event_id) — partial per-batch head +
+    one groupby(user) merge; vertices as (user_id, seq, lat, lon,
+    ts_us) rows."""
+    from ..stages.geo import add_geo_columns, geo_line
+
+    ds = add_geo_columns(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id"],
+        )
+    )
+    return geo_line(ds, size=_GEO_LINE_SIZE)
+
+
 def q_geo_distance_rings(sf_dir: str) -> pa.Table:
     """geo_distance range aggregation (stages/geo.py
     geo_distance_ranges): event counts per haversine distance ring
@@ -7942,6 +7994,16 @@ FROM ({SQL_TF}) GROUP BY doc_id"""
         ),
         BM25_K,
     )
+    # search template: same bm25 scored set, per-query size cut (odd
+    # query_ids passed size=5; even ones took the template default 10)
+    sqls["search_template"] = f"""
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM ({_bm25_scored_sql()})
+) WHERE rank <= CASE WHEN query_id % 2 = 1
+                THEN {_TEMPLATE_SIZED} ELSE {BM25_K} END"""
     # stemmed analysis chain: pluralize even-length tokens (the fixture
     # transform), stem with the EXACT minimal_english CASE chain
     # (analysis/stem.py stem_sql_expr), full stats over the stemmed
@@ -9735,6 +9797,16 @@ SELECT event_id, event_type,
        (event_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
        (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon
 FROM events"""
+    sqls["geo_line"] = f"""
+SELECT user_id, seq, lat, lon, ts_us FROM (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS seq,
+         (event_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (event_id * 104729 % 36000) / 100.0 - 180.0 AS lon,
+         epoch_us(ts) AS ts_us
+  FROM events
+) WHERE seq < {_GEO_LINE_SIZE}"""
     sqls["geo_bbox_count"] = f"""
 SELECT event_type, count(*)::BIGINT AS n_events
 FROM ({_geo_pts})
@@ -11054,6 +11126,8 @@ def build_queries() -> dict:
         "events_bucket_correlation": q_events_bucket_correlation,
         "suggest_completion_ctx": q_suggest_completion_ctx,
         "wildcard_infix_ngram": q_wildcard_infix_ngram,
+        "search_template": q_search_template,
+        "geo_line": q_geo_line,
         "source_mix_sample": q_source_mix_sample,
         "agg_top_metrics": q_agg_top_metrics,
         "events_date_histogram_dense": q_events_date_histogram_dense,

@@ -396,3 +396,65 @@ def geotile_grid(
             "doc_count": pa.array(n[order]),
         }
     )
+
+
+def geo_line(
+    ds: "ray.data.Dataset",
+    size: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> "ray.data.Dataset":
+    """geo_line aggregation (OpenSearch GeoLineAggregator with
+    sort=timestamp, ascending, size-capped): per bucket (user), the
+    FIRST ``size`` track points ordered by (ts, id tiebreak), emitted
+    as (user, seq, lat, lon, ts_us) rows — the LineString vertex list.
+
+    Scale shape: per-batch vectorized head-``size`` per user (the top-K
+    monoid — a batch can only shrink), then ONE groupby(user) merge
+    that re-sorts the <= size·n_batches surviving rows per user. The
+    event stream is never globally sorted."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        user = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, user))
+        u_s = user[order]
+        uniq, starts = np.unique(u_s, return_index=True)
+        within = np.arange(u_s.size) - np.repeat(
+            starts, np.diff(np.append(starts, u_s.size))
+        )
+        keep = order[within < size]
+        return pa.table(
+            {
+                user_col: pa.array(user[keep], pa.int64()),
+                "ts_us": pa.array(ts[keep], pa.int64()),
+                id_col: pa.array(eid[keep], pa.int64()),
+                "lat": pa.array(lat[keep], pa.float64()),
+                "lon": pa.array(lon[keep], pa.float64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))[:size]
+        n = order.size
+        return pa.table(
+            {
+                user_col: group[user_col].take(pa.array(order)),
+                "seq": pa.array(np.arange(n, dtype=np.int64)),
+                "lat": group["lat"].take(pa.array(order)),
+                "lon": group["lon"].take(pa.array(order)),
+                "ts_us": pa.array(ts[order], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(user_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

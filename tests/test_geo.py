@@ -197,3 +197,74 @@ class TestGeotile:
 
         with pytest.raises(ValueError):
             geotile_grid(_geo_ds(), zoom=40)
+
+
+class TestGeoLine:
+    """stages/geo.py geo_line — per-user first-K track points by
+    (ts, id); partial head + one groupby merge."""
+
+    def _events(self, n=400, users=7, seed=3):
+        rng = np.random.default_rng(seed)
+        eid = np.arange(n, dtype=np.int64)
+        user = rng.integers(0, users, n).astype(np.int64)
+        # duplicate timestamps on purpose: the id tiebreak must decide
+        ts = rng.integers(0, 50, n).astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "ts": pa.array(ts).cast(pa.timestamp("us")),
+                "user_id": pa.array(user),
+            }
+        )
+
+    def test_matches_reference(self, ray_session):
+        from neural_search_ray.stages.geo import add_geo_columns, geo_line
+
+        t = self._events()
+        ds = add_geo_columns(
+            ray.data.from_arrow(t).repartition(8)
+        )
+        out = pa.Table.from_pylist(geo_line(ds, size=5).take_all())
+        # reference: pandas sort + head per user
+        import pandas as pd
+
+        df = t.to_pandas()
+        df["ts_us"] = df["ts"].astype("int64")
+        df["lat"] = (df["event_id"] * 7919 % 18000) / 100.0 - 90.0
+        df["lon"] = (df["event_id"] * 104729 % 36000) / 100.0 - 180.0
+        want_rows = []
+        for u, g in df.sort_values(["ts_us", "event_id"]).groupby("user_id"):
+            for seq, (_, r) in enumerate(g.head(5).iterrows()):
+                want_rows.append((u, seq, r["lat"], r["lon"], r["ts_us"]))
+        got = sorted(
+            zip(
+                out["user_id"].to_pylist(),
+                out["seq"].to_pylist(),
+                out["lat"].to_pylist(),
+                out["lon"].to_pylist(),
+                out["ts_us"].to_pylist(),
+            )
+        )
+        assert got == sorted(want_rows)
+
+    def test_user_with_fewer_points(self, ray_session):
+        from neural_search_ray.stages.geo import add_geo_columns, geo_line
+
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array([10, 5, 1], pa.int64()).cast(pa.timestamp("us")),
+                "user_id": pa.array([0, 0, 1], pa.int64()),
+            }
+        )
+        out = pa.Table.from_pylist(
+            geo_line(add_geo_columns(ray.data.from_arrow(t)), size=5).take_all()
+        )
+        by_user = {}
+        for u, s, e in zip(
+            out["user_id"].to_pylist(), out["seq"].to_pylist(),
+            out["ts_us"].to_pylist(),
+        ):
+            by_user.setdefault(u, []).append((s, e))
+        assert by_user[0] == [(0, 5), (1, 10)]  # ts-ordered, seq dense
+        assert by_user[1] == [(0, 1)]

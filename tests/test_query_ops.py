@@ -1268,3 +1268,91 @@ class TestInfixNgram:
         assert grams, "gram map empty"
         # cached map is reused (same object)
         assert s._ngram_term_map(3) is m
+
+
+class TestSearchTemplates:
+    """query/templates.py — the _search/template mustache-subset render
+    + dispatch path."""
+
+    def test_variable_and_dotted(self):
+        from neural_search_ray.query.templates import render_template
+
+        assert render_template("q={{q}}", {"q": "data"}) == "q=data"
+        assert render_template("{{a.b.c}}", {"a": {"b": {"c": 7}}}) == "7"
+        assert render_template("[{{missing}}]", {}) == "[]"
+
+    def test_sections_and_defaults(self):
+        from neural_search_ray.query.templates import render_template
+
+        t = "{{size}}{{^size}}10{{/size}}"
+        assert render_template(t, {"size": 5}) == "5"
+        assert render_template(t, {}) == "10"
+        assert render_template(t, {"size": 0}) == "0"  # 0 is truthy here
+        lst = "{{#xs}}[{{.}}]{{/xs}}"
+        assert render_template(lst, {"xs": [1, 2, 3]}) == "[1][2][3]"
+        assert render_template(lst, {"xs": []}) == ""
+        # section context pushes the dict
+        assert (
+            render_template("{{#u}}{{name}}{{/u}}", {"u": {"name": "jo"}})
+            == "jo"
+        )
+
+    def test_unbalanced_raises(self):
+        import pytest as _pytest
+
+        from neural_search_ray.query.templates import render_template
+
+        with _pytest.raises(ValueError, match="unclosed"):
+            render_template("{{#a}}x", {"a": 1})
+        with _pytest.raises(ValueError, match="mismatch"):
+            render_template("{{#a}}x{{/b}}", {"a": 1})
+
+    def test_render_search_template_json(self):
+        import pytest as _pytest
+
+        from neural_search_ray.query.templates import render_search_template
+
+        body = render_search_template(
+            '{"query": {"match": {"text": "{{q}}"}}, "size": {{s}}{{^s}}10{{/s}}}',
+            {"q": "data query"},
+        )
+        assert body == {"query": {"match": {"text": "data query"}}, "size": 10}
+        with _pytest.raises(ValueError, match="invalid JSON"):
+            render_search_template('{"query": {{q}}}', {})
+
+    def test_dispatch_matches_direct(self, searcher):
+        from neural_search_ray.query.templates import search_template
+
+        d, v = search_template(
+            searcher,
+            '{"query": {"match": {"text": "{{q}}"}}, "size": 7}',
+            {"q": "data query"},
+        )
+        d2, v2 = searcher.search_bm25(tokenize("data query"), k=7)
+        assert d.tolist() == d2.tolist()
+        np.testing.assert_array_equal(v, v2)
+        dp, vp = search_template(
+            searcher,
+            '{"query": {"match_phrase": {"text": "data query"}}}',
+        )
+        dp2, vp2 = searcher.search_phrase(tokenize("data query"), k=10)
+        assert dp.tolist() == dp2.tolist()
+        dt, _ = search_template(
+            searcher, '{"query": {"term": {"text": "data"}}, "size": 3}'
+        )
+        dt2, _ = searcher.search_bm25(["data"], k=3)
+        assert dt.tolist() == dt2.tolist()
+
+    def test_dispatch_validation(self, searcher):
+        import pytest as _pytest
+
+        from neural_search_ray.query.templates import search_template
+
+        with _pytest.raises(ValueError, match="query"):
+            search_template(searcher, '{"size": 5}')
+        with _pytest.raises(ValueError, match="unsupported"):
+            search_template(searcher, '{"query": {"knn": {}}}')
+        with _pytest.raises(ValueError, match="one query clause"):
+            search_template(
+                searcher, '{"query": {"match": {"text": "a"}, "term": {"text": "b"}}}'
+            )
