@@ -293,14 +293,18 @@ SELECT query_id, rank, doc_id, score FROM (
 ) WHERE rank <= {k}"""
 
 
-def _phrase_scored_sql() -> str:
+def _phrase_scored_sql(query_set=None) -> str:
     """Phrase-BM25 scored set mirroring engine search_phrase (Lucene
     PhraseQuery slop=0 under BM25Similarity): per-doc phrase tf counted
     by sliding the token list (1-based list indexing; overlapping
-    matches count), idf = SUM of the per-term idfs, same dl norm."""
+    matches count), idf = SUM of the per-term idfs, same dl norm.
+    ``query_set`` defaults to PHRASE_QUERY_SET; the retriever oracle
+    passes QUERY_SET to phrase-score the standard query texts."""
+    if query_set is None:
+        query_set = PHRASE_QUERY_SET
     branches = []
     idf_rows = []
-    for qid, qtext in PHRASE_QUERY_SET:
+    for qid, qtext in query_set:
         toks = tokenize(qtext)
         n = len(toks)
         cond = " AND ".join(
@@ -5008,6 +5012,31 @@ def q_hybrid_rrf(sf_dir: str) -> pa.Table:
 # --- chunkers --------------------------------------------------------------
 
 
+def q_retriever_rrf(sf_dir: str) -> pa.Table:
+    """Retriever tree (query/retriever.py — the ES 8.x `retriever`
+    request surface): rrf compound over two standard leaves (match +
+    match_phrase of the same text), children to a rank window of 10,
+    fused with the SAME rrf semantics the hybrid_rrf entry pins."""
+    from ..query.retriever import execute_retriever
+
+    searcher = get_pos_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        spec = {
+            "rrf": {
+                "retrievers": [
+                    {"standard": {"query": {"match": {"text": qtext}}}},
+                    {"standard": {"query": {"match_phrase": {"text": qtext}}}},
+                ],
+                "rank_constant": 60,
+                "rank_window_size": 10,
+            }
+        }
+        docs, scores = execute_retriever(spec, searcher=searcher, k=5)
+        rows.append((qid, docs, scores))
+    return _hits_table(rows, round_to=6)
+
+
 def q_chunk_fixed_char(sf_dir: str) -> "ray.data.Dataset":
     from ..stages.chunkers import make_chunk_stage
 
@@ -9374,6 +9403,26 @@ SELECT doc_id::BIGINT AS media_id, kind,
        round(mean_byte, 6) AS f2
 FROM m"""
     sqls["hybrid_rrf"] = _hybrid_rrf_sql()
+    # retriever tree: rrf fusion of the standard match leaf (bm25) and
+    # the match_phrase leaf over the SAME texts, window 10, k=5
+    _ret_rrf = """SELECT query_id, doc_id, round(1.0 / (60 + rank), 10) AS nscore FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM ({top})) WHERE rank <= 10"""
+    sqls["retriever_rrf"] = f"""
+WITH b AS ({_ret_rrf.format(top=_bm25_scored_sql())}),
+     p AS ({_ret_rrf.format(top=_phrase_scored_sql(QUERY_SET))}),
+     joined AS (
+       SELECT coalesce(b.query_id, p.query_id) AS query_id,
+              coalesce(b.doc_id, p.doc_id) AS doc_id,
+              coalesce(b.nscore, 0) + coalesce(p.nscore, 0) AS score
+       FROM b FULL OUTER JOIN p
+         ON b.query_id = p.query_id AND b.doc_id = p.doc_id)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM joined) WHERE rank <= 5"""
 
     # chunkers
     sqls["chunk_fixed_char"] = _chunk_char_sql(char_limit=100, step=75)
@@ -11128,6 +11177,7 @@ def build_queries() -> dict:
         "wildcard_infix_ngram": q_wildcard_infix_ngram,
         "search_template": q_search_template,
         "geo_line": q_geo_line,
+        "retriever_rrf": q_retriever_rrf,
         "source_mix_sample": q_source_mix_sample,
         "agg_top_metrics": q_agg_top_metrics,
         "events_date_histogram_dense": q_events_date_histogram_dense,

@@ -150,23 +150,33 @@ def search_template(
     whose semantics are already oracle-pinned): ``query.match`` →
     search_bm25, ``query.match_phrase`` → search_phrase, ``query.term``
     → single-term search_bm25, plus top-level ``size``."""
-    from ..analysis.analyzer import tokenize
-
     body = render_search_template(source, params)
     if not isinstance(body, dict) or "query" not in body:
         raise ValueError("template body must contain a 'query' object")
     size = int(body.get("size", default_size))
-    q = body["query"]
-    if len(q) != 1:
+    return dispatch_query(searcher, body["query"], k=size)
+
+
+def dispatch_query(
+    searcher, q: dict, k: int = 10
+) -> tuple[np.ndarray, np.ndarray]:
+    """Execute a single-clause query body against the engine — the
+    shared DSL seam used by search templates and the retriever tree.
+    Clause → engine method (each already oracle-pinned): match →
+    search_bm25, match_phrase → search_phrase, term → single-term
+    search_bm25."""
+    from ..analysis.analyzer import tokenize
+
+    if not isinstance(q, dict) or len(q) != 1:
         raise ValueError("exactly one query clause supported")
     kind, spec = next(iter(q.items()))
     if kind == "match":
         ((_, text),) = spec.items()
-        return searcher.search_bm25(tokenize(str(text)), k=size)
+        return searcher.search_bm25(tokenize(str(text)), k=k)
     if kind == "match_phrase":
         ((_, text),) = spec.items()
-        return searcher.search_phrase(tokenize(str(text)), k=size)
+        return searcher.search_phrase(tokenize(str(text)), k=k)
     if kind == "term":
         ((_, value),) = spec.items()
-        return searcher.search_bm25([str(value)], k=size)
+        return searcher.search_bm25([str(value)], k=k)
     raise ValueError(f"unsupported template query clause {kind!r}")

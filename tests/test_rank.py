@@ -408,3 +408,115 @@ class TestRankEval:
         assert d.tolist() == [3, 2] and s.tolist() == [4.0, 3.0]
         d, s = keyset_after_scores(docs, sc, (3.0, 2), 2)  # past the end
         assert d.size == 0
+
+
+class TestRetrieverTree:
+    """query/retriever.py — declarative retriever execution over the
+    oracle-pinned hybrid machinery."""
+
+    @pytest.fixture(scope="class")
+    def r_searcher(self, tmp_path_factory, sf_dir, ray_session):
+        import ray
+
+        from neural_search_ray.config import IndexConfig
+        from neural_search_ray.index.build import build_index
+        from neural_search_ray.query.engine import IndexSearcher
+
+        d = str(tmp_path_factory.mktemp("retr_idx"))
+        build_index(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            d,
+            IndexConfig(num_shards=2, num_salts=2, index_positions=True),
+        )
+        return IndexSearcher(d)
+
+    def test_standard_leaf_equals_direct(self, r_searcher):
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.query.retriever import execute_retriever
+
+        d, v = execute_retriever(
+            {"standard": {"query": {"match": {"text": "data query"}}}},
+            searcher=r_searcher, k=7,
+        )
+        d2, v2 = r_searcher.search_bm25(tokenize("data query"), k=7)
+        assert d.tolist() == d2.tolist()
+        np.testing.assert_array_equal(v, v2)
+
+    def test_rrf_equals_manual_fusion(self, r_searcher):
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.query.retriever import execute_retriever
+
+        spec = {
+            "rrf": {
+                "retrievers": [
+                    {"standard": {"query": {"match": {"text": "data query"}}}},
+                    {"standard": {"query": {"match_phrase": {"text": "data query"}}}},
+                ],
+                "rank_constant": 60,
+                "rank_window_size": 10,
+            }
+        }
+        d, v = execute_retriever(spec, searcher=r_searcher, k=5)
+        subs = [
+            r_searcher.search_bm25(tokenize("data query"), k=10),
+            r_searcher.search_phrase(tokenize("data query"), k=10),
+        ]
+        d2, v2 = hybrid_rank(
+            subs, normalization="rrf", combination="rrf", k=5,
+            rank_constant=60,
+        )
+        assert d.tolist() == d2.tolist()
+        np.testing.assert_allclose(v, v2, rtol=0)
+
+    def test_linear_weights_and_nesting(self, r_searcher):
+        """linear over a nested rrf child + a standard leaf; weights
+        normalize to sum 1 (hybrid_rank's weight contract)."""
+        from neural_search_ray.query.retriever import execute_retriever
+
+        spec = {
+            "linear": {
+                "retrievers": [
+                    {"retriever": {"standard": {"query": {"match": {"text": "data query"}}}},
+                     "weight": 3.0},
+                    {"retriever": {"rrf": {"retrievers": [
+                        {"standard": {"query": {"term": {"text": "data"}}}},
+                        {"standard": {"query": {"term": {"text": "query"}}}},
+                    ]}}, "weight": 1.0},
+                ],
+                "rank_window_size": 10,
+            }
+        }
+        d, v = execute_retriever(spec, searcher=r_searcher, k=5)
+        assert d.size == 5 and np.all(np.diff(v) <= 0)
+
+    def test_knn_leaf_delegation_and_validation(self, r_searcher):
+        from neural_search_ray.query.retriever import execute_retriever
+
+        calls = []
+
+        def fake_knn(body, k):
+            calls.append((body, k))
+            return np.array([42], np.int64), np.array([0.9])
+
+        d, v = execute_retriever(
+            {"knn": {"field": "emb"}}, searcher=r_searcher, k=3,
+            knn_fn=fake_knn,
+        )
+        assert d.tolist() == [42] and calls[0][1] == 3
+        with pytest.raises(ValueError, match="knn_fn"):
+            execute_retriever({"knn": {}}, searcher=r_searcher)
+        with pytest.raises(ValueError, match="one type key"):
+            execute_retriever({}, searcher=r_searcher)
+        with pytest.raises(ValueError, match="unknown retriever"):
+            execute_retriever({"nope": {}}, searcher=r_searcher)
+        with pytest.raises(ValueError, match="non-empty"):
+            execute_retriever({"rrf": {"retrievers": []}}, searcher=r_searcher)
+        with pytest.raises(ValueError, match="sum > 0"):
+            execute_retriever(
+                {"linear": {"retrievers": [
+                    {"retriever": {"standard": {"query": {"term": {"text": "data"}}}},
+                     "weight": 0.0}]}},
+                searcher=r_searcher,
+            )
