@@ -2644,17 +2644,23 @@ class IndexSearcher:
         (distance asc, df desc, term asc); the input term itself is
         never suggested. ``suggest_mode="missing"`` (the default there
         and here) suppresses suggestions when the term exists in the
-        dictionary; "always" always suggests. Returns
-        [(term, freq, distance)]."""
-        if suggest_mode not in ("missing", "always"):
-            raise ValueError("suggest_mode must be 'missing' or 'always'")
-        if suggest_mode == "missing" and self.local_df(term) > 0:
+        dictionary; "popular" keeps only suggestions MORE frequent than
+        the input term (the DirectSpellChecker morePopular filter);
+        "always" always suggests. Returns [(term, freq, distance)]."""
+        if suggest_mode not in ("missing", "popular", "always"):
+            raise ValueError(
+                "suggest_mode must be 'missing', 'popular' or 'always'"
+            )
+        in_df = self.local_df(term)
+        if suggest_mode == "missing" and in_df > 0:
             return []
         cands = [
             t
             for t in self.expand_fuzzy(term, max_edits, prefix_length)
             if t != term
         ]
+        if suggest_mode == "popular":
+            cands = [t for t in cands if self.local_df(t) > in_df]
         if not cands:
             return []
         scored = sorted(

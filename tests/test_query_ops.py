@@ -924,6 +924,21 @@ class TestSuggestTerm:
         with pytest.raises(ValueError, match="suggest_mode"):
             searcher.suggest_term("x", suggest_mode="nope")
 
+    def test_popular_mode_filters_by_df(self, searcher):
+        """popular keeps only suggestions with df STRICTLY above the
+        input's df — a rare-but-present term can still be corrected,
+        unlike missing mode."""
+        # 'row' exists; its 2-edit neighbor 'slow' is MORE frequent —
+        # missing mode is silent, popular still corrects
+        in_df = searcher.local_df("row")
+        assert in_df > 0
+        assert searcher.suggest_term("row", suggest_mode="missing") == []
+        got = searcher.suggest_term("row", suggest_mode="popular", size=10)
+        assert got, "popular should still correct a present term"
+        assert all(f > in_df for _, f, _ in got)
+        alw = searcher.suggest_term("row", suggest_mode="always", size=10)
+        assert {t for t, _, _ in got} <= {t for t, _, _ in alw}
+
 
 class TestDistributedCompound:
     """Distributed dis_max / boosting / rank_feature / top_hits /
