@@ -10432,6 +10432,24 @@ ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type
     # trimmed-exchange variant: same semantics, same oracle
     sqls["events_asof_trim"] = sqls["events_asof"]
 
+    # ES|QL-subset _query endpoint: the pipe text in _ESQL_STATS /
+    # _ESQL_TOPK translated stage-for-stage
+    sqls["esql_stats"] = """
+SELECT lang, bucket, cnt, avg_chars, srcs FROM (
+  SELECT lang, (n_chars - n_chars % 500)::BIGINT AS bucket,
+         count(*)::BIGINT AS cnt,
+         sum(n_chars)::DOUBLE / count(n_chars) AS avg_chars,
+         count(DISTINCT source)::BIGINT AS srcs
+  FROM documents
+  WHERE lang <> 'und' AND n_chars >= 200
+  GROUP BY lang, bucket)
+ORDER BY lang ASC, bucket ASC LIMIT 20"""
+
+    sqls["esql_topk"] = """
+SELECT event_id, user_id, round(value * 2.0, 3) AS v2
+FROM events WHERE event_type = 'click'
+ORDER BY v2 DESC, event_id ASC LIMIT 15"""
+
     return sqls
 
 
@@ -10958,6 +10976,50 @@ LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b"""
 
 
 # ---------------------------------------------------------------------------
+# ES|QL-subset pipe queries (_query endpoint; query/esql.py)
+
+_ESQL_STATS = (
+    'FROM documents'
+    ' | WHERE lang != "und" AND n_chars >= 200'
+    ' | EVAL bucket = n_chars - n_chars % 500'
+    ' | STATS cnt = COUNT(*), avg_chars = AVG(n_chars),'
+    '   srcs = COUNT_DISTINCT(source) BY lang, bucket'
+    ' | SORT lang ASC, bucket ASC'
+    ' | LIMIT 20'
+)
+
+_ESQL_TOPK = (
+    'FROM events'
+    ' | WHERE event_type == "click"'
+    ' | EVAL v2 = ROUND(value * 2.0, 3)'
+    ' | SORT v2 DESC, event_id ASC'
+    ' | LIMIT 15'
+    ' | KEEP event_id, user_id, v2'
+)
+
+
+def q_esql_stats(sf_dir: str) -> pa.Table:
+    """ES|QL-subset ``_query`` request, aggregate shape (query/esql.py):
+    the pipe text parses once on the driver, WHERE+EVAL fuse into one
+    Arrow map_batches stage, and STATS..BY compiles to the partial+final
+    aggregate pattern (Arrow TableGroupBy combiner per batch, ONE keyed
+    exchange, bucket-bounded finish; COUNT_DISTINCT runs the exact
+    two-exchange cardinality decomposition)."""
+    from ..query.esql import run_esql
+
+    return run_esql(sf_dir, _ESQL_STATS)
+
+
+def q_esql_topk(sf_dir: str) -> "ray.data.Dataset":
+    """ES|QL-subset ``_query`` request, row shape: fused WHERE/EVAL/KEEP
+    Arrow stage, then SORT+LIMIT compiled to the head-K monoid (each
+    batch contributes at most LIMIT rows to the distributed sort)."""
+    from ..query.esql import run_esql
+
+    return run_esql(sf_dir, _ESQL_TOPK)
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -11087,9 +11149,16 @@ def build_queries() -> dict:
         # same moment/finish machinery as in-window agg_boxplot), and
         # nested_terms (nested family rep nested_topk stays)
         "agg_children": q_agg_children,
-        "events_cum_card": q_events_cum_card,
         "categorize_text": q_categorize_text,
+        # --- block 2h: session-12 — ES|QL-subset _query endpoint (new
+        # REQUEST-COMPOSITION family: parser + Ray-Data compiler;
+        # displaces events_cum_card, whose first-occurrence + keyed-sum
+        # machinery keeps in-window cover via agg_cardinality and
+        # events_serial_diff) ---
+        "esql_stats": q_esql_stats,
         # ==== driver 50-entry window boundary (keys above this line) ====
+        "esql_topk": q_esql_topk,
+        "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,
         "reverse_nested": q_reverse_nested,
         "agg_t_test": q_agg_t_test,

@@ -1,0 +1,761 @@
+"""ES|QL-subset pipe-query language compiled onto Ray Data.
+
+Public-surface analogue: Elasticsearch's ``_query`` endpoint (ES|QL) —
+a piped language ``FROM src | WHERE .. | EVAL .. | STATS .. BY .. |
+SORT .. | LIMIT n | KEEP/DROP ..`` that ships with the core
+distribution the reference plugin runs inside (the plugin's own query
+types are registered alongside it via `SearchPlugin.getQueries`,
+`plugin/NeuralSearch.java:254-262`).  A user switching to this repo
+keeps a deterministic subset of that request-composition surface.
+
+Design (Ray-Data-first, not a row interpreter):
+
+* the query text parses once on the driver into a stage list with
+  expression ASTs (recursive-descent + precedence-climbing parser);
+* consecutive **row-local** stages (WHERE / EVAL / KEEP / DROP) fuse
+  into ONE ``map_batches`` closure that evaluates the ASTs with
+  pyarrow.compute kernels over zero-copy Arrow batches — no per-row
+  Python in the data path, however many pipes the request has;
+* ``STATS .. BY ..`` compiles to the partial+final aggregate shape the
+  posting build uses: an Arrow ``TableGroupBy`` combiner inside
+  ``map_batches`` (one partial row per group per batch), then ONE
+  ``groupby().aggregate()`` exchange over the group keys, then a
+  driver-side finish on the bucket-bounded result (AVG = sum/count
+  etc.).  ``COUNT_DISTINCT`` decomposes exactly like the cardinality
+  aggregation's exact tier: per-batch dedupe of (keys, value), one
+  exchange distinct, then a bucket-bounded recount;
+* ``SORT .. | LIMIT n`` on raw rows compiles to a per-batch head-K
+  partial (each batch contributes at most n candidate rows) feeding
+  the distributed sort — the same head-K monoid as geo_line — so the
+  exchange moves O(n x blocks) rows, never the corpus;
+* the FROM reads only the columns the request references
+  (prune-at-the-read), minus names EVAL defines.
+
+Scale note: everything between FROM and the first STATS/SORT streams;
+only group keys x aggregates (bucket-bounded) or k-sized sorted heads
+ever concentrate.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["parse_esql", "run_esql", "EsqlError"]
+
+
+class EsqlError(ValueError):
+    """Raised for syntax errors, unknown functions/stages, or references
+    to columns the pipeline does not produce."""
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<num>\d+\.\d+|\d+)
+      | (?P<str>"(?:[^"\\]|\\.)*")
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<op>==|!=|<=|>=|\|\||&&|[|(),=<>+\-*/%])
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
+    "DROP", "ASC", "DESC", "AND", "OR", "NOT", "LIKE", "IN", "TRUE",
+    "FALSE", "NULL",
+}
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            if text[pos:].strip() == "":
+                break
+            raise EsqlError(f"bad token at {text[pos:pos + 20]!r}")
+        pos = m.end()
+        if m.lastgroup == "num":
+            out.append(("num", m.group("num")))
+        elif m.lastgroup == "str":
+            body = m.group("str")[1:-1]
+            out.append(("str", body.replace('\\"', '"').replace("\\\\", "\\")))
+        elif m.lastgroup == "ident":
+            word = m.group("ident")
+            if word.upper() in _KEYWORDS:
+                out.append(("kw", word.upper()))
+            else:
+                out.append(("ident", word))
+        else:
+            out.append(("op", m.group("op")))
+    out.append(("eof", ""))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# expression AST
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class Col:
+    name: str
+
+
+@dataclass
+class Un:
+    op: str  # 'neg' | 'not'
+    arg: object
+
+
+@dataclass
+class Bin:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class Call:
+    fn: str
+    args: list
+
+
+@dataclass
+class InList:
+    expr: object
+    items: list
+
+
+# ---------------------------------------------------------------------------
+# stage AST
+
+@dataclass
+class Stage:
+    kind: str  # from|where|eval|keep|drop|stats|sort|limit
+    # from: name; where: expr; eval: [(name, expr)]; keep/drop: [names]
+    # stats: (aggs=[(name, fn, expr|None)], by=[names])
+    # sort: [(name, asc)]; limit: int
+    payload: object = field(default=None)
+
+
+_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT"}
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, val: str | None = None) -> str:
+        t = self.next()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise EsqlError(f"expected {val or kind}, got {t[1]!r}")
+        return t[1]
+
+    def accept(self, kind: str, val: str | None = None) -> bool:
+        t = self.peek()
+        if t[0] == kind and (val is None or t[1] == val):
+            self.i += 1
+            return True
+        return False
+
+    # --- expressions (precedence climbing) ---
+
+    def expr(self):
+        return self._or()
+
+    def _or(self):
+        node = self._and()
+        while self.accept("kw", "OR") or self.accept("op", "||"):
+            node = Bin("or", node, self._and())
+        return node
+
+    def _and(self):
+        node = self._not()
+        while self.accept("kw", "AND") or self.accept("op", "&&"):
+            node = Bin("and", node, self._not())
+        return node
+
+    def _not(self):
+        if self.accept("kw", "NOT"):
+            return Un("not", self._not())
+        return self._cmp()
+
+    def _cmp(self):
+        node = self._add()
+        t = self.peek()
+        if t[0] == "op" and t[1] in ("==", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return Bin(t[1], node, self._add())
+        if t == ("kw", "LIKE"):
+            self.next()
+            pat = self.next()
+            if pat[0] != "str":
+                raise EsqlError("LIKE needs a string pattern")
+            return Bin("like", node, Lit(pat[1]))
+        if t == ("kw", "IN"):
+            self.next()
+            self.expect("op", "(")
+            items = [self._primary_lit()]
+            while self.accept("op", ","):
+                items.append(self._primary_lit())
+            self.expect("op", ")")
+            return InList(node, items)
+        return node
+
+    def _primary_lit(self) -> Lit:
+        t = self.next()
+        if t[0] == "num":
+            return Lit(float(t[1]) if "." in t[1] else int(t[1]))
+        if t[0] == "str":
+            return Lit(t[1])
+        raise EsqlError(f"expected literal, got {t[1]!r}")
+
+    def _add(self):
+        node = self._mul()
+        while True:
+            t = self.peek()
+            if t[0] == "op" and t[1] in ("+", "-"):
+                self.next()
+                node = Bin(t[1], node, self._mul())
+            else:
+                return node
+
+    def _mul(self):
+        node = self._unary()
+        while True:
+            t = self.peek()
+            if t[0] == "op" and t[1] in ("*", "/", "%"):
+                self.next()
+                node = Bin(t[1], node, self._unary())
+            else:
+                return node
+
+    def _unary(self):
+        if self.accept("op", "-"):
+            return Un("neg", self._unary())
+        return self._primary()
+
+    def _primary(self):
+        t = self.next()
+        if t[0] == "num":
+            return Lit(float(t[1]) if "." in t[1] else int(t[1]))
+        if t[0] == "str":
+            return Lit(t[1])
+        if t == ("kw", "TRUE"):
+            return Lit(True)
+        if t == ("kw", "FALSE"):
+            return Lit(False)
+        if t == ("kw", "NULL"):
+            return Lit(None)
+        if t[0] == "ident":
+            if self.accept("op", "("):
+                args = []
+                if not self.accept("op", ")"):
+                    args.append(self.expr())
+                    while self.accept("op", ","):
+                        args.append(self.expr())
+                    self.expect("op", ")")
+                return Call(t[1].upper(), args)
+            return Col(t[1])
+        if t == ("op", "("):
+            node = self.expr()
+            self.expect("op", ")")
+            return node
+        raise EsqlError(f"unexpected token {t[1]!r}")
+
+    # --- stages ---
+
+    def parse(self) -> list[Stage]:
+        self.expect("kw", "FROM")
+        src = self.expect("ident")
+        stages = [Stage("from", src)]
+        while self.accept("op", "|"):
+            t = self.next()
+            if t[0] != "kw":
+                raise EsqlError(f"expected stage keyword, got {t[1]!r}")
+            kw = t[1]
+            if kw == "WHERE":
+                stages.append(Stage("where", self.expr()))
+            elif kw == "EVAL":
+                pairs = []
+                while True:
+                    name = self.expect("ident")
+                    self.expect("op", "=")
+                    pairs.append((name, self.expr()))
+                    if not self.accept("op", ","):
+                        break
+                stages.append(Stage("eval", pairs))
+            elif kw in ("KEEP", "DROP"):
+                names = [self.expect("ident")]
+                while self.accept("op", ","):
+                    names.append(self.expect("ident"))
+                stages.append(Stage(kw.lower(), names))
+            elif kw == "STATS":
+                aggs = []
+                while True:
+                    name = self.expect("ident")
+                    self.expect("op", "=")
+                    fn_tok = self.next()
+                    if fn_tok[0] != "ident" or fn_tok[1].upper() not in _AGG_FNS:
+                        raise EsqlError(f"unknown aggregate {fn_tok[1]!r}")
+                    fn = fn_tok[1].upper()
+                    self.expect("op", "(")
+                    if self.accept("op", "*"):
+                        if fn != "COUNT":
+                            raise EsqlError(f"{fn}(*) is not valid")
+                        arg = None
+                    else:
+                        arg = self.expr()
+                    self.expect("op", ")")
+                    aggs.append((name, fn, arg))
+                    if not self.accept("op", ","):
+                        break
+                by: list[str] = []
+                if self.accept("kw", "BY"):
+                    by.append(self.expect("ident"))
+                    while self.accept("op", ","):
+                        by.append(self.expect("ident"))
+                stages.append(Stage("stats", (aggs, by)))
+            elif kw == "SORT":
+                keys = []
+                while True:
+                    name = self.expect("ident")
+                    asc = True
+                    if self.accept("kw", "DESC"):
+                        asc = False
+                    else:
+                        self.accept("kw", "ASC")
+                    keys.append((name, asc))
+                    if not self.accept("op", ","):
+                        break
+                stages.append(Stage("sort", keys))
+            elif kw == "LIMIT":
+                n = self.next()
+                if n[0] != "num" or "." in n[1]:
+                    raise EsqlError("LIMIT needs an integer")
+                stages.append(Stage("limit", int(n[1])))
+            else:
+                raise EsqlError(f"unknown stage {kw}")
+        if self.peek()[0] != "eof":
+            raise EsqlError(f"trailing input at {self.peek()[1]!r}")
+        return stages
+
+
+def parse_esql(text: str) -> list[Stage]:
+    return _Parser(text).parse()
+
+
+# ---------------------------------------------------------------------------
+# expression evaluation over an Arrow batch (vectorized, no Python rows)
+
+def _as_array(v, n: int):
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return v
+    return pa.array([v] * n) if v is not None else pa.nulls(n)
+
+
+def _eval_expr(node, batch: pa.Table):
+    n = len(batch)
+    if isinstance(node, Lit):
+        return pa.scalar(node.value)
+    if isinstance(node, Col):
+        if node.name not in batch.column_names:
+            raise EsqlError(f"unknown column {node.name!r}")
+        col = batch[node.name]
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(node, Un):
+        arg = _eval_expr(node.arg, batch)
+        if node.op == "neg":
+            return pc.negate(arg)
+        return pc.invert(arg)
+    if isinstance(node, InList):
+        arg = _eval_expr(node.expr, batch)
+        return pc.is_in(arg, value_set=pa.array([it.value for it in node.items]))
+    if isinstance(node, Call):
+        return _eval_call(node, batch)
+    if isinstance(node, Bin):
+        left = _eval_expr(node.left, batch)
+        right = _eval_expr(node.right, batch)
+        op = node.op
+        if op == "and":
+            return pc.and_kleene(_as_array(left, n), _as_array(right, n))
+        if op == "or":
+            return pc.or_kleene(_as_array(left, n), _as_array(right, n))
+        if op == "like":
+            return pc.match_like(left, node.right.value)
+        cmp = {
+            "==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+            "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
+        }.get(op)
+        if cmp is not None:
+            return cmp(left, right)
+        if op == "+":
+            return pc.add(left, right)
+        if op == "-":
+            return pc.subtract(left, right)
+        if op == "*":
+            return pc.multiply(left, right)
+        if op == "/":
+            # ES|QL '/' on mixed input: pin float64 division (the
+            # integer-division form is expressible as a - a % b)
+            return pc.divide(
+                pc.cast(left, pa.float64()), pc.cast(right, pa.float64())
+            )
+        if op == "%":
+            # Arrow has no modulo kernel in this version: a - (a/b)*b
+            # using integer divide keeps it in Arrow (non-negative use)
+            q = pc.divide(left, right)
+            return pc.subtract(left, pc.multiply(q, right))
+        raise EsqlError(f"unknown operator {op}")
+    raise EsqlError(f"bad expression node {node!r}")
+
+
+def _eval_call(node: Call, batch: pa.Table):
+    args = [_eval_expr(a, batch) for a in node.args]
+    fn = node.fn
+    if fn == "LENGTH":
+        return pc.utf8_length(args[0])
+    if fn == "TO_UPPER":
+        return pc.utf8_upper(args[0])
+    if fn == "TO_LOWER":
+        return pc.utf8_lower(args[0])
+    if fn == "ABS":
+        return pc.abs(args[0])
+    if fn == "ROUND":
+        nd = node.args[1].value if len(node.args) > 1 else 0
+        # half-away-from-zero, matching DuckDB/SQL ROUND
+        return pc.round(args[0], ndigits=nd, round_mode="half_towards_infinity")
+    if fn == "SUBSTRING":
+        # 1-based start like ES|QL / SQL
+        start = node.args[1].value - 1
+        if len(node.args) > 2:
+            return pc.utf8_slice_codeunits(args[0], start, start + node.args[2].value)
+        return pc.utf8_slice_codeunits(args[0], start)
+    if fn == "CONCAT":
+        n = max((len(a) for a in args if isinstance(a, (pa.Array, pa.ChunkedArray))),
+                default=len(batch))
+        arrs = [
+            a if isinstance(a, (pa.Array, pa.ChunkedArray))
+            else pa.array([a.as_py()] * n, type=pa.string())
+            for a in args
+        ]
+        return pc.binary_join_element_wise(*arrs, "")
+    if fn == "STARTS_WITH":
+        return pc.starts_with(args[0], node.args[1].value)
+    raise EsqlError(f"unknown function {fn}")
+
+
+# ---------------------------------------------------------------------------
+# compiler
+
+def _collect_cols(node, out: set[str]) -> None:
+    if isinstance(node, Col):
+        out.add(node.name)
+    elif isinstance(node, Un):
+        _collect_cols(node.arg, out)
+    elif isinstance(node, Bin):
+        _collect_cols(node.left, out)
+        _collect_cols(node.right, out)
+    elif isinstance(node, InList):
+        _collect_cols(node.expr, out)
+    elif isinstance(node, Call):
+        for a in node.args:
+            _collect_cols(a, out)
+
+
+def _referenced_columns(stages: list[Stage]) -> list[str]:
+    """Columns the FROM must read: references up to and including the
+    first STATS (later stages see the bucket-bounded aggregate schema,
+    not the source), minus names EVAL defines."""
+    refs: set[str] = set()
+    defined: set[str] = set()
+    for st in stages:
+        if st.kind == "where":
+            _collect_cols(st.payload, refs)
+        elif st.kind == "eval":
+            for name, ex in st.payload:
+                _collect_cols(ex, refs)
+                defined.add(name)
+        elif st.kind in ("keep", "drop"):
+            refs.update(st.payload)
+        elif st.kind == "stats":
+            aggs, by = st.payload
+            refs.update(by)
+            for _, _, ex in aggs:
+                if ex is not None:
+                    _collect_cols(ex, refs)
+            break
+        elif st.kind == "sort":
+            refs.update(k for k, _ in st.payload)
+    return sorted(refs - defined)
+
+
+def _make_rowlocal_fn(block: list[Stage]):
+    """Fuse a run of WHERE/EVAL/KEEP/DROP stages into one Arrow batch fn."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for st in block:
+            if st.kind == "where":
+                mask = _eval_expr(st.payload, batch)
+                if isinstance(mask, pa.Scalar):
+                    mask = pa.array([bool(mask.as_py())] * len(batch))
+                batch = batch.filter(pc.fill_null(mask, False))
+            elif st.kind == "eval":
+                for name, ex in st.payload:
+                    val = _eval_expr(ex, batch)
+                    if isinstance(val, pa.Scalar):
+                        val = pa.array([val.as_py()] * len(batch))
+                    if name in batch.column_names:
+                        batch = batch.set_column(
+                            batch.column_names.index(name), name, val
+                        )
+                    else:
+                        batch = batch.append_column(name, val)
+            elif st.kind == "keep":
+                batch = batch.select(st.payload)
+            elif st.kind == "drop":
+                batch = batch.drop_columns(st.payload)
+        return batch
+
+    return fn
+
+
+def _compile_stats(ds, aggs, by):
+    """Partial+final STATS: Arrow group-by combiner per batch, one keyed
+    exchange, bucket-bounded driver finish.  Returns a pa.Table."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    plain = [(n, f, e) for (n, f, e) in aggs if f != "COUNT_DISTINCT"]
+    distincts = [(n, f, e) for (n, f, e) in aggs if f == "COUNT_DISTINCT"]
+
+    result = None
+    if plain or not distincts:
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cols: dict[str, object] = {k: batch[k] for k in by}
+            arrow_aggs = []
+            for name, fn, ex in plain:
+                if fn == "COUNT":
+                    if ex is None:
+                        cols[f"__{name}"] = pa.array(
+                            np.ones(len(batch), dtype=np.int64)
+                        )
+                        arrow_aggs.append((f"__{name}", "sum"))
+                    else:
+                        cols[f"__{name}"] = _as_array(
+                            _eval_expr(ex, batch), len(batch)
+                        )
+                        arrow_aggs.append((f"__{name}", "count"))
+                elif fn == "AVG":
+                    v = _as_array(_eval_expr(ex, batch), len(batch))
+                    cols[f"__{name}_s"] = v
+                    cols[f"__{name}_c"] = pc.cast(
+                        pc.is_valid(v), pa.int64()
+                    )
+                    arrow_aggs.append((f"__{name}_s", "sum"))
+                    arrow_aggs.append((f"__{name}_c", "sum"))
+                else:
+                    v = _as_array(_eval_expr(ex, batch), len(batch))
+                    cols[f"__{name}"] = v
+                    arrow_aggs.append((f"__{name}", fn.lower()))
+            t = pa.table(cols)
+            g = pa.TableGroupBy(t, by).aggregate(arrow_aggs)
+            # TableGroupBy emits key columns first, then the aggregate
+            # columns in the order given; rename to the partial names
+            out_names = []
+            for (n, f, _e) in plain:
+                if f == "AVG":
+                    out_names += [f"__{n}_s_p", f"__{n}_c_p"]
+                else:
+                    out_names.append(f"__{n}_p")
+            return g.rename_columns(by + out_names)
+
+        partial_cols = []
+        for n, f, _e in plain:
+            if f == "AVG":
+                partial_cols += [(f"__{n}_s_p", "sum"), (f"__{n}_c_p", "sum")]
+            elif f in ("COUNT",):
+                partial_cols.append((f"__{n}_p", "sum"))
+            elif f == "SUM":
+                partial_cols.append((f"__{n}_p", "sum"))
+            elif f == "MIN":
+                partial_cols.append((f"__{n}_p", "min"))
+            else:
+                partial_cols.append((f"__{n}_p", "max"))
+
+        ray_aggs = [
+            {"sum": Sum, "min": Min, "max": Max}[kind](col, alias_name=col)
+            for col, kind in partial_cols
+        ]
+        pds = ds.map_batches(partial, batch_format="pyarrow")
+        if by:
+            result = pa.Table.from_pylist(
+                pds.groupby(by).aggregate(*ray_aggs).take_all()
+            )
+        else:
+            result = pa.Table.from_pylist([pds.aggregate(*ray_aggs)])
+
+    # COUNT_DISTINCT: exact two-exchange decomposition (per-batch dedupe
+    # -> distinct over (by, value) -> bucket-bounded recount), the exact
+    # cardinality-agg tier's shape
+    for name, _fn, ex in distincts:
+        def dedup_partial(batch: pa.Table, _ex=ex) -> pa.Table:
+            v = _as_array(_eval_expr(_ex, batch), len(batch))
+            t = pa.table({**{k: batch[k] for k in by}, "__v": v})
+            t = t.filter(pc.is_valid(t["__v"]))
+            return pa.TableGroupBy(t, by + ["__v"]).aggregate([]).select(
+                by + ["__v"]
+            )
+
+        from ray.data.aggregate import Count as _Count
+        from ray.data.aggregate import Sum as _Sum
+
+        def recount(batch: pa.Table) -> pa.Table:
+            if not by:
+                return pa.table({"__one_p": pa.array([len(batch)], pa.int64())})
+            t = pa.table({
+                **{k: batch[k] for k in by},
+                "__one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            })
+            g = pa.TableGroupBy(t, by).aggregate([("__one", "sum")])
+            return g.rename_columns(by + ["__one_p"])
+
+        dd = ds.map_batches(dedup_partial, batch_format="pyarrow")
+        # distinct (by, value) pairs: a keyed count whose count column is
+        # discarded — the exchange itself is the dedupe
+        dd = dd.groupby(by + ["__v"]).aggregate(_Count(alias_name="__c"))
+        dd = dd.map_batches(recount, batch_format="pyarrow")
+        if by:
+            cnt = dd.groupby(by).aggregate(_Sum("__one_p", alias_name=name))
+            cnt_t = pa.Table.from_pylist(cnt.take_all())
+        else:
+            cnt_t = pa.Table.from_pylist([dd.aggregate(_Sum("__one_p", alias_name=name))])
+        if result is None:
+            result = cnt_t
+        else:
+            # bucket-bounded driver-side key join of the two small maps
+            left = result.to_pandas()
+            right = cnt_t.to_pandas()
+            merged = (
+                left.merge(right, on=by, how="outer") if by
+                else left.assign(**{name: right[name].iloc[0]})
+            )
+            result = pa.Table.from_pandas(merged, preserve_index=False)
+
+    # finish: rename partials to user names, AVG = sum/count
+    cols: dict[str, object] = {k: result[k] for k in by}
+    for name, fn, _e in aggs:
+        if fn == "COUNT_DISTINCT":
+            cols[name] = pc.cast(
+                pc.fill_null(result[name], 0), pa.int64()
+            )
+        elif fn == "AVG":
+            cols[name] = pc.divide(
+                pc.cast(result[f"__{name}_s_p"], pa.float64()),
+                pc.cast(result[f"__{name}_c_p"], pa.float64()),
+            )
+        elif fn == "COUNT":
+            cols[name] = pc.cast(result[f"__{name}_p"], pa.int64())
+        else:
+            cols[name] = result[f"__{name}_p"]
+    return pa.table(cols)
+
+
+def run_esql(sf_dir: str, text: str):
+    """Parse + execute an ES|QL-subset request over the parquet tables in
+    ``sf_dir``.  Returns a ray.data.Dataset for row-level pipelines or a
+    pyarrow.Table once a STATS stage has bucket-bounded the result."""
+    import ray.data
+
+    stages = parse_esql(text)
+    src = stages[0].payload
+    cols = _referenced_columns(stages[1:])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/{src}.parquet", columns=cols or None
+    )
+
+    i = 1
+    table: pa.Table | None = None  # set once bucket-bounded
+    while i < len(stages):
+        st = stages[i]
+        if st.kind in ("where", "eval", "keep", "drop"):
+            block = []
+            while i < len(stages) and stages[i].kind in (
+                "where", "eval", "keep", "drop"
+            ):
+                block.append(stages[i])
+                i += 1
+            fn = _make_rowlocal_fn(block)
+            if table is not None:
+                table = fn(table)
+            else:
+                ds = ds.map_batches(fn, batch_format="pyarrow")
+            continue
+        if st.kind == "stats":
+            if table is not None:
+                raise EsqlError("STATS after STATS is not supported")
+            aggs, by = st.payload
+            table = _compile_stats(ds, aggs, by)
+            i += 1
+            continue
+        if st.kind == "sort":
+            keys = [k for k, _ in st.payload]
+            desc = [not asc for _, asc in st.payload]
+            if table is not None:
+                order = [(k, "descending" if d else "ascending")
+                         for k, d in zip(keys, desc)]
+                table = table.sort_by(order)
+                i += 1
+                continue
+            # raw-row sort: LIMIT n directly after -> head-K monoid
+            # (each batch contributes at most n rows to the exchange)
+            if i + 1 < len(stages) and stages[i + 1].kind == "limit":
+                n = stages[i + 1].payload
+
+                def headk(batch: pa.Table, _keys=keys, _desc=desc, _n=n) -> pa.Table:
+                    order = [(k, "descending" if d else "ascending")
+                             for k, d in zip(_keys, _desc)]
+                    return batch.sort_by(order).slice(0, _n)
+
+                ds = (
+                    ds.map_batches(headk, batch_format="pyarrow")
+                    .sort(keys, descending=desc)
+                    .limit(n)
+                )
+                i += 2
+                continue
+            ds = ds.sort(keys, descending=desc)
+            i += 1
+            continue
+        if st.kind == "limit":
+            if table is not None:
+                table = table.slice(0, st.payload)
+            else:
+                ds = ds.limit(st.payload)
+            i += 1
+            continue
+        raise EsqlError(f"unexpected stage {st.kind}")
+    return table if table is not None else ds

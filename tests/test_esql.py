@@ -1,0 +1,160 @@
+"""ES|QL-subset engine (query/esql.py): parser, expression kernels,
+stage compilation, and error paths."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from neural_search_ray.query.esql import EsqlError, parse_esql, run_esql
+from tests.conftest import SF_DIR
+
+
+def _rows(result):
+    if isinstance(result, ray.data.Dataset):
+        return pa.Table.from_pylist(result.take_all())
+    return result
+
+
+class TestParser:
+    def test_stage_sequence(self):
+        st = parse_esql(
+            'FROM documents | WHERE a == 1 | EVAL b = a + 2, c = b * 3'
+            ' | KEEP a, b | SORT a DESC, b | LIMIT 7'
+        )
+        assert [s.kind for s in st] == [
+            "from", "where", "eval", "keep", "sort", "limit"
+        ]
+        assert st[0].payload == "documents"
+        assert st[4].payload == [("a", False), ("b", True)]
+        assert st[5].payload == 7
+
+    def test_precedence(self):
+        # a + b * 2 == 7 AND NOT c parses as ((a + (b*2)) == 7) AND (NOT c)
+        (st,) = parse_esql("FROM t | WHERE a + b * 2 == 7 AND NOT c")[1:]
+        expr = st.payload
+        assert expr.op == "and"
+        assert expr.left.op == "=="
+        assert expr.left.left.op == "+"
+        assert expr.left.left.right.op == "*"
+
+    def test_stats_by(self):
+        st = parse_esql(
+            "FROM t | STATS n = COUNT(*), m = AVG(x) BY k1, k2"
+        )[1]
+        aggs, by = st.payload
+        assert [a[:2] for a in aggs] == [("n", "COUNT"), ("m", "AVG")]
+        assert by == ["k1", "k2"]
+
+    @pytest.mark.parametrize("bad", [
+        "WHERE x == 1",                      # no FROM
+        "FROM t | LIMIT 2.5",                # non-integer limit
+        "FROM t | STATS n = MEDIAN(x)",      # unknown aggregate
+        "FROM t | STATS n = SUM(*)",         # * only valid for COUNT
+        "FROM t | FOO 1",                    # unknown stage
+        'FROM t | WHERE x LIKE 5',           # LIKE needs string
+        "FROM t | WHERE (x == 1",            # unbalanced paren
+        "FROM t | WHERE x ~ 1",              # bad token
+    ])
+    def test_errors(self, bad):
+        with pytest.raises(EsqlError):
+            parse_esql(bad)
+
+
+class TestRowPipeline:
+    def test_where_eval_keep(self, sf_dir):
+        out = _rows(run_esql(
+            sf_dir,
+            'FROM documents | WHERE lang == "en" AND n_chars > 300'
+            ' | EVAL flag = n_chars >= 400, half = n_chars / 2'
+            ' | KEEP doc_id, flag, half',
+        ))
+        assert set(out.column_names) == {"doc_id", "flag", "half"}
+        assert out.num_rows > 0
+        half = out["half"].to_numpy()
+        assert half.dtype == np.float64
+
+    def test_string_functions(self, sf_dir):
+        out = _rows(run_esql(
+            sf_dir,
+            'FROM documents | EVAL u = TO_UPPER(SUBSTRING(lang, 1, 1)),'
+            ' s = CONCAT(lang, "-", source), n = LENGTH(lang)'
+            ' | KEEP lang, source, u, s, n | LIMIT 50',
+        ))
+        for row in out.to_pylist():
+            assert row["u"] == row["lang"][:1].upper()
+            assert row["s"] == f'{row["lang"]}-{row["source"]}'
+            assert row["n"] == len(row["lang"])
+
+    def test_like_and_in(self, sf_dir):
+        out = _rows(run_esql(
+            sf_dir,
+            'FROM events | WHERE event_type LIKE "p%"'
+            ' AND user_id IN (1, 2, 3) | KEEP event_type, user_id',
+        ))
+        assert out.num_rows > 0
+        for row in out.to_pylist():
+            assert row["event_type"].startswith("p")
+            assert row["user_id"] in (1, 2, 3)
+
+    def test_sort_limit_headk_matches_full_sort(self, sf_dir):
+        got = _rows(run_esql(
+            sf_dir,
+            "FROM events | SORT value DESC, event_id ASC | LIMIT 9"
+            " | KEEP event_id, value",
+        ))
+        full = (
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+            )
+            .sort(["value", "event_id"], descending=[True, False])
+            .limit(9)
+        )
+        exp = pa.Table.from_pylist(full.take_all())
+        assert got["event_id"].to_pylist() == exp["event_id"].to_pylist()
+
+    def test_unknown_column_raises(self, sf_dir):
+        with pytest.raises(Exception):
+            _rows(run_esql(sf_dir, "FROM events | WHERE nope == 1"))
+
+
+class TestStats:
+    def test_stats_matches_pandas(self, sf_dir):
+        t = run_esql(
+            sf_dir,
+            "FROM events | STATS n = COUNT(*), s = SUM(value),"
+            " lo = MIN(value), hi = MAX(value), m = AVG(value),"
+            " u = COUNT_DISTINCT(user_id) BY event_type"
+            " | SORT event_type",
+        )
+        import pyarrow.parquet as pq
+
+        df = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "value", "user_id"],
+        ).to_pandas()
+        g = df.groupby("event_type")
+        exp = g.agg(
+            n=("value", "size"), s=("value", "sum"), lo=("value", "min"),
+            hi=("value", "max"), m=("value", "mean"),
+            u=("user_id", "nunique"),
+        ).reset_index().sort_values("event_type")
+        got = t.to_pandas()
+        assert got["event_type"].tolist() == exp["event_type"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+        np.testing.assert_allclose(got["s"], exp["s"])
+        np.testing.assert_allclose(got["m"], exp["m"])
+        assert got["u"].tolist() == exp["u"].tolist()
+
+    def test_global_stats_no_by(self, sf_dir):
+        t = run_esql(sf_dir, "FROM events | STATS n = COUNT(*), s = SUM(value)")
+        assert t.num_rows == 1
+        assert t["n"][0].as_py() > 0
+
+    def test_where_after_stats_is_rowlocal_on_table(self, sf_dir):
+        t = run_esql(
+            sf_dir,
+            "FROM events | STATS n = COUNT(*) BY event_type"
+            " | WHERE n > 0 | SORT event_type | LIMIT 3",
+        )
+        assert t.num_rows == 3
