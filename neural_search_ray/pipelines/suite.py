@@ -10450,6 +10450,35 @@ SELECT event_id, user_id, round(value * 2.0, 3) AS v2
 FROM events WHERE event_type = 'click'
 ORDER BY v2 DESC, event_id ASC LIMIT 15"""
 
+    # ip field fixture: exact Mersenne-61 universal hash of event_id
+    # (stages/ipfield.py synth_ip_stage — constants repeated verbatim)
+    from ..stages.ipfield import IP_HASH_A, IP_HASH_B
+    from ..dedup.common import MERSENNE_61 as _M61
+
+    _ip_expr = (
+        f"((({IP_HASH_A}::HUGEINT * event_id + {IP_HASH_B}) % {_M61})::BIGINT"
+        " & 4294967295)"
+    )
+    sqls["ip_prefix_agg"] = f"""
+WITH ips AS (SELECT {_ip_expr} AS ip FROM events),
+b AS (SELECT ip >> 28 AS bucket, count(*)::BIGINT AS cnt
+      FROM ips GROUP BY bucket),
+n AS (SELECT bucket << 28 AS net, cnt FROM b)
+SELECT ((net >> 24) & 255)::VARCHAR || '.' || ((net >> 16) & 255)::VARCHAR
+       || '.' || ((net >> 8) & 255)::VARCHAR || '.' || (net & 255)::VARCHAR
+       || '/4' AS prefix,
+       cnt
+FROM n"""
+
+    sqls["ip_range_agg"] = f"""
+WITH ips AS (SELECT {_ip_expr} AS ip FROM events)
+SELECT range_key, count(*)::BIGINT AS cnt FROM (
+  SELECT CASE WHEN ip < 1073741824 THEN 'low'
+              WHEN ip < 3221225472 THEN 'mid'
+              ELSE 'high' END AS range_key
+  FROM ips)
+GROUP BY range_key"""
+
     return sqls
 
 
@@ -11020,6 +11049,39 @@ def q_esql_topk(sf_dir: str) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# ip field type + ip_range / ip_prefix aggregations (stages/ipfield.py)
+
+_IP_RANGES = [
+    ("low", None, "64.0.0.0"),
+    ("mid", "64.0.0.0", "192.0.0.0"),
+    ("high", "192.0.0.0", None),
+]
+
+
+def _events_ids_ds(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id"]
+    )
+
+
+def q_ip_prefix_agg(sf_dir: str) -> "ray.data.Dataset":
+    """ip_prefix aggregation over the synthesized ip field
+    (stages/ipfield.py): bucket by the top 4 bits, numpy bincount
+    combiner per batch, ONE keyed sum exchange, dotted /4 keys."""
+    from ..stages.ipfield import ip_prefix_agg
+
+    return ip_prefix_agg(_events_ids_ds(sf_dir), prefix_len=4)
+
+
+def q_ip_range_agg(sf_dir: str) -> "ray.data.Dataset":
+    """ip_range aggregation (named [from, to) address ranges, ES
+    open-bound semantics) over the same deterministic ip fixture."""
+    from ..stages.ipfield import ip_range_agg
+
+    return ip_range_agg(_events_ids_ds(sf_dir), _IP_RANGES)
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -11148,7 +11210,6 @@ def build_queries() -> dict:
         # stays), agg_string_stats (string metric partials ride the
         # same moment/finish machinery as in-window agg_boxplot), and
         # nested_terms (nested family rep nested_topk stays)
-        "agg_children": q_agg_children,
         "categorize_text": q_categorize_text,
         # --- block 2h: session-12 — ES|QL-subset _query endpoint (new
         # REQUEST-COMPOSITION family: parser + Ray-Data compiler;
@@ -11156,8 +11217,14 @@ def build_queries() -> dict:
         # machinery keeps in-window cover via agg_cardinality and
         # events_serial_diff) ---
         "esql_stats": q_esql_stats,
+        # ip field type + ip_prefix/ip_range aggs (new FIELD-TYPE family;
+        # displaces agg_children — the join-field machinery keeps its
+        # in-window rep via has_child_topk)
+        "ip_prefix_agg": q_ip_prefix_agg,
         # ==== driver 50-entry window boundary (keys above this line) ====
         "esql_topk": q_esql_topk,
+        "ip_range_agg": q_ip_range_agg,
+        "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,
         "reverse_nested": q_reverse_nested,
