@@ -10450,6 +10450,27 @@ SELECT event_id, user_id, round(value * 2.0, 3) AS v2
 FROM events WHERE event_type = 'click'
 ORDER BY v2 DESC, event_id ASC LIMIT 15"""
 
+    # fuzzy completion: min-over-prefixes levenshtein, first char
+    # anchored, (distance, weight desc, term) ordering
+    _fuzzy_vals = ", ".join(
+        f"({qid}, '{p}')" for qid, p in _FUZZY_COMPLETIONS
+    )
+    sqls["suggest_completion_fuzzy"] = f"""
+SELECT query_id, rank, term, weight, dist FROM (
+  SELECT query_id, term, weight, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, weight DESC, term) AS rank
+  FROM (
+    SELECT q.query_id::BIGINT AS query_id, d.term, d.df AS weight,
+           min(levenshtein(q.pfx, substr(d.term, 1, g.j)))::BIGINT AS dist
+    FROM (VALUES {_fuzzy_vals}) q(query_id, pfx)
+    JOIN ({SQL_DF}) d ON substr(d.term, 1, 1) = substr(q.pfx, 1, 1)
+    CROSS JOIN generate_series(1, {_FUZZY_MAXJ}) g(j)
+    WHERE g.j <= length(q.pfx) + 1 AND g.j <= length(d.term)
+    GROUP BY q.query_id, d.term, d.df)
+  WHERE dist <= 1
+) WHERE rank <= {_FUZZY_SIZE}"""
+
     # ip field fixture: exact Mersenne-61 universal hash of event_id
     # (stages/ipfield.py synth_ip_stage — constants repeated verbatim)
     from ..stages.ipfield import IP_HASH_A, IP_HASH_B
@@ -11049,6 +11070,50 @@ def q_esql_topk(sf_dir: str) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# fuzzy completion suggester (query/engine.py suggest_completion_fuzzy)
+
+_FUZZY_COMPLETIONS: list[tuple[int, str]] = [
+    (0, "qery"),    # -> query
+    (1, "stram"),   # -> stream
+    (2, "filtr"),   # -> filter (via the 'filt'/'filte' prefixes)
+    (3, "batc"),    # -> batch (distance 0 on the exact prefix)
+]
+_FUZZY_SIZE = 5
+# fixed generate_series bound for the SQL mirror: max prefix length + 1
+_FUZZY_MAXJ = max(len(p) for _, p in _FUZZY_COMPLETIONS) + 1
+
+
+def q_suggest_completion_fuzzy(sf_dir: str) -> pa.Table:
+    """Fuzzy completion suggester (ES completion ``fuzzy`` option): a
+    dictionary term matches when some prefix of it is within 1 edit of
+    the typed prefix (first char anchored exactly — the candidate set
+    stays a binary-search dictionary slice); ordered (distance asc,
+    weight desc, term asc), weight = df. The min-over-prefixes edit
+    distance is one vectorized numpy DP over the slice."""
+    searcher = get_searcher(sf_dir)
+    qs, rs, ts, ws, ds = [], [], [], [], []
+    for qid, pfx in _FUZZY_COMPLETIONS:
+        terms, weights, dists = searcher.suggest_completion_fuzzy(
+            pfx, size=_FUZZY_SIZE, fuzziness=1, prefix_length=1
+        )
+        for r, (t, w, d) in enumerate(zip(terms, weights, dists), start=1):
+            qs.append(qid)
+            rs.append(r)
+            ts.append(t)
+            ws.append(int(w))
+            ds.append(int(d))
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "rank": pa.array(rs, pa.int64()),
+            "term": pa.array(ts, pa.string()),
+            "weight": pa.array(ws, pa.int64()),
+            "dist": pa.array(ds, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # ip field type + ip_range / ip_prefix aggregations (stages/ipfield.py)
 
 _IP_RANGES = [
@@ -11224,6 +11289,7 @@ def build_queries() -> dict:
         # ==== driver 50-entry window boundary (keys above this line) ====
         "esql_topk": q_esql_topk,
         "ip_range_agg": q_ip_range_agg,
+        "suggest_completion_fuzzy": q_suggest_completion_fuzzy,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,

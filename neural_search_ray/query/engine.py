@@ -2903,6 +2903,83 @@ class IndexSearcher:
             order = order[:size]
         return [str(t) for t in terms[order]], weights[order]
 
+    def suggest_completion_fuzzy(
+        self,
+        prefix: str,
+        size: int | None = 5,
+        *,
+        fuzziness: int = 1,
+        prefix_length: int = 1,
+        min_length: int = 3,
+    ) -> tuple[list[str], np.ndarray, np.ndarray]:
+        """Fuzzy completion suggester (ES completion ``fuzzy`` option /
+        Lucene FuzzyCompletionQuery analogue): a dictionary term matches
+        when SOME prefix of it is within ``fuzziness`` edits of the query
+        prefix.  Pinned semantics (documented deviations from Lucene's
+        automaton scoring): the first ``prefix_length`` characters must
+        match exactly (the candidate slice stays a binary-search
+        dictionary range, never a scan); prefixes shorter than
+        ``min_length`` fall back to exact completion; results order by
+        (edit distance asc, weight desc, term asc) and weight = df.
+
+        The per-candidate minimum-over-prefixes distance is one numpy
+        DP over the fixed-width UTF-32 view of the candidate slice —
+        loops run over the (short) pattern/prefix lengths only, all
+        candidate-axis work is vectorized.  Returns (terms, weights,
+        distances)."""
+        if fuzziness < 0 or prefix_length < 0:
+            raise ValueError("fuzziness and prefix_length must be >= 0")
+        if len(prefix) < min_length or fuzziness == 0:
+            terms, weights = self.suggest_completion(prefix, size)
+            return terms, weights, np.zeros(len(terms), np.int64)
+        plen = min(prefix_length, len(prefix))
+        anchor = prefix[:plen]
+        lo = np.searchsorted(self._gterms, anchor)
+        hi = np.searchsorted(self._gterms, anchor + chr(0x10FFFF))
+        terms = np.asarray(self._gterms[lo:hi], dtype=object)
+        weights = self._gdf[lo:hi].astype(np.int64)
+        if terms.size == 0:
+            return [], np.empty(0, np.int64), np.empty(0, np.int64)
+        n = len(prefix)
+        m = n + fuzziness  # longest candidate prefix worth considering
+        # fixed-width UTF-32 char matrix: (N, m), 0-padded past each term
+        chars = (
+            np.array(terms, dtype=f"U{m}")
+            .view(np.uint32)
+            .reshape(len(terms), m)
+        )
+        tlens = np.minimum(
+            np.fromiter((len(t) for t in terms), np.int64, len(terms)), m
+        )
+        q = np.array([ord(c) for c in prefix], dtype=np.uint32)
+        big = np.int32(127)
+        # D[i] = edit distance between q[:i] and the current candidate
+        # prefix; best = min over prefix lengths j (1..len(t)) of D[n]
+        D_prev = np.tile(np.arange(n + 1, dtype=np.int32), (len(terms), 1))
+        best = np.full(len(terms), big, dtype=np.int32)
+        for j in range(1, m + 1):
+            c = chars[:, j - 1]
+            D_new = np.empty_like(D_prev)
+            D_new[:, 0] = j
+            for i in range(1, n + 1):
+                sub = D_prev[:, i - 1] + (c != q[i - 1])
+                D_new[:, i] = np.minimum(
+                    np.minimum(D_prev[:, i] + 1, D_new[:, i - 1] + 1), sub
+                )
+            alive = j <= tlens
+            best = np.where(alive, np.minimum(best, D_new[:, n]), best)
+            D_prev = D_new
+        keep = best <= fuzziness
+        terms, weights, best = terms[keep], weights[keep], best[keep]
+        order = np.lexsort((terms, -weights, best))
+        if size is not None:
+            order = order[:size]
+        return (
+            [str(t) for t in terms[order]],
+            weights[order],
+            best[order].astype(np.int64),
+        )
+
     def _eval_clauses(
         self, clauses: list, k: int, *, global_dfs: dict | None = None
     ) -> tuple[np.ndarray, np.ndarray]:

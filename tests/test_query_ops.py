@@ -1371,3 +1371,58 @@ class TestSearchTemplates:
             search_template(
                 searcher, '{"query": {"match": {"text": "a"}, "term": {"text": "b"}}}'
             )
+
+
+class TestFuzzyCompletion:
+    """suggest_completion_fuzzy: min-over-prefixes edit distance with an
+    exact first-char anchor, (dist, weight desc, term) ordering."""
+
+    def test_matches_reference_dp(self, searcher):
+        # brute-force oracle: for every dictionary term sharing the
+        # anchor char, min levenshtein(q, term[:j]) over j=1..len(q)+1
+        q = "stram"
+        terms, weights, dists = searcher.suggest_completion_fuzzy(
+            q, size=None, fuzziness=1, prefix_length=1
+        )
+        vocab = [str(t) for t in searcher._gterms if str(t)[:1] == q[:1]]
+        exp = {}
+        for t in vocab:
+            best = min(
+                (_lev(q, t[:j]) for j in range(1, min(len(t), len(q) + 1) + 1)),
+                default=99,
+            )
+            if best <= 1:
+                exp[t] = best
+        assert dict(zip(terms, dists)) == exp
+
+    def test_exact_prefix_is_distance_zero(self, searcher):
+        terms, _w, dists = searcher.suggest_completion_fuzzy(
+            "quer", fuzziness=1
+        )
+        by = dict(zip(terms, dists))
+        assert by.get("query") == 0
+
+    def test_order_distance_then_weight(self, searcher):
+        _terms, weights, dists = searcher.suggest_completion_fuzzy(
+            "quer", size=None, fuzziness=1
+        )
+        key = list(zip(dists.tolist(), (-weights).tolist()))
+        assert key == sorted(key)
+
+    def test_short_prefix_falls_back_to_exact(self, searcher):
+        ft, fw, fd = searcher.suggest_completion_fuzzy("da", fuzziness=1)
+        et, ew = searcher.suggest_completion("da")
+        assert ft == et and fw.tolist() == ew.tolist()
+        assert fd.tolist() == [0] * len(ft)
+
+    def test_no_candidates(self, searcher):
+        terms, weights, dists = searcher.suggest_completion_fuzzy(
+            "zzzz", fuzziness=1
+        )
+        assert terms == [] and len(weights) == 0 and len(dists) == 0
+
+    def test_bad_params(self, searcher):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            searcher.suggest_completion_fuzzy("abc", fuzziness=-1)
