@@ -3892,6 +3892,52 @@ def q_events_moving_avg(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+_MOVPCT_W = 4
+_MOVPCT_PS = (0.5, 0.9)
+
+
+def q_events_moving_percentiles(sf_dir: str) -> "ray.data.Dataset":
+    """moving_percentiles pipeline aggregation over the date_histogram:
+    per event_type in time order, the p50/p90 of the trailing-W count
+    window (current bucket inclusive, partial head windows over what
+    exists — the same window convention as q_events_moving_avg).
+    Linear-interpolation quantiles (np.quantile 'linear' ==
+    DuckDB quantile_cont).  Sequential scan AFTER the histogram
+    exchange — bounded by bucket count, never event count."""
+    hist = q_events_date_histogram(sf_dir)
+
+    def finish(group: pa.Table) -> pa.Table:
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        order = pc.sort_indices(group["bucket_us"])
+        g = group.take(order)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = cnt.size
+        out = {p: np.empty(n, np.float64) for p in _MOVPCT_PS}
+        head = min(_MOVPCT_W - 1, n)
+        for i in range(head):  # partial head windows (at most W-1)
+            for p in _MOVPCT_PS:
+                out[p][i] = np.quantile(cnt[: i + 1], p)
+        if n >= _MOVPCT_W:  # full windows: one vectorized call per p
+            wins = sliding_window_view(cnt, _MOVPCT_W)
+            for p in _MOVPCT_PS:
+                out[p][_MOVPCT_W - 1:] = np.quantile(wins, p, axis=1)
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "bucket_us": g["bucket_us"],
+                "cnt": g["cnt"].cast(pa.int64()),
+                "p50": pa.array(round_half_up(out[0.5], 6), pa.float64()),
+                "p90": pa.array(round_half_up(out[0.9], 6), pa.float64()),
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
 _SDIFF_LAG = 2
 
 
@@ -5035,6 +5081,69 @@ def q_retriever_rrf(sf_dir: str) -> pa.Table:
         docs, scores = execute_retriever(spec, searcher=searcher, k=5)
         rows.append((qid, docs, scores))
     return _hits_table(rows, round_to=6)
+
+
+_RESCORER_TEXT = "fast merge"
+_RESCORER_QW, _RESCORER_RQW = 1.0, 2.0
+_RESCORER_WINDOW = 10
+
+
+def q_retriever_rescorer(sf_dir: str) -> pa.Table:
+    """rescorer retriever (ES 8.x compound): the child standard leaf
+    runs to a rank window of 10, then every window hit is re-scored as
+    query_weight*orig + rescore_query_weight*bm25(rescore match) — the
+    Lucene QueryRescorer blend, with the rescore scores taken from ONE
+    vectorized BM25 union pass (k-sized window work only)."""
+    from ..query.retriever import execute_retriever
+
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        spec = {
+            "rescorer": {
+                "retriever": {"standard": {"query": {"match": {"text": qtext}}}},
+                "rescore": {
+                    "window_size": _RESCORER_WINDOW,
+                    "query": {"match": {"text": _RESCORER_TEXT}},
+                    "query_weight": _RESCORER_QW,
+                    "rescore_query_weight": _RESCORER_RQW,
+                },
+            }
+        }
+        docs, scores = execute_retriever(spec, searcher=searcher, k=5)
+        rows.append((qid, docs, scores))
+    return _hits_table(rows, round_to=6)
+
+
+_RULE_PINS = [5, 11]
+_RULE_EXCLUDED = [2]
+_RULESET = [
+    {"criteria_term": "promo", "pinned_ids": _RULE_PINS,
+     "excluded_ids": _RULE_EXCLUDED},
+    {"criteria_term": "other", "pinned_ids": [999_999]},  # must not apply
+]
+
+
+def q_retriever_rule(sf_dir: str) -> pa.Table:
+    """rule retriever (ES query-rules surface): ruleset rules whose
+    criteria match the request pin their ids first (search_pinned's
+    synthetic-score convention) and drop excluded ids from the organic
+    child window; non-matching rules are inert."""
+    from ..query.retriever import execute_retriever
+
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        spec = {
+            "rule": {
+                "retriever": {"standard": {"query": {"match": {"text": qtext}}}},
+                "ruleset": _RULESET,
+                "match_criteria": "promo",
+            }
+        }
+        docs, scores = execute_retriever(spec, searcher=searcher, k=BM25_K)
+        rows.append((qid, docs, scores))
+    return _hits_table(rows)
 
 
 def q_chunk_fixed_char(sf_dir: str) -> "ray.data.Dataset":
@@ -8445,6 +8554,22 @@ FROM (
   WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
                ROWS BETWEEN {_MOVAVG_W - 1} PRECEDING AND CURRENT ROW)
 ) WHERE cnt >= {_BSEL_MIN_CNT}"""
+    sqls["events_moving_percentiles"] = f"""
+SELECT event_type, bucket_us, cnt,
+       round(p50, 6) AS p50, round(p90, 6) AS p90
+FROM (
+  SELECT event_type, bucket_us, cnt,
+         quantile_cont(cnt, 0.5) OVER w AS p50,
+         quantile_cont(cnt, 0.9) OVER w AS p90
+  FROM (
+    SELECT event_type,
+           epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
+           count(*)::BIGINT AS cnt
+    FROM events GROUP BY event_type, bucket_us)
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+               ROWS BETWEEN {_MOVPCT_W - 1} PRECEDING AND CURRENT ROW)
+)"""
+
     sqls["events_serial_diff"] = f"""
 SELECT event_type, bucket_us, cnt,
        coalesce(cnt - lag(cnt, {_SDIFF_LAG}) OVER (
@@ -9423,6 +9548,49 @@ SELECT query_id, rank, doc_id, score FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(score, 6) DESC, doc_id) AS rank
   FROM joined) WHERE rank <= 5"""
+
+    # rescorer retriever: child window by RAW primary score (the
+    # engine's topk_desc selection), blend qw*orig + rqw*rescore where
+    # the rescore score is the secondary match's BM25 (0 if no match)
+    _resc_terms = sorted(set(tokenize(_RESCORER_TEXT)))
+    _resc_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, _ in QUERY_SET for t in _resc_terms
+    )
+    sqls["retriever_rescorer"] = f"""
+WITH sc AS ({_bm25_scored_sql()}),
+win AS ({_topk_raw_sql("SELECT * FROM sc", _RESCORER_WINDOW)}),
+rs AS ({_bm25_scored_sql(
+        "SELECT * FROM (VALUES " + _resc_vals + ") AS q(query_id, term)")}),
+b AS (SELECT w.query_id, w.doc_id,
+             {_RESCORER_QW} * w.score
+               + {_RESCORER_RQW} * coalesce(r.score, 0) AS score
+      FROM win w LEFT JOIN rs r
+        ON r.query_id = w.query_id AND r.doc_id = w.doc_id)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM b) WHERE rank <= 5"""
+
+    # rule retriever: matching rules pin ids first (search_pinned's
+    # synthetic scores) and drop excluded ids from the organic ranking
+    _rule_pin_vals = ", ".join(
+        f"({d}, {float(1.0e9 - i)!r})" for i, d in enumerate(_RULE_PINS)
+    )
+    _rule_drop = ", ".join(map(str, _RULE_PINS + _RULE_EXCLUDED))
+    sqls["retriever_rule"] = f"""
+WITH sc AS ({_bm25_scored_sql()}),
+org AS (SELECT query_id, doc_id, round(score, 6) AS score FROM sc
+        WHERE doc_id NOT IN ({_rule_drop})),
+pin AS (SELECT q.query_id, p.doc_id::BIGINT AS doc_id, p.score
+        FROM (SELECT DISTINCT query_id FROM ({_query_values_sql()})) q
+        CROSS JOIN (VALUES {_rule_pin_vals}) p(doc_id, score)),
+u AS (SELECT * FROM pin UNION ALL SELECT * FROM org)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM u) WHERE rank <= {BM25_K}"""
 
     # chunkers
     sqls["chunk_fixed_char"] = _chunk_char_sql(char_limit=100, step=75)
@@ -11290,6 +11458,9 @@ def build_queries() -> dict:
         "esql_topk": q_esql_topk,
         "ip_range_agg": q_ip_range_agg,
         "suggest_completion_fuzzy": q_suggest_completion_fuzzy,
+        "events_moving_percentiles": q_events_moving_percentiles,
+        "retriever_rescorer": q_retriever_rescorer,
+        "retriever_rule": q_retriever_rule,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,

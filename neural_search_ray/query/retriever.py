@@ -94,4 +94,73 @@ def execute_retriever(
             weights=[w / total for w in weights],
             k=k,
         )
+    if kind == "rescorer":
+        child = body.get("retriever")
+        res = body.get("rescore")
+        if child is None or res is None:
+            raise ValueError("rescorer needs 'retriever' and 'rescore'")
+        window = int(res.get("window_size", DEFAULT_RANK_WINDOW))
+        qw = float(res.get("query_weight", 1.0))
+        rqw = float(res.get("rescore_query_weight", 1.0))
+        match = res.get("query", {}).get("match")
+        if not match:
+            # subset restriction (documented): Lucene QueryRescorer takes
+            # any query; this surface pins a match clause so the rescore
+            # scores come from ONE vectorized BM25 union pass
+            raise ValueError("rescorer subset supports a 'match' rescore query")
+        from ..analysis.analyzer import tokenize
+
+        (field, text), = match.items()
+        del field  # single-field engine; parity with the request shape
+        docs, scores = execute_retriever(
+            child, searcher=searcher, k=window, knn_fn=knn_fn
+        )
+        cand, rscores = searcher._bm25_union_scores(tokenize(text), None)
+        pos = np.searchsorted(cand, docs)
+        pos_c = np.minimum(pos, max(cand.size - 1, 0))
+        hit = cand.size > 0
+        found = (
+            (cand[pos_c] == docs) if hit else np.zeros(docs.size, bool)
+        )
+        extra = np.where(found, rscores[pos_c] if hit else 0.0, 0.0)
+        blended = qw * scores + rqw * extra
+        order = np.lexsort((docs, -blended))[:k]
+        return docs[order], blended[order]
+    if kind == "rule":
+        child = body.get("retriever")
+        ruleset = body.get("ruleset")
+        criteria = body.get("match_criteria")
+        if child is None or ruleset is None or criteria is None:
+            raise ValueError(
+                "rule needs 'retriever', 'ruleset' and 'match_criteria'"
+            )
+        pinned: list[int] = []
+        excluded: set[int] = set()
+        for rule in ruleset:
+            if rule.get("criteria_term") != criteria:
+                continue
+            for i in rule.get("pinned_ids", ()):
+                if int(i) not in pinned:
+                    pinned.append(int(i))
+            excluded.update(int(i) for i in rule.get("excluded_ids", ()))
+        pinned = [i for i in pinned if i not in excluded][:k]
+        docs, scores = execute_retriever(
+            child, searcher=searcher, k=k + len(pinned) + len(excluded),
+            knn_fn=knn_fn,
+        )
+        drop = excluded.union(pinned)
+        if drop:
+            keep = ~np.isin(docs, np.fromiter(drop, np.int64, len(drop)))
+            docs, scores = docs[keep], scores[keep]
+        docs, scores = docs[: k - len(pinned)], scores[: k - len(pinned)]
+        pin_docs = np.asarray(pinned, dtype=np.int64)
+        # same synthetic-score convention as engine.search_pinned:
+        # pinned ids first IN ORDER, above every organic score
+        pin_scores = searcher.PIN_SCORE_BASE - np.arange(
+            len(pinned), dtype=np.float64
+        )
+        return (
+            np.concatenate([pin_docs, docs]),
+            np.concatenate([pin_scores, scores]),
+        )
     raise ValueError(f"unknown retriever type {kind!r}")

@@ -520,3 +520,130 @@ class TestRetrieverTree:
                      "weight": 0.0}]}},
                 searcher=r_searcher,
             )
+
+
+class TestRescorerRuleRetrievers:
+    """rescorer + rule retriever kinds (query/retriever.py)."""
+
+    @pytest.fixture(scope="class")
+    def rr_searcher(self, tmp_path_factory, sf_dir, ray_session):
+        import ray
+
+        from neural_search_ray.config import IndexConfig
+        from neural_search_ray.index.build import build_index
+        from neural_search_ray.query.engine import IndexSearcher
+
+        d = str(tmp_path_factory.mktemp("rescr_idx"))
+        build_index(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            d,
+            IndexConfig(num_shards=2, num_salts=2),
+        )
+        return IndexSearcher(d)
+
+    def test_rescorer_blend_matches_manual(self, rr_searcher):
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.query.retriever import execute_retriever
+
+        spec = {
+            "rescorer": {
+                "retriever": {"standard": {"query": {"match": {"text": "data query"}}}},
+                "rescore": {
+                    "window_size": 8,
+                    "query": {"match": {"text": "fast merge"}},
+                    "query_weight": 0.5,
+                    "rescore_query_weight": 2.0,
+                },
+            }
+        }
+        d, v = execute_retriever(spec, searcher=rr_searcher, k=5)
+        wd, wv = rr_searcher.search_bm25(tokenize("data query"), k=8)
+        cand, rsc = rr_searcher._bm25_union_scores(tokenize("fast merge"), None)
+        lut = dict(zip(cand.tolist(), rsc.tolist()))
+        blended = [0.5 * s + 2.0 * lut.get(doc, 0.0)
+                   for doc, s in zip(wd.tolist(), wv.tolist())]
+        exp = sorted(zip(wd.tolist(), blended), key=lambda t: (-t[1], t[0]))[:5]
+        assert d.tolist() == [e[0] for e in exp]
+        np.testing.assert_allclose(v, [e[1] for e in exp])
+
+    def test_rescorer_identity_weights(self, rr_searcher):
+        """qw=1, rqw=0 reduces to the child ranking."""
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.query.retriever import execute_retriever
+
+        spec = {
+            "rescorer": {
+                "retriever": {"standard": {"query": {"match": {"text": "data query"}}}},
+                "rescore": {"window_size": 10,
+                            "query": {"match": {"text": "merge"}},
+                            "query_weight": 1.0,
+                            "rescore_query_weight": 0.0},
+            }
+        }
+        d, v = execute_retriever(spec, searcher=rr_searcher, k=5)
+        d2, v2 = rr_searcher.search_bm25(tokenize("data query"), k=5)
+        assert d.tolist() == d2.tolist()
+        np.testing.assert_allclose(v, v2)
+
+    def test_rescorer_validation(self, rr_searcher):
+        from neural_search_ray.query.retriever import execute_retriever
+
+        with pytest.raises(ValueError, match="retriever.*rescore|rescore"):
+            execute_retriever({"rescorer": {}}, searcher=rr_searcher)
+        with pytest.raises(ValueError, match="match"):
+            execute_retriever(
+                {"rescorer": {
+                    "retriever": {"standard": {"query": {"term": {"text": "data"}}}},
+                    "rescore": {"query": {"term": {"text": "data"}}}}},
+                searcher=rr_searcher,
+            )
+
+    def test_rule_pins_and_excludes(self, rr_searcher):
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.query.retriever import execute_retriever
+
+        base, _ = rr_searcher.search_bm25(tokenize("data query"), k=10)
+        victim = int(base[0])  # exclude the organic top hit
+        spec = {
+            "rule": {
+                "retriever": {"standard": {"query": {"match": {"text": "data query"}}}},
+                "ruleset": [
+                    {"criteria_term": "promo", "pinned_ids": [5, 11],
+                     "excluded_ids": [victim]},
+                    {"criteria_term": "other", "pinned_ids": [victim]},
+                ],
+                "match_criteria": "promo",
+            }
+        }
+        d, v = execute_retriever(spec, searcher=rr_searcher, k=10)
+        assert d.tolist()[:2] == [5, 11]
+        assert victim not in d.tolist()
+        # synthetic pin scores sit above every organic score, in order
+        assert v[0] > v[1] > v[2]
+        # organic tail = base ranking minus victim and pins
+        exp_tail = [x for x in base.tolist() if x not in (victim, 5, 11)][:8]
+        assert d.tolist()[2:] == exp_tail
+
+    def test_rule_no_matching_criteria_is_inert(self, rr_searcher):
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.query.retriever import execute_retriever
+
+        spec = {
+            "rule": {
+                "retriever": {"standard": {"query": {"match": {"text": "data query"}}}},
+                "ruleset": [{"criteria_term": "other", "pinned_ids": [5]}],
+                "match_criteria": "promo",
+            }
+        }
+        d, v = execute_retriever(spec, searcher=rr_searcher, k=5)
+        d2, v2 = rr_searcher.search_bm25(tokenize("data query"), k=5)
+        assert d.tolist() == d2.tolist()
+        np.testing.assert_allclose(v, v2)
+
+    def test_rule_validation(self, rr_searcher):
+        from neural_search_ray.query.retriever import execute_retriever
+
+        with pytest.raises(ValueError, match="ruleset|match_criteria"):
+            execute_retriever({"rule": {}}, searcher=rr_searcher)
