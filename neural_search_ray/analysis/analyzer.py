@@ -123,7 +123,8 @@ def tokenize(text: str, config: AnalyzerConfig = AnalyzerConfig()) -> list[str]:
     stops = _stop_tuple(config.remove_stopwords)
     lower = config.lowercase
     poss, stemmer = config.strip_possessive, config.stemmer
-    filt = poss or stemmer != "none"
+    fold = getattr(config, "fold_ascii", False)
+    filt = poss or fold or stemmer != "none"
     for tok in raw:
         if lower:
             tok = tok.lower()
@@ -133,13 +134,13 @@ def tokenize(text: str, config: AnalyzerConfig = AnalyzerConfig()) -> list[str]:
                 piece = tok[i : i + mtl]
                 if piece not in stops:
                     if filt:
-                        piece = apply_token_filters(piece, poss, stemmer)
+                        piece = apply_token_filters(piece, poss, stemmer, fold)
                         if not piece:
                             continue
                     out.append(piece)
         elif tok not in stops:
             if filt:
-                tok = apply_token_filters(tok, poss, stemmer)
+                tok = apply_token_filters(tok, poss, stemmer, fold)
                 if not tok:
                     continue
             out.append(tok)
@@ -202,7 +203,11 @@ def analyze_column(
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if config.strip_possessive or config.stemmer != "none":
+    if (
+        config.strip_possessive
+        or config.stemmer != "none"
+        or config.fold_ascii
+    ):
         # run the base analysis without the token filters (stopwords are
         # judged on unstemmed tokens — Lucene chain order), then apply
         # the filters VECTORIZED over the flat token array: one
@@ -212,10 +217,13 @@ def analyze_column(
 
         from .stem import apply_token_filters_flat
 
-        base = _dc_replace(config, strip_possessive=False, stemmer="none")
+        base = _dc_replace(
+            config, strip_possessive=False, stemmer="none", fold_ascii=False
+        )
         lists = analyze_column(col, base)
         flat = apply_token_filters_flat(
-            lists.flatten(), config.strip_possessive, config.stemmer
+            lists.flatten(), config.strip_possessive, config.stemmer,
+            config.fold_ascii,
         )
         return _strip_empty_tokens(
             pa.ListArray.from_arrays(lists.offsets, flat)

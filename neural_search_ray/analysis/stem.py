@@ -60,7 +60,11 @@ def stem_minimal_english_token(tok: str) -> str:
     return tok[:-1]
 
 
-def apply_token_filters(tok: str, strip_poss: bool, stemmer: str) -> str:
+def apply_token_filters(
+    tok: str, strip_poss: bool, stemmer: str, fold_ascii: bool = False
+) -> str:
+    if fold_ascii:
+        tok = fold_ascii_token(tok)
     if strip_poss:
         tok = strip_possessive_token(tok)
     if stemmer == "minimal_english":
@@ -113,9 +117,74 @@ def stem_minimal_english_flat(flat: pa.Array) -> pa.Array:
     )
 
 
+def _build_fold_table() -> dict[int, str]:
+    """ASCIIFoldingFilter mapping, Latin-1 Supplement + Latin Extended-A
+    subset (the range web text actually hits): NFKD-decompose and drop
+    combining marks, plus Lucene's non-decomposable specials (ae/oe/ss/
+    th/d/o/l ligatures and letters). Folding beyond this range is out of
+    scope (documented subset of Lucene's full-BMP table)."""
+    import unicodedata
+
+    table: dict[int, str] = {}
+    specials = {
+        "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE", "ß": "ss",
+        "ø": "o", "Ø": "O", "ð": "d", "Ð": "D", "þ": "th", "Þ": "TH",
+        "đ": "d", "Đ": "D", "ł": "l", "Ł": "L", "ı": "i",
+    }
+    for cp in range(0x00C0, 0x0180):
+        ch = chr(cp)
+        if ch in specials:
+            table[cp] = specials[ch]
+            continue
+        folded = "".join(
+            c for c in unicodedata.normalize("NFKD", ch)
+            if not unicodedata.combining(c)
+        )
+        if folded != ch and folded.isascii():
+            table[cp] = folded
+    return table
+
+
+_FOLD_TABLE = _build_fold_table()
+
+
+def fold_ascii_token(tok: str) -> str:
+    return tok.translate(_FOLD_TABLE)
+
+
+def fold_ascii_flat(flat: pa.Array) -> pa.Array:
+    """Vectorized-gated ASCII folding over a flat token array: tokens
+    are pure-ASCII in the overwhelming majority of web text, so one
+    Arrow regex pass finds the exceptions and only THOSE pay the
+    per-token translate — the fast/slow stitch pattern of
+    analyze_column applied at token granularity."""
+    import numpy as np
+
+    mask = pc.match_substring_regex(flat, "[^\\x00-\\x7F]")
+    mask_np = pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+    if not mask_np.any():
+        return flat
+    idx = np.flatnonzero(mask_np)
+    folded = pa.array(
+        [fold_ascii_token(t) for t in flat.take(pa.array(idx)).to_pylist()],
+        type=pa.string(),
+    )
+    # scatter back via one gather from [flat ++ folded] — the untouched
+    # majority never round-trips through Python
+    gather = np.arange(len(flat), dtype=np.int64)
+    gather[idx] = len(flat) + np.arange(len(idx), dtype=np.int64)
+    return pa.concat_arrays(
+        [flat.cast(pa.string()), folded]
+    ).take(pa.array(gather))
+
+
 def apply_token_filters_flat(
-    flat: pa.Array, strip_poss: bool, stemmer: str
+    flat: pa.Array, strip_poss: bool, stemmer: str, fold_ascii: bool = False
 ) -> pa.Array:
+    # chain order: fold first (Lucene places ASCIIFoldingFilter before
+    # the language filters), then possessive, then stem
+    if fold_ascii:
+        flat = fold_ascii_flat(flat)
     if strip_poss:
         flat = strip_possessive_flat(flat)
     if stemmer == "minimal_english":

@@ -30,6 +30,9 @@ class AnalyzerConfig:
     # judged on the UNstemmed token, then filters apply):
     # EnglishPossessiveFilter ("john's" -> "john")
     strip_possessive: bool = False
+    # ASCIIFoldingFilter (Latin-1 Supplement + Latin Extended-A subset;
+    # analysis/stem.py fold table — applied before possessive/stem)
+    fold_ascii: bool = False
     # "none" | "minimal_english" (Lucene EnglishMinimalStemmer — Harman
     # S-stemmer; see analysis/stem.py for the exact rule table)
     stemmer: str = "none"

@@ -5083,6 +5083,57 @@ def q_retriever_rrf(sf_dir: str) -> pa.Table:
     return _hits_table(rows, round_to=6)
 
 
+_FOLD_CACHE: dict[str, str] = {}
+
+
+def _accentify_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic accented fixture: every 'a' -> 'á', 'e' -> 'é' in
+    the corpus text (the synthetic vocabulary is accent-free, so queries
+    only match the accented corpus THROUGH the asciifolding filter —
+    same non-vacuity construction as the stemmer fixture)."""
+    text = pc.replace_substring(batch["text"], "a", "á")
+    text = pc.replace_substring(text, "e", "é")
+    return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+
+def _folded_index_dir(sf_dir: str) -> str:
+    """Index over the accented corpus with ASCIIFoldingFilter in the
+    chain (analysis/stem.py fold table; the reference consumes Lucene
+    token filters through the same AnalysisRegistry seam)."""
+    from ..config import AnalyzerConfig
+
+    if sf_dir in _FOLD_CACHE:
+        return _FOLD_CACHE[sf_dir]
+    d = get_index_dir(sf_dir) + "-fold"
+    build_index(
+        _docs_ds(sf_dir).map_batches(
+            _accentify_batch, batch_format="pyarrow"
+        ),
+        d,
+        IndexConfig(
+            num_shards=2,
+            num_salts=2,
+            analyzer=AnalyzerConfig(fold_ascii=True),
+        ),
+    )
+    _FOLD_CACHE[sf_dir] = d
+    return d
+
+
+def q_asciifolding_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-k through the asciifolding analysis chain: the corpus
+    was deterministically accented, the index analyzer folds it back to
+    ASCII, and the (accent-free) query terms match — scores equal a full
+    SQL recomputation applying the identical accentify + strip_accents
+    chain to every token."""
+    searcher = IndexSearcher(_folded_index_dir(sf_dir))
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = searcher.search_bm25(tokenize(qtext), k=BM25_K)
+        rows.append((qid, docs, scores))
+    return _hits_table(rows)
+
+
 _RESCORER_TEXT = "fast merge"
 _RESCORER_QW, _RESCORER_RQW = 1.0, 2.0
 _RESCORER_WINDOW = 10
@@ -8166,6 +8217,16 @@ SELECT query_id, rank, doc_id, score FROM (
             "SELECT * FROM (VALUES "
             + ", ".join(_stem_qrows)
             + ") AS q(query_id, term)",
+        ),
+        BM25_K,
+    )
+    # asciifolding chain: accentify (a->á, e->é) then strip_accents —
+    # query terms are accent-free, so they match only THROUGH the fold;
+    # the full bm25 stats chain recomputes over the folded corpus
+    sqls["asciifolding_topk"] = _topk_sql(
+        _bm25_scored_sql_src(
+            "(SELECT doc_id, strip_accents(replace(replace(text, 'a', 'á'),"
+            " 'e', 'é')) AS text FROM documents)"
         ),
         BM25_K,
     )
@@ -11461,6 +11522,7 @@ def build_queries() -> dict:
         "events_moving_percentiles": q_events_moving_percentiles,
         "retriever_rescorer": q_retriever_rescorer,
         "retriever_rule": q_retriever_rule,
+        "asciifolding_topk": q_asciifolding_topk,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,

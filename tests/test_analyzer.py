@@ -325,3 +325,53 @@ class TestEnglishTokenFilters:
             f"SELECT list_transform($1, x -> {stem_sql_expr('x')})", [words]
         ).fetchone()[0]
         assert got == [stem_minimal_english_token(w) for w in words]
+
+
+class TestAsciiFolding:
+    """ASCIIFoldingFilter subset (analysis/stem.py fold table)."""
+
+    def test_golden_tokens(self):
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.config import AnalyzerConfig
+
+        cfg = AnalyzerConfig(fold_ascii=True)
+        assert tokenize("dátá quéry", cfg) == ["data", "query"]
+        assert tokenize("Ærø São Þór", cfg) == ["aero", "sao", "thor"]
+        assert tokenize("straße łódź", cfg) == ["strasse", "lodz"]
+
+    def test_flat_gate_identity_on_ascii(self):
+        import pyarrow as pa
+
+        from neural_search_ray.analysis.stem import fold_ascii_flat
+
+        flat = pa.array(["plain", "ascii", "tokens"])
+        out = fold_ascii_flat(flat)
+        assert out is flat  # gate short-circuits, no copy
+
+    def test_flat_scatter(self):
+        import pyarrow as pa
+
+        from neural_search_ray.analysis.stem import fold_ascii_flat
+
+        flat = pa.array(["aá", "b", "çc", "d"])
+        assert fold_ascii_flat(flat).to_pylist() == ["aa", "b", "cc", "d"]
+
+    def test_column_matches_tokenize(self):
+        import pyarrow as pa
+
+        from neural_search_ray.analysis.analyzer import analyze_column, tokenize
+        from neural_search_ray.config import AnalyzerConfig
+
+        cfg = AnalyzerConfig(fold_ascii=True)
+        texts = ["dátá and mérge", "plain ascii row", "Straße bâtch"]
+        col = pa.array(texts)
+        got = analyze_column(col, cfg).to_pylist()
+        assert got == [tokenize(t, cfg) for t in texts]
+
+    def test_chain_order_fold_then_stem(self):
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.config import AnalyzerConfig
+
+        cfg = AnalyzerConfig(fold_ascii=True, stemmer="minimal_english")
+        # fold first: 'tablés' -> 'tables' -> stem -> 'table'
+        assert tokenize("tablés", cfg) == ["table"]
