@@ -144,6 +144,10 @@ def tokenize(text: str, config: AnalyzerConfig = AnalyzerConfig()) -> list[str]:
                 if not tok:
                     continue
             out.append(tok)
+    if getattr(config, "cjk_bigram", False):
+        from .cjk import expand_cjk_bigrams_tokens
+
+        out = expand_cjk_bigrams_tokens(out)
     return out
 
 
@@ -203,6 +207,16 @@ def analyze_column(
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if getattr(config, "cjk_bigram", False):
+        # bigram expansion is a LIST-shape transform (token counts
+        # change), so it wraps the whole chain: analyze without it,
+        # then expand — regex-gated, non-CJK batches return unchanged
+        from dataclasses import replace as _dc_replace
+
+        from .cjk import expand_cjk_bigrams_lists
+
+        base = _dc_replace(config, cjk_bigram=False)
+        return expand_cjk_bigrams_lists(analyze_column(col, base))
     if (
         config.strip_possessive
         or config.stemmer != "none"

@@ -36,6 +36,9 @@ class AnalyzerConfig:
     # "none" | "minimal_english" (Lucene EnglishMinimalStemmer — Harman
     # S-stemmer; see analysis/stem.py for the exact rule table)
     stemmer: str = "none"
+    # CJKBigramFilter (analysis/cjk.py): Han-run tokens expand to their
+    # overlapping character bigrams (applied last in the chain)
+    cjk_bigram: bool = False
 
     def __post_init__(self) -> None:
         from .analysis.stem import STEMMERS

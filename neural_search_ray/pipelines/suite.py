@@ -5083,6 +5083,94 @@ def q_retriever_rrf(sf_dir: str) -> pa.Table:
     return _hits_table(rows, round_to=6)
 
 
+# --- cjk_bigram chain fixture: deterministic ASCII->Han bijection ----------
+
+_CJK_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+_CJK_MAP = {c: chr(0x4E00 + i) for i, c in enumerate(_CJK_ALPHABET)}
+_CJK_TRANS = str.maketrans(_CJK_MAP)
+_CJK_CACHE: dict[str, str] = {}
+
+
+def _cjkify_batch(batch: pa.Table) -> pa.Table:
+    """zh-lang rows get their text mapped char-for-char into CJK Unified
+    Ideographs (0x4E00 + alphabet index — a pinned bijection repeated in
+    SQL as a replace chain); other rows pass through.  The queries are
+    mapped the same way, so they match zh docs only THROUGH the
+    cjk_bigram filter."""
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    mapped = text
+    for c, z in _CJK_MAP.items():
+        mapped = pc.replace_substring(mapped, c, z)
+    text = pc.if_else(pc.equal(batch["lang"], "zh"), mapped, text)
+    return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+
+def _cjk_index_dir(sf_dir: str) -> str:
+    from ..config import AnalyzerConfig
+
+    if sf_dir in _CJK_CACHE:
+        return _CJK_CACHE[sf_dir]
+    d = get_index_dir(sf_dir) + "-cjk"
+    build_index(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        ).map_batches(_cjkify_batch, batch_format="pyarrow"),
+        d,
+        IndexConfig(
+            num_shards=2,
+            num_salts=2,
+            analyzer=AnalyzerConfig(cjk_bigram=True),
+        ),
+    )
+    _CJK_CACHE[sf_dir] = d
+    return d
+
+
+def q_cjk_bigram_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-k through the cjk_bigram analysis chain
+    (analysis/cjk.py): zh docs were mapped into Han runs, the index
+    analyzer expands them to overlapping character bigrams, and the
+    CJK-mapped query terms pass through the SAME chain — the stats
+    chain (N, avgdl, df) spans the mixed corpus, which is exactly what
+    the oracle recomputes over the bigram-joined text."""
+    from ..config import AnalyzerConfig
+
+    cfg = AnalyzerConfig(cjk_bigram=True)
+    searcher = IndexSearcher(_cjk_index_dir(sf_dir))
+    rows = []
+    for qid, qtext in QUERY_SET:
+        terms = tokenize(qtext.translate(_CJK_TRANS), cfg)
+        docs, scores = searcher.search_bm25(terms, k=BM25_K)
+        rows.append((qid, docs, scores))
+    return _hits_table(rows)
+
+
+_FIS_RATIO = 0.6  # relative minimum support (share of documents)
+_FIS_SIZE = 15
+
+
+def q_frequent_item_sets(sf_dir: str) -> pa.Table:
+    """frequent_item_sets aggregation, exact 2-itemset tier
+    (agg/itemsets.py): items = distinct analyzer terms per doc, support
+    = co-occurrence doc count, min_support = ceil(0.6 * N). A-priori
+    df prune feeds a ray.put broadcast universe; per-batch pair
+    combiner; ONE (a, b)-keyed exchange."""
+    import math
+
+    import pyarrow.parquet as pq2
+
+    from ..agg.itemsets import frequent_item_sets
+
+    n_docs = pq2.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return frequent_item_sets(
+        lambda: _docs_ds(sf_dir),
+        min_support=int(math.ceil(_FIS_RATIO * n_docs)),
+        size=_FIS_SIZE,
+    )
+
+
 _FOLD_CACHE: dict[str, str] = {}
 
 
@@ -8220,6 +8308,50 @@ SELECT query_id, rank, doc_id, score FROM (
         ),
         BM25_K,
     )
+    # cjk_bigram chain: zh text through the pinned ASCII->Han replace
+    # chain, tokens expanded to overlapping bigrams (space-joined so the
+    # standard chain re-tokenizes), full mixed-corpus stats recompute
+    _cjk_rep = "text"
+    for _c, _z in _CJK_MAP.items():
+        _cjk_rep = f"replace({_cjk_rep}, '{_c}', '{_z}')"
+    _cjk_src = f"""(SELECT doc_id,
+  CASE WHEN lang = 'zh' THEN array_to_string(flatten(list_transform(
+         string_split({_cjk_rep}, ' '),
+         t -> CASE WHEN length(t) <= 1 THEN [t]
+                   ELSE list_transform(range(1, length(t)),
+                                       i -> substr(t, i, 2)) END)), ' ')
+       ELSE text END AS text
+  FROM documents)"""
+    from ..config import AnalyzerConfig as _ACfg
+
+    _cjk_cfg = _ACfg(cjk_bigram=True)
+    _cjk_qrows = [
+        f"({qid}, '{t}')"
+        for qid, qtext in QUERY_SET
+        for t in sorted(set(tokenize(qtext.translate(_CJK_TRANS), _cjk_cfg)))
+    ]
+    sqls["cjk_bigram_topk"] = _topk_sql(
+        _bm25_scored_sql_src(
+            _cjk_src,
+            "SELECT * FROM (VALUES "
+            + ", ".join(_cjk_qrows)
+            + ") AS q(query_id, term)",
+        ),
+        BM25_K,
+    )
+
+    # frequent_item_sets (2-itemset tier): distinct (doc, term) self-join
+    # with relative min support; same ceil(ratio * N) threshold arithmetic
+    sqls["frequent_item_sets"] = f"""
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOK})),
+ms AS (SELECT ceil({_FIS_RATIO} * count(*))::BIGINT AS v FROM documents),
+p AS (SELECT a.term AS item_a, b.term AS item_b, count(*)::BIGINT AS support
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY item_a, item_b
+      HAVING count(*) >= (SELECT v FROM ms))
+SELECT item_a, item_b, support FROM p
+ORDER BY support DESC, item_a, item_b LIMIT {_FIS_SIZE}"""
+
     # asciifolding chain: accentify (a->á, e->é) then strip_accents —
     # query terms are accent-free, so they match only THROUGH the fold;
     # the full bm25 stats chain recomputes over the folded corpus
@@ -11523,6 +11655,8 @@ def build_queries() -> dict:
         "retriever_rescorer": q_retriever_rescorer,
         "retriever_rule": q_retriever_rule,
         "asciifolding_topk": q_asciifolding_topk,
+        "frequent_item_sets": q_frequent_item_sets,
+        "cjk_bigram_topk": q_cjk_bigram_topk,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,

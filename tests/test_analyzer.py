@@ -375,3 +375,47 @@ class TestAsciiFolding:
         cfg = AnalyzerConfig(fold_ascii=True, stemmer="minimal_english")
         # fold first: 'tablés' -> 'tables' -> stem -> 'table'
         assert tokenize("tablés", cfg) == ["table"]
+
+
+class TestCjkBigram:
+    """CJKBigramFilter (analysis/cjk.py) — Han-run bigram expansion."""
+
+    def test_token_expansion(self):
+        from neural_search_ray.analysis.cjk import expand_cjk_bigrams_tokens
+
+        assert expand_cjk_bigrams_tokens(["一二三"]) == ["一二", "二三"]
+        assert expand_cjk_bigrams_tokens(["一"]) == ["一"]
+        assert expand_cjk_bigrams_tokens(["abc", "一二", "d"]) == [
+            "abc", "一二", "d"
+        ]
+
+    def test_tokenize_chain(self):
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.config import AnalyzerConfig
+
+        cfg = AnalyzerConfig(cjk_bigram=True)
+        assert tokenize("hello 一二三四 ok", cfg) == [
+            "hello", "一二", "二三", "三四", "ok"
+        ]
+
+    def test_lists_identity_on_ascii(self):
+        import pyarrow as pa
+
+        from neural_search_ray.analysis.analyzer import analyze_column
+        from neural_search_ray.config import AnalyzerConfig
+
+        cfg = AnalyzerConfig(cjk_bigram=True)
+        col = pa.array(["plain ascii", "more words here"])
+        got = analyze_column(col, cfg).to_pylist()
+        assert got == [["plain", "ascii"], ["more", "words", "here"]]
+
+    def test_lists_expansion_preserves_rows(self):
+        import pyarrow as pa
+
+        from neural_search_ray.analysis.analyzer import analyze_column, tokenize
+        from neural_search_ray.config import AnalyzerConfig
+
+        cfg = AnalyzerConfig(cjk_bigram=True)
+        texts = ["一二三 abc", "x 四五", "一", "", "mixed 六七八九 tail"]
+        got = analyze_column(pa.array(texts), cfg).to_pylist()
+        assert got == [tokenize(t, cfg) for t in texts]
