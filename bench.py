@@ -227,6 +227,12 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
         # index-sorted early-termination: head-k read per shard; the
         # first run pays the one-time sorted-sidecar build
         "sorted_topk",
+        # session-12: the ES|QL STATS compile path (fused Arrow row
+        # stages + partial+final keyed aggregate + exact two-exchange
+        # COUNT_DISTINCT) and the frequent-pair miner (a-priori prune
+        # pass + broadcast-universe pair-explosion pass)
+        "esql_stats",
+        "frequent_item_sets",
     ):
         t0 = time.perf_counter()
         res = suite.build_queries()[name](sf_dir)

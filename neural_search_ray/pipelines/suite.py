@@ -5083,6 +5083,111 @@ def q_retriever_rrf(sf_dir: str) -> pa.Table:
     return _hits_table(rows, round_to=6)
 
 
+_RTF_BUCKET = 200
+
+
+def _register_runtime_fields():
+    from ..query.runtime_fields import register_runtime_field
+
+    def chars_bucket(src: dict) -> np.ndarray:
+        v = src["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return v - v % _RTF_BUCKET
+
+    register_runtime_field(
+        "chars_bucket", ["n_chars"], chars_bucket, overwrite=True
+    )
+
+
+def q_runtime_filtered_bm25(sf_dir: str) -> pa.Table:
+    """Runtime-field filter (ES runtime mappings,
+    query/runtime_fields.py): chars_bucket = n_chars - n_chars % 200 is
+    computed at query time from doc-values by ONE vectorized kernel
+    call, its accepted set feeds the ordinary filtered-BM25 conjunction
+    (stats chain unfiltered) — no reindex, no per-doc scripting."""
+    from ..query.runtime_fields import accepted_runtime
+    from ..query.sparse import filtered_bm25_topk
+
+    _register_runtime_fields()
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    accepted = accepted_runtime(
+        searcher.doc_values(), "chars_bucket", "==", _RTF_BUCKET
+    )
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = filtered_bm25_topk(
+            searcher, tokenize(qtext), BM25_K, accepted
+        )
+        rows.append((qid, docs, scores))
+    return _hits_table(rows)
+
+
+def q_runtime_terms_agg(sf_dir: str) -> pa.Table:
+    """Terms aggregation over a runtime field: bucket counts from the
+    cached computed column (shard-local unique), values ascending."""
+    from ..query.runtime_fields import terms_agg_runtime
+
+    _register_runtime_fields()
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    vals, cnts = terms_agg_runtime(searcher.doc_values(), "chars_bucket")
+    return pa.table(
+        {
+            "chars_bucket": pa.array(vals.astype(np.int64), pa.int64()),
+            "cnt": pa.array(cnts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+_IDS_QUERY = [7, 3, 3, 999_999_999, 12, 0]  # dups + a missing id
+
+
+def q_ids_query(sf_dir: str) -> pa.Table:
+    """ids query (engine search_ids): constant score 1.0 over the
+    existing requested ids, duplicates collapsed, missing ids skipped,
+    doc_id-ascending."""
+    searcher = get_searcher(sf_dir)
+    docs, scores = searcher.search_ids(_IDS_QUERY, k=BM25_K)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+_TLOOKUP_MUL, _TLOOKUP_MOD = 7, 100
+
+
+def q_terms_lookup_bm25(sf_dir: str) -> pa.Table:
+    """terms-lookup query (ES terms lookup: the filter values are read
+    from ANOTHER document at request time — the GET-then-filter
+    composition): per query, lookup doc (qid*7 mod 100) supplies its
+    lang, and BM25 runs with the engine-side doc-values predicate
+    lang == <looked-up value> (the bm25_filtered_en machinery; corpus
+    stats stay unfiltered, Lucene filter semantics)."""
+    import pyarrow.parquet as pq2
+
+    from ..query.sparse import filtered_bm25_topk_pred
+
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    t = pq2.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    lang_by_doc = dict(
+        zip(t["doc_id"].to_pylist(), t["lang"].to_pylist())
+    )
+    rows = []
+    for qid, qtext in QUERY_SET:
+        lang = lang_by_doc[(qid * _TLOOKUP_MUL) % _TLOOKUP_MOD]
+        docs, scores = filtered_bm25_topk_pred(
+            searcher, tokenize(qtext), BM25_K, "lang", "==", lang
+        )
+        rows.append((qid, docs, scores))
+    return _hits_table(rows)
+
+
 # --- cjk_bigram chain fixture: deterministic ASCII->Han bijection ----------
 
 _CJK_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
@@ -5610,6 +5715,38 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     qids = qt["vec_id"].to_numpy()
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = knn_brute_force(ds, queries, qids, k=10)
+    return out.set_column(
+        out.schema.get_field_index("score"),
+        "score",
+        pa.array(round_half_up(out["score"].to_numpy(), 6)),
+    )
+
+
+_BBQ_C = 50
+
+
+def q_knn_bbq_rescore(sf_dir: str) -> pa.Table:
+    """Binary-quantized two-phase kNN (ann/binary.py — the ES bit-vector
+    / BBQ shape): phase 1 ranks by Hamming distance over 1-bit-per-dim
+    sign packing (streamed per block, top-C merge), phase 2 rescores
+    the 50-candidate window with exact cosine. The oracle mirrors the
+    WINDOW semantics (top-C by hamming then cosine top-k), so the entry
+    is exact regardless of binary-tier recall."""
+    import pyarrow.parquet as pq2
+
+    from ..ann.binary import knn_binary_rescore
+
+    qt = pq2.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    queries = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = qt["vec_id"].to_numpy()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = knn_binary_rescore(ds, queries, qids, k=10, candidates=_BBQ_C)
     return out.set_column(
         out.schema.get_field_index("score"),
         "score",
@@ -8308,6 +8445,44 @@ SELECT query_id, rank, doc_id, score FROM (
         ),
         BM25_K,
     )
+    # runtime fields: the chars_bucket kernel repeated as SQL arithmetic
+    sqls["runtime_filtered_bm25"] = _topk_sql(
+        f"SELECT sc.* FROM ({_bm25_scored_sql()}) sc "
+        "JOIN documents d ON d.doc_id = sc.doc_id "
+        f"WHERE (d.n_chars - d.n_chars % {_RTF_BUCKET}) = {_RTF_BUCKET}",
+        BM25_K,
+    )
+    sqls["runtime_terms_agg"] = f"""
+SELECT (n_chars - n_chars % {_RTF_BUCKET})::BIGINT AS chars_bucket,
+       count(*)::BIGINT AS cnt
+FROM documents GROUP BY chars_bucket"""
+
+    # ids query: membership + dedupe + doc-asc cap, score pinned 1.0
+    sqls["ids_query"] = f"""
+SELECT doc_id, 1.0 AS score
+FROM documents
+WHERE doc_id IN ({", ".join(map(str, _IDS_QUERY))})
+ORDER BY doc_id LIMIT {BM25_K}"""
+
+    # terms lookup: per query, the lookup doc's lang gates the filtered
+    # BM25 ranking (stats chain unfiltered — Lucene filter semantics)
+    sqls["terms_lookup_bm25"] = f"""
+WITH lk AS (
+  SELECT q.query_id, d.lang
+  FROM (SELECT DISTINCT query_id FROM ({_query_values_sql()})) q
+  JOIN documents d
+    ON d.doc_id = (q.query_id * {_TLOOKUP_MUL}) % {_TLOOKUP_MOD}),
+sc AS ({_bm25_scored_sql()})
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT sc.query_id, sc.doc_id, round(sc.score, 6) AS score,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY round(sc.score, 6) DESC, sc.doc_id)
+           AS rank
+  FROM sc
+  JOIN documents dd ON dd.doc_id = sc.doc_id
+  JOIN lk ON lk.query_id = sc.query_id AND dd.lang = lk.lang
+) WHERE rank <= {BM25_K}"""
+
     # cjk_bigram chain: zh text through the pinned ASCII->Han replace
     # chain, tokens expanded to overlapping bigrams (space-joined so the
     # standard chain re-tokenizes), full mixed-corpus stats recompute
@@ -10027,6 +10202,37 @@ SELECT query_id::BIGINT AS query_id, rank, neighbor_id::BIGINT AS neighbor_id, s
     # ivf_ann runs at nprobe = n_centroids (all buckets scanned) → exact,
     # so the brute-force cosine oracle applies verbatim.
     sqls["ivf_ann"] = sqls["knn_cosine"]
+    # binary-quantized two-phase kNN: the oracle replays the WINDOW
+    # semantics — sign-bit hamming top-C, then exact cosine top-k
+    sqls["knn_bbq_rescore"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+ham AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         sum(CASE WHEN (q.embedding[g.i] >= 0) <> (e.embedding[g.i] >= 0)
+                  THEN 1 ELSE 0 END)::BIGINT AS h
+  FROM q CROSS JOIN embeddings e
+  CROSS JOIN generate_series(1, 512) g(i)
+  WHERE g.i <= len(e.embedding)
+  GROUP BY q.query_id, e.vec_id),
+win AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY h, neighbor_id) AS rc
+    FROM ham) WHERE rc <= {_BBQ_C})
+SELECT query_id::BIGINT AS query_id, rank, neighbor_id::BIGINT AS neighbor_id, score
+FROM (
+  SELECT w.query_id, w.neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6) AS score,
+         row_number() OVER (PARTITION BY w.query_id
+                            ORDER BY round(list_cosine_similarity(
+                              q.embedding::DOUBLE[], e.embedding::DOUBLE[]
+                            ), 6) DESC, w.neighbor_id) AS rank
+  FROM win w
+  JOIN q ON q.query_id = w.query_id
+  JOIN embeddings e ON e.vec_id = w.neighbor_id
+) WHERE rank <= 10"""
     # pq_rescore: exact rescore over an ADC window whose oversample is
     # sized (and pytest-pinned) for 100% top-10 window recall on the
     # test corpora → the exact-cosine oracle applies verbatim.
@@ -11657,6 +11863,11 @@ def build_queries() -> dict:
         "asciifolding_topk": q_asciifolding_topk,
         "frequent_item_sets": q_frequent_item_sets,
         "cjk_bigram_topk": q_cjk_bigram_topk,
+        "ids_query": q_ids_query,
+        "terms_lookup_bm25": q_terms_lookup_bm25,
+        "runtime_filtered_bm25": q_runtime_filtered_bm25,
+        "runtime_terms_agg": q_runtime_terms_agg,
+        "knn_bbq_rescore": q_knn_bbq_rescore,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,

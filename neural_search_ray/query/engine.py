@@ -704,6 +704,22 @@ class IndexSearcher:
         scores = idf_sum * f / (f + k1 * (1.0 - b + b * dl / self.avgdl))
         return topk_desc(docs_u, scores, k)
 
+    def search_ids(
+        self, ids: list[int], k: int = 10
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ids query (Lucene IdsQueryBuilder / TermInSetQuery on _id):
+        constant score 1.0 for each EXISTING doc id, duplicates
+        collapsed, doc_id-ascending order, k cap. Missing ids are
+        skipped silently (the reference's IDs-query semantics, same as
+        search_pinned's membership rule)."""
+        arr = np.unique(np.asarray(ids, dtype=np.int64))
+        if arr.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        pos = np.searchsorted(self._dl_doc_ids, arr)
+        pos_c = np.minimum(pos, self._dl_doc_ids.size - 1)
+        docs = arr[self._dl_doc_ids[pos_c] == arr][:k]
+        return docs, np.ones(docs.size, dtype=np.float64)
+
     # ---- multi-term (term-dictionary expansion) queries -------------------
     def expand_prefix(self, prefix: str) -> list[str]:
         """Terms of this searcher's dictionary starting with ``prefix``

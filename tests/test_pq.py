@@ -150,3 +150,75 @@ def test_empty_and_tiny_corpus(ray_session, pq):
     )
     out = knn_pq(tiny, vecs[:1], np.array([0]), books, k=10)
     assert out.num_rows == 1 and out["neighbor_id"][0].as_py() == 7
+
+
+class TestBinaryBBQ:
+    """Binary-quantized two-phase kNN (ann/binary.py)."""
+
+    def test_pack_bits(self):
+        import numpy as np
+
+        from neural_search_ray.ann.binary import pack_bits
+
+        v = np.array([[1.0, -1.0, 0.0, -0.5, 2.0, -2.0, 3.0, -3.0]])
+        # bits: 1 0 1 0 1 0 1 0 -> 0b10101010
+        assert pack_bits(v).tolist() == [[0b10101010]]
+
+    def test_hamming_matrix(self):
+        import numpy as np
+
+        from neural_search_ray.ann.binary import hamming_matrix, pack_bits
+
+        a = pack_bits(np.array([[1.0, 1.0, 1.0, 1.0, -1, -1, -1, -1]]))
+        b = pack_bits(np.array(
+            [[1.0, 1.0, 1.0, 1.0, -1, -1, -1, -1],
+             [-1.0, -1, -1, -1, 1, 1, 1, 1],
+             [1.0, -1, 1, -1, 1, -1, 1, -1]]
+        ))
+        assert hamming_matrix(a, b).tolist() == [[0, 8, 4]]
+
+    def test_rescore_matches_manual(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from neural_search_ray.ann.binary import (
+            hamming_matrix, knn_binary_rescore, pack_bits,
+        )
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(200, 16))
+        ids = np.arange(200)
+        queries = vecs[:2].copy()
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+        }))
+        out = knn_binary_rescore(ds, queries, np.array([0, 1]), k=5,
+                                 candidates=30)
+        # manual window + rescore
+        ham = hamming_matrix(pack_bits(queries), pack_bits(vecs))
+        for qi in (0, 1):
+            win = np.lexsort((ids, ham[qi]))[:30]
+            cos = (vecs[win] @ queries[qi]) / (
+                np.linalg.norm(vecs[win], axis=1)
+                * np.linalg.norm(queries[qi])
+            )
+            exp = ids[win][np.lexsort((ids[win], -cos))[:5]]
+            got = [r["neighbor_id"] for r in out.to_pylist()
+                   if r["query_id"] == qi]
+            assert got == exp.tolist()
+        # the query vector itself is always rank 1 (hamming 0, cos 1)
+        top = {r["query_id"]: r["neighbor_id"]
+               for r in out.to_pylist() if r["rank"] == 1}
+        assert top == {0: 0, 1: 1}
+
+    def test_candidates_validation(self, ray_session):
+        import numpy as np
+        import pytest as _pytest
+
+        from neural_search_ray.ann.binary import knn_binary_rescore
+
+        with _pytest.raises(ValueError):
+            knn_binary_rescore(None, np.zeros((1, 8)), np.array([0]),
+                               k=10, candidates=5)

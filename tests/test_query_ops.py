@@ -1426,3 +1426,20 @@ class TestFuzzyCompletion:
 
         with _pytest.raises(ValueError):
             searcher.suggest_completion_fuzzy("abc", fuzziness=-1)
+
+
+class TestIdsQuery:
+    def test_dedupe_skip_missing_order(self, searcher):
+        docs, scores = searcher.search_ids([9, 2, 2, 10**12, 4], k=10)
+        assert docs.tolist() == [2, 4, 9]
+        assert scores.tolist() == [1.0, 1.0, 1.0]
+
+    def test_k_cap(self, searcher):
+        docs, _ = searcher.search_ids(list(range(50)), k=5)
+        assert docs.tolist() == [0, 1, 2, 3, 4]
+
+    def test_empty(self, searcher):
+        docs, scores = searcher.search_ids([], k=5)
+        assert docs.size == 0 and scores.size == 0
+        docs, _ = searcher.search_ids([10**15], k=5)
+        assert docs.size == 0
