@@ -36,6 +36,10 @@ _OPS = {
     "<=": pc.less_equal,
     ">": pc.greater,
     ">=": pc.greater_equal,
+    # ES exists / missing queries: field has (no) value — the predicate
+    # ignores its value operand
+    "exists": lambda col, _v: pc.is_valid(col),
+    "missing": lambda col, _v: pc.is_null(col),
 }
 
 

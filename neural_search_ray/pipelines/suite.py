@@ -5139,6 +5139,81 @@ def q_runtime_terms_agg(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_exists_tag(sf_dir: str) -> pa.Table:
+    """exists query (ES ExistsQueryBuilder): BM25 restricted to docs
+    whose nullable ``tag`` doc-values field HAS a value — the engine-side
+    is_valid predicate through the same filter-conjunction path as
+    bm25_filtered_en (stats chain unfiltered)."""
+    from ..query.sparse import filtered_bm25_topk_pred
+
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qtext in QUERY_SET:
+        docs, scores = filtered_bm25_topk_pred(
+            searcher, tokenize(qtext), BM25_K, "tag", "exists", None
+        )
+        rows.append((qid, docs, scores))
+    return _hits_table(rows)
+
+
+def q_agg_missing_tag(sf_dir: str) -> pa.Table:
+    """missing aggregation (ES MissingAggregator) bucketed by lang:
+    docs whose ``tag`` field is null, counted per lang — shard-local
+    is_null mask + one lookup + numpy unique."""
+    _ensure_docvalues(sf_dir)
+    dv = get_searcher(sf_dir).doc_values()
+    ids = dv.accepted("tag", "missing", None)
+    langs = dv.lookup(ids, "lang").to_numpy(zero_copy_only=False)
+    vals, cnts = np.unique(langs, return_counts=True)
+    return pa.table(
+        {
+            "lang": pa.array(vals.astype(object).tolist(), pa.string()),
+            "missing_cnt": pa.array(cnts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+_RSAMPLE_SALT = "rs1"
+_RSAMPLE_PER_MILLE = 400
+
+
+def q_agg_random_sampler(sf_dir: str) -> "ray.data.Dataset":
+    """random_sampler aggregation (ES 8.x probabilistic sampler, made
+    deterministic): keep a doc iff h63(doc_id || salt) % 1000 < 400
+    (the quality_sample hash-gate), then per-lang doc count + summed
+    n_chars over the sample — per-batch combiner, ONE keyed exchange."""
+    from ray.data.aggregate import Sum
+
+    from ..dedup.common import h64_batch
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (
+            h64_batch([f"{d}{_RSAMPLE_SALT}" for d in ids]).astype(np.uint64)
+            & np.uint64(0x7FFFFFFFFFFFFFFF)
+        ).astype(np.int64)
+        keep = (h % 1000) < _RSAMPLE_PER_MILLE
+        t = batch.filter(pa.array(keep))
+        g = pa.TableGroupBy(t, ["lang"]).aggregate(
+            [("doc_id", "count"), ("n_chars", "sum")]
+        )
+        return g.rename_columns(["lang", "cnt_p", "chars_p"])
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
+        )
+        .map_batches(gate, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("cnt_p", alias_name="sample_cnt"),
+            Sum("chars_p", alias_name="sample_chars"),
+        )
+    )
+
+
 _IDS_QUERY = [7, 3, 3, 999_999_999, 12, 0]  # dups + a missing id
 
 
@@ -7345,20 +7420,50 @@ def q_two_phase_sparse(sf_dir: str) -> pa.Table:
 _DV_BUILT: set[str] = set()
 
 
+_DV_TAG_MOD = 3  # doc_id % 3 == 0 -> tag IS NULL (the exists/missing fixture)
+
+
+def _tag_column_batch(batch: pa.Table) -> pa.Table:
+    """Nullable ``tag`` doc-values column: NULL for every third doc,
+    else the source value — the fixture that makes exists/missing
+    queries non-vacuous (repeated verbatim in their oracles)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    tag = pc.if_else(
+        pa.array(ids % _DV_TAG_MOD == 0),
+        pa.nulls(len(batch), pa.string()),
+        batch["source"],
+    )
+    return batch.append_column("tag", tag)
+
+
 def _ensure_docvalues(sf_dir: str) -> None:
-    """Build the per-shard doc-values sidecar (lang, source, n_chars)
-    once — engine-side field lookup / predicate evaluation replaces the
-    round-1 driver-side whole-table dicts."""
+    """Build the per-shard doc-values sidecar (lang, source, n_chars,
+    nullable tag) once — engine-side field lookup / predicate evaluation
+    replaces the round-1 driver-side whole-table dicts. An existing
+    sidecar from an older layout (no ``tag`` column) is rebuilt."""
     index_dir = get_index_dir(sf_dir)
     if index_dir in _DV_BUILT:
         return
     from ..index.docvalues import DOCVALUES_DIR, build_doc_values
 
-    if not os.path.exists(os.path.join(index_dir, DOCVALUES_DIR)):
+    dv_dir = os.path.join(index_dir, DOCVALUES_DIR)
+    stale = False
+    if os.path.exists(dv_dir):
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(_glob.glob(os.path.join(dv_dir, "values_s*.parquet")))
+        stale = bool(files) and "tag" not in _pq.read_schema(files[0]).names
+        if stale:
+            import shutil
+
+            shutil.rmtree(dv_dir)
+    if stale or not os.path.exists(dv_dir):
         ds = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet",
             columns=["doc_id", "lang", "source", "n_chars"],
-        )
+        ).map_batches(_tag_column_batch, batch_format="pyarrow")
         build_doc_values(
             ds, index_dir, num_shards=get_searcher(sf_dir).manifest.num_doc_shards
         )
@@ -8445,6 +8550,28 @@ SELECT query_id, rank, doc_id, score FROM (
         ),
         BM25_K,
     )
+    # exists / missing over the nullable tag fixture (doc_id % 3 == 0 ->
+    # NULL, repeated verbatim from _tag_column_batch)
+    sqls["bm25_exists_tag"] = _topk_sql(
+        f"SELECT sc.* FROM ({_bm25_scored_sql()}) sc "
+        f"JOIN documents d ON d.doc_id = sc.doc_id "
+        f"WHERE d.doc_id % {_DV_TAG_MOD} <> 0",
+        BM25_K,
+    )
+    sqls["agg_missing_tag"] = f"""
+SELECT lang, count(*)::BIGINT AS missing_cnt
+FROM documents WHERE doc_id % {_DV_TAG_MOD} = 0
+GROUP BY lang"""
+
+    # random_sampler: the md5 hash gate repeated (quality_sample pattern)
+    sqls["agg_random_sampler"] = f"""
+SELECT lang, count(*)::BIGINT AS sample_cnt,
+       sum(n_chars)::BIGINT AS sample_chars
+FROM documents
+WHERE (md5_number_lower(doc_id::VARCHAR || '{_RSAMPLE_SALT}')
+       & 9223372036854775807) % 1000 < {_RSAMPLE_PER_MILLE}
+GROUP BY lang"""
+
     # runtime fields: the chars_bucket kernel repeated as SQL arithmetic
     sqls["runtime_filtered_bm25"] = _topk_sql(
         f"SELECT sc.* FROM ({_bm25_scored_sql()}) sc "
@@ -11868,6 +11995,9 @@ def build_queries() -> dict:
         "runtime_filtered_bm25": q_runtime_filtered_bm25,
         "runtime_terms_agg": q_runtime_terms_agg,
         "knn_bbq_rescore": q_knn_bbq_rescore,
+        "bm25_exists_tag": q_bm25_exists_tag,
+        "agg_missing_tag": q_agg_missing_tag,
+        "agg_random_sampler": q_agg_random_sampler,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,
