@@ -3938,6 +3938,79 @@ def q_events_moving_percentiles(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def q_events_change_point(sf_dir: str) -> "ray.data.Dataset":
+    """change_point aggregation (ES 8.x aggregations.change_point, the
+    deterministic mean-shift tier): per event_type, the hourly count
+    series in time order is split at every k and scored with the
+    normalized CUSUM statistic |mean(left) - mean(right)| *
+    sqrt(k*(n-k)/n); the change point is the bucket starting the right
+    half at the argmax (ties -> earliest split). Vectorized cumsum per
+    group AFTER the histogram exchange — bucket-bounded."""
+    hist = q_events_date_histogram(sf_dir)
+
+    def finish(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        order = pc.sort_indices(group["bucket_us"])
+        g = group.take(order)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = cnt.size
+        if n < 2:
+            return pa.table({
+                "event_type": g["event_type"][:1],
+                "cp_bucket_us": g["bucket_us"][:1],
+                "cp_stat": pa.array([0.0], pa.float64()),
+            })
+        cum = np.cumsum(cnt)
+        k = np.arange(1, n, dtype=np.float64)
+        mean_l = cum[:-1] / k
+        mean_r = (cum[-1] - cum[:-1]) / (n - k)
+        stat = np.abs(mean_l - mean_r) * np.sqrt(k * (n - k) / n)
+        best = int(np.argmax(stat))  # first maximal split
+        return pa.table({
+            "event_type": g["event_type"][:1],
+            "cp_bucket_us": g["bucket_us"][best + 1 : best + 2],
+            "cp_stat": pa.array(
+                [round_half_up(np.array([stat[best]]), 6)[0]], pa.float64()
+            ),
+        })
+
+    return hist.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
+def q_events_ks_test(sf_dir: str) -> pa.Table:
+    """bucket_count_ks_test pipeline aggregation (pinned two-sample
+    form): per event_type, the two-sample Kolmogorov-Smirnov statistic
+    between ITS hourly bucket-count distribution and the pooled
+    bucket-count distribution of ALL types — D = max over observed
+    values of |ECDF_type - ECDF_pooled|. The histogram is
+    bucket-bounded, so the cross-type comparison runs driver-side on
+    the small table (the same post-exchange shape as
+    events_bucket_correlation)."""
+    import numpy as np
+
+    hist = pa.Table.from_pylist(q_events_date_histogram(sf_dir).take_all())
+    types = hist["event_type"].to_numpy(zero_copy_only=False)
+    cnts = hist["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pooled = np.sort(cnts)
+    out_t, out_d = [], []
+    for t in sorted(set(types.tolist())):
+        own = np.sort(cnts[types == t])
+        vals = np.unique(cnts)
+        f_own = np.searchsorted(own, vals, side="right") / own.size
+        f_all = np.searchsorted(pooled, vals, side="right") / pooled.size
+        out_t.append(t)
+        out_d.append(round_half_up(
+            np.array([np.abs(f_own - f_all).max()]), 6
+        )[0])
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "ks_stat": pa.array(out_d, pa.float64()),
+    })
+
+
 _SDIFF_LAG = 2
 
 
@@ -9065,6 +9138,56 @@ FROM (
                ROWS BETWEEN {_MOVPCT_W - 1} PRECEDING AND CURRENT ROW)
 )"""
 
+    # change_point: normalized mean-shift CUSUM over the hourly series;
+    # identical double arithmetic to the numpy kernel, first-max ties
+    sqls["events_change_point"] = """
+WITH h AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY event_type, bucket_us),
+s AS (
+  SELECT event_type, bucket_us, cnt,
+         row_number() OVER w AS i,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(cnt) OVER w AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS total
+  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us)),
+st AS (
+  SELECT event_type, i, n,
+         abs(cum / i::DOUBLE - (total - cum) / (n - i)::DOUBLE)
+           * sqrt((i * (n - i)) / n::DOUBLE) AS stat
+  FROM s WHERE i < n),
+best AS (
+  SELECT event_type, i AS k, stat FROM (
+    SELECT event_type, i, stat,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY stat DESC, i) AS r
+    FROM st) WHERE r = 1)
+SELECT b.event_type, s2.bucket_us AS cp_bucket_us,
+       round(b.stat, 6) AS cp_stat
+FROM best b
+JOIN s s2 ON s2.event_type = b.event_type AND s2.i = b.k + 1"""
+
+    # bucket_count_ks_test: two-sample KS of each type's bucket-count
+    # distribution vs the pooled distribution, over the observed values
+    sqls["events_ks_test"] = """
+WITH h AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY event_type, bucket_us),
+vals AS (SELECT DISTINCT cnt FROM h),
+tn AS (SELECT event_type, count(*)::DOUBLE AS n_t FROM h GROUP BY event_type),
+f AS (
+  SELECT t.event_type, v.cnt,
+         (SELECT count(*) FROM h h2
+          WHERE h2.event_type = t.event_type AND h2.cnt <= v.cnt) / t.n_t
+           AS f_own,
+         (SELECT count(*) FROM h h3 WHERE h3.cnt <= v.cnt)
+           / (SELECT count(*)::DOUBLE FROM h) AS f_all
+  FROM tn t CROSS JOIN vals v)
+SELECT event_type, round(max(abs(f_own - f_all)), 6) AS ks_stat
+FROM f GROUP BY event_type"""
+
     sqls["events_serial_diff"] = f"""
 SELECT event_type, bucket_us, cnt,
        coalesce(cnt - lag(cnt, {_SDIFF_LAG}) OVER (
@@ -11144,6 +11267,16 @@ SELECT event_id, user_id, round(value * 2.0, 3) AS v2
 FROM events WHERE event_type = 'click'
 ORDER BY v2 DESC, event_id ASC LIMIT 15"""
 
+    sqls["esql_date_hist"] = """
+SELECT event_type, h, cnt, sum_v, n_big FROM (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts))::BIGINT AS h,
+         count(*)::BIGINT AS cnt,
+         round(sum(value), 2) AS sum_v,
+         sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)::BIGINT AS n_big
+  FROM events GROUP BY event_type, h)
+ORDER BY event_type ASC, h ASC"""
+
     # fuzzy completion: min-over-prefixes levenshtein, first char
     # anchored, (distance, weight desc, term) ordering
     _fuzzy_vals = ", ".join(
@@ -11742,6 +11875,29 @@ _ESQL_TOPK = (
 )
 
 
+_ESQL_DATE_HIST = (
+    'FROM events'
+    ' | EVAL h = EPOCH_US(DATE_TRUNC("hour", ts)),'
+    '   big = CASE(value >= 100.0, 1, 0)'
+    ' | STATS cnt = COUNT(*), sum_v = SUM(value),'
+    '   n_big = SUM(big) BY event_type, h'
+    # post-STATS EVAL runs on the bucket table: round the float sum so
+    # the comparison is stable against the oracle's sum order
+    ' | EVAL sum_v = ROUND(sum_v, 2)'
+    ' | SORT event_type ASC, h ASC'
+)
+
+
+def q_esql_date_hist(sf_dir: str) -> pa.Table:
+    """ES|QL temporal pipeline: DATE_TRUNC + EPOCH_US bucket the event
+    stream (integer group keys through the ONE keyed exchange — the
+    date_histogram convention), CASE builds an indicator summed per
+    bucket. Bucket-bounded result, sorted driver-side."""
+    from ..query.esql import run_esql
+
+    return run_esql(sf_dir, _ESQL_DATE_HIST)
+
+
 def q_esql_stats(sf_dir: str) -> pa.Table:
     """ES|QL-subset ``_query`` request, aggregate shape (query/esql.py):
     the pipe text parses once on the driver, WHERE+EVAL fuse into one
@@ -11957,10 +12113,11 @@ def build_queries() -> dict:
         # from multi_match's score-combining rewrites); displaces
         # reverse_nested (nested family keeps nested_topk+nested_terms)
         "combined_fields_topk": q_combined_fields,
-        # msearch: batched-transport serving API (new family);
-        # displaces agg_t_test (the Welch/pooled moment partials share
-        # agg_boxplot's in-window machinery)
-        "msearch_bm25": q_msearch_bm25,
+        # msearch displaced by session 12 (its batched transport wraps
+        # the in-window bm25 serving machinery); frequent_item_sets is
+        # NEW machinery (a-priori prune + broadcast-universe pair
+        # mining) with no in-window cousin
+        "frequent_item_sets": q_frequent_item_sets,
         # session-10 agg families: children (join-field AGGREGATION —
         # the query side has has_child_topk), cumulative_cardinality
         # (first-occurrence decomposition), categorize_text
@@ -11968,8 +12125,12 @@ def build_queries() -> dict:
         # distance_feature_topk (promoted-signal rep pinned_topk
         # stays), agg_string_stats (string metric partials ride the
         # same moment/finish machinery as in-window agg_boxplot), and
-        # nested_terms (nested family rep nested_topk stays)
-        "categorize_text": q_categorize_text,
+        # nested_terms (nested family rep nested_topk stays).
+        # categorize_text itself was displaced by session 12 (its
+        # deterministic log-pattern tier rides the terms-agg machinery);
+        # the binary dense tier (sign-bit hamming + window rescore) is
+        # new machinery with no in-window cousin
+        "knn_bbq_rescore": q_knn_bbq_rescore,
         # --- block 2h: session-12 — ES|QL-subset _query endpoint (new
         # REQUEST-COMPOSITION family: parser + Ray-Data compiler;
         # displaces events_cum_card, whose first-occurrence + keyed-sum
@@ -11988,16 +12149,19 @@ def build_queries() -> dict:
         "retriever_rescorer": q_retriever_rescorer,
         "retriever_rule": q_retriever_rule,
         "asciifolding_topk": q_asciifolding_topk,
-        "frequent_item_sets": q_frequent_item_sets,
         "cjk_bigram_topk": q_cjk_bigram_topk,
         "ids_query": q_ids_query,
         "terms_lookup_bm25": q_terms_lookup_bm25,
         "runtime_filtered_bm25": q_runtime_filtered_bm25,
         "runtime_terms_agg": q_runtime_terms_agg,
-        "knn_bbq_rescore": q_knn_bbq_rescore,
+        "msearch_bm25": q_msearch_bm25,
+        "categorize_text": q_categorize_text,
         "bm25_exists_tag": q_bm25_exists_tag,
         "agg_missing_tag": q_agg_missing_tag,
         "agg_random_sampler": q_agg_random_sampler,
+        "esql_date_hist": q_esql_date_hist,
+        "events_change_point": q_events_change_point,
+        "events_ks_test": q_events_ks_test,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,

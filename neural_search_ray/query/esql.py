@@ -463,6 +463,43 @@ def _eval_call(node: Call, batch: pa.Table):
         return pc.binary_join_element_wise(*arrs, "")
     if fn == "STARTS_WITH":
         return pc.starts_with(args[0], node.args[1].value)
+    if fn == "DATE_TRUNC":
+        # ES|QL argument order: DATE_TRUNC(unit, date)
+        unit = node.args[0].value if isinstance(node.args[0], Lit) else None
+        if unit not in ("year", "month", "week", "day", "hour", "minute",
+                        "second"):
+            raise EsqlError(f"DATE_TRUNC unit {unit!r} not supported")
+        return pc.floor_temporal(args[1], unit=unit)
+    if fn == "EPOCH_US":
+        # microseconds since epoch as int64 (the engine's bucket_us
+        # convention — keyed exchanges group on integers, not timestamps)
+        return pc.cast(pc.cast(args[0], pa.timestamp("us")), pa.int64())
+    if fn == "COALESCE":
+        out = args[0]
+        for a in args[1:]:
+            n = len(batch)
+            out = pc.coalesce(_as_array(out, n), _as_array(a, n))
+        return out
+    if fn == "CASE":
+        # CASE(cond1, val1[, cond2, val2, ...][, default]) — ES|QL form
+        if len(args) < 2:
+            raise EsqlError("CASE needs at least a condition and a value")
+        n = len(batch)
+        pairs, default = args, None
+        if len(args) % 2 == 1:
+            pairs, default = args[:-1], args[-1]
+        out = (
+            _as_array(default, n) if default is not None
+            else pa.nulls(n, _as_array(pairs[1], n).type)
+        )
+        # fold right-to-left so earlier conditions win
+        for i in range(len(pairs) - 2, -1, -2):
+            out = pc.if_else(
+                pc.fill_null(_as_array(pairs[i], n), False),
+                _as_array(pairs[i + 1], n),
+                out,
+            )
+        return out
     raise EsqlError(f"unknown function {fn}")
 
 

@@ -158,3 +158,48 @@ class TestStats:
             " | WHERE n > 0 | SORT event_type | LIMIT 3",
         )
         assert t.num_rows == 3
+
+
+class TestTemporalAndCase:
+    def test_date_trunc_epoch(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        t = run_esql(
+            sf_dir,
+            'FROM events | EVAL h = EPOCH_US(DATE_TRUNC("hour", ts))'
+            ' | STATS cnt = COUNT(*) BY h | SORT h',
+        )
+        df = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"]).to_pandas()
+        exp = (
+            df["ts"].dt.floor("h").astype("datetime64[us]").astype("int64")
+        ).value_counts().sort_index()
+        assert t["h"].to_pylist() == exp.index.tolist()
+        assert t["cnt"].to_pylist() == exp.values.tolist()
+
+    def test_case_and_coalesce(self, sf_dir):
+        out = _rows(run_esql(
+            sf_dir,
+            'FROM events | EVAL band = CASE(value >= 150.0, "hi",'
+            ' value >= 50.0, "mid", "lo"), v = COALESCE(value, 0.0)'
+            ' | KEEP value, band, v | LIMIT 200',
+        ))
+        for r in out.to_pylist():
+            exp = "hi" if r["value"] >= 150 else ("mid" if r["value"] >= 50 else "lo")
+            assert r["band"] == exp
+            assert r["v"] == r["value"]
+
+    def test_case_without_default_gives_null(self, sf_dir):
+        out = _rows(run_esql(
+            sf_dir,
+            'FROM events | EVAL x = CASE(value > 1000000.0, 1)'
+            ' | KEEP x | LIMIT 5',
+        ))
+        assert all(r["x"] is None for r in out.to_pylist())
+
+    def test_bad_date_trunc_unit(self, sf_dir):
+        from neural_search_ray.query.esql import EsqlError
+
+        with pytest.raises(Exception):
+            _rows(run_esql(
+                sf_dir, 'FROM events | EVAL h = DATE_TRUNC("fortnight", ts) | KEEP h'
+            ))
