@@ -11267,6 +11267,14 @@ SELECT event_id, user_id, round(value * 2.0, 3) AS v2
 FROM events WHERE event_type = 'click'
 ORDER BY v2 DESC, event_id ASC LIMIT 15"""
 
+    sqls["esql_enrich"] = """
+SELECT seg, event_type, cnt, v FROM (
+  SELECT coalesce(c.c_mktsegment, 'none') AS seg, e.event_type,
+         count(*)::BIGINT AS cnt, round(sum(e.value), 2) AS v
+  FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+  GROUP BY seg, e.event_type)
+ORDER BY seg ASC, event_type ASC"""
+
     sqls["esql_date_hist"] = """
 SELECT event_type, h, cnt, sum_v, n_big FROM (
   SELECT event_type,
@@ -11888,6 +11896,28 @@ _ESQL_DATE_HIST = (
 )
 
 
+_ESQL_ENRICH = (
+    'FROM events'
+    ' | ENRICH customer_segment ON user_id WITH c_mktsegment'
+    ' | EVAL seg = COALESCE(c_mktsegment, "none")'
+    ' | STATS cnt = COUNT(*), v = SUM(value) BY seg, event_type'
+    ' | EVAL v = ROUND(v, 2)'
+    ' | SORT seg ASC, event_type ASC'
+)
+
+
+def q_esql_enrich(sf_dir: str) -> pa.Table:
+    """ES|QL ENRICH (the enrich-policy / LOOKUP JOIN surface): the
+    customer policy table broadcasts once via ray.put, every event
+    batch probes it with one searchsorted (LEFT-join nulls for
+    unmatched user_ids, folded by COALESCE), then the ordinary
+    partial+final STATS — a broadcast join inside a pipe query, never
+    a shuffle."""
+    from ..query.esql import run_esql
+
+    return run_esql(sf_dir, _ESQL_ENRICH)
+
+
 def q_esql_date_hist(sf_dir: str) -> pa.Table:
     """ES|QL temporal pipeline: DATE_TRUNC + EPOCH_US bucket the event
     stream (integer group keys through the ONE keyed exchange — the
@@ -12162,6 +12192,7 @@ def build_queries() -> dict:
         "esql_date_hist": q_esql_date_hist,
         "events_change_point": q_events_change_point,
         "events_ks_test": q_events_ks_test,
+        "esql_enrich": q_esql_enrich,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,

@@ -69,7 +69,20 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "ASC", "DESC", "AND", "OR", "NOT", "LIKE", "IN", "TRUE",
-    "FALSE", "NULL",
+    "FALSE", "NULL", "ENRICH", "ON", "WITH",
+}
+
+# ENRICH policies (ES enrich-policy registry analogue): name ->
+# {"table": parquet basename, "match_field": right-side key column,
+#  "fields": allowed enrichment columns}.  The policy table is the
+# SMALL side: it broadcasts once via ray.put and every batch probes it
+# with searchsorted — never a shuffle join.
+ENRICH_POLICIES: dict[str, dict] = {
+    "customer_segment": {
+        "table": "customer",
+        "match_field": "c_custkey",
+        "fields": ["c_mktsegment", "c_nationkey"],
+    },
 }
 
 
@@ -350,6 +363,15 @@ class _Parser:
                     if not self.accept("op", ","):
                         break
                 stages.append(Stage("sort", keys))
+            elif kw == "ENRICH":
+                policy = self.expect("ident")
+                self.expect("kw", "ON")
+                key = self.expect("ident")
+                self.expect("kw", "WITH")
+                fields = [self.expect("ident")]
+                while self.accept("op", ","):
+                    fields.append(self.expect("ident"))
+                stages.append(Stage("enrich", (policy, key, fields)))
             elif kw == "LIMIT":
                 n = self.next()
                 if n[0] != "num" or "." in n[1]:
@@ -536,6 +558,10 @@ def _referenced_columns(stages: list[Stage]) -> list[str]:
                 defined.add(name)
         elif st.kind in ("keep", "drop"):
             refs.update(st.payload)
+        elif st.kind == "enrich":
+            _policy, key, fields = st.payload
+            refs.add(key)
+            defined.update(fields)
         elif st.kind == "stats":
             aggs, by = st.payload
             refs.update(by)
@@ -720,6 +746,57 @@ def _compile_stats(ds, aggs, by):
     return pa.table(cols)
 
 
+def _make_enrich_fn(sf_dir: str, policy_name: str, key: str, fields: list[str]):
+    """ENRICH stage (ES|QL enrich / LOOKUP JOIN shape): the policy table
+    is the small side — read once with column pruning, sorted by match
+    key, broadcast via ray.put; each batch probes with ONE searchsorted
+    and gathers enrichment columns (unmatched rows get nulls, LEFT-join
+    semantics)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    if policy_name not in ENRICH_POLICIES:
+        raise EsqlError(
+            f"unknown enrich policy {policy_name!r}; registered: "
+            f"{sorted(ENRICH_POLICIES)}"
+        )
+    pol = ENRICH_POLICIES[policy_name]
+    bad = [f for f in fields if f not in pol["fields"]]
+    if bad:
+        raise EsqlError(f"fields {bad} not in policy {policy_name!r}")
+    t = pq.read_table(
+        f"{sf_dir}/{pol['table']}.parquet",
+        columns=[pol["match_field"]] + fields,
+    )
+    keys = t[pol["match_field"]].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put((
+        keys[order],
+        {f: t[f].combine_chunks().take(pa.array(order)) for f in fields},
+    ))
+
+    def fn(batch: pa.Table, _ref=ref) -> pa.Table:
+        import ray as _ray
+
+        skeys, cols = _ray.get(_ref)
+        probe = batch[key].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, probe)
+        pos_c = np.minimum(pos, max(len(skeys) - 1, 0))
+        found = (skeys[pos_c] == probe) if len(skeys) else np.zeros(
+            len(batch), bool
+        )
+        idx = pa.array(
+            np.where(found, pos_c, 0), type=pa.int64(),
+            mask=~found,  # null index -> null output (LEFT join)
+        )
+        for f in fields:
+            batch = batch.append_column(f, cols[f].take(idx))
+        return batch
+
+    return fn
+
+
 def run_esql(sf_dir: str, text: str):
     """Parse + execute an ES|QL-subset request over the parquet tables in
     ``sf_dir``.  Returns a ray.data.Dataset for row-level pipelines or a
@@ -750,6 +827,15 @@ def run_esql(sf_dir: str, text: str):
                 table = fn(table)
             else:
                 ds = ds.map_batches(fn, batch_format="pyarrow")
+            continue
+        if st.kind == "enrich":
+            policy_name, key, fields = st.payload
+            fn = _make_enrich_fn(sf_dir, policy_name, key, fields)
+            if table is not None:
+                table = fn(table)
+            else:
+                ds = ds.map_batches(fn, batch_format="pyarrow")
+            i += 1
             continue
         if st.kind == "stats":
             if table is not None:

@@ -203,3 +203,37 @@ class TestTemporalAndCase:
             _rows(run_esql(
                 sf_dir, 'FROM events | EVAL h = DATE_TRUNC("fortnight", ts) | KEEP h'
             ))
+
+
+class TestEnrich:
+    def test_enrich_matches_manual_join(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        out = _rows(run_esql(
+            sf_dir,
+            'FROM events | ENRICH customer_segment ON user_id'
+            ' WITH c_mktsegment, c_nationkey | KEEP user_id, c_mktsegment,'
+            ' c_nationkey',
+        ))
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment", "c_nationkey"],
+        ).to_pandas().set_index("c_custkey")
+        for r in out.to_pylist():
+            if r["user_id"] in cust.index:
+                assert r["c_mktsegment"] == cust.loc[r["user_id"], "c_mktsegment"]
+                assert r["c_nationkey"] == cust.loc[r["user_id"], "c_nationkey"]
+            else:
+                assert r["c_mktsegment"] is None and r["c_nationkey"] is None
+
+    def test_enrich_validation(self, sf_dir):
+        with pytest.raises(Exception, match="unknown enrich policy"):
+            _rows(run_esql(
+                sf_dir, "FROM events | ENRICH nope ON user_id WITH x | KEEP x"
+            ))
+        with pytest.raises(Exception, match="not in policy"):
+            _rows(run_esql(
+                sf_dir,
+                "FROM events | ENRICH customer_segment ON user_id WITH c_name"
+                " | KEEP c_name",
+            ))
