@@ -11267,6 +11267,14 @@ SELECT event_id, user_id, round(value * 2.0, 3) AS v2
 FROM events WHERE event_type = 'click'
 ORDER BY v2 DESC, event_id ASC LIMIT 15"""
 
+    sqls["esql_dissect"] = r"""
+SELECT kb, cnt FROM (
+  SELECT (k - k % 10)::BIGINT AS kb, count(*)::BIGINT AS cnt FROM (
+    SELECT regexp_extract(props, '^\{"k": (.*)\}$', 1)::BIGINT AS k
+    FROM events)
+  GROUP BY kb)
+ORDER BY kb ASC"""
+
     sqls["esql_enrich"] = """
 SELECT seg, event_type, cnt, v FROM (
   SELECT coalesce(c.c_mktsegment, 'none') AS seg, e.event_type,
@@ -11896,6 +11904,26 @@ _ESQL_DATE_HIST = (
 )
 
 
+_ESQL_DISSECT = (
+    'FROM events'
+    ' | DISSECT props "{\\"k\\": %{kv}}"'
+    ' | EVAL kb = TO_LONG(kv) - TO_LONG(kv) % 10'
+    ' | STATS cnt = COUNT(*) BY kb'
+    ' | SORT kb ASC'
+)
+
+
+def q_esql_dissect(sf_dir: str) -> pa.Table:
+    """ES|QL DISSECT (log-pattern field extraction): the ``%{kv}``
+    pattern compiles to ONE anchored Arrow extract_regex kernel per
+    batch inside the fused row stage, the extracted string casts with
+    TO_LONG, and the decade histogram runs through the ordinary
+    partial+final STATS."""
+    from ..query.esql import run_esql
+
+    return run_esql(sf_dir, _ESQL_DISSECT)
+
+
 _ESQL_ENRICH = (
     'FROM events'
     ' | ENRICH customer_segment ON user_id WITH c_mktsegment'
@@ -12193,6 +12221,7 @@ def build_queries() -> dict:
         "events_change_point": q_events_change_point,
         "events_ks_test": q_events_ks_test,
         "esql_enrich": q_esql_enrich,
+        "esql_dissect": q_esql_dissect,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,

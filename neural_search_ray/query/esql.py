@@ -69,7 +69,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "ASC", "DESC", "AND", "OR", "NOT", "LIKE", "IN", "TRUE",
-    "FALSE", "NULL", "ENRICH", "ON", "WITH",
+    "FALSE", "NULL", "ENRICH", "ON", "WITH", "DISSECT",
 }
 
 # ENRICH policies (ES enrich-policy registry analogue): name ->
@@ -363,6 +363,12 @@ class _Parser:
                     if not self.accept("op", ","):
                         break
                 stages.append(Stage("sort", keys))
+            elif kw == "DISSECT":
+                col = self.expect("ident")
+                pat = self.next()
+                if pat[0] != "str":
+                    raise EsqlError("DISSECT needs a string pattern")
+                stages.append(Stage("dissect", (col, pat[1])))
             elif kw == "ENRICH":
                 policy = self.expect("ident")
                 self.expect("kw", "ON")
@@ -485,6 +491,12 @@ def _eval_call(node: Call, batch: pa.Table):
         return pc.binary_join_element_wise(*arrs, "")
     if fn == "STARTS_WITH":
         return pc.starts_with(args[0], node.args[1].value)
+    if fn == "TO_LONG":
+        return pc.cast(args[0], pa.int64())
+    if fn == "TO_DOUBLE":
+        return pc.cast(args[0], pa.float64())
+    if fn == "TO_STRING":
+        return pc.cast(args[0], pa.string())
     if fn == "DATE_TRUNC":
         # ES|QL argument order: DATE_TRUNC(unit, date)
         unit = node.args[0].value if isinstance(node.args[0], Lit) else None
@@ -562,6 +574,10 @@ def _referenced_columns(stages: list[Stage]) -> list[str]:
             _policy, key, fields = st.payload
             refs.add(key)
             defined.update(fields)
+        elif st.kind == "dissect":
+            col, pattern = st.payload
+            refs.add(col)
+            defined.update(_dissect_regex(pattern)[1])
         elif st.kind == "stats":
             aggs, by = st.payload
             refs.update(by)
@@ -574,12 +590,45 @@ def _referenced_columns(stages: list[Stage]) -> list[str]:
     return sorted(refs - defined)
 
 
+def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
+    """Compile a DISSECT pattern (``%{name}`` keys between literal
+    separators) to ONE anchored regex with named groups: keys are
+    non-greedy up to the next literal, the trailing key (if the pattern
+    ends with one) consumes the rest."""
+    parts = re.split(r"(%\{[A-Za-z_][A-Za-z0-9_]*\})", pattern)
+    out, names = ["^"], []
+    for i, p in enumerate(parts):
+        if p.startswith("%{") and p.endswith("}"):
+            name = p[2:-1]
+            names.append(name)
+            last = all(q == "" for q in parts[i + 1:])
+            out.append(f"(?P<{name}>.*)" if last else f"(?P<{name}>.*?)")
+        elif p:
+            out.append(re.escape(p))
+    if not names:
+        raise EsqlError(f"DISSECT pattern {pattern!r} has no %{{name}} keys")
+    out.append("$")
+    return "".join(out), names
+
+
 def _make_rowlocal_fn(block: list[Stage]):
-    """Fuse a run of WHERE/EVAL/KEEP/DROP stages into one Arrow batch fn."""
+    """Fuse a run of WHERE/EVAL/KEEP/DROP/DISSECT stages into one Arrow
+    batch fn."""
 
     def fn(batch: pa.Table) -> pa.Table:
         for st in block:
-            if st.kind == "where":
+            if st.kind == "dissect":
+                col, pattern = st.payload
+                rx, names = _dissect_regex(pattern)
+                src = batch[col]
+                if isinstance(src, pa.ChunkedArray):
+                    src = src.combine_chunks()
+                groups = pc.extract_regex(src, rx)
+                for name in names:
+                    batch = batch.append_column(
+                        name, pc.struct_field(groups, name)
+                    )
+            elif st.kind == "where":
                 mask = _eval_expr(st.payload, batch)
                 if isinstance(mask, pa.Scalar):
                     mask = pa.array([bool(mask.as_py())] * len(batch))
@@ -815,10 +864,10 @@ def run_esql(sf_dir: str, text: str):
     table: pa.Table | None = None  # set once bucket-bounded
     while i < len(stages):
         st = stages[i]
-        if st.kind in ("where", "eval", "keep", "drop"):
+        if st.kind in ("where", "eval", "keep", "drop", "dissect"):
             block = []
             while i < len(stages) and stages[i].kind in (
-                "where", "eval", "keep", "drop"
+                "where", "eval", "keep", "drop", "dissect"
             ):
                 block.append(stages[i])
                 i += 1

@@ -237,3 +237,36 @@ class TestEnrich:
                 "FROM events | ENRICH customer_segment ON user_id WITH c_name"
                 " | KEEP c_name",
             ))
+
+
+class TestDissect:
+    def test_dissect_extracts(self, sf_dir):
+        out = _rows(run_esql(
+            sf_dir,
+            'FROM events | DISSECT props "{\\"k\\": %{kv}}"'
+            ' | EVAL ki = TO_LONG(kv) | KEEP props, kv, ki | LIMIT 50',
+        ))
+        import json
+
+        for r in out.to_pylist():
+            assert r["ki"] == json.loads(r["props"])["k"]
+            assert r["kv"] == str(json.loads(r["props"])["k"])
+
+    def test_dissect_no_match_gives_null(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        t = pa.table({"s": pa.array(["a=1 b=2", "garbage"], pa.string())})
+        pq.write_table(t, str(tmp_path / "logs.parquet"))
+        out = _rows(run_esql(
+            str(tmp_path),
+            'FROM logs | DISSECT s "a=%{a} b=%{b}" | KEEP s, a, b',
+        ))
+        rows = out.to_pylist()
+        assert rows[0]["a"] == "1" and rows[0]["b"] == "2"
+        assert rows[1]["a"] is None and rows[1]["b"] is None
+
+    def test_dissect_bad_pattern(self, sf_dir):
+        with pytest.raises(Exception, match="no %"):
+            _rows(run_esql(
+                sf_dir, 'FROM events | DISSECT props "no keys here" | KEEP props'
+            ))
