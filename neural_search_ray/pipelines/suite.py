@@ -5212,6 +5212,32 @@ def q_runtime_terms_agg(sf_dir: str) -> pa.Table:
     )
 
 
+_QP_QUERIES = [
+    (0, "data AND (query OR merge)"),
+    (1, "query -data"),
+    (2, "data AND n_chars:[250 TO 450]"),
+    (3, "lang:en AND (join OR sort*)"),
+]
+
+
+def q_query_string_full(sf_dir: str) -> pa.Table:
+    """Classic query_string grammar (query/queryparser.py — Lucene
+    QueryParser subset): AND/OR/NOT with grouping, +/- occurs, fielded
+    terms, doc-values ranges, prefixes and phrases, scored with
+    BooleanQuery's sum-of-matching-subscorers (constant 1.0 for
+    filter-like children). Four fixed requests exercise each shape; the
+    oracle replays the set algebra clause-for-clause."""
+    from ..query.queryparser import execute_query_string
+
+    _ensure_docvalues(sf_dir)
+    searcher = get_searcher(sf_dir)
+    rows = []
+    for qid, qs in _QP_QUERIES:
+        docs, scores = execute_query_string(searcher, qs, k=BM25_K)
+        rows.append((qid, docs, scores))
+    return _hits_table(rows)
+
+
 def q_bm25_exists_tag(sf_dir: str) -> pa.Table:
     """exists query (ES ExistsQueryBuilder): BM25 restricted to docs
     whose nullable ``tag`` doc-values field HAS a value — the engine-side
@@ -8623,6 +8649,50 @@ SELECT query_id, rank, doc_id, score FROM (
         ),
         BM25_K,
     )
+    # classic query_string: per-term scored CTE + clause-for-clause set
+    # algebra replay of the four pinned requests
+    sqls["query_string_full"] = f"""
+WITH ts AS (
+  SELECT tf.term, tf.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+           * tf.tf / (tf.tf + {K1}*(1.0 - {B} + {B}*dl.dl/s.avgdl)) AS score
+  FROM ({SQL_TF}) tf
+  JOIN ({SQL_DF}) df USING (term)
+  JOIN ({SQL_DL_ALL}) dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN ({SQL_STATS}) s
+  WHERE tf.term IN ('data', 'query', 'merge', 'join')),
+pre AS (SELECT DISTINCT doc_id FROM ({SQL_TOK}) WHERE term LIKE 'sort%'),
+u AS (
+  SELECT 0 AS query_id, a.doc_id,
+         a.score + coalesce(q.score, 0) + coalesce(m.score, 0) AS score
+  FROM (SELECT doc_id, score FROM ts WHERE term = 'data') a
+  LEFT JOIN (SELECT doc_id, score FROM ts WHERE term = 'query') q USING (doc_id)
+  LEFT JOIN (SELECT doc_id, score FROM ts WHERE term = 'merge') m USING (doc_id)
+  WHERE q.doc_id IS NOT NULL OR m.doc_id IS NOT NULL
+  UNION ALL
+  SELECT 1, q.doc_id, q.score
+  FROM (SELECT doc_id, score FROM ts WHERE term = 'query') q
+  WHERE q.doc_id NOT IN (SELECT doc_id FROM ts WHERE term = 'data')
+  UNION ALL
+  SELECT 2, a.doc_id, a.score + 1.0
+  FROM (SELECT doc_id, score FROM ts WHERE term = 'data') a
+  JOIN documents d ON d.doc_id = a.doc_id
+  WHERE d.n_chars BETWEEN 250 AND 450
+  UNION ALL
+  SELECT 3, d.doc_id,
+         1.0 + coalesce(j.score, 0)
+             + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0 END
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, score FROM ts WHERE term = 'join') j
+    ON j.doc_id = d.doc_id
+  LEFT JOIN pre p ON p.doc_id = d.doc_id
+  WHERE d.lang = 'en' AND (j.doc_id IS NOT NULL OR p.doc_id IS NOT NULL))
+SELECT query_id::BIGINT AS query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM u) WHERE rank <= {BM25_K}"""
+
     # exists / missing over the nullable tag fixture (doc_id % 3 == 0 ->
     # NULL, repeated verbatim from _tag_column_batch)
     sqls["bm25_exists_tag"] = _topk_sql(
@@ -12222,6 +12292,7 @@ def build_queries() -> dict:
         "events_ks_test": q_events_ks_test,
         "esql_enrich": q_esql_enrich,
         "esql_dissect": q_esql_dissect,
+        "query_string_full": q_query_string_full,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,
