@@ -5273,6 +5273,30 @@ def q_agg_missing_tag(sf_dir: str) -> pa.Table:
     )
 
 
+def q_window_dedup_apply(sf_dir: str) -> "ray.data.Dataset":
+    """Cross-doc window dedup APPLY (textstats/webfilter.py): the flag
+    pipeline's first-occurrence-wins rule executed end-to-end — window
+    rows (with ordinal + text) through ONE salted whash exchange that
+    decides keep/drop per occurrence, then ONE doc-keyed exchange that
+    rebuilds each document from its kept windows (+ the always-kept
+    partial tail). The C4-style span-dedup application, no driver
+    drop-set."""
+    from ..textstats.webfilter import (
+        window_apply_rows_stage,
+        window_keep_bucket_group,
+        window_rebuild_doc_group,
+    )
+
+    return (
+        _docs_ds(sf_dir)
+        .map_batches(window_apply_rows_stage(), batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(window_keep_bucket_group, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(window_rebuild_doc_group, batch_format="pyarrow")
+    )
+
+
 _RSAMPLE_SALT = "rs1"
 _RSAMPLE_PER_MILLE = 400
 
@@ -10405,6 +10429,39 @@ per AS (SELECT win.doc_id, count(*)::BIGINT AS n_windows,
 SELECT doc_id, n_windows, n_dup AS n_dup_windows,
        round(n_dup / n_windows::DOUBLE, 6) AS dup_frac FROM per"""
 
+    # window-dedup APPLY: first-occurrence-wins rebuild — kept windows
+    # joined in ordinal order, the partial tail always appended
+    sqls["window_dedup_apply"] = f"""
+WITH w AS ({SQL_WORDS}),
+win AS (SELECT doc_id, i AS widx,
+        array_to_string(words[({W}*i+1):({W}*i+{W})], ' ') AS wt,
+        CAST(md5_number_lower(array_to_string(words[({W}*i+1):({W}*i+{W})], ' '))
+             & 9223372036854775807 AS BIGINT) AS whash
+        FROM w, unnest(range(0, len(words) // {W})) AS r(i)),
+g AS (SELECT whash, min(doc_id) AS mn, count(DISTINCT doc_id) AS nd
+      FROM win GROUP BY whash),
+keep AS (SELECT win.doc_id, win.widx, win.wt,
+                (g.nd = 1 OR win.doc_id = g.mn) AS k
+         FROM win JOIN g USING (whash)),
+agg AS (SELECT doc_id,
+          coalesce(string_agg(CASE WHEN k THEN wt END, ' ' ORDER BY widx),
+                   '') AS body,
+          sum(CASE WHEN k THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+          sum(CASE WHEN k THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+        FROM keep GROUP BY doc_id),
+tails AS (SELECT doc_id,
+            array_to_string(words[(len(words) // {W}) * {W} + 1 : len(words)],
+                            ' ') AS t
+          FROM w)
+SELECT d.doc_id,
+       trim(coalesce(a.body, '')
+            || CASE WHEN t.t <> '' THEN ' ' || t.t ELSE '' END) AS new_text,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(a.n_dropped, 0)::BIGINT AS n_dropped
+FROM documents d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+JOIN tails t ON t.doc_id = d.doc_id"""
+
     phrase_values = ", ".join(f"('{p}')" for p in CONTAMINATION_PHRASES)
     sqls["decontaminate"] = f"""
 WITH w AS ({SQL_WORDS}),
@@ -12293,6 +12350,7 @@ def build_queries() -> dict:
         "esql_enrich": q_esql_enrich,
         "esql_dissect": q_esql_dissect,
         "query_string_full": q_query_string_full,
+        "window_dedup_apply": q_window_dedup_apply,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,

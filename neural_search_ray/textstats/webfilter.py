@@ -414,3 +414,113 @@ def quality_sample_stage(batch: pa.Table) -> pa.Table:
             "bucket": pa.array(bucket[keep]),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-doc window dedup APPLY (flag -> rebuild)
+
+_TAIL_WIDX = 1 << 40  # sentinel ordinal: the partial-tail pseudo-window
+
+
+def window_apply_rows_stage(
+    width: int = DEDUP_WINDOW_WIDTH, num_buckets: int = DEDUP_HASH_BUCKETS
+):
+    """map_batches fn for the APPLY pipeline: (doc_id, text) ->
+    (wbucket, whash, doc_id, widx, wtext) rows — every non-overlapping
+    width-token window WITH its ordinal and text (the rebuild needs
+    them), plus one tail row per doc carrying the trailing partial
+    tokens under a per-doc negative whash (never duplicated, so the
+    dedup pass always keeps it; it also guarantees every doc reaches
+    the rebuild group, windows or not)."""
+    from ..dedup.common import h64_batch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, lens = _token_arrays(batch)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wdoc, wstr = window_strings(flat, lens, width=width, stride=width)
+        n_wins = np.maximum(0, (lens - width) // width + 1).astype(np.int64)
+        first_win = np.concatenate(([0], np.cumsum(n_wins)))[:-1]
+        widx = np.arange(wdoc.size, dtype=np.int64) - first_win[wdoc]
+        wh = (
+            h64_batch(wstr.to_pylist()).astype(np.uint64) & _MASK63
+        ).astype(np.int64) if len(wstr) else np.empty(0, np.int64)
+        # tail strings: tokens past the last full window, one per doc
+        doc_base = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        tail_start = doc_base + n_wins * width
+        tail_len = lens - n_wins * width
+        gather = np.repeat(tail_start, tail_len) + (
+            np.arange(int(tail_len.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(tail_len) - tail_len, tail_len)
+        )
+        toks = flat.take(pa.array(gather))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.zeros(lens.size + 1, dtype=np.int64)
+        np.cumsum(tail_len, out=offs[1:])
+        tails = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(offs, pa.int64()), toks.cast(pa.large_string())
+            ),
+            pa.scalar(" ", type=pa.large_string()),
+        ).cast(pa.string())
+        tail_hash = -(doc_ids + 1)  # unique negative per doc
+        return pa.table({
+            "wbucket": pa.array(np.concatenate([
+                wh % num_buckets, tail_hash % num_buckets
+            ])),
+            "whash": pa.array(np.concatenate([wh, tail_hash])),
+            "doc_id": pa.array(np.concatenate([doc_ids[wdoc], doc_ids])),
+            "widx": pa.array(np.concatenate([
+                widx, np.full(lens.size, _TAIL_WIDX, np.int64)
+            ])),
+            "wtext": pa.concat_arrays([
+                wstr.cast(pa.string()), tails
+            ]),
+        })
+
+    return fn
+
+
+def window_keep_bucket_group(g: pa.Table) -> pa.Table:
+    """map_groups over wbucket: per whash, first-occurrence-wins across
+    docs — the min doc_id keeps ALL its occurrences, every other doc
+    drops the window (intra-doc repeats are NOT duplicates, matching
+    window_dedup's distinct-doc rule). Segmented numpy, one Python call
+    per salt bucket. Emits (doc_id, widx, wtext, keep)."""
+    wh = g["whash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    docs = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((docs, wh))
+    whs, dcs = wh[order], docs[order]
+    starts = np.flatnonzero(np.concatenate(([True], whs[1:] != whs[:-1])))
+    seg = np.zeros(whs.size, np.int64)
+    seg[starts] = 1
+    seg = np.cumsum(seg) - 1
+    min_doc = dcs[starts][seg]           # per-row min doc of its whash
+    keep_sorted = dcs == min_doc
+    keep = np.empty(wh.size, bool)
+    keep[order] = keep_sorted
+    return pa.table({
+        "doc_id": g["doc_id"],
+        "widx": g["widx"],
+        "wtext": g["wtext"],
+        "keep": pa.array(keep),
+    })
+
+
+def window_rebuild_doc_group(g: pa.Table) -> pa.Table:
+    """map_groups over doc_id: order windows by ordinal, join the kept
+    ones (tail last via its sentinel ordinal), count kept/dropped FULL
+    windows. One Python call per doc group, Arrow-joined strings."""
+    widx = g["widx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = g["keep"].to_numpy(zero_copy_only=False)
+    order = np.argsort(widx, kind="stable")
+    kept_rows = order[keep[order]]
+    parts = g["wtext"].take(pa.array(kept_rows)).to_pylist()
+    body = " ".join(p for p in parts if p != "")
+    full = widx != _TAIL_WIDX
+    return pa.table({
+        "doc_id": g["doc_id"][:1],
+        "new_text": pa.array([body], pa.string()),
+        "n_kept": pa.array([int((keep & full).sum())], pa.int64()),
+        "n_dropped": pa.array([int((~keep & full).sum())], pa.int64()),
+    })
