@@ -11394,6 +11394,16 @@ SELECT event_id, user_id, round(value * 2.0, 3) AS v2
 FROM events WHERE event_type = 'click'
 ORDER BY v2 DESC, event_id ASC LIMIT 15"""
 
+    sqls["esql_stats_filtered"] = """
+SELECT event_type, n_all, n_big, s_click, u_big FROM (
+  SELECT event_type, count(*)::BIGINT AS n_all,
+         count(*) FILTER (value >= 100.0)::BIGINT AS n_big,
+         round(coalesce(sum(value) FILTER (event_type = 'click'), 0.0), 2)
+           AS s_click,
+         count(DISTINCT user_id) FILTER (value >= 100.0)::BIGINT AS u_big
+  FROM events GROUP BY event_type)
+ORDER BY event_type ASC"""
+
     sqls["esql_dissect"] = r"""
 SELECT kb, cnt FROM (
   SELECT (k - k % 10)::BIGINT AS kb, count(*)::BIGINT AS cnt FROM (
@@ -12051,6 +12061,28 @@ def q_esql_dissect(sf_dir: str) -> pa.Table:
     return run_esql(sf_dir, _ESQL_DISSECT)
 
 
+_ESQL_STATS_FILTERED = (
+    'FROM events'
+    ' | STATS n_all = COUNT(*),'
+    '   n_big = COUNT(*) WHERE value >= 100.0,'
+    '   s_click = SUM(value) WHERE event_type == "click",'
+    '   u_big = COUNT_DISTINCT(user_id) WHERE value >= 100.0'
+    '   BY event_type'
+    ' | EVAL s_click = ROUND(COALESCE(s_click, 0.0), 2)'
+    ' | SORT event_type ASC'
+)
+
+
+def q_esql_stats_filtered(sf_dir: str) -> pa.Table:
+    """ES|QL per-aggregate WHERE filters (the 8.16 `agg(...) WHERE cond`
+    surface): each aggregate masks its own input rows inside the SAME
+    partial pass (null-out + Arrow null-skipping aggregates — no extra
+    exchange), including the exact COUNT_DISTINCT decomposition."""
+    from ..query.esql import run_esql
+
+    return run_esql(sf_dir, _ESQL_STATS_FILTERED)
+
+
 _ESQL_ENRICH = (
     'FROM events'
     ' | ENRICH customer_segment ON user_id WITH c_mktsegment'
@@ -12351,6 +12383,7 @@ def build_queries() -> dict:
         "esql_dissect": q_esql_dissect,
         "query_string_full": q_query_string_full,
         "window_dedup_apply": q_window_dedup_apply,
+        "esql_stats_filtered": q_esql_stats_filtered,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,

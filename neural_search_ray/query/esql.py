@@ -69,7 +69,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "ASC", "DESC", "AND", "OR", "NOT", "LIKE", "IN", "TRUE",
-    "FALSE", "NULL", "ENRICH", "ON", "WITH", "DISSECT",
+    "FALSE", "NULL", "ENRICH", "ON", "WITH", "DISSECT", "ROW",
 }
 
 # ENRICH policies (ES enrich-policy registry analogue): name ->
@@ -300,9 +300,20 @@ class _Parser:
     # --- stages ---
 
     def parse(self) -> list[Stage]:
-        self.expect("kw", "FROM")
-        src = self.expect("ident")
-        stages = [Stage("from", src)]
+        if self.accept("kw", "ROW"):
+            # ROW a = <expr>, b = <expr> — a one-row literal source
+            pairs = []
+            while True:
+                name = self.expect("ident")
+                self.expect("op", "=")
+                pairs.append((name, self.expr()))
+                if not self.accept("op", ","):
+                    break
+            stages = [Stage("row", pairs)]
+        else:
+            self.expect("kw", "FROM")
+            src = self.expect("ident")
+            stages = [Stage("from", src)]
         while self.accept("op", "|"):
             t = self.next()
             if t[0] != "kw":
@@ -341,7 +352,9 @@ class _Parser:
                     else:
                         arg = self.expr()
                     self.expect("op", ")")
-                    aggs.append((name, fn, arg))
+                    # ES|QL 8.16 per-aggregate filter: agg(...) WHERE cond
+                    cond = self.expr() if self.accept("kw", "WHERE") else None
+                    aggs.append((name, fn, arg, cond))
                     if not self.accept("op", ","):
                         break
                 by: list[str] = []
@@ -581,9 +594,11 @@ def _referenced_columns(stages: list[Stage]) -> list[str]:
         elif st.kind == "stats":
             aggs, by = st.payload
             refs.update(by)
-            for _, _, ex in aggs:
+            for _, _, ex, cond in aggs:
                 if ex is not None:
                     _collect_cols(ex, refs)
+                if cond is not None:
+                    _collect_cols(cond, refs)
             break
         elif st.kind == "sort":
             refs.update(k for k, _ in st.payload)
@@ -659,8 +674,19 @@ def _compile_stats(ds, aggs, by):
     import ray
     from ray.data.aggregate import Max, Min, Sum
 
-    plain = [(n, f, e) for (n, f, e) in aggs if f != "COUNT_DISTINCT"]
-    distincts = [(n, f, e) for (n, f, e) in aggs if f == "COUNT_DISTINCT"]
+    plain = [a for a in aggs if a[1] != "COUNT_DISTINCT"]
+    distincts = [a for a in aggs if a[1] == "COUNT_DISTINCT"]
+
+    def _masked(v, cond, batch):
+        """Null out rows failing the per-aggregate WHERE (Arrow
+        aggregates skip nulls, so masking IS the filter)."""
+        if cond is None:
+            return v
+        n = len(batch)
+        mask = pc.fill_null(_as_array(_eval_expr(cond, batch), n), False)
+        return pc.if_else(mask, _as_array(v, n), pa.nulls(
+            n, _as_array(v, n).type
+        ))
 
     result = None
     if plain or not distincts:
@@ -668,20 +694,21 @@ def _compile_stats(ds, aggs, by):
         def partial(batch: pa.Table) -> pa.Table:
             cols: dict[str, object] = {k: batch[k] for k in by}
             arrow_aggs = []
-            for name, fn, ex in plain:
+            for name, fn, ex, cond in plain:
                 if fn == "COUNT":
                     if ex is None:
-                        cols[f"__{name}"] = pa.array(
-                            np.ones(len(batch), dtype=np.int64)
-                        )
+                        v = pa.array(np.ones(len(batch), dtype=np.int64))
+                        cols[f"__{name}"] = _masked(v, cond, batch)
                         arrow_aggs.append((f"__{name}", "sum"))
                     else:
-                        cols[f"__{name}"] = _as_array(
-                            _eval_expr(ex, batch), len(batch)
-                        )
+                        v = _as_array(_eval_expr(ex, batch), len(batch))
+                        cols[f"__{name}"] = _masked(v, cond, batch)
                         arrow_aggs.append((f"__{name}", "count"))
                 elif fn == "AVG":
-                    v = _as_array(_eval_expr(ex, batch), len(batch))
+                    v = _masked(
+                        _as_array(_eval_expr(ex, batch), len(batch)),
+                        cond, batch,
+                    )
                     cols[f"__{name}_s"] = v
                     cols[f"__{name}_c"] = pc.cast(
                         pc.is_valid(v), pa.int64()
@@ -689,7 +716,10 @@ def _compile_stats(ds, aggs, by):
                     arrow_aggs.append((f"__{name}_s", "sum"))
                     arrow_aggs.append((f"__{name}_c", "sum"))
                 else:
-                    v = _as_array(_eval_expr(ex, batch), len(batch))
+                    v = _masked(
+                        _as_array(_eval_expr(ex, batch), len(batch)),
+                        cond, batch,
+                    )
                     cols[f"__{name}"] = v
                     arrow_aggs.append((f"__{name}", fn.lower()))
             t = pa.table(cols)
@@ -697,7 +727,8 @@ def _compile_stats(ds, aggs, by):
             # TableGroupBy emits key columns first, then the aggregate
             # columns in the order given; rename to the partial names
             out_names = []
-            for (n, f, _e) in plain:
+            for a in plain:
+                n, f = a[0], a[1]
                 if f == "AVG":
                     out_names += [f"__{n}_s_p", f"__{n}_c_p"]
                 else:
@@ -705,7 +736,7 @@ def _compile_stats(ds, aggs, by):
             return g.rename_columns(by + out_names)
 
         partial_cols = []
-        for n, f, _e in plain:
+        for n, f, _e, _c in plain:
             if f == "AVG":
                 partial_cols += [(f"__{n}_s_p", "sum"), (f"__{n}_c_p", "sum")]
             elif f in ("COUNT",):
@@ -732,9 +763,11 @@ def _compile_stats(ds, aggs, by):
     # COUNT_DISTINCT: exact two-exchange decomposition (per-batch dedupe
     # -> distinct over (by, value) -> bucket-bounded recount), the exact
     # cardinality-agg tier's shape
-    for name, _fn, ex in distincts:
-        def dedup_partial(batch: pa.Table, _ex=ex) -> pa.Table:
-            v = _as_array(_eval_expr(_ex, batch), len(batch))
+    for name, _fn, ex, dcond in distincts:
+        def dedup_partial(batch: pa.Table, _ex=ex, _c=dcond) -> pa.Table:
+            v = _masked(
+                _as_array(_eval_expr(_ex, batch), len(batch)), _c, batch
+            )
             t = pa.table({**{k: batch[k] for k in by}, "__v": v})
             t = t.filter(pc.is_valid(t["__v"]))
             return pa.TableGroupBy(t, by + ["__v"]).aggregate([]).select(
@@ -778,7 +811,7 @@ def _compile_stats(ds, aggs, by):
 
     # finish: rename partials to user names, AVG = sum/count
     cols: dict[str, object] = {k: result[k] for k in by}
-    for name, fn, _e in aggs:
+    for name, fn, _e, _c in aggs:
         if fn == "COUNT_DISTINCT":
             cols[name] = pc.cast(
                 pc.fill_null(result[name], 0), pa.int64()
@@ -789,7 +822,10 @@ def _compile_stats(ds, aggs, by):
                 pc.cast(result[f"__{name}_c_p"], pa.float64()),
             )
         elif fn == "COUNT":
-            cols[name] = pc.cast(result[f"__{name}_p"], pa.int64())
+            # empty-after-filter groups count 0 (SQL COUNT FILTER rule)
+            cols[name] = pc.cast(
+                pc.fill_null(result[f"__{name}_p"], 0), pa.int64()
+            )
         else:
             cols[name] = result[f"__{name}_p"]
     return pa.table(cols)
@@ -853,12 +889,22 @@ def run_esql(sf_dir: str, text: str):
     import ray.data
 
     stages = parse_esql(text)
-    src = stages[0].payload
-    cols = _referenced_columns(stages[1:])
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/{src}.parquet", columns=cols or None
-    )
+    if stages[0].kind == "row":
+        one = pa.table({"__": pa.array([0])})
+        cols_row = {}
+        for name, ex in stages[0].payload:
+            v = _eval_expr(ex, one)
+            cols_row[name] = (
+                v if isinstance(v, (pa.Array, pa.ChunkedArray))
+                else pa.array([v.as_py()])
+            )
+        ds = ray.data.from_arrow(pa.table(cols_row))
+    else:
+        src = stages[0].payload
+        cols = _referenced_columns(stages[1:])
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/{src}.parquet", columns=cols or None
+        )
 
     i = 1
     table: pa.Table | None = None  # set once bucket-bounded

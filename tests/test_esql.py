@@ -270,3 +270,40 @@ class TestDissect:
             _rows(run_esql(
                 sf_dir, 'FROM events | DISSECT props "no keys here" | KEEP props'
             ))
+
+
+class TestRowAndAggFilters:
+    def test_row_source(self, ray_session):
+        out = _rows(run_esql(
+            "/tmp", 'ROW a = 1 + 2, b = "x" | EVAL c = a * 10 | KEEP a, b, c'
+        ))
+        assert out.to_pylist() == [{"a": 3, "b": "x", "c": 30}]
+
+    def test_per_agg_where(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        t = run_esql(
+            sf_dir,
+            'FROM events | STATS n = COUNT(*),'
+            ' nb = COUNT(*) WHERE value >= 100.0,'
+            ' ub = COUNT_DISTINCT(user_id) WHERE value >= 100.0'
+            ' BY event_type | SORT event_type',
+        )
+        df = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "value", "user_id"],
+        ).to_pandas()
+        for r in t.to_pylist():
+            sub = df[df["event_type"] == r["event_type"]]
+            big = sub[sub["value"] >= 100.0]
+            assert r["n"] == len(sub)
+            assert r["nb"] == len(big)
+            assert r["ub"] == big["user_id"].nunique()
+
+    def test_filtered_sum_null_when_empty(self, sf_dir):
+        t = run_esql(
+            sf_dir,
+            "FROM events | STATS s = SUM(value) WHERE value > 1000000.0"
+            " BY event_type",
+        )
+        assert all(r["s"] is None for r in t.to_pylist())
