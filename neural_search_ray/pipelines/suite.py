@@ -5920,6 +5920,38 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     )
 
 
+_MAXSIM_SUB = 4
+
+
+def q_knn_maxsim(sf_dir: str) -> pa.Table:
+    """Late-interaction multi-vector search (ann/latei.py — the
+    rank_vectors/ColBERT maxSim shape): each 64-dim embedding is read
+    as 4 x 16-dim sub-vectors (deterministic fixture), score = sum over
+    query sub-vectors of the max dot against any doc sub-vector — one
+    batched einsum per block, k-sized merge."""
+    import pyarrow.parquet as pq2
+
+    from ..ann.latei import knn_maxsim
+
+    qt = pq2.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    flat = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    queries = flat.reshape(len(flat), _MAXSIM_SUB, -1)
+    qids = qt["vec_id"].to_numpy()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = knn_maxsim(ds, queries, qids, k=10, num_sub=_MAXSIM_SUB)
+    return out.set_column(
+        out.schema.get_field_index("score"),
+        "score",
+        pa.array(round_half_up(out["score"].to_numpy(), 6)),
+    )
+
+
 _BBQ_C = 50
 
 
@@ -10579,6 +10611,31 @@ SELECT query_id::BIGINT AS query_id, rank, neighbor_id::BIGINT AS neighbor_id, s
     # ivf_ann runs at nprobe = n_centroids (all buckets scanned) → exact,
     # so the brute-force cosine oracle applies verbatim.
     sqls["ivf_ann"] = sqls["knn_cosine"]
+    # late-interaction maxSim: 4 x 16-dim sub-vector slices, max over doc
+    # sub-vectors per query sub-vector, summed — list_inner_product per pair
+    _ms_sub, _ms_dim = _MAXSIM_SUB, 16
+    sqls["knn_maxsim"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+pair AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, qi.i AS qi,
+         max(list_inner_product(
+           (q.embedding[({_ms_dim}*qi.i+1):({_ms_dim}*qi.i+{_ms_dim})])::DOUBLE[],
+           (e.embedding[({_ms_dim}*dj.j+1):({_ms_dim}*dj.j+{_ms_dim})])::DOUBLE[]
+         )) AS best
+  FROM q CROSS JOIN embeddings e
+  CROSS JOIN generate_series(0, {_ms_sub - 1}) qi(i)
+  CROSS JOIN generate_series(0, {_ms_sub - 1}) dj(j)
+  GROUP BY q.query_id, e.vec_id, qi.i),
+scored AS (
+  SELECT query_id, neighbor_id, sum(best) AS score
+  FROM pair GROUP BY query_id, neighbor_id)
+SELECT query_id::BIGINT AS query_id, rank, neighbor_id::BIGINT AS neighbor_id, score
+FROM (
+  SELECT query_id, neighbor_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 10"""
+
     # binary-quantized two-phase kNN: the oracle replays the WINDOW
     # semantics — sign-bit hamming top-C, then exact cosine top-k
     sqls["knn_bbq_rescore"] = f"""
@@ -12384,6 +12441,7 @@ def build_queries() -> dict:
         "query_string_full": q_query_string_full,
         "window_dedup_apply": q_window_dedup_apply,
         "esql_stats_filtered": q_esql_stats_filtered,
+        "knn_maxsim": q_knn_maxsim,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,

@@ -222,3 +222,51 @@ class TestBinaryBBQ:
         with _pytest.raises(ValueError):
             knn_binary_rescore(None, np.zeros((1, 8)), np.array([0]),
                                k=10, candidates=5)
+
+
+class TestMaxSim:
+    """Late-interaction maxSim (ann/latei.py)."""
+
+    def test_scores_match_manual(self):
+        import numpy as np
+
+        from neural_search_ray.ann.latei import maxsim_scores
+
+        rng = np.random.default_rng(3)
+        q = rng.normal(size=(2, 3, 4))
+        d = rng.normal(size=(5, 3, 4))
+        got = maxsim_scores(q, d)
+        for qi in range(2):
+            for ni in range(5):
+                exp = sum(
+                    max(float(q[qi, a] @ d[ni, b]) for b in range(3))
+                    for a in range(3)
+                )
+                assert abs(got[qi, ni] - exp) < 1e-12
+
+    def test_knn_maxsim_self_is_top(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from neural_search_ray.ann.latei import knn_maxsim
+
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(100, 32))
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+        }))
+        queries = vecs[:3].reshape(3, 4, 8)
+        out = knn_maxsim(ds, queries, np.array([0, 1, 2]), k=5, num_sub=4)
+        top = {r["query_id"]: r["neighbor_id"]
+               for r in out.to_pylist() if r["rank"] == 1}
+        # maxSim(q, q) = sum of per-sub self dots, the max unless another
+        # doc dominates every sub-vector — not the case for gaussians
+        assert top == {0: 0, 1: 1, 2: 2}
+        assert all(
+            r1 >= r2 for r1, r2 in zip(
+                [r["score"] for r in out.to_pylist() if r["query_id"] == 0],
+                [r["score"] for r in out.to_pylist() if r["query_id"] == 0][1:],
+            )
+        )
