@@ -5557,6 +5557,44 @@ def q_retriever_rescorer(sf_dir: str) -> pa.Table:
     return _hits_table(rows, round_to=6)
 
 
+_SEM_RERANK_WINDOW, _SEM_RERANK_K = 20, 5
+
+
+def q_retriever_semantic(sf_dir: str) -> pa.Table:
+    """text_similarity_reranker retriever (ES 8.15): the standard child
+    runs to a rank window of 20, the similarity seam (deterministic
+    token-overlap stand-in — the same oracle-verified seam as the
+    rerank_rescore processor) re-scores the window, top-5 returned.
+    texts_fn fetches window docs' source text (k-sized lookups)."""
+    import pyarrow.parquet as pq2
+
+    from ..query.retriever import execute_retriever
+
+    searcher = get_searcher(sf_dir)
+    t = pq2.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    text_by_doc = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    def texts_fn(doc_ids):
+        return [text_by_doc.get(int(d), "") for d in doc_ids]
+
+    rows = []
+    for qid, qtext in QUERY_SET:
+        spec = {
+            "text_similarity_reranker": {
+                "retriever": {"standard": {"query": {"match": {"text": qtext}}}},
+                "inference_text": qtext,
+                "rank_window_size": _SEM_RERANK_WINDOW,
+            }
+        }
+        docs, scores = execute_retriever(
+            spec, searcher=searcher, k=_SEM_RERANK_K, texts_fn=texts_fn
+        )
+        rows.append((qid, docs, scores))
+    return _hits_table(rows, round_to=6)
+
+
 _RULE_PINS = [5, 11]
 _RULE_EXCLUDED = [2]
 _RULESET = [
@@ -8572,12 +8610,16 @@ FROM (
   FROM scored) WHERE rank <= 10"""
 
 
-def _rerank_rescore_sql() -> str:
-    """Rescoring rerank over the bm25 top-k candidate set: Jaccard of
-    the query's DISTINCT analyzer tokens vs the doc's DISTINCT terms —
+def _rerank_rescore_sql(cand: str | None = None, k: int = BM25_K) -> str:
+    """Rescoring rerank over a bm25 candidate set: Jaccard of the
+    query's DISTINCT analyzer tokens vs the doc's DISTINCT terms —
     the deterministic stand-in similarity of rank/rerank.py
-    token_overlap_similarity, as a ratio of two exact integer counts."""
-    cand = _topk_sql(_bm25_scored_sql(), BM25_K)
+    token_overlap_similarity, as a ratio of two exact integer counts.
+    ``cand`` defaults to the round-ranked top-k (the rerank_rescore
+    processor's window); the semantic-reranker retriever passes a
+    RAW-ranked wider window and a smaller final k."""
+    if cand is None:
+        cand = _topk_sql(_bm25_scored_sql(), BM25_K)
     return f"""
 WITH cand AS (SELECT query_id, doc_id FROM ({cand})),
 qt AS ({_query_values_sql()}),
@@ -8600,7 +8642,7 @@ SELECT query_id, rank, doc_id, score FROM (
   SELECT query_id, doc_id, round(score, 6) AS score,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(score, 6) DESC, doc_id) AS rank
-  FROM scored) WHERE rank <= {BM25_K}"""
+  FROM scored) WHERE rank <= {k}"""
 
 
 def build_oracle_sql() -> dict[str, str]:
@@ -10223,6 +10265,12 @@ LEFT JOIN idcg i USING (query_id)"""
     sqls["query_enrich_sparse"] = sqls["sparse_dot_topk"]
     # rescoring rerank under the deterministic token-overlap stand-in
     sqls["rerank_rescore"] = _rerank_rescore_sql()
+    # semantic-reranker retriever: RAW-ranked window of 20, jaccard
+    # rescore, final 5 — the same stand-in similarity CTEs
+    sqls["retriever_semantic"] = _rerank_rescore_sql(
+        cand=_topk_raw_sql(_bm25_scored_sql(), _SEM_RERANK_WINDOW),
+        k=_SEM_RERANK_K,
+    )
     # quantized tier: integer tf → u8 grid {85,170,255} → dequantized
     # {1,2,3} survives the FeatureField round-trip exactly
     sqls["sparse_dot_topk_quantized"] = _topk_sql(
@@ -12442,6 +12490,7 @@ def build_queries() -> dict:
         "window_dedup_apply": q_window_dedup_apply,
         "esql_stats_filtered": q_esql_stats_filtered,
         "knn_maxsim": q_knn_maxsim,
+        "retriever_semantic": q_retriever_semantic,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,

@@ -31,6 +31,7 @@ def execute_retriever(
     searcher,
     k: int = 10,
     knn_fn=None,
+    texts_fn=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Execute a retriever tree. ``spec`` is the body of the request's
     ``retriever`` key:
@@ -61,7 +62,7 @@ def execute_retriever(
             raise ValueError("rrf retriever needs a non-empty 'retrievers'")
         window = int(body.get("rank_window_size", DEFAULT_RANK_WINDOW))
         subs = [
-            execute_retriever(c, searcher=searcher, k=window, knn_fn=knn_fn)
+            execute_retriever(c, searcher=searcher, k=window, knn_fn=knn_fn, texts_fn=texts_fn)
             for c in children
         ]
         return hybrid_rank(
@@ -80,7 +81,7 @@ def execute_retriever(
         for c in children:
             subs.append(
                 execute_retriever(
-                    c["retriever"], searcher=searcher, k=window, knn_fn=knn_fn
+                    c["retriever"], searcher=searcher, k=window, knn_fn=knn_fn, texts_fn=texts_fn
                 )
             )
             weights.append(float(c.get("weight", 1.0)))
@@ -113,7 +114,7 @@ def execute_retriever(
         (field, text), = match.items()
         del field  # single-field engine; parity with the request shape
         docs, scores = execute_retriever(
-            child, searcher=searcher, k=window, knn_fn=knn_fn
+            child, searcher=searcher, k=window, knn_fn=knn_fn, texts_fn=texts_fn
         )
         cand, rscores = searcher._bm25_union_scores(tokenize(text), None)
         pos = np.searchsorted(cand, docs)
@@ -146,7 +147,7 @@ def execute_retriever(
         pinned = [i for i in pinned if i not in excluded][:k]
         docs, scores = execute_retriever(
             child, searcher=searcher, k=k + len(pinned) + len(excluded),
-            knn_fn=knn_fn,
+            knn_fn=knn_fn, texts_fn=texts_fn,
         )
         drop = excluded.union(pinned)
         if drop:
@@ -163,4 +164,29 @@ def execute_retriever(
             np.concatenate([pin_docs, docs]),
             np.concatenate([pin_scores, scores]),
         )
+    if kind == "text_similarity_reranker":
+        # ES 8.15 semantic reranker retriever: the child runs to a rank
+        # window, then a similarity model re-scores (query, doc_text)
+        # pairs. The model is the engine's rerank seam (rank/rerank.py —
+        # deterministic token-overlap stand-in in this container, same
+        # seam the rerank_rescore processor pins); ``texts_fn(doc_ids)``
+        # supplies the window docs' source text (k-sized fetch).
+        child = body.get("retriever")
+        text = body.get("inference_text")
+        if child is None or text is None:
+            raise ValueError(
+                "text_similarity_reranker needs 'retriever' and "
+                "'inference_text'"
+            )
+        if texts_fn is None:
+            raise ValueError("text_similarity_reranker requires texts_fn")
+        window = int(body.get("rank_window_size", DEFAULT_RANK_WINDOW))
+        docs, _scores = execute_retriever(
+            child, searcher=searcher, k=window, knn_fn=knn_fn,
+            texts_fn=texts_fn,
+        )
+        from ..rank.rerank import rerank_rescore
+
+        d2, s2 = rerank_rescore(text, docs, texts_fn(docs))
+        return d2[:k], s2[:k]
     raise ValueError(f"unknown retriever type {kind!r}")

@@ -647,3 +647,81 @@ class TestRescorerRuleRetrievers:
 
         with pytest.raises(ValueError, match="ruleset|match_criteria"):
             execute_retriever({"rule": {}}, searcher=rr_searcher)
+
+
+class TestSemanticRerankerRetriever:
+    """text_similarity_reranker retriever kind (query/retriever.py)."""
+
+    def test_matches_manual_seam(self, tmp_path_factory, sf_dir, ray_session):
+        import pyarrow.parquet as pq
+        import ray
+
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.config import IndexConfig
+        from neural_search_ray.index.build import build_index
+        from neural_search_ray.query.engine import IndexSearcher
+        from neural_search_ray.query.retriever import execute_retriever
+        from neural_search_ray.rank.rerank import rerank_rescore
+
+        d = str(tmp_path_factory.mktemp("semr_idx"))
+        build_index(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            d,
+            IndexConfig(num_shards=2, num_salts=2),
+        )
+        searcher = IndexSearcher(d)
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+        def texts_fn(ids):
+            return [texts.get(int(i), "") for i in ids]
+
+        spec = {
+            "text_similarity_reranker": {
+                "retriever": {"standard": {"query": {"match": {"text": "data query"}}}},
+                "inference_text": "data query",
+                "rank_window_size": 12,
+            }
+        }
+        docs, scores = execute_retriever(
+            spec, searcher=searcher, k=4, texts_fn=texts_fn
+        )
+        wd, _ = searcher.search_bm25(tokenize("data query"), k=12)
+        ed, es = rerank_rescore("data query", wd, texts_fn(wd))
+        assert docs.tolist() == ed[:4].tolist()
+        import numpy as np
+
+        np.testing.assert_allclose(scores, es[:4])
+
+    def test_validation(self, tmp_path_factory, sf_dir, ray_session):
+        import ray
+        import pytest as _pytest
+
+        from neural_search_ray.config import IndexConfig
+        from neural_search_ray.index.build import build_index
+        from neural_search_ray.query.engine import IndexSearcher
+        from neural_search_ray.query.retriever import execute_retriever
+
+        d = str(tmp_path_factory.mktemp("semr_idx2"))
+        build_index(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            d,
+            IndexConfig(num_shards=2, num_salts=2),
+        )
+        s = IndexSearcher(d)
+        with _pytest.raises(ValueError, match="inference_text"):
+            execute_retriever(
+                {"text_similarity_reranker": {"retriever": {"standard": {"query": {"term": {"text": "a"}}}}}},
+                searcher=s, texts_fn=lambda ids: [],
+            )
+        with _pytest.raises(ValueError, match="texts_fn"):
+            execute_retriever(
+                {"text_similarity_reranker": {
+                    "retriever": {"standard": {"query": {"term": {"text": "a"}}}},
+                    "inference_text": "a"}},
+                searcher=s,
+            )
