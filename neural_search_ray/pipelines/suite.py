@@ -5273,6 +5273,33 @@ def q_agg_missing_tag(sf_dir: str) -> pa.Table:
     )
 
 
+_BLOOM_M = 1 << 14  # small enough that FP behavior is exercised at sf0.01
+
+
+def q_bloom_incremental_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental crawl dedup via a deterministic Bloom filter
+    (dedup/bloom.py): corpus A (even doc_ids — 'the previous crawl')
+    builds a Bloom over md5 content fingerprints with 3 Mersenne-61
+    universal hashes; the packed bitmap broadcasts once via ray.put and
+    TODAY'S full crawl streams through a stateless probe — previously
+    seen texts flag seen_before=1 (plus the filter's deterministic
+    false positives, which the SQL oracle reproduces bit-for-bit). No
+    shuffle ever touches the probe corpus."""
+    from ..dedup.bloom import bloom_flag_stage, build_bloom
+
+    def even(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 2 == 0))
+
+    bitmap = build_bloom(
+        _docs_ds(sf_dir).map_batches(even, batch_format="pyarrow"), _BLOOM_M
+    )
+    ref = ray.put(bitmap)
+    return _docs_ds(sf_dir).map_batches(
+        bloom_flag_stage(ref, _BLOOM_M), batch_format="pyarrow"
+    )
+
+
 def q_window_dedup_apply(sf_dir: str) -> "ray.data.Dataset":
     """Cross-doc window dedup APPLY (textstats/webfilter.py): the flag
     pipeline's first-occurrence-wins rule executed end-to-end — window
@@ -10509,6 +10536,34 @@ per AS (SELECT win.doc_id, count(*)::BIGINT AS n_windows,
 SELECT doc_id, n_windows, n_dup AS n_dup_windows,
        round(n_dup / n_windows::DOUBLE, 6) AS dup_frac FROM per"""
 
+    # incremental Bloom dedup: the 3-hash position chain repeated in
+    # HUGEINT arithmetic (constants from dedup/bloom.py BLOOM_HASHES);
+    # membership = all three positions among corpus A's distinct bits
+    from ..dedup.bloom import BLOOM_HASHES as _BH
+    from ..dedup.common import MERSENNE_61 as _BM61
+
+    def _bpos(i: int) -> str:
+        a, b = _BH[i]
+        return (
+            f"((({a}::HUGEINT * h + {b}) % {_BM61}) % {_BLOOM_M})::BIGINT"
+        )
+
+    sqls["bloom_incremental_dedup"] = f"""
+WITH fp AS (SELECT doc_id,
+        (md5_number_lower(text) & 9223372036854775807)::HUGEINT AS h
+      FROM documents),
+apos AS (
+  SELECT DISTINCT pos FROM (
+    SELECT unnest([{_bpos(0)}, {_bpos(1)}, {_bpos(2)}]) AS pos
+    FROM fp WHERE doc_id % 2 = 0)),
+b AS (SELECT doc_id, {_bpos(0)} AS p0, {_bpos(1)} AS p1, {_bpos(2)} AS p2
+      FROM fp)
+SELECT doc_id,
+       (p0 IN (SELECT pos FROM apos)
+        AND p1 IN (SELECT pos FROM apos)
+        AND p2 IN (SELECT pos FROM apos))::BIGINT AS seen_before
+FROM b"""
+
     # window-dedup APPLY: first-occurrence-wins rebuild — kept windows
     # joined in ordinal order, the partial tail always appended
     sqls["window_dedup_apply"] = f"""
@@ -12491,6 +12546,7 @@ def build_queries() -> dict:
         "esql_stats_filtered": q_esql_stats_filtered,
         "knn_maxsim": q_knn_maxsim,
         "retriever_semantic": q_retriever_semantic,
+        "bloom_incremental_dedup": q_bloom_incremental_dedup,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,
