@@ -5238,6 +5238,26 @@ def q_query_string_full(sf_dir: str) -> pa.Table:
     return _hits_table(rows)
 
 
+def q_query_string_full_distributed(sf_dir: str) -> pa.Table:
+    """Classic query_string through the shard-actor serving pool
+    (query/distributed.py search_query_string): driver-side parse →
+    ONE global-df fan-out for the scored terms → shard-local Boolean
+    evaluation with global stats → disjoint top-k merge. Same oracle
+    as query_string_full (rank-identity through the gate)."""
+    from ..query.distributed import DistributedSearcher
+
+    _ensure_docvalues(sf_dir)
+    dsearch = DistributedSearcher(get_index_dir(sf_dir), num_actors=2)
+    try:
+        rows = []
+        for qid, qs in _QP_QUERIES:
+            docs, scores = dsearch.search_query_string(qs, k=BM25_K)
+            rows.append((qid, docs, scores))
+    finally:
+        dsearch.shutdown()
+    return _hits_table(rows)
+
+
 def q_bm25_exists_tag(sf_dir: str) -> pa.Table:
     """exists query (ES ExistsQueryBuilder): BM25 restricted to docs
     whose nullable ``tag`` doc-values field HAS a value — the engine-side
@@ -8817,6 +8837,10 @@ SELECT query_id::BIGINT AS query_id, rank, doc_id, score FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(score, 6) DESC, doc_id) AS rank
   FROM u) WHERE rank <= {BM25_K}"""
+
+    # distributed twin: shard-local Boolean evaluation with global
+    # stats is rank-identical by construction — same oracle
+    sqls["query_string_full_distributed"] = sqls["query_string_full"]
 
     # exists / missing over the nullable tag fixture (doc_id % 3 == 0 ->
     # NULL, repeated verbatim from _tag_column_batch)
@@ -12547,6 +12571,7 @@ def build_queries() -> dict:
         "knn_maxsim": q_knn_maxsim,
         "retriever_semantic": q_retriever_semantic,
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
+        "query_string_full_distributed": q_query_string_full_distributed,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,

@@ -119,6 +119,19 @@ class ShardSearchActor:
             global_dfs=np.asarray(global_dfs, dtype=np.float64),
         )
 
+    def query_string(
+        self, text: str, k: int, gdf_items: list[tuple[str, float]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Classic query_string over this actor's doc-shard subset:
+        docs live in exactly one shard, so the Boolean set algebra is
+        shard-local; scoring stats are global (n_docs/avgdl from the
+        manifest, dfs coordinator-resolved)."""
+        from .queryparser import execute_query_string
+
+        return execute_query_string(
+            self.searcher, text, k, dfs=dict(gdf_items)
+        )
+
     def search_phrase_prefix(
         self,
         terms: list[str],
@@ -566,6 +579,27 @@ class DistributedSearcher:
             local = ray.get([a.local_dfs.remote(missing) for a in self.actors])
             sums = np.asarray(local, dtype=np.float64).sum(axis=0)
             self._gdf.update(zip(missing, sums.tolist()))
+
+    def search_query_string(self, text: str, k: int = 10):
+        """Classic query_string through the serving pool: the driver
+        parses once to collect the scored terms (term + phrase
+        children), ONE global-df fan-out resolves them, then each actor
+        evaluates the whole Boolean tree shard-locally with global
+        stats and the coordinator merges disjoint-shard top-ks —
+        rank-identical to the single-process path by construction."""
+        from .engine import topk_desc
+        from .queryparser import collect_query_terms, parse_query
+
+        node = parse_query(text)
+        terms = sorted(collect_query_terms(node))
+        self._resolve_gdfs(terms)
+        items = [(t, self._gdf[t]) for t in terms]
+        parts = ray.get(
+            [a.query_string.remote(text, k, items) for a in self.actors]
+        )
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        return topk_desc(docs, scores, k)
 
     def search_lm(
         self,

@@ -39,7 +39,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["parse_query", "execute_query_string", "QueryStringError"]
+__all__ = ["parse_query", "execute_query_string", "collect_query_terms", "QueryStringError"]
 
 
 class QueryStringError(ValueError):
@@ -235,15 +235,18 @@ def _union(a, b):
     return docs, scores
 
 
-def _score_term(searcher, term: str):
+def _score_term(searcher, term: str, dfs: dict | None = None):
     """Per-term BM25 score vector over the term's postings (the same
-    float ops as search_bm25 / explain_bm25)."""
+    float ops as search_bm25 / explain_bm25).  ``dfs`` overrides the
+    document frequency with a coordinator-resolved GLOBAL value (the
+    distributed serving path; n_docs/avgdl already come from the
+    manifest, i.e. are global on every shard searcher)."""
     from .bm25 import bm25_idf
 
     docs, tfs = searcher.postings(term)
     if docs.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    df = searcher.local_df(term)
+    df = dfs[term] if dfs and term in dfs else searcher.local_df(term)
     idf = float(bm25_idf(np.asarray([max(float(df), 1e-9)]), searcher.n_docs)[0])
     dl = searcher.doc_length(docs).astype(np.float64)
     k1, b = searcher.bm25.k1, searcher.bm25.b
@@ -251,12 +254,32 @@ def _score_term(searcher, term: str):
     return docs, idf * tf / (tf + k1 * (1.0 - b + b * dl / searcher.avgdl))
 
 
-def _eval(node: Node, searcher):
+def collect_query_terms(node: Node, out: set | None = None) -> set:
+    """Terms whose document frequencies the coordinator must resolve
+    globally (term + phrase children; constant-score kinds need none)."""
+    out = set() if out is None else out
     if node.kind == "term":
-        return _score_term(searcher, node.payload)
+        out.add(node.payload)
+    elif node.kind == "phrase":
+        out.update(node.payload)
+    elif node.kind == "group":
+        for k in node.payload:
+            collect_query_terms(k, out)
+    return out
+
+
+def _eval(node: Node, searcher, dfs: dict | None = None):
+    if node.kind == "term":
+        return _score_term(searcher, node.payload, dfs)
     if node.kind == "phrase":
+        gdfs = (
+            np.asarray([
+                dfs.get(t, searcher.local_df(t)) for t in node.payload
+            ], dtype=np.float64)
+            if dfs else None
+        )
         docs, scores = searcher.search_phrase(
-            list(node.payload), k=searcher.n_docs
+            list(node.payload), k=searcher.n_docs, global_dfs=gdfs
         )
         order = np.argsort(docs, kind="stable")
         return docs[order], scores[order]
@@ -288,7 +311,7 @@ def _eval(node: Node, searcher):
         nots = [k for k in node.payload if k.occur == "must_not"]
         if not musts and not shoulds:
             raise QueryStringError("pure-negative query")
-        scored = [(k, _eval(k, searcher)) for k in musts + shoulds]
+        scored = [(k, _eval(k, searcher, dfs)) for k in musts + shoulds]
         cand = None
         for _k, (d, _s) in scored[: len(musts)]:
             cand = d if cand is None else np.intersect1d(
@@ -299,7 +322,7 @@ def _eval(node: Node, searcher):
             for _k, (d, _s) in scored[1:]:
                 cand = np.union1d(cand, d)
         for k in nots:
-            d, _ = _eval(k, searcher)
+            d, _ = _eval(k, searcher, dfs)
             if cand.size and d.size:
                 pos = np.searchsorted(d, cand)
                 pos_c = np.minimum(pos, d.size - 1)
@@ -314,9 +337,13 @@ def _eval(node: Node, searcher):
     raise QueryStringError(f"bad node {node.kind}")
 
 
-def execute_query_string(searcher, text: str, k: int | None = 10):
+def execute_query_string(
+    searcher, text: str, k: int | None = 10, *, dfs: dict | None = None
+):
     """Parse + evaluate, return top-k (docs, scores) with the engine's
-    (score desc, doc asc) ordering; ``k=None`` returns every match."""
+    (score desc, doc asc) ordering; ``k=None`` returns every match.
+    ``dfs`` carries coordinator-resolved global document frequencies
+    for the distributed serving path."""
     from .engine import topk_desc
 
     node = parse_query(text)
@@ -324,5 +351,5 @@ def execute_query_string(searcher, text: str, k: int | None = 10):
         raise QueryStringError("pure-negative query")
     if node.kind != "group":
         node = Node("group", [node])
-    docs, scores = _eval(node, searcher)
+    docs, scores = _eval(node, searcher, dfs)
     return topk_desc(docs, scores, docs.size if k is None else k)

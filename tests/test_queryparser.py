@@ -155,3 +155,28 @@ class TestExecute:
     def test_top_level_not_rejected(self, qp_searcher):
         with pytest.raises(QueryStringError):
             execute_query_string(qp_searcher, "NOT data")
+
+
+class TestDistributedQueryString:
+    def test_rank_identity_vs_single_process(self, qp_searcher, sf_dir):
+        import ray
+
+        from neural_search_ray.query.distributed import DistributedSearcher
+
+        # reuse the module fixture's index dir (it has doc-values)
+        index_dir = qp_searcher.index_dir
+        d = DistributedSearcher(index_dir, num_actors=2)
+        try:
+            for qs in (
+                "data AND (query OR merge)",
+                "query -data",
+                "data AND n_chars:[250 TO 450]",
+                "lang:en AND (join OR sort*)",
+                '"data query" OR merge',
+            ):
+                dd, dv = d.search_query_string(qs, k=10)
+                sd, sv = execute_query_string(qp_searcher, qs, k=10)
+                assert dd.tolist() == sd.tolist(), qs
+                np.testing.assert_allclose(dv, sv, rtol=0, atol=0)
+        finally:
+            d.shutdown()
