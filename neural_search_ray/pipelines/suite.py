@@ -12478,7 +12478,11 @@ def build_queries() -> dict:
         "terms_set_topk": q_terms_set_topk,
         "events_serial_diff": q_events_serial_diff,
         "agg_matrix_stats": q_agg_matrix_stats,
-        "hnsw_ann": q_hnsw_ann,
+        # hnsw_ann displaced by session 12 (the dense family keeps TWO
+        # in-window reps: knn_pq_rescore + knn_bbq_rescore; hnsw's
+        # graph build is pytest-recall-bounded and sweep-verified);
+        # the classic query_string grammar is a new QUERY family
+        "query_string_full": q_query_string_full,
         "events_rollup_day": q_events_rollup_day,
         "agg_scripted_metric": q_agg_scripted_metric,
         # script_score (registered-kernel scoring) + sliced scroll
@@ -12565,7 +12569,6 @@ def build_queries() -> dict:
         "events_ks_test": q_events_ks_test,
         "esql_enrich": q_esql_enrich,
         "esql_dissect": q_esql_dissect,
-        "query_string_full": q_query_string_full,
         "window_dedup_apply": q_window_dedup_apply,
         "esql_stats_filtered": q_esql_stats_filtered,
         "knn_maxsim": q_knn_maxsim,
@@ -12588,6 +12591,7 @@ def build_queries() -> dict:
         "span_or_topk_distributed": q_span_or_topk_distributed,
         "geotile_grid": q_geotile_grid,
         "events_rate": q_events_rate,
+        "hnsw_ann": q_hnsw_ann,
         "hnsw_ann_filtered": q_hnsw_ann_filtered,
         "significant_text": q_significant_text,
         "agg_variable_width": q_agg_variable_width,
