@@ -2311,6 +2311,30 @@ def q_percolate(sf_dir: str) -> "ray.data.Dataset":
     return percolate_dataset(ds, QUERY_SET)
 
 
+_PERC_RANGE_QUERIES: list[tuple] = [
+    (0, "data", [("n_chars", ">=", 300)]),
+    (1, "merge sort", [("lang", "==", "en")]),
+    (2, "query", [("n_chars", "<", 250), ("lang", "==", "fr")]),
+    (3, "filter", []),  # criteria-free rule rides the same path
+]
+
+
+def q_percolate_range(sf_dir: str) -> "ray.data.Dataset":
+    """Percolator with metadata criteria (the percolator field's
+    bool-with-range form): each stored rule = match-AND terms PLUS
+    (column, op, value) predicates over the doc batch's metadata —
+    evaluated as ONE Arrow kernel chain per rule per batch after the
+    vectorized term containment. Alerting rules like 'docs mentioning
+    X over 300 chars in language Y'."""
+    from ..query.percolate import percolate_dataset
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"],
+    )
+    return percolate_dataset(ds, _PERC_RANGE_QUERIES)
+
+
 def q_agg_histogram(sf_dir: str) -> pa.Table:
     """Histogram aggregation (engine agg_histogram): fixed-interval
     n_chars buckets over each query's match set."""
@@ -9309,6 +9333,36 @@ SELECT m.doc_id, m.query_id FROM (
 JOIN (SELECT query_id::BIGINT AS query_id, count(*) AS need
       FROM ({_query_values_sql()}) GROUP BY query_id) n USING (query_id)
 WHERE m.hit = n.need"""
+    # percolate with metadata criteria: term containment + per-rule
+    # predicate CASE over the document metadata
+    _pr_rows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, qtext, _c in _PERC_RANGE_QUERIES
+        for t in sorted(set(tokenize(qtext)))
+    )
+    _pr_case = " ".join(
+        f"WHEN {qid} THEN "
+        + (" AND ".join(
+            f"d.{col} {('=' if op == '==' else op)} "
+            + (f"'{val}'" if isinstance(val, str) else str(val))
+            for col, op, val in crits
+        ) if crits else "TRUE")
+        for qid, _q, crits in _PERC_RANGE_QUERIES
+    )
+    sqls["percolate_range"] = f"""
+SELECT m.doc_id, m.query_id FROM (
+  SELECT q.query_id::BIGINT AS query_id, t.doc_id, count(*) AS hit
+  FROM (SELECT DISTINCT doc_id, term FROM ({SQL_TOK})) t
+  JOIN (SELECT * FROM (VALUES {_pr_rows}) v(query_id, term)) q
+    ON q.term = t.term
+  GROUP BY q.query_id, t.doc_id) m
+JOIN (SELECT query_id::BIGINT AS query_id, count(*) AS need
+      FROM (SELECT * FROM (VALUES {_pr_rows}) v(query_id, term))
+      GROUP BY query_id) n USING (query_id)
+JOIN documents d ON d.doc_id = m.doc_id
+WHERE m.hit = n.need
+  AND CASE m.query_id {_pr_case} ELSE TRUE END"""
+
     # date_histogram over events: hour buckets as epoch-micros
     sqls["events_date_histogram"] = """
 SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS bucket_us,
@@ -12575,6 +12629,7 @@ def build_queries() -> dict:
         "retriever_semantic": q_retriever_semantic,
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
         "query_string_full_distributed": q_query_string_full_distributed,
+        "percolate_range": q_percolate_range,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,

@@ -7,7 +7,11 @@ satisfies (alerting / saved-search / routing workloads). This is a
 beyond-reference operator for this engine (the reference plugin calls
 into core percolation rather than reimplementing it); semantics here
 are the match query with ``operator=AND``: a stored query matches a doc
-iff EVERY distinct analyzed query term occurs in the doc.
+iff EVERY distinct analyzed query term occurs in the doc — optionally
+AND-ed with metadata CRITERIA (the percolator's bool-with-range form:
+``(column, op, value)`` predicates over the document batch's metadata
+columns, evaluated as ONE Arrow kernel per stored query per batch,
+never per row).
 
 Ray-Data-first shape: the stored-query set is tiny (user alert rules),
 so it compiles once into a term→query-slot inverted map that ships
@@ -31,21 +35,34 @@ from ..stages.tfvec import doc_term_tf
 class PercolateIndex:
     """Compiled stored-query set: term → query slots, slot → need."""
 
+    _OPS = {
+        "==": "equal", "!=": "not_equal", "<": "less",
+        "<=": "less_equal", ">": "greater", ">=": "greater_equal",
+    }
+
     def __init__(
         self,
-        queries: list[tuple[int, str]],
+        queries: list[tuple],
         analyzer_cfg: AnalyzerConfig = AnalyzerConfig(),
     ):
         self.cfg = analyzer_cfg
         qids, needs = [], []
         term_slots: dict[str, list[int]] = {}
-        for qid, qtext in queries:
+        self.criteria: dict[int, list[tuple]] = {}  # slot -> predicates
+        for q in queries:
+            qid, qtext = q[0], q[1]
+            crits = list(q[2]) if len(q) > 2 and q[2] else []
+            for col, op, _val in crits:
+                if op not in self._OPS:
+                    raise ValueError(f"unknown criteria op {op!r}")
             terms = sorted(set(tokenize(qtext, analyzer_cfg)))
             if not terms:
                 continue  # an empty analyzed query matches nothing
             slot = len(qids)
             qids.append(qid)
             needs.append(len(terms))
+            if crits:
+                self.criteria[slot] = crits
             for t in terms:
                 term_slots.setdefault(t, []).append(slot)
         self.query_ids = np.asarray(qids, dtype=np.int64)
@@ -112,6 +129,26 @@ class PercolateIndex:
         hitkeys = np.flatnonzero(
             counts == np.tile(self.need, batch.num_rows)
         )
+        if self.criteria and hitkeys.size:
+            # metadata criteria: one Arrow kernel chain per stored query
+            # per batch -> a doc mask; drop (doc, query) hits failing it
+            import pyarrow.compute as pc
+
+            hit_slots = hitkeys % self.n_queries
+            hit_rows = hitkeys // self.n_queries
+            keep = np.ones(hitkeys.size, dtype=bool)
+            for slot, crits in self.criteria.items():
+                sel = hit_slots == slot
+                if not sel.any():
+                    continue
+                mask = None
+                for col, op, val in crits:
+                    m = getattr(pc, self._OPS[op])(batch[col], val)
+                    m = pc.fill_null(m, False)
+                    mask = m if mask is None else pc.and_(mask, m)
+                mask_np = mask.to_numpy(zero_copy_only=False)
+                keep[sel] = mask_np[hit_rows[sel]]
+            hitkeys = hitkeys[keep]
         ids = (
             batch[id_column]
             .to_numpy(zero_copy_only=False)

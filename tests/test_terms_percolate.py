@@ -467,3 +467,56 @@ class TestSq8Rescore:
             key = (r["query_id"], r["neighbor_id"])
             if key in ex:
                 assert r["score"] == pytest.approx(ex[key], abs=1e-12)
+
+
+class TestPercolateCriteria:
+    """Percolator metadata criteria (bool-with-range form)."""
+
+    def _batch(self):
+        import pyarrow as pa
+
+        return pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "data merge", "data only here", "other words", "data big",
+            ], pa.string()),
+            "n_chars": pa.array([100, 350, 500, 400], pa.int64()),
+            "lang": pa.array(["en", "fr", "en", "en"], pa.string()),
+        })
+
+    def test_criteria_filter_hits(self):
+        from neural_search_ray.query.percolate import PercolateIndex
+
+        idx = PercolateIndex([
+            (0, "data", [("n_chars", ">=", 300)]),
+            (1, "data", [("lang", "==", "en")]),
+            (2, "data", []),
+        ])
+        rows = sorted(
+            (r["query_id"], r["doc_id"])
+            for r in idx.match_batch(self._batch()).to_pylist()
+        )
+        # q0: docs with 'data' AND n_chars>=300 -> 2, 4
+        # q1: docs with 'data' AND lang=en -> 1, 4
+        # q2: every 'data' doc -> 1, 2, 4
+        assert rows == [
+            (0, 2), (0, 4), (1, 1), (1, 4), (2, 1), (2, 2), (2, 4),
+        ]
+
+    def test_conjunctive_criteria(self):
+        from neural_search_ray.query.percolate import PercolateIndex
+
+        idx = PercolateIndex([
+            (7, "data", [("n_chars", ">", 300), ("lang", "==", "en")]),
+        ])
+        rows = [(r["query_id"], r["doc_id"])
+                for r in idx.match_batch(self._batch()).to_pylist()]
+        assert rows == [(7, 4)]
+
+    def test_bad_op_rejected(self):
+        import pytest as _pytest
+
+        from neural_search_ray.query.percolate import PercolateIndex
+
+        with _pytest.raises(ValueError, match="criteria op"):
+            PercolateIndex([(0, "data", [("n_chars", "~", 1)])])
