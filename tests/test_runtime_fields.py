@@ -126,3 +126,39 @@ class TestFieldCaps:
         caps = field_caps(IndexSearcher(d))
         assert caps["text"]["source"] == "index"
         assert "lang" not in caps
+
+
+class TestValidateQuery:
+    """_validate/query parse-only validation (query/validate.py)."""
+
+    def test_dsl(self):
+        from neural_search_ray.query.validate import validate_query
+
+        assert validate_query({"query": {"match": {"text": "x"}}}) == {
+            "valid": True, "error": None,
+        }
+        assert not validate_query({"query": {"knn": {}}})["valid"]
+        assert not validate_query({"query": {}})["valid"]
+        assert not validate_query("nope")["valid"]
+
+    def test_query_string(self):
+        from neural_search_ray.query.validate import validate_query
+
+        assert validate_query(
+            "data AND (query OR merge)", kind="query_string"
+        )["valid"]
+        bad = validate_query("(data", kind="query_string")
+        assert not bad["valid"] and "')'" in bad["error"]
+
+    def test_esql(self):
+        from neural_search_ray.query.validate import validate_query
+
+        assert validate_query(
+            "FROM t | STATS n = COUNT(*) BY k", kind="esql"
+        )["valid"]
+        assert not validate_query("FROM t | LIMIT x", kind="esql")["valid"]
+
+    def test_unknown_kind(self):
+        from neural_search_ray.query.validate import validate_query
+
+        assert not validate_query("x", kind="sql")["valid"]
