@@ -11650,6 +11650,19 @@ SELECT kb, cnt FROM (
   GROUP BY kb)
 ORDER BY kb ASC"""
 
+    sqls["esql_composed"] = r"""
+SELECT seg, cnt, big, hi_k FROM (
+  SELECT coalesce(c.c_mktsegment, 'none') AS seg,
+         count(*)::BIGINT AS cnt,
+         count(*) FILTER (e.value >= 100.0)::BIGINT AS big,
+         max(regexp_extract(e.props, '^\{"k": (.*)\}$', 1)::BIGINT)
+           ::BIGINT AS hi_k
+  FROM events e
+  LEFT JOIN customer c ON c.c_custkey = e.user_id
+  WHERE regexp_extract(e.props, '^\{"k": (.*)\}$', 1)::BIGINT >= 10
+  GROUP BY seg)
+ORDER BY seg ASC"""
+
     sqls["esql_enrich"] = """
 SELECT seg, event_type, cnt, v FROM (
   SELECT coalesce(c.c_mktsegment, 'none') AS seg, e.event_type,
@@ -12321,6 +12334,31 @@ def q_esql_stats_filtered(sf_dir: str) -> pa.Table:
     return run_esql(sf_dir, _ESQL_STATS_FILTERED)
 
 
+_ESQL_COMPOSED = (
+    'FROM events'
+    ' | DISSECT props "{\\"k\\": %{kv}}"'
+    ' | EVAL ki = TO_LONG(kv)'
+    ' | ENRICH customer_segment ON user_id WITH c_mktsegment'
+    ' | EVAL seg = COALESCE(c_mktsegment, "none")'
+    ' | WHERE ki >= 10'
+    ' | STATS cnt = COUNT(*),'
+    '   big = COUNT(*) WHERE value >= 100.0,'
+    '   hi_k = MAX(ki) BY seg'
+    ' | SORT seg ASC'
+)
+
+
+def q_esql_composed(sf_dir: str) -> pa.Table:
+    """One composed ES|QL pipe exercising the full stage algebra:
+    DISSECT extraction → cast → ENRICH broadcast lookup → COALESCE →
+    WHERE → filtered STATS — the row-local stages fuse into ONE Arrow
+    map_batches around the single broadcast probe, then the ordinary
+    partial+final aggregate."""
+    from ..query.esql import run_esql
+
+    return run_esql(sf_dir, _ESQL_COMPOSED)
+
+
 _ESQL_ENRICH = (
     'FROM events'
     ' | ENRICH customer_segment ON user_id WITH c_mktsegment'
@@ -12630,6 +12668,7 @@ def build_queries() -> dict:
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
         "query_string_full_distributed": q_query_string_full_distributed,
         "percolate_range": q_percolate_range,
+        "esql_composed": q_esql_composed,
         "agg_children": q_agg_children,
         "events_cum_card": q_events_cum_card,
         "nested_terms": q_nested_terms,
