@@ -713,7 +713,9 @@ class IndexSearcher:
         skipped silently (the reference's IDs-query semantics, same as
         search_pinned's membership rule)."""
         arr = np.unique(np.asarray(ids, dtype=np.int64))
-        if arr.size == 0:
+        if arr.size == 0 or self._dl_doc_ids.size == 0:
+            # empty request OR empty index (the size-1 clamp below
+            # would otherwise index an empty array with -1)
             return np.empty(0, np.int64), np.empty(0, np.float64)
         pos = np.searchsorted(self._dl_doc_ids, arr)
         pos_c = np.minimum(pos, self._dl_doc_ids.size - 1)

@@ -464,10 +464,22 @@ def _eval_expr(node, batch: pa.Table):
                 pc.cast(left, pa.float64()), pc.cast(right, pa.float64())
             )
         if op == "%":
-            # Arrow has no modulo kernel in this version: a - (a/b)*b
-            # using integer divide keeps it in Arrow (non-negative use)
-            q = pc.divide(left, right)
-            return pc.subtract(left, pc.multiply(q, right))
+            # Arrow has no modulo kernel in this version. Integer
+            # operands: a - (a/b)*b via integer (truncating) divide.
+            # Any float operand: pc.divide is TRUE division there, so
+            # floor the quotient first — a - floor(a/b)*b — or every
+            # float modulo would silently evaluate to 0.
+            lt, rt = getattr(left, "type", None), getattr(right, "type", None)
+            if (
+                lt is not None and pa.types.is_integer(lt)
+                and rt is not None and pa.types.is_integer(rt)
+            ):
+                q = pc.divide(left, right)
+                return pc.subtract(left, pc.multiply(q, right))
+            lf = pc.cast(left, pa.float64())
+            rf = pc.cast(right, pa.float64())
+            q = pc.floor(pc.divide(lf, rf))
+            return pc.subtract(lf, pc.multiply(q, rf))
         raise EsqlError(f"unknown operator {op}")
     raise EsqlError(f"bad expression node {node!r}")
 
@@ -571,38 +583,53 @@ def _collect_cols(node, out: set[str]) -> None:
 def _referenced_columns(stages: list[Stage]) -> list[str]:
     """Columns the FROM must read: references up to and including the
     first STATS (later stages see the bucket-bounded aggregate schema,
-    not the source), minus names EVAL defines."""
+    not the source), minus names EVAL/ENRICH/DISSECT define.
+
+    Definitions are tracked IN STAGE ORDER: a name only stops being a
+    source read once a stage has defined it, so
+    ``EVAL price = price * 2`` (redefinition of a source column, which
+    _make_rowlocal_fn supports via set_column) still reads ``price``
+    from the parquet — subtracting every EVAL-defined name
+    unconditionally pruned such columns and broke valid queries."""
     refs: set[str] = set()
     defined: set[str] = set()
+
+    def add_expr(node) -> None:
+        tmp: set[str] = set()
+        _collect_cols(node, tmp)
+        refs.update(tmp - defined)
+
     for st in stages:
         if st.kind == "where":
-            _collect_cols(st.payload, refs)
+            add_expr(st.payload)
         elif st.kind == "eval":
             for name, ex in st.payload:
-                _collect_cols(ex, refs)
+                add_expr(ex)
                 defined.add(name)
         elif st.kind in ("keep", "drop"):
-            refs.update(st.payload)
+            refs.update(set(st.payload) - defined)
         elif st.kind == "enrich":
             _policy, key, fields = st.payload
-            refs.add(key)
+            if key not in defined:
+                refs.add(key)
             defined.update(fields)
         elif st.kind == "dissect":
             col, pattern = st.payload
-            refs.add(col)
+            if col not in defined:
+                refs.add(col)
             defined.update(_dissect_regex(pattern)[1])
         elif st.kind == "stats":
             aggs, by = st.payload
-            refs.update(by)
+            refs.update(set(by) - defined)
             for _, _, ex, cond in aggs:
                 if ex is not None:
-                    _collect_cols(ex, refs)
+                    add_expr(ex)
                 if cond is not None:
-                    _collect_cols(cond, refs)
+                    add_expr(cond)
             break
         elif st.kind == "sort":
-            refs.update(k for k, _ in st.payload)
-    return sorted(refs - defined)
+            refs.update(k for k, _ in st.payload if k not in defined)
+    return sorted(refs)
 
 
 def _dissect_regex(pattern: str) -> tuple[str, list[str]]:

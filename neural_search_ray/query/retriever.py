@@ -144,6 +144,13 @@ def execute_retriever(
                 if int(i) not in pinned:
                     pinned.append(int(i))
             excluded.update(int(i) for i in rule.get("excluded_ids", ()))
+        # membership rule: only EXISTING docs may be pinned (matches
+        # engine.search_pinned and ES pinned semantics — nonexistent
+        # ids must not surface as top-ranked results)
+        if pinned:
+            exist, _ = searcher.search_ids(pinned, k=len(pinned))
+            exist_set = set(exist.tolist())
+            pinned = [i for i in pinned if i in exist_set]
         pinned = [i for i in pinned if i not in excluded][:k]
         docs, scores = execute_retriever(
             child, searcher=searcher, k=k + len(pinned) + len(excluded),

@@ -39,17 +39,17 @@ def register_runtime_field(
     RUNTIME_FIELDS[name] = (list(columns), kernel)
 
 
-# computed-column cache: id(DocValues) -> {name: values}; weak enough for
-# the per-actor searcher lifetime (DocValues instances live as long as
-# their searcher)
-_CACHE: dict[tuple[int, str], np.ndarray] = {}
-
-
 def runtime_column(dv, name: str) -> np.ndarray:
     """The runtime field's values aligned with ``dv.doc_ids`` (one
-    vectorized kernel call per (doc-values table, field), cached)."""
-    key = (id(dv), name)
-    if key not in _CACHE:
+    vectorized kernel call per (doc-values table, field), cached ON the
+    DocValues instance so entries die with it — a module-level cache
+    keyed on id(dv) both leaked for the process lifetime and could
+    serve another table's values when CPython reuses a freed id)."""
+    cache = getattr(dv, "_runtime_cache", None)
+    if cache is None:
+        cache = {}
+        dv._runtime_cache = cache
+    if name not in cache:
         if name not in RUNTIME_FIELDS:
             raise KeyError(
                 f"unknown runtime field {name!r}; registered: "
@@ -63,8 +63,8 @@ def runtime_column(dv, name: str) -> np.ndarray:
                 f"runtime field {name!r} kernel returned {len(vals)} values "
                 f"for {len(dv.doc_ids)} docs"
             )
-        _CACHE[key] = vals
-    return _CACHE[key]
+        cache[name] = vals
+    return cache[name]
 
 
 _OPS = {

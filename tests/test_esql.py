@@ -117,6 +117,57 @@ class TestRowPipeline:
         with pytest.raises(Exception):
             _rows(run_esql(sf_dir, "FROM events | WHERE nope == 1"))
 
+    def test_eval_redefines_source_column(self, sf_dir):
+        """EVAL value = value * 2 must keep 'value' in the parquet read
+        set — _referenced_columns used to subtract every EVAL-defined
+        name and prune the source column, failing at runtime on an
+        intended-valid query."""
+        out = _rows(run_esql(
+            sf_dir,
+            "FROM events | WHERE value > 1 | EVAL value = value * 2"
+            " | KEEP event_id, value | LIMIT 2000",
+        ))
+        assert out.num_rows > 0
+        src = _rows(run_esql(
+            sf_dir,
+            "FROM events | WHERE value > 1 | KEEP event_id, value"
+            " | LIMIT 2000",
+        ))
+        lut = dict(zip(src["event_id"].to_pylist(), src["value"].to_pylist()))
+        for eid, v in zip(out["event_id"].to_pylist(),
+                          out["value"].to_pylist()):
+            assert v == pytest.approx(lut[eid] * 2)
+
+    def test_eval_after_definition_not_read(self, sf_dir):
+        """A name referenced only after its own EVAL definition is NOT
+        part of the source read set (pruning still works)."""
+        from neural_search_ray.query.esql import _referenced_columns
+
+        st = parse_esql(
+            "FROM events | EVAL x = value + 1 | WHERE x > 2 | KEEP event_id, x"
+        )
+        assert _referenced_columns(st[1:]) == ["event_id", "value"]
+        st2 = parse_esql(
+            "FROM t | WHERE price > 1 | EVAL price = price * 2 | KEEP price, name"
+        )
+        assert _referenced_columns(st2[1:]) == ["name", "price"]
+
+    def test_float_modulo(self, sf_dir):
+        """% with a float operand must be a real modulo, not the
+        true-division identity that silently returned 0 everywhere."""
+        out = _rows(run_esql(
+            sf_dir,
+            "FROM events | EVAL m = value % 2.0, mi = event_id % 3"
+            " | KEEP event_id, value, m, mi | LIMIT 500",
+        ))
+        vals = np.asarray(out["value"].to_pylist(), dtype=np.float64)
+        m = np.asarray(out["m"].to_pylist(), dtype=np.float64)
+        np.testing.assert_allclose(m, vals - np.floor(vals / 2.0) * 2.0,
+                                   rtol=1e-12, atol=1e-12)
+        assert np.any(m != 0.0)
+        eid = np.asarray(out["event_id"].to_pylist())
+        assert out["mi"].to_pylist() == (eid % 3).tolist()
+
 
 class TestStats:
     def test_stats_matches_pandas(self, sf_dir):

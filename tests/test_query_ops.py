@@ -1443,3 +1443,14 @@ class TestIdsQuery:
         assert docs.size == 0 and scores.size == 0
         docs, _ = searcher.search_ids([10**15], k=5)
         assert docs.size == 0
+
+    def test_empty_index(self, searcher):
+        """search_ids on an index with zero docs returns empty instead
+        of IndexError (the size-1 clamp used to index [] with -1)."""
+        saved = searcher._dl_doc_ids
+        try:
+            searcher._dl_doc_ids = np.empty(0, np.int64)
+            docs, scores = searcher.search_ids([1, 2], k=5)
+            assert docs.size == 0 and scores.size == 0
+        finally:
+            searcher._dl_doc_ids = saved

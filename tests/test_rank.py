@@ -648,6 +648,30 @@ class TestRescorerRuleRetrievers:
         with pytest.raises(ValueError, match="ruleset|match_criteria"):
             execute_retriever({"rule": {}}, searcher=rr_searcher)
 
+    def test_rule_nonexistent_pinned_filtered(self, rr_searcher):
+        """Pinned ids go through the searcher's id-membership rule
+        (same as engine.search_pinned): a nonexistent id must NOT
+        surface as a top-ranked synthetic result."""
+        from neural_search_ray.analysis.analyzer import tokenize
+        from neural_search_ray.query.retriever import execute_retriever
+
+        spec = {
+            "rule": {
+                "retriever": {"standard": {"query": {"match": {"text": "data query"}}}},
+                "ruleset": [
+                    {"criteria_term": "promo", "pinned_ids": [10**15, 7]},
+                ],
+                "match_criteria": "promo",
+            }
+        }
+        d, v = execute_retriever(spec, searcher=rr_searcher, k=10)
+        assert 10**15 not in d.tolist()
+        assert d.tolist()[0] == 7  # the existing pin still leads
+        # the ghost pin must not consume a slot either
+        base, _ = rr_searcher.search_bm25(tokenize("data query"), k=10)
+        exp_tail = [x for x in base.tolist() if x != 7][:9]
+        assert d.tolist()[1:] == exp_tail
+
 
 class TestSemanticRerankerRetriever:
     """text_similarity_reranker retriever kind (query/retriever.py)."""

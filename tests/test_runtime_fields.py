@@ -37,6 +37,21 @@ class TestRuntimeFields:
         assert v1.tolist() == [0, 200, 200, 400]
         assert rf.runtime_column(dv, "t_bucket") is v1  # cached
 
+    def test_cache_is_per_instance(self, dv):
+        """The computed-column cache lives ON the DocValues instance
+        (dies with it); a different instance — which in the old
+        id(dv)-keyed module cache could alias a freed id — computes
+        its own values."""
+        from neural_search_ray.query import runtime_fields as rf
+
+        v1 = rf.runtime_column(dv, "t_bucket")
+        assert "t_bucket" in dv._runtime_cache
+        other = _FakeDV([2, 4], n_chars=[50, 700])
+        v2 = rf.runtime_column(other, "t_bucket")
+        assert v2.tolist() == [0, 600]
+        assert v2 is not v1
+        assert rf.runtime_column(dv, "t_bucket") is v1
+
     def test_accepted(self, dv):
         from neural_search_ray.query.runtime_fields import accepted_runtime
 
