@@ -11642,6 +11642,16 @@ SELECT event_type, n_all, n_big, s_click, u_big FROM (
   FROM events GROUP BY event_type)
 ORDER BY event_type ASC"""
 
+    sqls["esql_grok"] = r"""
+SELECT event_type, kb, cnt, mx FROM (
+  SELECT event_type, (k - k % 7)::BIGINT AS kb,
+         count(*)::BIGINT AS cnt, max(k)::BIGINT AS mx FROM (
+    SELECT event_type,
+           regexp_extract(props, '\{"k": ([+-]?\d+)\}', 1)::BIGINT AS k
+    FROM events)
+  GROUP BY event_type, kb)
+ORDER BY event_type ASC, kb ASC"""
+
     sqls["esql_dissect"] = r"""
 SELECT kb, cnt FROM (
   SELECT (k - k % 10)::BIGINT AS kb, count(*)::BIGINT AS cnt FROM (
@@ -12312,6 +12322,28 @@ def q_esql_dissect(sf_dir: str) -> pa.Table:
     return run_esql(sf_dir, _ESQL_DISSECT)
 
 
+_ESQL_GROK = (
+    'FROM events'
+    ' | GROK props "\\{\\"k\\": %{INT:kv:int}\\}"'
+    ' | EVAL kb = kv - kv % 7'
+    ' | STATS cnt = COUNT(*), mx = MAX(kv) BY event_type, kb'
+    ' | SORT event_type ASC, kb ASC'
+)
+
+
+def q_esql_grok(sf_dir: str) -> pa.Table:
+    """ES|QL GROK (regex named-capture sibling of DISSECT — the public
+    Elastic grok surface): ``%{INT:kv:int}`` expands from the built-in
+    pattern library into ONE RE2 named-group regex evaluated by a
+    single Arrow extract_regex kernel per batch inside the fused row
+    stage, with the ``:int`` suffix applying a typed Arrow cast (no
+    TO_LONG needed, unlike DISSECT's untyped keys); the mod-7 histogram
+    then rides the ordinary partial+final STATS."""
+    from ..query.esql import run_esql
+
+    return run_esql(sf_dir, _ESQL_GROK)
+
+
 _ESQL_STATS_FILTERED = (
     'FROM events'
     ' | STATS n_all = COUNT(*),'
@@ -12634,6 +12666,8 @@ def build_queries() -> dict:
         # machinery keeps in-window cover via agg_cardinality and
         # events_serial_diff) ---
         "esql_stats": q_esql_stats,
+        # ES|QL GROK — regex named-capture extraction, new this round
+        "esql_grok": q_esql_grok,
         # ip field type + ip_prefix/ip_range aggs (new FIELD-TYPE family;
         # displaces agg_children — the join-field machinery keeps its
         # in-window rep via has_child_topk)

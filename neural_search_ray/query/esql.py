@@ -69,7 +69,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "ASC", "DESC", "AND", "OR", "NOT", "LIKE", "IN", "TRUE",
-    "FALSE", "NULL", "ENRICH", "ON", "WITH", "DISSECT", "ROW",
+    "FALSE", "NULL", "ENRICH", "ON", "WITH", "DISSECT", "ROW", "GROK",
 }
 
 # ENRICH policies (ES enrich-policy registry analogue): name ->
@@ -382,6 +382,13 @@ class _Parser:
                 if pat[0] != "str":
                     raise EsqlError("DISSECT needs a string pattern")
                 stages.append(Stage("dissect", (col, pat[1])))
+            elif kw == "GROK":
+                col = self.expect("ident")
+                pat = self.next()
+                if pat[0] != "str":
+                    raise EsqlError("GROK needs a string pattern")
+                _grok_regex(pat[1])  # validate eagerly (parse-time error)
+                stages.append(Stage("grok", (col, pat[1])))
             elif kw == "ENRICH":
                 policy = self.expect("ident")
                 self.expect("kw", "ON")
@@ -618,6 +625,11 @@ def _referenced_columns(stages: list[Stage]) -> list[str]:
             if col not in defined:
                 refs.add(col)
             defined.update(_dissect_regex(pattern)[1])
+        elif st.kind == "grok":
+            col, pattern = st.payload
+            if col not in defined:
+                refs.add(col)
+            defined.update(n for n, _ in _grok_regex(pattern)[1])
         elif st.kind == "stats":
             aggs, by = st.payload
             refs.update(set(by) - defined)
@@ -653,6 +665,79 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
     return "".join(out), names
 
 
+# GROK pattern library — a re-derived subset of the public Logstash /
+# Elastic grok base patterns (ES|QL GROK docs list the same names).
+# Pre-expanded: every entry is a self-contained, group-free regex.
+_GROK_LIB: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "POSINT": r"\b\d+\b",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "NUMBER": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|CRIT(?:ICAL)?|FATAL)",
+    "TIMESTAMP_ISO8601":
+        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?"
+        r"(?:Z|[+-]\d{2}:?\d{2})?",
+    "HTTPMETHOD": r"(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH)",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_\-]*)+",
+    "QUOTEDSTRING": r'"(?:[^"\\]|\\.)*"',
+}
+
+_GROK_KEY_RE = re.compile(
+    r"%\{(?P<pat>[A-Z0-9_]+)"
+    r"(?::(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?::(?P<type>int|long|float|double|keyword|string|boolean))?)?\}"
+)
+
+# ES|QL GROK type suffixes -> Arrow target types (default: keyword/string)
+_GROK_TYPES = {
+    "int": pa.int64(), "long": pa.int64(),
+    "float": pa.float64(), "double": pa.float64(),
+    "boolean": pa.bool_(),
+}
+
+
+def _grok_regex(pattern: str) -> tuple[str, list[tuple[str, object]]]:
+    """Compile a GROK pattern to ONE anchored regex with named groups.
+
+    ``%{PATTERN:name}`` captures, ``%{PATTERN:name:type}`` captures with
+    a typed conversion, ``%{PATTERN}`` matches without capturing; text
+    between keys is ordinary regex (the ES GROK semantics — unlike
+    DISSECT, the pattern IS a regex and, like Elastic, matches anywhere
+    in the input unless the user writes ^/$).  Returns
+    (regex, [(name, arrow type or None)]); None type = keyword."""
+    out, names = [], []
+    pos = 0
+    for m in _GROK_KEY_RE.finditer(pattern):
+        out.append(pattern[pos:m.start()])
+        body = _GROK_LIB.get(m.group("pat"))
+        if body is None:
+            raise EsqlError(
+                f"unknown GROK pattern %{{{m.group('pat')}}}; known: "
+                f"{sorted(_GROK_LIB)}"
+            )
+        name = m.group("name")
+        if name is None:
+            out.append(f"(?:{body})")
+        else:
+            if any(name == n for n, _ in names):
+                raise EsqlError(f"duplicate GROK capture name {name!r}")
+            names.append((name, _GROK_TYPES.get(m.group("type"))))
+            out.append(f"(?P<{name}>{body})")
+        pos = m.end()
+    out.append(pattern[pos:])
+    if not names:
+        raise EsqlError(f"GROK pattern {pattern!r} captures no fields")
+    return "".join(out), names
+
+
 def _make_rowlocal_fn(block: list[Stage]):
     """Fuse a run of WHERE/EVAL/KEEP/DROP/DISSECT stages into one Arrow
     batch fn."""
@@ -670,6 +755,21 @@ def _make_rowlocal_fn(block: list[Stage]):
                     batch = batch.append_column(
                         name, pc.struct_field(groups, name)
                     )
+            elif st.kind == "grok":
+                col, pattern = st.payload
+                rx, tnames = _grok_regex(pattern)
+                src = batch[col]
+                if isinstance(src, pa.ChunkedArray):
+                    src = src.combine_chunks()
+                groups = pc.extract_regex(src, rx)
+                for name, typ in tnames:
+                    vals = pc.struct_field(groups, name)
+                    if typ is not None:
+                        # typed conversion (:int/:float/:boolean);
+                        # Arrow cast parses the captured text, nulls
+                        # (no match) stay null
+                        vals = pc.cast(vals, typ)
+                    batch = batch.append_column(name, vals)
             elif st.kind == "where":
                 mask = _eval_expr(st.payload, batch)
                 if isinstance(mask, pa.Scalar):
@@ -937,10 +1037,10 @@ def run_esql(sf_dir: str, text: str):
     table: pa.Table | None = None  # set once bucket-bounded
     while i < len(stages):
         st = stages[i]
-        if st.kind in ("where", "eval", "keep", "drop", "dissect"):
+        if st.kind in ("where", "eval", "keep", "drop", "dissect", "grok"):
             block = []
             while i < len(stages) and stages[i].kind in (
-                "where", "eval", "keep", "drop", "dissect"
+                "where", "eval", "keep", "drop", "dissect", "grok"
             ):
                 block.append(stages[i])
                 i += 1

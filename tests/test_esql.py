@@ -323,6 +323,67 @@ class TestDissect:
             ))
 
 
+class TestGrok:
+    def test_grok_typed_extracts(self, sf_dir):
+        """%{INT:kv:int} extracts the embedded integer as int64 — no
+        TO_LONG needed, unlike DISSECT's untyped keys."""
+        import json
+
+        out = _rows(run_esql(
+            sf_dir,
+            'FROM events | GROK props "\\{\\"k\\": %{INT:kv:int}\\}"'
+            ' | KEEP props, kv | LIMIT 50',
+        ))
+        assert out.schema.field("kv").type == pa.int64()
+        for r in out.to_pylist():
+            assert r["kv"] == json.loads(r["props"])["k"]
+
+    def test_grok_log_line(self, ray_session, tmp_path):
+        """Multi-key pattern over synthetic log lines: library
+        expansion, unnamed (non-capturing) keys, unanchored match,
+        null on no-match."""
+        import pyarrow.parquet as pq
+
+        t = pa.table({"line": pa.array([
+            "2024-01-02T03:04:05Z INFO search[12]: took 3.5 ms",
+            "2024-01-02T03:04:06Z ERROR merge[7]: took 120 ms",
+            "not a log line",
+        ])})
+        pq.write_table(t, str(tmp_path / "logs.parquet"))
+        out = _rows(run_esql(
+            str(tmp_path),
+            'FROM logs | GROK line "%{TIMESTAMP_ISO8601} %{LOGLEVEL:lvl}'
+            ' %{WORD:svc}\\[%{INT:pid:int}\\]: took %{NUMBER:ms:float} ms"'
+            ' | KEEP lvl, svc, pid, ms',
+        ))
+        rows = out.to_pylist()
+        assert rows[0] == {"lvl": "INFO", "svc": "search", "pid": 12, "ms": 3.5}
+        assert rows[1] == {"lvl": "ERROR", "svc": "merge", "pid": 7, "ms": 120.0}
+        assert all(v is None for v in rows[2].values())
+        assert out.schema.field("pid").type == pa.int64()
+        assert out.schema.field("ms").type == pa.float64()
+
+    def test_grok_errors(self, sf_dir):
+        with pytest.raises(EsqlError, match="unknown GROK pattern"):
+            parse_esql('FROM events | GROK props "%{NOPE:x}"')
+        with pytest.raises(EsqlError, match="captures no fields"):
+            parse_esql('FROM events | GROK props "%{INT} only"')
+        with pytest.raises(EsqlError, match="duplicate"):
+            parse_esql('FROM events | GROK props "%{INT:a} %{INT:a}"')
+        with pytest.raises(EsqlError, match="string pattern"):
+            parse_esql("FROM events | GROK props 42")
+
+    def test_grok_read_pruning(self, sf_dir):
+        """GROK's source column joins the read set; its captures do not."""
+        from neural_search_ray.query.esql import _referenced_columns
+
+        st = parse_esql(
+            'FROM events | GROK props "%{INT:kv:int}"'
+            ' | WHERE kv > 3 | KEEP event_id, kv'
+        )
+        assert _referenced_columns(st[1:]) == ["event_id", "props"]
+
+
 class TestRowAndAggFilters:
     def test_row_source(self, ray_session):
         out = _rows(run_esql(

@@ -42,6 +42,60 @@ class TestEsqlParserProperties:
         assert expr.right.op == "*"
 
 
+class TestGrokProperties:
+    @given(st.text(max_size=60))
+    @settings(max_examples=200, deadline=None)
+    def test_grok_never_crashes_unexpectedly(self, text):
+        """Arbitrary GROK pattern text either compiles or raises
+        EsqlError (unknown library name, no captures, bad regex —
+        nothing else escapes)."""
+        from neural_search_ray.query.esql import _grok_regex
+
+        try:
+            _grok_regex(text)
+        except EsqlError:
+            pass
+
+    @given(
+        st.sampled_from(["WORD", "INT", "NUMBER", "IP", "NOTSPACE",
+                         "LOGLEVEL", "GREEDYDATA"]),
+        st.sampled_from(["a", "field_1", "Z9"]),
+        st.sampled_from([None, "int", "float", "keyword"]),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_grok_key_roundtrip(self, lib, name, typ):
+        """Every library pattern with any capture name/type compiles to
+        a valid RE2 regex whose named group list matches the keys."""
+        import re as _re
+
+        import pyarrow as pa
+
+        from neural_search_ray.query.esql import _GROK_TYPES, _grok_regex
+
+        key = f"%{{{lib}:{name}}}" if typ is None else f"%{{{lib}:{name}:{typ}}}"
+        rx, names = _grok_regex(f"x={key};")
+        assert [n for n, _ in names] == [name]
+        assert names[0][1] == _GROK_TYPES.get(typ)
+        assert _re.compile(rx).groupindex == {name: 1}
+
+    @given(st.integers(min_value=-10**6, max_value=10**6),
+           st.sampled_from(["INT", "NUMBER"]))
+    @settings(max_examples=100, deadline=None)
+    def test_grok_int_extraction_exact(self, n, lib):
+        """A typed %{INT:v:int} capture extracts the embedded integer
+        exactly through the Arrow kernel path."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from neural_search_ray.query.esql import _grok_regex
+
+        rx, names = _grok_regex(f"val=%{{{lib}:v:int}} end")
+        arr = pa.array([f"pre val={n} end post"])
+        got = pc.cast(pc.struct_field(pc.extract_regex(arr, rx), "v"),
+                      names[0][1])
+        assert got.to_pylist() == [n]
+
+
 class TestQueryStringProperties:
     @given(st.text(max_size=60))
     @settings(max_examples=200, deadline=None)
