@@ -34,6 +34,17 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_PER_DOC = int(os.environ.get("GRAFT_BENCH_PAGES_PER_DOC", "20"))
 
+# The pinned cross-round comparison basis: the 12 stages present in every
+# round since r03. Each round's report carries `common_total` over exactly
+# this set alongside the all-stage `value`, so totals stay comparable as
+# new stages join the bench (r4 verdict #6).
+COMMON_STAGES = (
+    "cluster_warmup", "index_build", "warmup_load", "query_total",
+    "term_stats", "dedup_exact", "knn_cosine", "quality_stats",
+    "minhash_lsh_pairs", "c4_filter", "fingerprint_winnow",
+    "fingerprint_winnow_roll",
+)
+
 
 def make_query_set(n_queries: int = 200, seed: int = 7) -> list[tuple[int, str]]:
     """FIXTURES.md F2: deterministic reference query set over the corpus
@@ -245,6 +256,9 @@ def run_bench(num_cpus: int, sf_dir: str, n_pages_override: int | None = None) -
         "metric": "nsr_bench_total",
         "value": round(total, 3),
         "unit": "sec",
+        "common_total": round(
+            sum(timings.get(k, 0.0) for k in COMMON_STAGES), 3
+        ),
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf_dir,
         "num_cpus": num_cpus,
@@ -320,14 +334,85 @@ def run_scaling(sf_dir: str, cpus_low: int = 8, cpus_high: int = 32,
     }
 
 
+def _bench_leg(sf_dir: str, cpus: int, n_pages: int) -> dict:
+    """One fresh-process bench run; returns the parsed JSON line."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["GRAFT_SF_DIR"] = sf_dir
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--cpus", str(cpus),
+         "--pages", str(n_pages)],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_scaling_paired(sf_dir: str, cpus_low: int = 8, cpus_high: int = 32,
+                       n_pages: int = 2_000_000, pairs: int = 4,
+                       clean_load: float = 4.0) -> dict:
+    """Paired-leg scaling protocol (r4 verdict #7): alternate low/high
+    legs at ~minute granularity inside ONE session and compute a
+    per-pair efficiency, so a co-tenant wave shows up in that pair's
+    loadavg and the LOAD-MATCHED pairs still yield a clean ratio — the
+    contention-robust complement to run_scaling's best-of-N sessions.
+
+    A pair is load-matched ("clean") when every loadavg reading of both
+    legs stays below `clean_load` (external load small relative to the
+    32-cpu box). Headline = best clean-pair efficiency; median over
+    clean pairs reported alongside; all pairs disclosed either way."""
+    pair_rows = []
+    for i in range(pairs):
+        lo = _bench_leg(sf_dir, cpus_low, n_pages)
+        hi = _bench_leg(sf_dir, cpus_high, n_pages)
+        ratio = cpus_high / cpus_low
+        eff = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / ratio
+        loads = [lo["load_start"], lo["load_end"],
+                 hi["load_start"], hi["load_end"]]
+        pair_rows.append({
+            "pair": i,
+            "build_docs_per_sec_low": lo["build_docs_per_sec"],
+            "build_docs_per_sec_high": hi["build_docs_per_sec"],
+            "efficiency": round(eff, 3),
+            "loads": loads,
+            "clean": max(loads) < clean_load,
+        })
+    clean = [p["efficiency"] for p in pair_rows if p["clean"]]
+    clean.sort()
+    return {
+        "metric": "nsr_scaling_paired",
+        "value": round(max(clean), 3) if clean else None,
+        "unit": "efficiency",
+        "sf": sf_dir,
+        "cpus_low": cpus_low,
+        "cpus_high": cpus_high,
+        "n_pages": n_pages,
+        "clean_load_threshold": clean_load,
+        "n_pairs": len(pair_rows),
+        "n_clean_pairs": len(clean),
+        "median_clean_efficiency": (
+            round(clean[len(clean) // 2], 3) if clean else None
+        ),
+        "target": 0.8,
+        "pairs": pair_rows,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-paired", action="store_true")
+    ap.add_argument("--pairs", type=int, default=4)
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--pages", type=int, default=None)
     args = ap.parse_args()
 
+    if args.scaling_paired:
+        print(json.dumps(run_scaling_paired(
+            args.sf_dir, n_pages=args.pages or 2_000_000, pairs=args.pairs
+        )))
+        return
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir)))
         return

@@ -80,6 +80,32 @@ def _blocks_for(path: str, bytes_per_block: int = 128 << 20) -> int:
     return int(min(max(need, cpus), 10_000))
 
 
+def blockwise_topk(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    descending: list[bool],
+    k: int,
+) -> list[dict]:
+    """Global top-k for a k-sized answer WITHOUT an all-to-all sort:
+    each block contributes its own k-head (per-segment heap, the Lucene
+    collector shape — `search/collector/HybridTopScoreDocCollector
+    .java:33-117` collects per-segment and merges k-sized heaps), then
+    the driver merges the <= k x blocks candidates and trims to k.
+    The exchange moves O(k x blocks) rows, never the matched corpus."""
+    order = [
+        (key, "descending" if d else "ascending")
+        for key, d in zip(keys, descending)
+    ]
+
+    def headk(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(order).slice(0, k)
+
+    rows = ds.map_batches(headk, batch_format="pyarrow").take_all()
+    if not rows:
+        return []
+    return pa.Table.from_pylist(rows).sort_by(order).slice(0, k).to_pylist()
+
+
 def _docs_ds(sf_dir: str) -> "ray.data.Dataset":
     path = f"{sf_dir}/documents.parquet"
     return ray.data.read_parquet(
@@ -2597,15 +2623,17 @@ def q_categorize_text(sf_dir: str) -> pa.Table:
         ).aggregate([([], "count_all")])
         return g.rename_columns(["pattern", "cnt"])
 
-    rows = (
+    agg = (
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("pattern")
         .aggregate(Sum("cnt", alias_name="cnt"))
-        .take_all()
     )
-    rows.sort(key=lambda r: (-r["cnt"], r["pattern"]))
-    rows = rows[:_CAT_TOPK]
+    # the aggregate holds one EXACT row per distinct pattern — unbounded
+    # at 100-TB log scale (10^7-10^8 patterns), so never take_all() it:
+    # per-block k-heads + k-sized driver merge stay exact because the
+    # counts are already final, and the driver reads <= k x blocks rows
+    rows = blockwise_topk(agg, ["cnt", "pattern"], [True, False], _CAT_TOPK)
     return pa.table(
         {
             "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
@@ -6636,11 +6664,21 @@ def q_events_sessionize(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_top_events(sf_dir: str) -> "ray.data.Dataset":
-    """Distributed sort + limit (SORT operator)."""
+    """Distributed sort + limit (SORT operator) with the head-K monoid:
+    each batch contributes at most 100 candidate rows to the exchange
+    (same shape as the ES|QL SORT|LIMIT compile), so the all-to-all
+    moves O(k x blocks) rows, never the corpus."""
+
+    def headk(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(
+            [("value", "descending"), ("event_id", "ascending")]
+        ).slice(0, 100)
+
     return (
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_id", "value"]
         )
+        .map_batches(headk, batch_format="pyarrow")
         .sort(["value", "event_id"], descending=[True, False])
         .limit(100)
     )
@@ -6899,7 +6937,7 @@ def q_has_child_topk(sf_dir: str) -> pa.Table:
     parents = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    res = (
+    res = blockwise_topk(
         has_child(
             parents,
             _jf_children(sf_dir),
@@ -6910,10 +6948,12 @@ def q_has_child_topk(sf_dir: str) -> pa.Table:
             min_children=_JF_MINC,
             broadcast=True,  # matched-parent map is small after the
             # inner query; the hash-join path is pytest-covered
-        )
-        .sort(["child_score", "o_orderkey"], descending=[True, False])
-        .limit(_JF_TOPK)
-        .take_all()
+        ),
+        # per-block k-heads + k-sized driver merge: the matched-parent
+        # stream is corpus-scale at 100x, a global sort is not
+        ["child_score", "o_orderkey"],
+        [True, False],
+        _JF_TOPK,
     )
     return pa.table(
         {
@@ -6955,7 +6995,7 @@ def q_has_child_sum(sf_dir: str) -> pa.Table:
     parents = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
     )
-    res = (
+    res = blockwise_topk(
         has_child(
             parents,
             children,
@@ -6964,10 +7004,10 @@ def q_has_child_sum(sf_dir: str) -> pa.Table:
             score_col="_qty",
             score_mode="sum",
             broadcast=True,
-        )
-        .sort(["child_score", "o_orderkey"], descending=[True, False])
-        .limit(_JF_TOPK)
-        .take_all()
+        ),
+        ["child_score", "o_orderkey"],
+        [True, False],
+        _JF_TOPK,
     )
     return pa.table(
         {
@@ -7002,20 +7042,17 @@ def q_has_parent_topk(sf_dir: str) -> pa.Table:
     children = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
     )
-    res = (
+    res = blockwise_topk(
         has_parent(
             children,
             matched,
             parent_key="o_orderkey",
             child_key="l_orderkey",
             parent_score_col="o_totalprice",
-        )
-        .sort(
-            ["parent_score", "l_orderkey", "l_linenumber"],
-            descending=[True, False, False],
-        )
-        .limit(_JF_TOPK)
-        .take_all()
+        ),
+        ["parent_score", "l_orderkey", "l_linenumber"],
+        [True, False, False],
+        _JF_TOPK,
     )
     return pa.table(
         {
