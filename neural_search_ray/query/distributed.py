@@ -505,8 +505,18 @@ class DistributedSearcher:
         shards = list(range(manifest.num_doc_shards))
         chunks = [shards[i::num_actors] for i in range(num_actors)]
         chunks = [c for c in chunks if c]
+        # Fault tolerance (SURVEY §4 "fail the partition and retry",
+        # serving side): actor state is rebuilt entirely from the
+        # immutable on-disk index in __init__, so a crashed shard actor
+        # restarts (max_restarts) and the in-flight query task retries
+        # (max_task_retries) with bit-identical results — every method
+        # is a pure read. Proven by the kill-mid-batch rank-identity
+        # test in tests/test_engine_advanced.py.
         self.actors = [
-            ShardSearchActor.remote(index_dir, c) for c in chunks
+            ShardSearchActor.options(
+                max_restarts=2, max_task_retries=2
+            ).remote(index_dir, c)
+            for c in chunks
         ]
         # coordinator-side global-df cache: dfs are immutable for a built
         # index, so each term pays the phase-1 fan-out ONCE — warm

@@ -123,6 +123,42 @@ def test_distributed_searcher_rank_identity(skewed_index, ray_session):
         ds.shutdown()
 
 
+def test_serving_actor_crash_recovery(skewed_index, ray_session):
+    """Fault injection for the serving pool (SURVEY §4 'fail the
+    partition and retry', serving side): kill a shard actor while a
+    query batch is IN FLIGHT and again between batches — Ray restarts
+    it (max_restarts), retries the task (max_task_retries), and the
+    rebuilt read-only actor returns the IDENTICAL top-k."""
+    import ray as _ray
+
+    from neural_search_ray.query.distributed import DistributedSearcher
+
+    index_dir, oracle = skewed_index
+    queries = ["the data query", "merge w0500", "of and the"]
+    ds = DistributedSearcher(index_dir, num_actors=2)
+    try:
+        expected = [ds.search_bm25(q.split(), k=10) for q in queries]
+
+        # in-flight kill: submit a batched msearch directly to actor 0,
+        # kill it before collecting — the retry must still answer
+        norm = [sorted(set(q.split())) for q in queries]
+        gdfs = [[ds._gdf[t] for t in ts] for ts in norm]
+        ref = ds.actors[0].msearch.remote(norm, 10, gdfs)
+        _ray.kill(ds.actors[0], no_restart=False)
+        parts = _ray.get(ref)  # survives via restart + task retry
+        assert len(parts) == len(queries)
+
+        # between-batches kill of the other actor, then a full
+        # coordinator-path batch: rank identity must hold exactly
+        _ray.kill(ds.actors[1], no_restart=False)
+        got = ds.msearch_bm25([q.split() for q in queries], k=10)
+        for (gd, gs), (ed, es), q in zip(got, expected, queries):
+            assert gd.tolist() == ed.tolist(), q
+            assert np.allclose(gs, es, atol=1e-12), q
+    finally:
+        ds.shutdown()
+
+
 def test_msearch_identity_and_transport(skewed_index, ray_session):
     """msearch (batched multi-query serving) must return per-query
     results bit-identical to sequential search_bm25, resolve ALL batch
