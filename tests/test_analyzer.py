@@ -214,6 +214,28 @@ class TestThaiSegmentation:
         ]
         assert all(t in seg._words for t in toks)
 
+    def test_golden_paragraph_r5_extension(self):
+        """Second golden paragraph over the r5 lexicon extension
+        (months, daily-routine verbs, household nouns): 'On Saturday
+        morning in April I exercise, shower, then cook and do laundry.
+        In the evening I ride a bicycle with a friend; my boss
+        telephones about a meeting on Monday.'"""
+        from neural_search_ray.analysis.thai import ThaiSegmenter
+
+        seg = ThaiSegmenter()
+        para = (
+            "เช้าวันเสาร์เดือนเมษายนฉันออกกำลังกายอาบน้ำแล้วทำอาหารซักผ้า"
+            "ตอนเย็นฉันขี่จักรยานกับเพื่อนเจ้านายโทรมาเรื่องประชุมวันจันทร์"
+        )
+        toks = seg.segment(para)
+        assert toks == [
+            "เช้า", "วันเสาร์", "เดือน", "เมษายน", "ฉัน", "ออกกำลังกาย",
+            "อาบน้ำ", "แล้ว", "ทำอาหาร", "ซักผ้า", "ตอน", "เย็น", "ฉัน",
+            "ขี่", "จักรยาน", "กับ", "เพื่อน", "เจ้านาย", "โทร", "มา",
+            "เรื่อง", "ประชุม", "วันจันทร์",
+        ]
+        assert all(t in seg._words for t in toks)
+
     def test_lexicon_is_thai_and_sizeable(self):
         from neural_search_ray.analysis.thai import (
             _STARTER_LEXICON, _THAI_RUN_RE,
