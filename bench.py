@@ -357,25 +357,37 @@ def run_scaling_paired(sf_dir: str, cpus_low: int = 8, cpus_high: int = 32,
     loadavg and the LOAD-MATCHED pairs still yield a clean ratio — the
     contention-robust complement to run_scaling's best-of-N sessions.
 
-    A pair is load-matched ("clean") when every loadavg reading of both
-    legs stays below `clean_load` (external load small relative to the
-    32-cpu box). Headline = best clean-pair efficiency; median over
-    clean pairs reported alongside; all pairs disclosed either way."""
+    Leg order is HIGH first: the 32-cpu leg is the contention-sensitive
+    one (an external co-tenant fits beside an 8-cpu leg on a 32-way box
+    but clips a 32-cpu leg), so it runs immediately after the idle
+    check. Cleanliness gates on PRE-leg loadavg only — load_end of a
+    busy leg is self-contaminated (our own 32 busy cpus drive 1-min
+    loadavg toward 32 regardless of co-tenants), so it is recorded for
+    disclosure but never used to classify. A pair is load-matched
+    ("clean") when the high leg starts below `clean_load` external load
+    and the low leg starts below `clean_load` + cpus_high/2 (decay of
+    our own just-finished high leg rides the low leg's load_start; the
+    8-cpu leg itself tolerates that much residual). Headline = best
+    clean-pair efficiency; median over clean pairs alongside; all pairs
+    disclosed either way."""
     pair_rows = []
     for i in range(pairs):
-        lo = _bench_leg(sf_dir, cpus_low, n_pages)
         hi = _bench_leg(sf_dir, cpus_high, n_pages)
+        lo = _bench_leg(sf_dir, cpus_low, n_pages)
         ratio = cpus_high / cpus_low
         eff = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / ratio
-        loads = [lo["load_start"], lo["load_end"],
-                 hi["load_start"], hi["load_end"]]
+        loads = [hi["load_start"], hi["load_end"],
+                 lo["load_start"], lo["load_end"]]
         pair_rows.append({
             "pair": i,
             "build_docs_per_sec_low": lo["build_docs_per_sec"],
             "build_docs_per_sec_high": hi["build_docs_per_sec"],
             "efficiency": round(eff, 3),
-            "loads": loads,
-            "clean": max(loads) < clean_load,
+            "loads_hi_then_lo": loads,
+            "clean": (
+                hi["load_start"] < clean_load
+                and lo["load_start"] < clean_load + cpus_high / 2
+            ),
         })
     clean = [p["efficiency"] for p in pair_rows if p["clean"]]
     clean.sort()
