@@ -227,3 +227,37 @@ class TestWinnowRoll:
         a = winnow_roll_scalar(body)
         b = winnow_roll_scalar(("x" * 16) + body)  # prefix of one stride
         assert a == b  # min window survives the stride-aligned shift
+
+
+class TestBlockwiseTopk:
+    """suite.blockwise_topk — per-block k-heads + k-sized driver merge
+    (the Lucene per-segment-collector shape used by every k-sized suite
+    answer instead of a global sort)."""
+
+    def test_matches_global_sort(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from neural_search_ray.pipelines.suite import blockwise_topk
+
+        rng = np.random.RandomState(3)
+        rows = [{"id": int(i), "score": float(rng.randint(0, 50))}
+                for i in range(500)]
+        ds = ray.data.from_items(rows, override_num_blocks=8)
+        got = blockwise_topk(ds, ["score", "id"], [True, False], 10)
+        exp = sorted(rows, key=lambda r: (-r["score"], r["id"]))[:10]
+        assert [(r["id"], r["score"]) for r in got] == [
+            (r["id"], r["score"]) for r in exp
+        ]
+
+    def test_k_larger_than_input_and_empty(self, ray_session):
+        import ray.data
+
+        from neural_search_ray.pipelines.suite import blockwise_topk
+
+        rows = [{"id": 1, "v": 2.0}, {"id": 2, "v": 1.0}]
+        ds = ray.data.from_items(rows, override_num_blocks=2)
+        got = blockwise_topk(ds, ["v"], [True], 10)
+        assert [r["id"] for r in got] == [1, 2]
+        empty = ds.filter(lambda r: r["id"] > 99)
+        assert blockwise_topk(empty, ["v"], [True], 5) == []
