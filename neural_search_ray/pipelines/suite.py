@@ -96,14 +96,23 @@ def blockwise_topk(
         (key, "descending" if d else "ascending")
         for key, d in zip(keys, descending)
     ]
+    rows = ds.map_batches(
+        headk_fn(order, k), batch_format="pyarrow"
+    ).take_all()
+    if not rows:
+        return []
+    return pa.Table.from_pylist(rows).sort_by(order).slice(0, k).to_pylist()
+
+
+def headk_fn(order: list[tuple[str, str]], k: int):
+    """The per-batch k-head closure shared by blockwise_topk and the
+    SORT|LIMIT suite entries: each batch contributes at most k candidate
+    rows downstream."""
 
     def headk(batch: pa.Table) -> pa.Table:
         return batch.sort_by(order).slice(0, k)
 
-    rows = ds.map_batches(headk, batch_format="pyarrow").take_all()
-    if not rows:
-        return []
-    return pa.Table.from_pylist(rows).sort_by(order).slice(0, k).to_pylist()
+    return headk
 
 
 def _docs_ds(sf_dir: str) -> "ray.data.Dataset":
@@ -6668,17 +6677,12 @@ def q_top_events(sf_dir: str) -> "ray.data.Dataset":
     each batch contributes at most 100 candidate rows to the exchange
     (same shape as the ES|QL SORT|LIMIT compile), so the all-to-all
     moves O(k x blocks) rows, never the corpus."""
-
-    def headk(batch: pa.Table) -> pa.Table:
-        return batch.sort_by(
-            [("value", "descending"), ("event_id", "ascending")]
-        ).slice(0, 100)
-
+    order = [("value", "descending"), ("event_id", "ascending")]
     return (
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_id", "value"]
         )
-        .map_batches(headk, batch_format="pyarrow")
+        .map_batches(headk_fn(order, 100), batch_format="pyarrow")
         .sort(["value", "event_id"], descending=[True, False])
         .limit(100)
     )

@@ -474,8 +474,11 @@ def _eval_expr(node, batch: pa.Table):
             # Arrow has no modulo kernel in this version. Integer
             # operands: a - (a/b)*b via integer (truncating) divide.
             # Any float operand: pc.divide is TRUE division there, so
-            # floor the quotient first — a - floor(a/b)*b — or every
-            # float modulo would silently evaluate to 0.
+            # TRUNCATE the quotient first — a - trunc(a/b)*b — or every
+            # float modulo would silently evaluate to 0. Truncation
+            # (not floor) keeps the sign-of-dividend semantics of
+            # ES|QL / Java % and DuckDB fmod, consistent with the
+            # integer path: -7.0 % 3.0 == -1.0, not floor-mod's 2.0.
             lt, rt = getattr(left, "type", None), getattr(right, "type", None)
             if (
                 lt is not None and pa.types.is_integer(lt)
@@ -485,7 +488,7 @@ def _eval_expr(node, batch: pa.Table):
                 return pc.subtract(left, pc.multiply(q, right))
             lf = pc.cast(left, pa.float64())
             rf = pc.cast(right, pa.float64())
-            q = pc.floor(pc.divide(lf, rf))
+            q = pc.trunc(pc.divide(lf, rf))
             return pc.subtract(lf, pc.multiply(q, rf))
         raise EsqlError(f"unknown operator {op}")
     raise EsqlError(f"bad expression node {node!r}")
@@ -735,7 +738,31 @@ def _grok_regex(pattern: str) -> tuple[str, list[tuple[str, object]]]:
     out.append(pattern[pos:])
     if not names:
         raise EsqlError(f"GROK pattern {pattern!r} captures no fields")
-    return "".join(out), names
+    rx = "".join(out)
+    # eager validation so a bad pattern is a parse-time EsqlError, not
+    # an ArrowInvalid deep inside a Ray map_batches task: the regex
+    # must compile, and every capture group must be one of our named
+    # keys (pc.extract_regex rejects unnamed '(...)' groups at runtime)
+    try:
+        compiled = re.compile(rx)
+    except re.error as ex:
+        raise EsqlError(f"GROK pattern {pattern!r} compiles to an "
+                        f"invalid regex: {ex}") from None
+    if compiled.groups != len(names):
+        raise EsqlError(
+            f"GROK pattern {pattern!r} contains unnamed capture groups; "
+            f"use non-capturing (?:...) for plain grouping"
+        )
+    return rx, names
+
+
+def _put_column(batch: pa.Table, name: str, vals) -> pa.Table:
+    """Set-or-append: ES GROK/DISSECT keys OVERWRITE an existing column
+    of the same name (append_column would create a duplicate field and
+    every later batch[name] lookup would raise)."""
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, vals)
+    return batch.append_column(name, vals)
 
 
 def _make_rowlocal_fn(block: list[Stage]):
@@ -752,8 +779,8 @@ def _make_rowlocal_fn(block: list[Stage]):
                     src = src.combine_chunks()
                 groups = pc.extract_regex(src, rx)
                 for name in names:
-                    batch = batch.append_column(
-                        name, pc.struct_field(groups, name)
+                    batch = _put_column(
+                        batch, name, pc.struct_field(groups, name)
                     )
             elif st.kind == "grok":
                 col, pattern = st.payload
@@ -769,7 +796,7 @@ def _make_rowlocal_fn(block: list[Stage]):
                         # Arrow cast parses the captured text, nulls
                         # (no match) stay null
                         vals = pc.cast(vals, typ)
-                    batch = batch.append_column(name, vals)
+                    batch = _put_column(batch, name, vals)
             elif st.kind == "where":
                 mask = _eval_expr(st.payload, batch)
                 if isinstance(mask, pa.Scalar):

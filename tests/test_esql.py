@@ -162,11 +162,27 @@ class TestRowPipeline:
         ))
         vals = np.asarray(out["value"].to_pylist(), dtype=np.float64)
         m = np.asarray(out["m"].to_pylist(), dtype=np.float64)
-        np.testing.assert_allclose(m, vals - np.floor(vals / 2.0) * 2.0,
+        np.testing.assert_allclose(m, np.fmod(vals, 2.0),
                                    rtol=1e-12, atol=1e-12)
         assert np.any(m != 0.0)
         eid = np.asarray(out["event_id"].to_pylist())
         assert out["mi"].to_pylist() == (eid % 3).tolist()
+
+    def test_float_modulo_negative_dividend(self, ray_session, tmp_path):
+        """Sign-of-dividend (truncated) semantics, matching ES|QL /
+        Java % and DuckDB fmod, and CONSISTENT with the integer path:
+        -7.0 % 3.0 == -1.0, never floor-mod's 2.0."""
+        import pyarrow.parquet as pq
+
+        t = pa.table({"x": pa.array([-7.0, 7.0, -7.5, 7.5]),
+                      "xi": pa.array([-7, 7, -8, 8], pa.int64())})
+        pq.write_table(t, str(tmp_path / "m.parquet"))
+        out = _rows(run_esql(
+            str(tmp_path), "FROM m | EVAL mf = x % 3.0, mi = xi % 3"
+            " | KEEP x, mf, mi",
+        ))
+        assert out["mf"].to_pylist() == [-1.0, 1.0, -1.5, 1.5]
+        assert out["mi"].to_pylist() == [-1, 1, -2, 2]
 
 
 class TestStats:
@@ -372,6 +388,28 @@ class TestGrok:
             parse_esql('FROM events | GROK props "%{INT:a} %{INT:a}"')
         with pytest.raises(EsqlError, match="string pattern"):
             parse_esql("FROM events | GROK props 42")
+        # parse-time (not mid-Ray-task) rejection of regex problems
+        with pytest.raises(EsqlError, match="invalid regex"):
+            parse_esql('FROM events | GROK props "(%{INT:kv}"')
+        with pytest.raises(EsqlError, match="unnamed capture"):
+            parse_esql('FROM events | GROK line "(a|b)%{INT:kv}"')
+
+    def test_grok_overwrites_existing_column(self, ray_session, tmp_path):
+        """A capture named like an existing column (even the source)
+        OVERWRITES it, ES-style — append would create a duplicate field
+        and break every later batch[name] lookup."""
+        import pyarrow.parquet as pq
+
+        t = pa.table({"line": pa.array(["v=3 u=ok", "v=9 u=no"]),
+                      "v": pa.array([100, 200], pa.int64())})
+        pq.write_table(t, str(tmp_path / "logs.parquet"))
+        out = _rows(run_esql(
+            str(tmp_path),
+            'FROM logs | GROK line "v=%{INT:v:int} u=%{WORD:line}"'
+            ' | WHERE v > 1 | KEEP line, v',
+        ))
+        assert out["v"].to_pylist() == [3, 9]
+        assert out["line"].to_pylist() == ["ok", "no"]
 
     def test_grok_read_pruning(self, sf_dir):
         """GROK's source column joins the read set; its captures do not."""

@@ -63,9 +63,11 @@ def main() -> None:
             with open(args.out, "a") as f:
                 f.write(json.dumps(d) + "\n")
             p = d["pairs"][0]
-            print(f"[hunter] pair eff={p['efficiency']} clean={p['clean']} "
-                  f"loads={p['loads_hi_then_lo']}", flush=True)
-            if p["clean"] and p["efficiency"] >= args.target:
+            print(f"[hunter] pair eff={p.get('efficiency')} "
+                  f"clean={p.get('clean')} "
+                  f"loads={p.get('loads_hi_then_lo')} "
+                  f"err={p.get('error')}", flush=True)
+            if p.get("clean") and (p.get("efficiency") or 0) >= args.target:
                 print("[hunter] clean pair at target — done", flush=True)
                 return
         time.sleep(args.poll)
