@@ -11683,6 +11683,19 @@ SELECT event_type, n_all, n_big, s_click, u_big FROM (
   FROM events GROUP BY event_type)
 ORDER BY event_type ASC"""
 
+    sqls["esql_mv_expand"] = """
+SELECT tok, c FROM (
+  SELECT tok, count(*)::BIGINT AS c FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok)
+ORDER BY c DESC, tok ASC LIMIT 20"""
+
+    sqls["esql_rename_null"] = """
+SELECT event_type, n, s FROM (
+  SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS s
+  FROM events WHERE value >= 100.0 GROUP BY event_type)
+ORDER BY event_type ASC"""
+
     sqls["esql_grok"] = r"""
 SELECT event_type, kb, cnt, mx FROM (
   SELECT event_type, (k - k % 7)::BIGINT AS kb,
@@ -12385,6 +12398,48 @@ def q_esql_grok(sf_dir: str) -> pa.Table:
     return run_esql(sf_dir, _ESQL_GROK)
 
 
+_ESQL_MV_EXPAND = (
+    'FROM documents'
+    ' | EVAL tok = SPLIT(text, " ")'
+    ' | MV_EXPAND tok'
+    ' | STATS c = COUNT(*) BY tok'
+    ' | SORT c DESC, tok ASC'
+    ' | LIMIT 20'
+)
+
+
+def q_esql_mv_expand(sf_dir: str) -> pa.Table:
+    """ES|QL MV_EXPAND (multivalue → one row per element, the flat_map
+    shape): SPLIT produces a list column inside the fused Arrow row
+    stage, MV_EXPAND explodes it with list_flatten + one numpy repeat
+    (no Python rows), and the token histogram rides the ordinary
+    partial+final STATS with a bucket-table SORT|LIMIT."""
+    from ..query.esql import run_esql
+
+    return run_esql(sf_dir, _ESQL_MV_EXPAND)
+
+
+_ESQL_RENAME_NULL = (
+    'FROM events'
+    ' | EVAL big = CASE(value >= 100.0, value)'
+    ' | RENAME big AS bigv'
+    ' | WHERE bigv IS NOT NULL'
+    ' | STATS n = COUNT(*), s = SUM(bigv) BY event_type'
+    ' | EVAL s = ROUND(s, 2)'
+    ' | SORT event_type ASC'
+)
+
+
+def q_esql_rename_null(sf_dir: str) -> pa.Table:
+    """ES|QL RENAME + IS [NOT] NULL predicates: CASE without a default
+    yields nulls, RENAME rewrites the schema in the fused row stage,
+    and the null-validity filter uses pc.is_valid — no sentinel
+    values."""
+    from ..query.esql import run_esql
+
+    return run_esql(sf_dir, _ESQL_RENAME_NULL)
+
+
 _ESQL_STATS_FILTERED = (
     'FROM events'
     ' | STATS n_all = COUNT(*),'
@@ -12747,6 +12802,10 @@ def _base_registry() -> dict:
         "esql_stats": q_esql_stats,
         # ES|QL GROK — regex named-capture extraction, new this round
         "esql_grok": q_esql_grok,
+        # ES|QL MV_EXPAND / RENAME / IS NULL — r5 additions; past the
+        # frozen _DRIVER_WINDOW_R05, verified by the committed sweep
+        "esql_mv_expand": q_esql_mv_expand,
+        "esql_rename_null": q_esql_rename_null,
         # ip field type + ip_prefix/ip_range aggs (new FIELD-TYPE family;
         # displaces agg_children — the join-field machinery keeps its
         # in-window rep via has_child_topk)

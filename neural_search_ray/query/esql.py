@@ -70,6 +70,7 @@ _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "ASC", "DESC", "AND", "OR", "NOT", "LIKE", "IN", "TRUE",
     "FALSE", "NULL", "ENRICH", "ON", "WITH", "DISSECT", "ROW", "GROK",
+    "RENAME", "AS", "MV_EXPAND", "IS",
 }
 
 # ENRICH policies (ES enrich-policy registry analogue): name ->
@@ -226,6 +227,12 @@ class _Parser:
             if pat[0] != "str":
                 raise EsqlError("LIKE needs a string pattern")
             return Bin("like", node, Lit(pat[1]))
+        if t == ("kw", "IS"):
+            # IS NULL / IS NOT NULL postfix predicates
+            self.next()
+            negate = bool(self.accept("kw", "NOT"))
+            self.expect("kw", "NULL")
+            return Un("notnull" if negate else "isnull", node)
         if t == ("kw", "IN"):
             self.next()
             self.expect("op", "(")
@@ -335,6 +342,17 @@ class _Parser:
                 while self.accept("op", ","):
                     names.append(self.expect("ident"))
                 stages.append(Stage(kw.lower(), names))
+            elif kw == "RENAME":
+                pairs = []
+                while True:
+                    old = self.expect("ident")
+                    self.expect("kw", "AS")
+                    pairs.append((old, self.expect("ident")))
+                    if not self.accept("op", ","):
+                        break
+                stages.append(Stage("rename", pairs))
+            elif kw == "MV_EXPAND":
+                stages.append(Stage("mvexpand", self.expect("ident")))
             elif kw == "STATS":
                 aggs = []
                 while True:
@@ -436,6 +454,10 @@ def _eval_expr(node, batch: pa.Table):
         arg = _eval_expr(node.arg, batch)
         if node.op == "neg":
             return pc.negate(arg)
+        if node.op == "isnull":
+            return pc.is_null(_as_array(arg, n))
+        if node.op == "notnull":
+            return pc.is_valid(_as_array(arg, n))
         return pc.invert(arg)
     if isinstance(node, InList):
         arg = _eval_expr(node.expr, batch)
@@ -499,6 +521,11 @@ def _eval_call(node: Call, batch: pa.Table):
     fn = node.fn
     if fn == "LENGTH":
         return pc.utf8_length(args[0])
+    if fn == "SPLIT":
+        if len(node.args) != 2 or not isinstance(node.args[1], Lit) \
+                or not isinstance(node.args[1].value, str):
+            raise EsqlError("SPLIT needs (column, string-delimiter)")
+        return pc.split_pattern(args[0], node.args[1].value)
     if fn == "TO_UPPER":
         return pc.utf8_upper(args[0])
     if fn == "TO_LOWER":
@@ -633,6 +660,14 @@ def _referenced_columns(stages: list[Stage]) -> list[str]:
             if col not in defined:
                 refs.add(col)
             defined.update(n for n, _ in _grok_regex(pattern)[1])
+        elif st.kind == "rename":
+            for old, new in st.payload:
+                if old not in defined:
+                    refs.add(old)
+                defined.add(new)
+        elif st.kind == "mvexpand":
+            if st.payload not in defined:
+                refs.add(st.payload)
         elif st.kind == "stats":
             aggs, by = st.payload
             refs.update(set(by) - defined)
@@ -817,9 +852,40 @@ def _make_rowlocal_fn(block: list[Stage]):
                 batch = batch.select(st.payload)
             elif st.kind == "drop":
                 batch = batch.drop_columns(st.payload)
+            elif st.kind == "rename":
+                names = list(batch.column_names)
+                for old, new in st.payload:
+                    if old not in names:
+                        raise EsqlError(f"RENAME: unknown column {old!r}")
+                    names[names.index(old)] = new
+                batch = batch.rename_columns(names)
+            elif st.kind == "mvexpand":
+                batch = _mv_expand(batch, st.payload)
         return batch
 
     return fn
+
+
+def _mv_expand(batch: pa.Table, name: str) -> pa.Table:
+    """MV_EXPAND: one output row per element of the list column (the
+    flat_map shape), other columns repeated — all Arrow kernels + one
+    numpy repeat, no Python rows. A null/empty list drops the row (the
+    ES|QL 8.x semantics for empty multivalues)."""
+    if name not in batch.column_names:
+        raise EsqlError(f"MV_EXPAND: unknown column {name!r}")
+    col = batch[name]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_list(col.type) and not pa.types.is_large_list(col.type):
+        return batch  # single-valued column: expansion is the identity
+    lens = pc.fill_null(pc.list_value_length(col), 0)
+    idx = np.repeat(
+        np.arange(len(batch), dtype=np.int64),
+        lens.to_numpy(zero_copy_only=False),
+    )
+    flat = pc.list_flatten(col)
+    out = batch.drop_columns([name]).take(pa.array(idx))
+    return out.append_column(name, flat)
 
 
 def _compile_stats(ds, aggs, by):
@@ -1064,10 +1130,10 @@ def run_esql(sf_dir: str, text: str):
     table: pa.Table | None = None  # set once bucket-bounded
     while i < len(stages):
         st = stages[i]
-        if st.kind in ("where", "eval", "keep", "drop", "dissect", "grok"):
+        if st.kind in ("where", "eval", "keep", "drop", "dissect", "grok", "rename", "mvexpand"):
             block = []
             while i < len(stages) and stages[i].kind in (
-                "where", "eval", "keep", "drop", "dissect", "grok"
+                "where", "eval", "keep", "drop", "dissect", "grok", "rename", "mvexpand"
             ):
                 block.append(stages[i])
                 i += 1

@@ -411,6 +411,53 @@ class TestGrok:
         assert out["v"].to_pylist() == [3, 9]
         assert out["line"].to_pylist() == ["ok", "no"]
 
+    def test_mv_expand_rename_isnull(self, ray_session, tmp_path):
+        """SPLIT → MV_EXPAND (flat_map shape) → RENAME → IS NOT NULL:
+        row multiplication, schema rewrite, and null-validity filtering
+        in one fused block; null/empty lists drop their row."""
+        import pyarrow.parquet as pq
+
+        t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["a b", "c", None])})
+        pq.write_table(t, str(tmp_path / "docs.parquet"))
+        out = _rows(run_esql(
+            str(tmp_path),
+            'FROM docs | EVAL tok = SPLIT(text, " ") | MV_EXPAND tok'
+            ' | RENAME tok AS term | WHERE term IS NOT NULL'
+            ' | KEEP id, term',
+        ))
+        rows = sorted(out.to_pylist(), key=lambda r: (r["id"], r["term"]))
+        assert rows == [{"id": 1, "term": "a"}, {"id": 1, "term": "b"},
+                        {"id": 2, "term": "c"}]
+
+    def test_is_null_predicate(self, sf_dir):
+        """IS NULL on a CASE-without-default column selects exactly the
+        complement of IS NOT NULL."""
+        base = 'FROM events | EVAL t = CASE(value >= 100.0, 1)'
+        n_null = _rows(run_esql(
+            sf_dir, base + ' | WHERE t IS NULL | STATS n = COUNT(*)'
+        ))["n"].to_pylist()[0]
+        n_notnull = _rows(run_esql(
+            sf_dir, base + ' | WHERE t IS NOT NULL | STATS n = COUNT(*)'
+        ))["n"].to_pylist()[0]
+        total = _rows(run_esql(
+            sf_dir, 'FROM events | STATS n = COUNT(*)'
+        ))["n"].to_pylist()[0]
+        assert n_null + n_notnull == total and n_null > 0 and n_notnull > 0
+
+    def test_mv_expand_errors_and_identity(self, sf_dir):
+        # unknown column fails at the pruned read (before any task runs)
+        with pytest.raises(Exception, match="nope"):
+            _rows(run_esql(
+                sf_dir, "FROM events | MV_EXPAND nope | KEEP event_id"
+            ))
+        # expanding a single-valued (non-list) column is the identity
+        out = _rows(run_esql(
+            sf_dir,
+            "FROM events | MV_EXPAND event_id | KEEP event_id | LIMIT 5",
+        ))
+        assert out.num_rows == 5
+
     def test_grok_read_pruning(self, sf_dir):
         """GROK's source column joins the read set; its captures do not."""
         from neural_search_ray.query.esql import _referenced_columns
