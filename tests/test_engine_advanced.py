@@ -123,6 +123,40 @@ def test_distributed_searcher_rank_identity(skewed_index, ray_session):
         ds.shutdown()
 
 
+def test_empty_shard_subset_all_query_paths(tmp_path, ray_session):
+    """A shard subset holding ZERO docs (real at fleet scale: hash
+    sharding over a filtered slice leaves shards empty) returns empty
+    results — never an IndexError — across every query path."""
+    from neural_search_ray.analysis.analyzer import tokenize
+    from neural_search_ray.corpus.extract import extract_text_stage
+    from neural_search_ray.corpus.generator import generate_pages
+
+    d = str(tmp_path / "tiny")
+    ds = generate_pages(3, seed=1).map_batches(
+        extract_text_stage, batch_format="pyarrow"
+    )
+    build_index(ds, d, IndexConfig(
+        num_shards=8, num_salts=1, index_positions=True
+    ))
+    s = IndexSearcher(d, shards=[7])  # 3 docs over 8 shards: 7 is empty
+    assert s.search_bm25(tokenize("data query"), k=5)[0].size == 0
+    assert s.search_phrase(tokenize("data query"), k=5)[0].size == 0
+    assert s.search_bool(["data"], ["query"], [], 5)[0].size == 0
+    assert s.search_prefix("dat", k=5)[0].size == 0
+    assert s.search_lm(tokenize("data"), 5)[0].size == 0
+    assert s.search_ids([0, 1], k=5)[0].size == 0
+    # the full pool over the same index still answers (empty-chunk
+    # actors dropped; empty shards contribute nothing)
+    from neural_search_ray.query.distributed import DistributedSearcher
+
+    dd = DistributedSearcher(d, num_actors=4)
+    try:
+        docs, _ = dd.search_bm25(["data"], k=5)
+        assert docs.size > 0
+    finally:
+        dd.shutdown()
+
+
 def test_serving_actor_crash_recovery(skewed_index, ray_session):
     """Fault injection for the serving pool (SURVEY §4 'fail the
     partition and retry', serving side): kill a shard actor while a
