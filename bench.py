@@ -434,13 +434,16 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-paired", action="store_true")
     ap.add_argument("--pairs", type=int, default=4)
+    ap.add_argument("--cpus-low", type=int, default=8)
+    ap.add_argument("--cpus-high", type=int, default=32)
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--pages", type=int, default=None)
     args = ap.parse_args()
 
     if args.scaling_paired:
         print(json.dumps(run_scaling_paired(
-            args.sf_dir, n_pages=args.pages or 2_000_000, pairs=args.pairs
+            args.sf_dir, cpus_low=args.cpus_low, cpus_high=args.cpus_high,
+            n_pages=args.pages or 2_000_000, pairs=args.pairs
         )))
         return
     if args.scaling:
