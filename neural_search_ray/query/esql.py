@@ -516,6 +516,20 @@ def _eval_expr(node, batch: pa.Table):
     raise EsqlError(f"bad expression node {node!r}")
 
 
+def _lit_str(node: Call, i: int, fn: str) -> str:
+    if len(node.args) <= i or not isinstance(node.args[i], Lit) \
+            or not isinstance(node.args[i].value, str):
+        raise EsqlError(f"{fn}: argument {i + 1} must be a string literal")
+    return node.args[i].value
+
+
+def _lit_int(node: Call, i: int, fn: str) -> int:
+    if len(node.args) <= i or not isinstance(node.args[i], Lit) \
+            or not isinstance(node.args[i].value, int):
+        raise EsqlError(f"{fn}: argument {i + 1} must be an integer literal")
+    return node.args[i].value
+
+
 def _eval_call(node: Call, batch: pa.Table):
     args = [_eval_expr(a, batch) for a in node.args]
     fn = node.fn
@@ -526,6 +540,31 @@ def _eval_call(node: Call, batch: pa.Table):
                 or not isinstance(node.args[1].value, str):
             raise EsqlError("SPLIT needs (column, string-delimiter)")
         return pc.split_pattern(args[0], node.args[1].value)
+    if fn == "STARTS_WITH":
+        return pc.starts_with(args[0], pattern=_lit_str(node, 1, fn))
+    if fn == "ENDS_WITH":
+        return pc.ends_with(args[0], pattern=_lit_str(node, 1, fn))
+    if fn == "TRIM":
+        return pc.utf8_trim_whitespace(args[0])
+    if fn == "LTRIM":
+        return pc.utf8_ltrim_whitespace(args[0])
+    if fn == "RTRIM":
+        return pc.utf8_rtrim_whitespace(args[0])
+    if fn == "REPLACE":
+        # ES|QL REPLACE(string, regex, newString) — regex semantics
+        return pc.replace_substring_regex(
+            args[0], pattern=_lit_str(node, 1, fn),
+            replacement=_lit_str(node, 2, fn),
+        )
+    if fn == "LEFT":
+        return pc.utf8_slice_codeunits(args[0], 0, _lit_int(node, 1, fn))
+    if fn == "RIGHT":
+        # negative start slices from the end (shorter strings intact);
+        # n <= 0 is the empty string, not the -0 == "whole string" trap
+        nr = _lit_int(node, 1, fn)
+        if nr <= 0:
+            return pc.utf8_slice_codeunits(args[0], 0, 0)
+        return pc.utf8_slice_codeunits(args[0], -nr)
     if fn == "TO_UPPER":
         return pc.utf8_upper(args[0])
     if fn == "TO_LOWER":

@@ -86,6 +86,40 @@ class TestRowPipeline:
             assert row["s"] == f'{row["lang"]}-{row["source"]}'
             assert row["n"] == len(row["lang"])
 
+    def test_string_function_roundout(self, ray_session):
+        """STARTS_WITH / ENDS_WITH / TRIM / REPLACE / LEFT / RIGHT
+        (r5): each is one Arrow kernel; RIGHT(s, 0) is '' (not the
+        -0 whole-string trap)."""
+        out = _rows(run_esql(
+            "/tmp",
+            'ROW s = "  hello world  "'
+            ' | EVAL t = TRIM(s), sw = STARTS_WITH(TRIM(s), "hel"),'
+            '   ew = ENDS_WITH(TRIM(s), "rld"),'
+            '   r = REPLACE(TRIM(s), "o", "0"),'
+            '   l3 = LEFT(TRIM(s), 3), r3 = RIGHT(TRIM(s), 3),'
+            '   r0 = RIGHT(s, 0), lt = LTRIM(s), rt = RTRIM(s)'
+            ' | KEEP t, sw, ew, r, l3, r3, r0, lt, rt',
+        ))
+        row = out.to_pylist()[0]
+        assert row == {
+            "t": "hello world", "sw": True, "ew": True,
+            "r": "hell0 w0rld", "l3": "hel", "r3": "rld", "r0": "",
+            "lt": "hello world  ", "rt": "  hello world",
+        }
+
+    def test_string_function_validation(self):
+        for bad in [
+            'FROM t | EVAL x = STARTS_WITH(a, 5)',
+            'FROM t | EVAL x = LEFT(a, "b")',
+            'FROM t | EVAL x = REPLACE(a, "p")',
+        ]:
+            with pytest.raises(EsqlError, match="literal"):
+                from neural_search_ray.query.esql import (
+                    _make_rowlocal_fn,
+                )
+                st = parse_esql(bad)
+                _make_rowlocal_fn(st[1:])(pa.table({"a": ["x"]}))
+
     def test_like_and_in(self, sf_dir):
         out = _rows(run_esql(
             sf_dir,
