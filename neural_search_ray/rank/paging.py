@@ -58,7 +58,19 @@ def search_after(
             return batch.filter(pa.array(_after_mask(batch, sort_keys, after)))
 
         ds = ds.map_batches(fil, batch_format="pyarrow")
-    return ds.sort(
+    # head-K monoid before the distributed sort: each batch contributes
+    # at most `size` candidate rows, so the exchange moves
+    # O(size x blocks) rows, never the qualifying remainder (same shape
+    # as the ES|QL SORT|LIMIT compile and suite.blockwise_topk)
+    order = [
+        (c, "descending" if d == "desc" else "ascending")
+        for c, d in sort_keys
+    ]
+
+    def headk(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(order).slice(0, size)
+
+    return ds.map_batches(headk, batch_format="pyarrow").sort(
         [c for c, _ in sort_keys],
         descending=[d == "desc" for _, d in sort_keys],
     ).limit(size)
