@@ -11690,6 +11690,13 @@ SELECT tok, c FROM (
   GROUP BY tok)
 ORDER BY c DESC, tok ASC LIMIT 20"""
 
+    sqls["esql_top"] = """
+SELECT event_type, t FROM (
+  SELECT event_type,
+         unnest(list_slice(list(value ORDER BY value DESC), 1, 3)) AS t
+  FROM events GROUP BY event_type)
+ORDER BY event_type ASC, t DESC"""
+
     sqls["esql_rename_null"] = """
 SELECT event_type, n, s FROM (
   SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS s
@@ -12419,6 +12426,26 @@ def q_esql_mv_expand(sf_dir: str) -> pa.Table:
     return run_esql(sf_dir, _ESQL_MV_EXPAND)
 
 
+_ESQL_TOP = (
+    'FROM events'
+    ' | STATS t = TOP(value, 3, "desc") BY event_type'
+    ' | MV_EXPAND t'
+    ' | SORT event_type ASC, t DESC'
+)
+
+
+def q_esql_top(sf_dir: str) -> pa.Table:
+    """ES|QL TOP(field, k, order) aggregate: k-bounded mergeable top
+    values per group — per-batch per-group k-heads (<= k rows per group
+    per batch leave the map side), ONE keyed exchange, per-group
+    finalize into a multivalue column; MV_EXPAND then explodes the
+    bucket table for the SQL mirror. A group's full value set never
+    ships."""
+    from ..query.esql import run_esql
+
+    return run_esql(sf_dir, _ESQL_TOP)
+
+
 _ESQL_RENAME_NULL = (
     'FROM events'
     ' | EVAL big = CASE(value >= 100.0, value)'
@@ -12806,6 +12833,7 @@ def _base_registry() -> dict:
         # frozen _DRIVER_WINDOW_R05, verified by the committed sweep
         "esql_mv_expand": q_esql_mv_expand,
         "esql_rename_null": q_esql_rename_null,
+        "esql_top": q_esql_top,
         # ip field type + ip_prefix/ip_range aggs (new FIELD-TYPE family;
         # displaces agg_children — the join-field machinery keeps its
         # in-window rep via has_child_topk)

@@ -164,7 +164,7 @@ class Stage:
     payload: object = field(default=None)
 
 
-_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT"}
+_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "COUNT_DISTINCT", "TOP"}
 
 
 class _Parser:
@@ -369,6 +369,23 @@ class _Parser:
                         arg = None
                     else:
                         arg = self.expr()
+                    if fn == "TOP":
+                        # TOP(field, limit, "asc"|"desc") — encode the
+                        # k-bound and direction into the fn tag so the
+                        # (name, fn, expr, cond) agg shape is unchanged
+                        self.expect("op", ",")
+                        k_tok = self.next()
+                        if k_tok[0] != "num" or "." in k_tok[1] \
+                                or int(k_tok[1]) < 1:
+                            raise EsqlError("TOP limit must be a positive "
+                                            "integer")
+                        self.expect("op", ",")
+                        o_tok = self.next()
+                        if o_tok[0] != "str" or o_tok[1] not in ("asc", "desc"):
+                            raise EsqlError(
+                                'TOP order must be "asc" or "desc"'
+                            )
+                        fn = f"TOP:{int(k_tok[1])}:{o_tok[1]}"
                     self.expect("op", ")")
                     # ES|QL 8.16 per-aggregate filter: agg(...) WHERE cond
                     cond = self.expr() if self.accept("kw", "WHERE") else None
@@ -933,8 +950,10 @@ def _compile_stats(ds, aggs, by):
     import ray
     from ray.data.aggregate import Max, Min, Sum
 
-    plain = [a for a in aggs if a[1] != "COUNT_DISTINCT"]
+    plain = [a for a in aggs
+             if a[1] != "COUNT_DISTINCT" and not a[1].startswith("TOP:")]
     distincts = [a for a in aggs if a[1] == "COUNT_DISTINCT"]
+    tops = [a for a in aggs if a[1].startswith("TOP:")]
 
     def _masked(v, cond, batch):
         """Null out rows failing the per-aggregate WHERE (Arrow
@@ -948,7 +967,7 @@ def _compile_stats(ds, aggs, by):
         ))
 
     result = None
-    if plain or not distincts:
+    if plain or not (distincts or tops):
 
         def partial(batch: pa.Table) -> pa.Table:
             cols: dict[str, object] = {k: batch[k] for k in by}
@@ -1068,6 +1087,72 @@ def _compile_stats(ds, aggs, by):
             )
             result = pa.Table.from_pandas(merged, preserve_index=False)
 
+    # TOP(field, k, order): k-bounded mergeable top values per group —
+    # per-batch per-group k-heads (<= k rows per group per batch leave
+    # the map side), ONE keyed exchange, per-group finalize into a
+    # multivalue (list) column. Never ships a group's full value set.
+    for name, fn, ex, tcond in tops:
+        _, k_s, order = fn.split(":")
+        kk, desc = int(k_s), order == "desc"
+        vdir = "descending" if desc else "ascending"
+
+        def top_partial(batch: pa.Table, _ex=ex, _c=tcond, _k=kk,
+                        _vdir=vdir) -> pa.Table:
+            v = _masked(
+                _as_array(_eval_expr(_ex, batch), len(batch)), _c, batch
+            )
+            t = pa.table({**{g: batch[g] for g in by}, "__v": v})
+            t = t.filter(pc.is_valid(t["__v"]))
+            t = t.sort_by(
+                [(g, "ascending") for g in by] + [("__v", _vdir)]
+            )
+            if not by:
+                return t.slice(0, _k)
+            if t.num_rows == 0:
+                return t
+            keys = [t[g].to_numpy(zero_copy_only=False) for g in by]
+            change = np.zeros(t.num_rows, dtype=bool)
+            change[0] = True
+            for kc in keys:
+                change[1:] |= kc[1:] != kc[:-1]
+            gid = np.cumsum(change) - 1
+            firsts = np.flatnonzero(change)
+            rank = np.arange(t.num_rows) - firsts[gid]
+            return t.filter(pa.array(rank < _k))
+
+        tds = ds.map_batches(top_partial, batch_format="pyarrow")
+        if by:
+            def top_final(g: pa.Table, _k=kk, _vdir=vdir,
+                          _name=name) -> pa.Table:
+                g = g.sort_by([("__v", _vdir)])
+                row = {c: [g[c][0].as_py()] for c in by}
+                row[_name] = [g["__v"].slice(0, _k).to_pylist()]
+                return pa.table(row)
+
+            top_t = pa.Table.from_pylist(
+                tds.groupby(by).map_groups(
+                    top_final, batch_format="pyarrow"
+                ).take_all()
+            )
+        else:
+            cand = pa.Table.from_pylist(tds.take_all())  # <= k x blocks
+            if cand.num_rows:
+                cand = cand.sort_by([("__v", vdir)])
+                vals = cand["__v"].slice(0, kk).to_pylist()
+            else:
+                vals = []
+            top_t = pa.table({name: [vals]})
+        if result is None:
+            result = top_t
+        else:
+            left = result.to_pandas()
+            right = top_t.to_pandas()
+            merged = (
+                left.merge(right, on=by, how="outer") if by
+                else left.assign(**{name: right[name]})
+            )
+            result = pa.Table.from_pandas(merged, preserve_index=False)
+
     # finish: rename partials to user names, AVG = sum/count
     cols: dict[str, object] = {k: result[k] for k in by}
     for name, fn, _e, _c in aggs:
@@ -1075,6 +1160,8 @@ def _compile_stats(ds, aggs, by):
             cols[name] = pc.cast(
                 pc.fill_null(result[name], 0), pa.int64()
             )
+        elif fn.startswith("TOP:"):
+            cols[name] = result[name]
         elif fn == "AVG":
             cols[name] = pc.divide(
                 pc.cast(result[f"__{name}_s_p"], pa.float64()),

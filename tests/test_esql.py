@@ -503,6 +503,52 @@ class TestGrok:
         assert _referenced_columns(st[1:]) == ["event_id", "props"]
 
 
+class TestTopAggregate:
+    def test_top_matches_manual(self, sf_dir):
+        """TOP(value, 3, 'desc') BY event_type == the 3 largest values
+        per type, duplicates kept, k-bounded partials."""
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["event_type", "value"])
+        df = t.to_pandas()
+        exp = {
+            et: sorted(g["value"].tolist(), reverse=True)[:3]
+            for et, g in df.groupby("event_type")
+        }
+        out = _rows(run_esql(
+            sf_dir,
+            'FROM events | STATS t = TOP(value, 3, "desc") BY event_type',
+        ))
+        got = dict(zip(out["event_type"].to_pylist(), out["t"].to_pylist()))
+        assert got == exp
+
+    def test_top_asc_global_and_with_count(self, sf_dir):
+        out = _rows(run_esql(
+            sf_dir, 'FROM events | STATS t = TOP(value, 4, "asc")'
+        ))
+        import pyarrow.parquet as pq
+
+        vals = sorted(pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["value"]
+        )["value"].to_pylist())[:4]
+        assert out["t"].to_pylist() == [vals]
+        # merges with plain aggregates in the same STATS
+        both = _rows(run_esql(
+            sf_dir,
+            'FROM events | STATS n = COUNT(*), t = TOP(value, 2, "desc")'
+            " BY event_type",
+        ))
+        assert set(both.column_names) == {"event_type", "n", "t"}
+        assert all(len(v) == 2 for v in both["t"].to_pylist())
+
+    def test_top_validation(self):
+        with pytest.raises(EsqlError, match="positive integer"):
+            parse_esql('FROM t | STATS x = TOP(v, 0, "desc")')
+        with pytest.raises(EsqlError, match="asc.*desc|order"):
+            parse_esql('FROM t | STATS x = TOP(v, 3, "down")')
+
+
 class TestRowAndAggFilters:
     def test_row_source(self, ray_session):
         out = _rows(run_esql(
