@@ -321,6 +321,7 @@ def run_scaling(sf_dir: str, cpus_low: int = 8, cpus_high: int = 32,
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": sf_dir,
+        "n_pages": n_pages,
         "cpus_low": cpus_low,
         "cpus_high": cpus_high,
         "build_docs_per_sec_low": t_low,
